@@ -1,0 +1,76 @@
+"""Benchmark harness: runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed with a count-style action (no driver-side
+materialization of result rows) so we measure the distributed plan,
+not toPandas transfer. A warmup pass on sf0.001 JIT-warms the JVM.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mpg_data_warehouse_spark.plans.driver_queries import QUERIES
+from mpg_data_warehouse_spark.session import get_spark
+
+HEADLINE = [
+    "ground_cover_pct_complete",
+    "multi_way_join_enrich",
+    "anti_join_new_keys",
+    "date_repair_from_dim",
+    "distinct_count_per_year",
+    "string_agg_top3_dates",
+    "window_partition_count",
+    "group_multiples_having",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("bench")
+
+    names = [n for n in HEADLINE if n in QUERIES]
+
+    # Warmup at the smallest sf: JIT, codegen and parquet-footer caches.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for name in names:
+            QUERIES[name](spark, warm_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        # noop sink: full execution of every operator, zero sink cost.
+        QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""Aggregation operators (reference §2.4 A1-A11, §2.5 W1, §2.7 U1-U3).
+
+Everything here is a thin, named composition of built-in functions —
+Catalyst plans partial (map-side) + final hash aggregation
+automatically, which is exactly the "push the GROUP BY into the
+warehouse" optimization the reference performs by hand
+(notebooks/gridVeg_groundCover_intercepts_WRANGLE.ipynb:301-313).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def group_count_scaled(
+    df: DataFrame,
+    keys: list[str],
+    count_col: str,
+    scale: float,
+    alias: str,
+) -> DataFrame:
+    """Group-by count with constant scaling — the flagship query shape
+    (reference A1: COUNT(intercept_ground_code)/2 AS intercepts_pct,
+    200 transect points per survey → percent cover;
+    notebooks/gridVeg_groundCover_intercepts_WRANGLE.ipynb:301-313)."""
+    return df.groupBy(*keys).agg(
+        (F.count(count_col) / F.lit(scale)).alias(alias)
+    )
+
+
+def group_sum(
+    df: DataFrame, keys: list[str], sum_col: str, alias: str
+) -> DataFrame:
+    """Group-by sum (reference A2: detection_rate = sum(intercepts_pct)
+    per survey × functional group;
+    notebooks/gridVeg_plant_functional_groups_WRANGLE.ipynb:508-511)."""
+    return df.groupBy(*keys).agg(F.sum(sum_col).alias(alias))
+
+
+def multiples(df: DataFrame, keys: list[str], alias: str = "n") -> DataFrame:
+    """Keys observed more than once (reference A3:
+    group_by %>% summarise(n=n()) %>% filter(n>1);
+    notebooks/gridVeg_species_richness_WRANGLE.ipynb:740-746)."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias(alias))
+        .filter(F.col(alias) > 1)
+    )
+
+
+def drop_keyed_duplicates(
+    df: DataFrame, supplemental: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Remove supplemental rows whose key already appears ≥2× overall
+    (reference J7 anti_join on the 'multiple_key';
+    notebooks/gridVeg_species_richness_WRANGLE.ipynb:858-862)."""
+    return supplemental.join(multiples(df, keys).select(*keys), keys, "left_anti")
+
+
+def distinct_count_by(
+    df: DataFrame, group: str, distinct_col: str, alias: str, approx: bool = False
+) -> DataFrame:
+    """Per-group count-distinct (reference A4: n_distinct(survey_ID)
+    per year). ``approx=True`` swaps in HyperLogLog++
+    (approx_count_distinct) — at 100 TB an exact count-distinct is a
+    full shuffle of the distinct pairs; HLL is one pass."""
+    agg = (
+        F.approx_count_distinct(distinct_col)
+        if approx
+        else F.countDistinct(distinct_col)
+    )
+    return df.groupBy(group).agg(agg.alias(alias))
+
+
+def string_agg_ordered_limited(
+    df: DataFrame, keys: list[str], value_col: str, limit: int, alias: str
+) -> DataFrame:
+    """Ordered, limited string aggregation (reference A6: BigQuery
+    STRING_AGG(CAST(date AS STRING) ORDER BY date LIMIT 3),
+    src/investigate_further_gridveg_dates.py:20). No single Spark
+    builtin — composed as collect_list → array_sort → slice →
+    concat_ws, all JVM-side."""
+    return df.groupBy(*keys).agg(
+        F.concat_ws(
+            ",",
+            F.slice(
+                F.array_sort(F.collect_list(F.col(value_col).cast("string"))),
+                1,
+                limit,
+            ),
+        ).alias(alias)
+    )
+
+
+def value_counts(df: DataFrame, col: str, desc: bool = True) -> DataFrame:
+    """Frequency table (reference A10: pandas value_counts —
+    src/explore_gridveg.py:69-81)."""
+    out = df.groupBy(col).agg(F.count(F.lit(1)).alias("count"))
+    return out.orderBy(F.col("count").desc() if desc else F.col(col))
+
+
+def union_tagged(
+    frames: list[tuple[DataFrame, str]], tag_col: str
+) -> DataFrame:
+    """Union-by-name with a literal provenance tag per branch
+    (reference U1/U2: bind_rows of detections tagged detection_type;
+    notebooks/gridVeg_species_richness_WRANGLE.ipynb:688-691)."""
+    tagged = [df.withColumn(tag_col, F.lit(tag)) for df, tag in frames]
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.unionByName(t)
+    return out

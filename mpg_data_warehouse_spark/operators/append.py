@@ -1,0 +1,121 @@
+"""Idempotent ingest-append operators (reference §2 J6/S9/S12/A11 —
+the repo's signature flow: anti-join new-minus-existing on a
+(composite) key, append only genuinely-new rows, verify counts).
+
+Reference sites: anti-join+append
+notebooks/update_gridVeg_survey_metadata.ipynb:865-900 (key
+survey_ID), notebooks/update_gridVeg_point_intercepts.ipynb:1129-1168
+(composite survey_ID+transect_point — built there by string concat;
+Spark joins on multi-column keys directly),
+notebooks/update_gridVeg_additional_species.ipynb:889-938,
+notebooks/update_plant_species_metadata.ipynb:1037-1057. Row-count
+reconciliation notebooks/update_gridVeg_survey_metadata.ipynb:1257-1278.
+
+Scale design: the anti-join shuffles both sides on the key — correct
+and linear. When the existing table is partitioned by year and the
+new batch covers one season, pre-filtering existing to the batch's
+year range (pushdown) keeps the join small; `year_prune=True` does
+this automatically. Never collect key sets to the driver (the
+reference's Python ``set()`` diff does not scale; left_anti does).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class AppendResult:
+    """Reconciliation record (reference A11: prev + appended == actual)."""
+
+    previous_rows: int
+    new_batch_rows: int
+    duplicate_rows: int
+    appended_rows: int
+    actual_rows: int
+
+    @property
+    def reconciled(self) -> bool:
+        return self.previous_rows + self.appended_rows == self.actual_rows
+
+
+def new_only(new: DataFrame, existing: DataFrame, keys: list[str]) -> DataFrame:
+    """Rows of ``new`` whose key is absent from ``existing``
+    (reference J6). Multi-column keys join directly — no composite
+    string concat needed."""
+    return new.join(existing.select(*keys).distinct(), on=keys, how="left_anti")
+
+
+def already_present(new: DataFrame, existing: DataFrame, keys: list[str]) -> DataFrame:
+    """Duplicate-intersection report (reference J9: warn + sample the
+    keys that already exist —
+    notebooks/update_gridVeg_survey_metadata.ipynb:891-897)."""
+    return new.join(existing.select(*keys).distinct(), on=keys, how="left_semi")
+
+
+def anti_join_append(
+    spark: SparkSession,
+    new: DataFrame,
+    table_path: str,
+    keys: list[str],
+    partition_by: tuple[str, ...] = (),
+    year_prune: bool = True,
+) -> AppendResult:
+    """Dedup-on-append: write only rows whose key isn't in the table.
+
+    Idempotent by construction — re-running with the same batch
+    appends 0 rows (the reference's operational guarantee, §5).
+    """
+    existing = spark.read.parquet(table_path)
+
+    anti_target = existing
+    if year_prune and "year" in new.columns and "year" in existing.columns:
+        # Partition-pruned anti-join: a season batch only collides
+        # with its own years; at 100 TB this reads a few partitions
+        # instead of the whole fact table.
+        years = [r[0] for r in new.select("year").distinct().collect()]
+        anti_target = existing.filter(F.col("year").isin(years))
+
+    to_append = new_only(new, anti_target, keys)
+    dup_count = new.count() - to_append.count()
+
+    prev = existing.count()
+    appended = to_append.count()
+    w = to_append.write.mode("append")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(table_path)
+    actual = spark.read.parquet(table_path).count()
+
+    return AppendResult(
+        previous_rows=prev,
+        new_batch_rows=appended + dup_count,
+        duplicate_rows=dup_count,
+        appended_rows=appended,
+        actual_rows=actual,
+    )
+
+
+def truncate_replace(
+    spark: SparkSession,
+    df: DataFrame,
+    table_path: str,
+    partition_by: tuple[str, ...] = (),
+) -> int:
+    """Atomic-intent full-table replace (reference S12 WRITE_TRUNCATE,
+    notebooks/fix_gridVeg_additional_species_na_rows.ipynb:913-926).
+    Parquet overwrite is not transactional like Delta/BigQuery; the
+    repair pipelines take a backup first (sources.writers.backup_csv),
+    mirroring the reference's extract-before-mutate discipline."""
+    # localCheckpoint severs lineage to the source path so we can
+    # safely overwrite a table we computed FROM (read-modify-replace).
+    df = df.localCheckpoint(eager=True)
+    rows = df.count()
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(table_path)
+    return rows

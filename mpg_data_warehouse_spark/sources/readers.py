@@ -1,0 +1,116 @@
+"""Readers (reference §2 S1-S8).
+
+The reference reads FileMaker CSV exports from local disk and GCS
+(``pd.read_csv``, sometimes ``encoding='latin-1'``) and round-trips
+whole BigQuery tables to pandas. Spark subsumes all of it: one CSV
+reader with explicit schema + encoding option (object stores are
+native — the same call reads ``gs://``/``s3a://`` on a cluster), and
+``spark.read.parquet`` for warehouse tables with Catalyst doing
+column pruning and predicate pushdown down to the file footers.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mpg_data_warehouse_spark.schemas import TESTDATA_TABLES
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    encoding: str = "UTF-8",
+    null_values: tuple[str, ...] = ("", "NA"),
+    header: bool = True,
+) -> DataFrame:
+    """CSV scan with explicit schema and null-sentinel handling.
+
+    Reference: local scan src/survey_metadata_update.py:35-42; GCS +
+    latin-1 scan notebooks/update_plant_species_metadata.ipynb:250-253;
+    null sentinels src/point_intercepts_update.py:118-120 (replaces
+    ""/"NA" with null before casting). Spark's reader supports a single
+    ``nullValue`` natively; for additional sentinels we read as
+    declared types with ``nullValue`` set to the first sentinel and
+    handle the rest in the cleaning layer when reading all-string.
+    """
+    reader = (
+        spark.read.option("header", str(header).lower())
+        .option("encoding", encoding)
+        .option("nullValue", null_values[0] if null_values else "")
+        .option("mode", "PERMISSIVE")
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        # Schema-less reads stay all-string (no inference): typing is
+        # the cleaning layer's job, exactly like the reference's
+        # read-then-coerce flow.
+        reader = reader.option("inferSchema", "false")
+    df = reader.csv(path)
+    if len(null_values) > 1:
+        string_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)]
+        for c in string_cols:
+            df = df.withColumn(
+                c, F.when(F.col(c).isin(*null_values), F.lit(None)).otherwise(F.col(c))
+            )
+    return df
+
+
+def read_table(spark: SparkSession, path_or_name: str) -> DataFrame:
+    """Warehouse table scan (reference S4: ``SELECT * FROM t`` →
+    client download). Here: a lazy parquet/Delta scan — projections
+    and filters applied later still push down into this scan, so the
+    'manual pushdown' the reference does by editing SQL strings (S5)
+    is automatic."""
+    if os.path.sep in path_or_name or path_or_name.endswith(".parquet"):
+        return spark.read.parquet(path_or_name)
+    return spark.table(path_or_name)
+
+
+def load_testdata(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    """Load the driver's synthetic tables and register temp views."""
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def cached_or_compute(
+    spark: SparkSession, cache_path: str, compute: "callable[[], DataFrame]"
+) -> DataFrame:
+    """Read-through interim cache (reference S15: if interim CSV
+    exists load it, else query the warehouse and persist —
+    src/explore_gridveg.py:9-36). Cross-session caching → parquet
+    checkpoint; intra-session reuse should prefer ``df.cache()``."""
+    try:
+        return spark.read.parquet(cache_path)
+    except Exception:
+        df = compute()
+        df.write.mode("overwrite").parquet(cache_path)
+        return spark.read.parquet(cache_path)
+
+
+def null_audit(df: DataFrame) -> DataFrame:
+    """Per-column null counts in ONE pass (reference P11 runs
+    ``df.isnull().sum()`` — src/survey_metadata_update.py:91-93).
+    Single aggregate row; no per-column jobs."""
+    return df.select(
+        [F.count(F.when(F.col(c).isNull(), 1)).alias(c) for c in df.columns]
+    )
+
+
+def any_null_rows(df: DataFrame) -> DataFrame:
+    """Rows with any NULL (reference P12:
+    notebooks/fix_gridVeg_additional_species_na_rows.ipynb:453-454)."""
+    cond = reduce(lambda a, b: a | b, [F.col(c).isNull() for c in df.columns])
+    return df.filter(cond)

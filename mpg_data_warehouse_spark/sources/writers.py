@@ -1,0 +1,61 @@
+"""Writers (reference §2 S9-S14).
+
+The reference appends via BigQuery load jobs (WRITE_APPEND), replaces
+via WRITE_TRUNCATE, and exports a GCS CSV backup before any mutation.
+Spark equivalents: ``mode("append")`` / ``mode("overwrite")`` parquet
+(Delta when available gives the atomic replace + time travel that
+subsumes the backup/rollback recipes), and a CSV export for parity
+with the backup flow.
+
+Scale policy: fact tables partition by ``year`` — every reference
+filter that matters (P4/P5/P8) is on year or date, so partition
+pruning turns those scans into a handful of directories even at
+100 TB. Dimensions stay unpartitioned single-directory tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_append(
+    df: DataFrame, path: str, partition_by: tuple[str, ...] = ()
+) -> None:
+    """Append sink (reference S9: load job WRITE_APPEND with explicit
+    schema — notebooks/update_gridVeg_survey_metadata.ipynb:995-1008).
+    Dedup-before-append is the caller's job via
+    operators.append.anti_join_append."""
+    w = df.write.mode("append")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_overwrite(
+    df: DataFrame, path: str, partition_by: tuple[str, ...] = ()
+) -> None:
+    """Truncate-replace sink (reference S12: WRITE_TRUNCATE —
+    notebooks/update_plant_species_metadata.ipynb:1152-1166)."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def backup_csv(spark: SparkSession, table_path: str, backup_path: str) -> int:
+    """Pre-mutation table backup to CSV (reference S13:
+    client.extract_table → gs://…/TIMESTAMP/*.csv,
+    src/survey_metadata_update.py:202-221). Returns row count for the
+    reconciliation log. Distributed write — one CSV part per
+    partition, never collected to the driver."""
+    df = spark.read.parquet(table_path)
+    df.write.mode("overwrite").option("header", "true").csv(backup_path)
+    return df.count()
+
+
+def write_single_csv(df: DataFrame, path: str) -> None:
+    """Single-file CSV sink for small wrangle outputs (reference S14:
+    R ``write_csv`` of a few-thousand-row summary —
+    notebooks/gridVeg_groundCover_intercepts_WRANGLE.ipynb:965-969).
+    coalesce(1) is deliberate and only sane for small results."""
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)

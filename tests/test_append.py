@@ -1,0 +1,68 @@
+"""Idempotent anti-join append (reference J6/S9/A11): run-twice
+appends zero, reconciliation holds, composite keys join natively."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from mpg_data_warehouse_spark.operators.append import (
+    anti_join_append,
+    new_only,
+    truncate_replace,
+)
+
+
+def _existing(spark):
+    return spark.createDataFrame(
+        [
+            Row(survey_ID="a", transect_point="N1", year=2024, v=1.0),
+            Row(survey_ID="a", transect_point="N2", year=2024, v=2.0),
+            Row(survey_ID="b", transect_point="E1", year=2025, v=3.0),
+        ]
+    )
+
+
+def _batch(spark):
+    # 2 duplicate keys, 2 new (one new transect on an old survey —
+    # composite key must distinguish it).
+    return spark.createDataFrame(
+        [
+            Row(survey_ID="a", transect_point="N1", year=2024, v=1.0),
+            Row(survey_ID="b", transect_point="E1", year=2025, v=3.0),
+            Row(survey_ID="a", transect_point="N3", year=2024, v=4.0),
+            Row(survey_ID="c", transect_point="W9", year=2025, v=5.0),
+        ]
+    )
+
+
+def test_new_only_composite_key(spark):
+    got = new_only(_batch(spark), _existing(spark), ["survey_ID", "transect_point"])
+    keys = {(r.survey_ID, r.transect_point) for r in got.collect()}
+    assert keys == {("a", "N3"), ("c", "W9")}
+
+
+def test_append_then_idempotent(spark, tmp_path):
+    table = str(tmp_path / "tbl")
+    _existing(spark).write.parquet(table)
+
+    res = anti_join_append(spark, _batch(spark), table, ["survey_ID", "transect_point"])
+    assert res.appended_rows == 2
+    assert res.duplicate_rows == 2
+    assert res.reconciled
+    assert res.actual_rows == 5
+
+    # Re-running the same batch appends 0 (reference §5 idempotence).
+    res2 = anti_join_append(spark, _batch(spark), table, ["survey_ID", "transect_point"])
+    assert res2.appended_rows == 0
+    assert res2.actual_rows == 5
+    assert res2.reconciled
+
+
+def test_truncate_replace_reads_own_source(spark, tmp_path):
+    """Read-modify-replace on the same path (the fix-NA flow)."""
+    table = str(tmp_path / "tbl2")
+    _existing(spark).write.parquet(table)
+    df = spark.read.parquet(table).filter("year = 2024")
+    rows = truncate_replace(spark, df, table)
+    assert rows == 2
+    assert spark.read.parquet(table).count() == 2
