@@ -30,6 +30,12 @@ HEADLINE = [
     "string_agg_top3_dates",
     "window_partition_count",
     "group_multiples_having",
+    "dedup_exact",
+    "minhash_near_dup_pairs",
+    "text_profile",
+    "ann_cosine_topk",
+    "events_hourly_rollup",
+    "sessionize_events",
 ]
 
 

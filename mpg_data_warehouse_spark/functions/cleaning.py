@@ -36,15 +36,16 @@ def clean_null_sentinels(
 def coerce_long(col: Column | str) -> Column:
     """``pd.to_numeric(errors="coerce").astype("Int64")`` parity
     (reference F5: src/point_intercepts_update.py:107-130): sentinel
-    cleanup then null-on-failure cast. Handles "12.0"-style floats in
-    integer columns the way pandas does."""
-    return clean_null_sentinels(col).cast("double").cast("long")
+    cleanup then null-on-failure cast (try_cast — Spark 4 runs ANSI
+    mode by default, where a plain cast of "abc" THROWS). Handles
+    "12.0"-style floats in integer columns the way pandas does."""
+    return clean_null_sentinels(col).try_cast("double").try_cast("long")
 
 
 def coerce_double(col: Column | str) -> Column:
     """``pd.to_numeric(errors="coerce", downcast="float")`` parity
     (reference F5: src/point_intercepts_update.py:121-125)."""
-    return clean_null_sentinels(col).cast("double")
+    return clean_null_sentinels(col).try_cast("double")
 
 
 def composite_key(*cols: str, sep: str = "_") -> Column:

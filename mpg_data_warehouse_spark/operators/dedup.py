@@ -1,0 +1,295 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, and n-gram Jaccard near-dup detection.
+
+Scale design notes
+------------------
+* Exact dedup is a hash-groupBy: one shuffle on the content hash,
+  map-side partial aggregation. Never a global sort.
+* MinHash signatures are computed per-document in a single explode →
+  groupBy pass (shuffle keyed by doc); LSH banding turns the O(n²)
+  pair space into per-bucket micro-joins (shuffle keyed by band
+  hash). Skewed buckets (a shingle-set shared by thousands of docs)
+  are the classic hazard — AQE skew-join handles moderate skew, and
+  ``max_bucket`` hard-caps pathological buckets exactly like
+  production dedup pipelines drop degenerate bands.
+* All hashes derive from md5 (not Spark's murmur3 ``hash()``) so
+  every stage is reproducible in the DuckDB oracle and across
+  engines/versions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mpg_data_warehouse_spark.operators.text import tokens
+
+
+def content_hash(col: Column | str) -> Column:
+    """Exact-content key: md5 of the raw text bytes."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(c.cast("binary"))
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup via hash-groupBy: one row per distinct content,
+    keeping the minimum id as canonical and counting copies."""
+    return (
+        df.withColumn("content_hash", content_hash(text_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (order-preserving windows).
+
+    Built with transform-over-sequence on the token array — stays in
+    codegen; one expression, no explode until the caller needs rows.
+    """
+    toks = tokens(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx,
+        # try_element_at: NULL past the end (ANSI-safe for short docs);
+        # concat_ws skips NULLs, so a 2-token doc yields its bigram.
+        lambda i: F.concat_ws(
+            " ", *[F.try_element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    # Short docs (< n tokens) yield one partial shingle; keep it.
+    return F.array_distinct(grams)
+
+
+def exploded_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", shingle_n: int = 3
+) -> DataFrame:
+    """(id, shingle) rows — the shared input of signature generation
+    and Jaccard verification. Callers that run both should cache it."""
+    return df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("shingle")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """MinHash signature per document: for seed i, the lexicographic
+    min of md5(i || shingle). One explode + one groupBy; signature
+    columns named sig_0..sig_{k-1}."""
+    shingled = (
+        shingles
+        if shingles is not None
+        else exploded_shingles(df, id_col, text_col, shingle_n)
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")).cast("binary"))).alias(
+            f"sig_{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs (a < b) sharing at
+    least one band bucket. Buckets larger than ``max_bucket`` are
+    dropped (degenerate content — a bucket of B docs contributes
+    B·(B-1)/2 pairs; the cap bounds worst-case blowup)."""
+    rows = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        sig_slice = [F.col(f"sig_{b * rows + r}") for r in range(rows)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"), F.md5(F.concat_ws("|", *sig_slice).cast("binary")).alias("bucket")
+            )
+        )
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, "bb.band", "bb.bucket")
+
+    counts = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    small = banded.join(
+        counts.filter(F.col("n") <= max_bucket).select("band", "bucket"),
+        ["band", "bucket"],
+        "left_semi",
+    )
+    a = small.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"))
+    b = small.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs: |A∩B| / |A∪B|,
+    computed distributed via shingle explode + pair join."""
+    sh = (
+        shingles
+        if shingles is not None
+        else exploded_shingles(df, id_col, text_col, shingle_n)
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+
+    # Count matching shingles per pair via two keyed joins on
+    # (doc, shingle) — shuffle-friendly, never a cross product.
+    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                4,
+            ),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash→LSH→verify near-dup pipeline: candidate pairs from
+    banding, exact Jaccard verification, thresholded output.
+
+    The exploded shingle table feeds both the signature pass and the
+    Jaccard verify — cached so the expensive tokenize+shingle map
+    runs once (at 100 TB this is a checkpoint-to-parquet instead)."""
+    sh = exploded_shingles(df, id_col, text_col, shingle_n).cache()
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, shingles=sh)
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    verified = jaccard_pairs(df, cands, id_col, text_col, shingle_n, shingles=sh)
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+def simhash_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 2,
+) -> DataFrame:
+    """64-bit SimHash per document over word shingles.
+
+    Bit b of the fingerprint is 1 iff the count of shingles whose
+    md5-derived 64-bit hash has bit b set exceeds half the shingle
+    count (majority vote). Implemented as explode → one groupBy with
+    64 conditional-sum aggregates: shuffles once on the doc id with
+    map-side partial aggregation — the shape that scales, versus a
+    per-row 64-wide fold expression that explodes codegen.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
+    )
+    # 64-bit hash from two 32-bit md5 halves (a single 16-hex-char
+    # conv overflows BIGINT under ANSI for values ≥ 2^63).
+    md5c = F.md5(F.col("shingle").cast("binary"))
+    hi = F.conv(F.substring(md5c, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(md5c, 9, 8), 16, 10).cast("long")
+    h = F.shiftleft(hi, 32).bitwiseOR(lo)
+    hashed = sh.select(F.col(id_col), h.alias("h"))
+    votes = hashed.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        *[
+            F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"v{b}")
+            for b in range(64)
+        ],
+    )
+    fp = F.lit(0).cast("long")
+    for b in range(64):
+        bit = (F.col(f"v{b}") * 2 > F.col("n_sh")).cast("long")
+        fp = fp.bitwiseOR(F.shiftleft(bit, b))
+    return votes.select(F.col(id_col), fp.alias("fp"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ k, blocked on
+    16-bit fingerprint chunks (pigeonhole: distance ≤3 ⇒ at least one
+    of 4 chunks identical) so the join is keyed, never O(n²)."""
+    fp = simhash_fingerprints(df, id_col, text_col)
+    chunks = fp.select(
+        id_col,
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftright(F.col("fp"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("ckey"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "fp", "c.chunk", "c.ckey")
+    a = chunks.select(
+        F.col(id_col).alias("id_a"), F.col("fp").alias("fp_a"), "chunk", "ckey"
+    )
+    b = chunks.select(
+        F.col(id_col).alias("id_b"), F.col("fp").alias("fp_b"), "chunk", "ckey"
+    )
+    pairs = (
+        a.join(b, ["chunk", "ckey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        pairs.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -543,4 +543,375 @@ def top_k_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(10).select("o_orderkey", "o_totalprice", "o_orderpriority")
 
 
+# ===========================================================================
+# Extension surface: LLM-training-data pipeline operators over the
+# documents / embeddings / events tables (SURVEY §7.2 step 7).
+# ===========================================================================
+
+
+_STOP_SQL = "('the','a','and','of','to','in','is')"
+_LANG_SCORES_SQL = """
+         len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))) AS s_de,
+         len(list_filter(toks, x -> x IN ('the','and','of','to','a')))     AS s_en,
+         len(list_filter(toks, x -> x IN ('el','la','de','que','y')))      AS s_es,
+         len(list_filter(toks, x -> x IN ('le','la','les','et','des')))    AS s_fr
+"""
+
+
+@_q(
+    "text_profile",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, text, toks, {_LANG_SCORES_SQL}
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           round(CAST(len(list_filter(toks, x -> x IN {_STOP_SQL})) AS DOUBLE)
+                 / len(toks), 4) AS stopword_ratio,
+           CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS lang_pred,
+           md5(array_to_string(list_sort(list_distinct(toks)), ' '))
+             AS fingerprint
+    FROM scored
+    """,
+)
+def text_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: token count, stopword ratio, language-ID
+    heuristic, order-insensitive content fingerprint — all JVM-side
+    column math (operators.text), one narrow map stage."""
+    from mpg_data_warehouse_spark.operators import text as X
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.token_count("text").alias("n_tokens"),
+        X.stopword_ratio("text").alias("stopword_ratio"),
+        X.lang_id("text").alias("lang_pred"),
+        X.doc_fingerprint("text").alias("fingerprint"),
+    )
+
+
+@_q(
+    "quality_score_docs",
+    """
+    WITH t AS (
+      SELECT doc_id, text,
+             regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n_tok,
+             CAST(length(text) - len(toks) + 1 AS DOUBLE) / len(toks)
+               AS mean_tok_len,
+             CAST(len(list_filter(toks,
+                  x -> x IN ('the','a','and','of','to','in','is'))) AS DOUBLE)
+               / len(toks) AS stop_ratio
+      FROM t
+    )
+    SELECT doc_id,
+           round((CAST(n_tok >= 10 AND n_tok <= 100000 AS INT)
+                + CAST(stop_ratio > 0.01 AS INT)
+                + CAST(mean_tok_len >= 2.0 AND mean_tok_len <= 12.0 AS INT)
+                 ) / 3.0, 4) AS quality_score
+    FROM m
+    """,
+)
+def quality_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mpg_data_warehouse_spark.operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score("text").alias("quality_score"))
+
+
+@_q(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content (one shuffle, map-side
+    partial agg; operators.dedup.exact_dedup)."""
+    from mpg_data_warehouse_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+# MinHash+LSH near-dup. The synthetic corpus has no organic near-dups,
+# so both sides augment it with deterministic perturbed copies (every
+# 10th doc, first two tokens dropped, id + 1,000,000) — the operator
+# must then recover exactly those pairs that band-collide and pass
+# Jaccard ≥ 0.5. Full pipeline is oracle-checked: signatures, banding,
+# candidate join, and exact-Jaccard verify all reproduce in DuckDB
+# because every hash is md5-derived.
+_MINHASH_SIGS = ", ".join(
+    f"min(md5('{i}|' || s)) AS sig_{i}" for i in range(8)
+)
+_MINHASH_BANDS = " ".join(
+    f"WHEN {b} THEN sig_{2*b} || '|' || sig_{2*b+1}" for b in range(4)
+)
+
+
+@_q(
+    "minhash_near_dup_pairs",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(
+               list_slice(regexp_split_to_array(trim(text), '\\s+'),
+                          3, 100000), ' ') AS text
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM base
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(0, greatest(len(toks) - 3, 0) + 1),
+               i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])
+             )) AS shingles
+      FROM toks
+    ),
+    sh AS (SELECT doc_id, unnest(shingles) AS s FROM grams),
+    sigs AS (
+      SELECT doc_id, {_MINHASH_SIGS}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, band,
+             md5(CASE band {_MINHASH_BANDS} END) AS bucket
+      FROM sigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS band)
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                   AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cands c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+      GROUP BY c.id_a, c.id_b
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM grams),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             round(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                   / (za.n_sh + zb.n_sh - COALESCE(i.n_inter, 0)), 4)
+               AS jaccard
+      FROM cands c
+      LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+      JOIN sizes za ON za.doc_id = c.id_a
+      JOIN sizes zb ON zb.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
+    """,
+)
+def minhash_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mpg_data_warehouse_spark.operators.dedup import minhash_dedup_pairs
+    from mpg_data_warehouse_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(tokens("text"), 3, 100000)).alias("text"),
+    )
+    base = docs.unionByName(perturbed)
+    return minhash_dedup_pairs(
+        base, num_hashes=8, bands=4, shingle_n=3, threshold=0.5
+    )
+
+
+@_q(
+    "ann_cosine_topk",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(
+               list_sum(list_transform(list_zip(qv, cv),
+                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(list_zip(qv, qv),
+                    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(list_zip(cv, cv),
+                    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))))),
+               6) AS cos_sim
+      FROM c CROSS JOIN q
+      WHERE neighbor_id <> query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+           ) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+)
+def ann_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k baseline (operators.similarity).
+    Exact-match oracle: both engines fold the dot product
+    left-to-right in double — verified bit-identical."""
+    from mpg_data_warehouse_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@_q("simhash_near_dup_pairs")
+def simhash_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only check: the 64-bit bit-vote
+    fingerprint uses conv/bit ops with no clean DuckDB mirror; pinned
+    instead by unit tests — identical text ⇒ identical fingerprint,
+    small perturbation ⇒ small Hamming distance)."""
+    from mpg_data_warehouse_spark.operators.dedup import simhash_near_pairs
+    from mpg_data_warehouse_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(tokens("text"), 2, 100000)).alias("text"),
+    )
+    return simhash_near_pairs(docs.unionByName(perturbed), max_hamming=3)
+
+
+@_q("lsh_ann_topk")
+def lsh_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (rows-only check; recall vs the
+    brute-force baseline is pinned by tests/test_similarity.py)."""
+    from mpg_data_warehouse_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, dim=64)
+
+
+@_q(
+    "json_extract_props",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+    FROM events
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the events.props string column
+    (SURVEY §2.8 extension surface)."""
+    events = _events(spark, sf_dir)
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+    )
+
+
+@_q(
+    "events_hourly_rollup",
+    """
+    SELECT CAST(CAST(date_trunc('hour', ts) AS TIMESTAMP) AS VARCHAR)
+             AS hour_ts,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup in batch form (the Structured Streaming
+    module runs the same plan shape incrementally with a watermark —
+    streaming/events.py)."""
+    events = _events(spark, sf_dir)
+    return events.groupBy(
+        F.date_trunc("hour", "ts").cast("string").alias("hour_ts"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@_q(
+    "sessionize_events",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS prev_us
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, event_id, us,
+             CASE WHEN prev_us IS NULL
+                       OR us - prev_us > 1800000000 THEN 1 ELSE 0
+             END AS is_start
+      FROM o
+    ),
+    sess AS (
+      SELECT user_id,
+             CAST(sum(is_start) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS BIGINT) AS session_num
+      FROM marked
+    )
+    SELECT user_id, session_num, count(*) AS n_events
+    FROM sess GROUP BY user_id, session_num
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + running sum
+    windows — the batch analog of streaming session windows."""
+    events = _events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    w = W.partitionBy("user_id").orderBy(us, "event_id")
+    marked = events.select(
+        "user_id",
+        "event_id",
+        us.alias("us"),
+        F.when(
+            F.lag(us).over(w).isNull()
+            | ((us - F.lag(us).over(w)) > 1800000000),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    w2 = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    sess = marked.select(
+        "user_id",
+        F.sum("is_start").over(w2).cast("long").alias("session_num"),
+    )
+    return sess.groupBy("user_id", "session_num").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
 REGISTRY_DOC = "queries: " + ", ".join(sorted(QUERIES))

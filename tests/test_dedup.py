@@ -1,0 +1,90 @@
+"""Dedup families: exact, MinHash+LSH, SimHash — behavioral
+properties on constructed near-duplicates."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from mpg_data_warehouse_spark.operators import dedup as D
+
+DOC = (
+    "the quick brown fox jumps over the lazy dog while the cold river "
+    "runs past the old mill and the tall trees sway in the evening wind"
+)
+
+
+def _corpus(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text=DOC),
+            Row(doc_id=2, text=DOC),  # exact dup of 1
+            Row(doc_id=3, text=DOC.replace("quick", "swift")),  # near-dup of 1
+            Row(doc_id=4, text="completely different content about spark "
+                               "query engines and distributed shuffles at scale"),
+        ]
+    )
+
+
+def test_exact_dedup(spark):
+    out = D.exact_dedup(_corpus(spark)).collect()
+    by_id = {r.doc_id: r.n_copies for r in out}
+    assert by_id[1] == 2  # docs 1+2 collapse, min id kept
+    assert 2 not in by_id
+    assert by_id[3] == 1 and by_id[4] == 1
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([Row(text="a b c d"), Row(text="x y")])
+    got = [r.s for r in df.select(D.word_shingles("text", 3).alias("s")).collect()]
+    assert got[0] == ["a b c", "b c d"]
+    assert got[1] == ["x y"]  # short doc: one partial shingle
+
+
+def test_minhash_identical_signatures(spark):
+    sigs = D.minhash_signatures(_corpus(spark)).collect()
+    by_id = {r.doc_id: [r[f"sig_{i}"] for i in range(8)] for r in sigs}
+    assert by_id[1] == by_id[2]  # identical text → identical signature
+    shared = sum(a == b for a, b in zip(by_id[1], by_id[3]))
+    assert shared >= 4  # near-dup shares most minhashes
+    shared_diff = sum(a == b for a, b in zip(by_id[1], by_id[4]))
+    assert shared_diff <= 2
+
+
+def test_minhash_pipeline_finds_near_dups(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.minhash_dedup_pairs(_corpus(spark), threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.5
+    assert not any(4 in p for p in pairs)
+
+
+def test_simhash_properties(spark):
+    fps = {
+        r.doc_id: r.fp
+        for r in D.simhash_fingerprints(_corpus(spark)).collect()
+    }
+    assert fps[1] == fps[2]
+
+    def hamming(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    assert hamming(fps[1], fps[3]) <= 10  # near-dup: close fingerprints
+    assert hamming(fps[1], fps[4]) > 10  # unrelated: far apart
+
+
+def test_simhash_near_pairs_blocking(spark):
+    out = {(r.id_a, r.id_b) for r in D.simhash_near_pairs(_corpus(spark), max_hamming=3).collect()}
+    assert (1, 2) in out
+    assert not any(4 in p for p in out)
+
+
+def test_lsh_candidates_subset_and_cap(spark):
+    sigs = D.minhash_signatures(_corpus(spark))
+    cands = {(r.id_a, r.id_b) for r in D.lsh_candidate_pairs(sigs).collect()}
+    assert (1, 2) in cands
+    # max_bucket=1 drops every bucket with >1 member → no candidates
+    none = D.lsh_candidate_pairs(sigs, max_bucket=1).count()
+    assert none == 0

@@ -1,0 +1,81 @@
+"""Similarity search: exact brute-force correctness and LSH recall
+against it (the standard ANN evaluation)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Row
+
+from mpg_data_warehouse_spark.operators import similarity as S
+
+DIM = 16
+
+
+def _vectors(spark, n=60, seed=7):
+    rng = random.Random(seed)
+    # A few tight clusters plus noise, so top-k is meaningful.
+    centers = [[rng.uniform(-1, 1) for _ in range(DIM)] for _ in range(4)]
+    rows = []
+    for i in range(n):
+        c = centers[i % 4]
+        vec = [x + rng.gauss(0, 0.1) for x in c]
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in vec]))
+    return spark.createDataFrame(rows)
+
+
+def _brute_force_py(rows, query_ids, k):
+    vecs = {r.vec_id: r.embedding for r in rows}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    out = {}
+    for q in query_ids:
+        scored = sorted(
+            ((round(cos(vecs[q], vecs[c]), 6), c) for c in vecs if c != q),
+            key=lambda t: (-t[0], t[1]),
+        )
+        out[q] = [c for _, c in scored[:k]]
+    return out
+
+
+def test_cosine_topk_matches_python_reference(spark):
+    df = _vectors(spark)
+    rows = df.collect()
+    got = S.cosine_topk(df, df.filter("vec_id < 3"), k=5, vec_col="embedding")
+    by_q = {}
+    for r in got.orderBy("query_id", "rank").collect():
+        by_q.setdefault(r.query_id, []).append(r.neighbor_id)
+    expected = _brute_force_py(rows, [0, 1, 2], 5)
+    assert by_q == expected
+
+
+def test_lsh_topk_recall(spark):
+    df = _vectors(spark, n=120)
+    queries = df.filter("vec_id < 10")
+    exact = S.cosine_topk(df, queries, k=5)
+    approx = S.lsh_topk(df, queries, k=5, dim=DIM, n_planes=6, multiprobe=1)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, f"LSH recall too low: {recall}"
+
+
+def test_embedding_near_dup_pairs(spark):
+    base = _vectors(spark, n=30)
+    # duplicate vec 0 as id 1000 → cosine 1.0 must be found
+    dup = base.filter("vec_id = 0").selectExpr(
+        "CAST(1000 AS BIGINT) AS vec_id", "embedding"
+    )
+    df = base.unionByName(dup)
+    pairs = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in S.embedding_near_dup_pairs(df, threshold=0.99, dim=DIM).collect()
+    }
+    assert (0, 1000) in pairs
+    assert pairs[(0, 1000)] == 1.0

@@ -1,0 +1,76 @@
+"""Text-analysis operators: tokenization, quality, lang-ID,
+fingerprint invariances."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from mpg_data_warehouse_spark.operators import text as X
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([Row(text="the quick  brown fox"), Row(text="a")])
+    got = [r.n for r in df.select(X.token_count("text").alias("n")).collect()]
+    assert got == [4, 1]
+
+
+def test_bpe_ish_tokens_split_punct(spark):
+    df = spark.createDataFrame([Row(text="hello, world! it's 42.")])
+    toks = df.select(X.bpe_ish_tokens("text").alias("t")).collect()[0].t
+    assert toks == ["hello", ",", "world", "!", "it", "'", "s", "42", "."]
+
+
+def test_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma"),
+            Row(doc_id=2, text="gamma alpha beta alpha"),
+            Row(doc_id=3, text="alpha beta delta"),
+        ]
+    )
+    fps = {
+        r.doc_id: r.fp
+        for r in df.select("doc_id", X.doc_fingerprint("text").alias("fp")).collect()
+    }
+    assert fps[1] == fps[2]  # same token set → same fingerprint
+    assert fps[1] != fps[3]
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat and the dog of to a house"),
+            Row(doc_id=2, text="el gato y la casa de que y el perro"),
+            Row(doc_id=3, text="der hund und die katze ist das gut"),
+            Row(doc_id=4, text="le chat et les chiens des le la"),
+        ]
+    )
+    got = {
+        r.doc_id: r.lang
+        for r in df.select("doc_id", X.lang_id("text").alias("lang")).collect()
+    }
+    assert got == {1: "en", 2: "es", 3: "de", 4: "fr"}
+
+
+def test_quality_score_bands(spark):
+    good = "the quick brown fox jumps over a lazy dog near the old river bank"
+    short = "tiny doc"
+    no_stop = "zzz qqq www eee rrr ttt yyy uuu iii ooo ppp aaa sss ddd"
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=good), Row(doc_id=2, text=short), Row(doc_id=3, text=no_stop)]
+    )
+    got = {
+        r.doc_id: r.q
+        for r in df.select("doc_id", X.quality_score("text").alias("q")).collect()
+    }
+    assert got[1] == 1.0
+    assert got[2] < 1.0  # too short
+    assert got[3] < 1.0  # no stopwords
+
+
+def test_char_stats(spark):
+    df = spark.createDataFrame([Row(text="ab, cd!")])
+    row = X.char_stats(df).collect()[0]
+    assert row.n_chars == 7
+    assert row.n_tokens == 2
+    assert row.punct_ratio == round(2 / 7, 4)
