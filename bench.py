@@ -30,8 +30,12 @@ HEADLINE = [
     "string_agg_top3_dates",
     "window_partition_count",
     "group_multiples_having",
+    "functional_groups_detection_rate",
+    "species_richness_union_dedup",
     "dedup_exact",
     "minhash_near_dup_pairs",
+    "ngram_jaccard_pairs",
+    "embedding_cosine_near_dup",
     "text_profile",
     "ann_cosine_topk",
     "events_hourly_rollup",

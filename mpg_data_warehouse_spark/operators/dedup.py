@@ -186,6 +186,57 @@ def jaccard_pairs(
     return out
 
 
+def shared_shingle_pairs(
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Candidate pairs (a < b) sharing at least one shingle — the
+    inverted-index join behind exact n-gram-Jaccard dedup.
+
+    ``max_df`` drops shingles appearing in more than that many
+    documents before pairing ("stop shingles"): a shingle hitting B
+    docs contributes B·(B-1)/2 pairs, so at 100 TB an undamped common
+    phrase is quadratic blowup; dropping it only removes candidates
+    whose similarity evidence is the least selective."""
+    sh = shingles
+    if max_df is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("n_df"))
+            .filter(F.col("n_df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle", "left_semi")
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs: inverted-index candidate
+    generation (every pair sharing ≥1 shingle) + exact Jaccard,
+    thresholded. Unlike MinHash this has no banding recall loss —
+    every pair with J ≥ threshold shares a shingle, so the candidate
+    set is complete (when ``max_df`` is None)."""
+    sh = exploded_shingles(df, id_col, text_col, shingle_n).cache()
+    cands = shared_shingle_pairs(sh, id_col, max_df=max_df)
+    verified = jaccard_pairs(df, cands, id_col, text_col, shingle_n, shingles=sh)
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

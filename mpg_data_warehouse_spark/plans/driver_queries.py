@@ -914,4 +914,297 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# The second wrangle pipeline: A2 group-sum → A8 complete() → J3 dim
+# join → P5 filter (reference
+# notebooks/gridVeg_plant_functional_groups_WRANGLE.ipynb:508-511,
+# 748-752, 823-828, 951-952) — part.p_brand plays the functional-group
+# role, sum(l_quantity)/2 the summed detection rate.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "functional_groups_detection_rate",
+    """
+    WITH enriched AS (
+      SELECT l.l_orderkey, p.p_brand, l.l_quantity
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    agg AS (
+      SELECT l_orderkey, p_brand,
+             round(sum(l_quantity) / 2.0, 2) AS detection_rate
+      FROM enriched GROUP BY l_orderkey, p_brand
+    ),
+    grid AS (
+      SELECT k.l_orderkey, c.p_brand
+      FROM (SELECT DISTINCT l_orderkey FROM agg) k
+      CROSS JOIN (SELECT DISTINCT p_brand FROM agg) c
+    )
+    SELECT g.l_orderkey, g.p_brand,
+           COALESCE(a.detection_rate, 0.0) AS detection_rate,
+           CAST(year(o.o_orderdate) AS BIGINT) AS o_year
+    FROM grid g
+    LEFT JOIN agg a
+      ON g.l_orderkey = a.l_orderkey AND g.p_brand = a.p_brand
+    LEFT JOIN orders o ON g.l_orderkey = o.o_orderkey
+    WHERE year(o.o_orderdate) > 1995
+    """,
+)
+def functional_groups_detection_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-groups wrangle: broadcast dim join (part is the
+    species-metadata analog), group-sum, complete() over the observed
+    group domain, survey join, year filter. Plan shape: one shuffle
+    for the agg, broadcast joins everywhere else."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    orders = _t(spark, sf_dir, "orders")
+    agg = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("l_orderkey", "p_brand")
+        .agg(F.round(F.sum("l_quantity") / F.lit(2.0), 2).alias("detection_rate"))
+    )
+    filled = complete(
+        agg,
+        expand=["p_brand"],
+        nesting=["l_orderkey"],
+        fill={"detection_rate": 0.0},
+    )
+    dim = orders.select(
+        "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
+    )
+    return (
+        filled.join(dim, filled.l_orderkey == dim.o_orderkey, "left")
+        .filter(F.col("o_year") > 1995)
+        .select("l_orderkey", "p_brand", "detection_rate", "o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# The third wrangle pipeline: U2 tagged union → A3 multiples → J7
+# anti-join → re-union (reference
+# notebooks/gridVeg_species_richness_WRANGLE.ipynb:225-226, 346-348,
+# 688-691, 740-746, 858-862, 937-941) — (l_orderkey, l_partkey) plays
+# the (survey_ID, key_plant_species) detection pair.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "species_richness_union_dedup",
+    """
+    WITH pi AS (
+      SELECT l_orderkey, l_partkey,
+             'point_intercept' AS detection_type
+      FROM lineitem
+    ),
+    multi AS (
+      SELECT l_orderkey, l_partkey FROM pi
+      GROUP BY l_orderkey, l_partkey HAVING count(*) > 1
+    ),
+    supp AS (
+      SELECT DISTINCT l_orderkey, l_partkey,
+             'supplemental' AS detection_type
+      FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    supp_clean AS (
+      SELECT s.* FROM supp s
+      WHERE NOT EXISTS (
+        SELECT 1 FROM multi m
+        WHERE m.l_orderkey = s.l_orderkey AND m.l_partkey = s.l_partkey
+      )
+    )
+    SELECT * FROM pi UNION ALL SELECT * FROM supp_clean
+    """,
+)
+def species_richness_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Species-richness wrangle: primary detections ∪ supplemental
+    detections (tagged), where supplemental pairs already seen ≥2×
+    in the primary source are anti-joined away before the union."""
+    from mpg_data_warehouse_spark.operators.aggregates import multiples
+
+    lineitem = _t(spark, sf_dir, "lineitem")
+    pi = lineitem.select(
+        "l_orderkey",
+        "l_partkey",
+        F.lit("point_intercept").alias("detection_type"),
+    )
+    multi = multiples(pi, ["l_orderkey", "l_partkey"]).select(
+        "l_orderkey", "l_partkey"
+    )
+    supp = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .withColumn("detection_type", F.lit("supplemental"))
+    )
+    supp_clean = supp.join(multi, ["l_orderkey", "l_partkey"], "left_anti")
+    return pi.unionByName(supp_clean)
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram-Jaccard dedup (extension): complete candidate set from
+# the shingle inverted index — the recall ceiling MinHash approximates.
+# Same perturbed corpus as minhash_near_dup_pairs.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "ngram_jaccard_pairs",
+    """
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(
+               list_slice(regexp_split_to_array(trim(text), '\\s+'),
+                          3, 100000), ' ') AS text
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM base
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(0, greatest(len(toks) - 3, 0) + 1),
+               i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])
+             )) AS shingles
+      FROM toks
+    ),
+    sh AS (SELECT doc_id, unnest(shingles) AS s FROM grams),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cands c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+      GROUP BY c.id_a, c.id_b
+    ),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM grams),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             round(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                   / (za.n_sh + zb.n_sh - COALESCE(i.n_inter, 0)), 4)
+               AS jaccard
+      FROM cands c
+      LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+      JOIN sizes za ON za.doc_id = c.id_a
+      JOIN sizes zb ON zb.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
+    """,
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mpg_data_warehouse_spark.operators.dedup import ngram_jaccard_pairs
+    from mpg_data_warehouse_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(tokens("text"), 3, 100000)).alias("text"),
+    )
+    return ngram_jaccard_pairs(
+        docs.unionByName(perturbed), shingle_n=3, threshold=0.5
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (extension): random-hyperplane LSH
+# self-join + exact cosine verify. The oracle mirrors the *entire*
+# approximate algorithm — the md5-derived hyperplanes are constants,
+# precomputed here in Python and inlined into the DuckDB SQL, so
+# bucketing decisions match bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def _plane_consts(dim: int = 64, n_planes: int = 8) -> list[list[float]]:
+    """The exact plane components operators.similarity._hyperplane
+    produces: md5("plane{p}|dim{d}") first 8 hex chars → uint32 →
+    [−0.5, 0.5). hashlib and Spark md5 agree on UTF-8 input."""
+    import hashlib
+
+    return [
+        [
+            int(
+                hashlib.md5(f"plane{p}|dim{d}".encode()).hexdigest()[:8], 16
+            )
+            / float(0xFFFFFFFF)
+            - 0.5
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def _near_dup_oracle_sql() -> str:
+    planes = _plane_consts()
+    bucket_terms = []
+    for p, comps in enumerate(planes):
+        lst = "[" + ", ".join(repr(c) for c in comps) + "]"
+        bucket_terms.append(
+            f"(CASE WHEN list_sum(list_transform(list_zip(v, {lst}), "
+            f"x -> x[1] * x[2])) >= 0 THEN {1 << p} ELSE 0 END)"
+        )
+    bucket_expr = "\n         + ".join(bucket_terms)
+    return f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    aug AS (
+      SELECT vec_id, v FROM e
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(v, x -> x + 0.005) AS v
+      FROM e WHERE vec_id % 10 = 0
+    ),
+    b AS (
+      SELECT vec_id, v,
+           {bucket_expr} AS bucket
+      FROM aug
+    ),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b,
+             round(
+               list_sum(list_transform(list_zip(a.v, c.v),
+                 x -> x[1] * x[2]))
+               / (sqrt(list_sum(list_transform(list_zip(a.v, a.v),
+                    x -> x[1] * x[2])))
+                * sqrt(list_sum(list_transform(list_zip(c.v, c.v),
+                    x -> x[1] * x[2])))),
+               6) AS cos_sim
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    )
+    SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.99
+    """
+
+
+@_q("embedding_cosine_near_dup", _near_dup_oracle_sql())
+def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup pairs over the embedding column: LSH bucket
+    self-join (keyed, never O(n²)) + exact cosine ≥ 0.99. Corpus
+    augmented with deterministic +0.005 perturbed copies of every
+    10th vector (the synthetic embeddings have no organic near-dups;
+    max natural pairwise cosine ≈ 0.48)."""
+    from mpg_data_warehouse_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    perturbed = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.005)).alias("embedding"),
+    )
+    return embedding_near_dup_pairs(
+        emb.unionByName(perturbed), threshold=0.99, dim=64, n_planes=8
+    )
+
+
 REGISTRY_DOC = "queries: " + ", ".join(sorted(QUERIES))

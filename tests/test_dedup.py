@@ -88,3 +88,29 @@ def test_lsh_candidates_subset_and_cap(spark):
     # max_bucket=1 drops every bucket with >1 member → no candidates
     none = D.lsh_candidate_pairs(sigs, max_bucket=1).count()
     assert none == 0
+
+
+def test_ngram_jaccard_exact_pairs(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(_corpus(spark), threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and (2, 3) in pairs
+    assert all(4 not in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_ngram_jaccard_superset_of_minhash(spark):
+    """Exact inverted-index candidates are complete: every MinHash
+    pair (which needs a band collision) must also be found exactly."""
+    mh = {(r.id_a, r.id_b) for r in D.minhash_dedup_pairs(_corpus(spark), threshold=0.5).collect()}
+    ex = {(r.id_a, r.id_b) for r in D.ngram_jaccard_pairs(_corpus(spark), threshold=0.5).collect()}
+    assert mh <= ex
+
+
+def test_shared_shingle_max_df_damps(spark):
+    sh = D.exploded_shingles(_corpus(spark))
+    undamped = D.shared_shingle_pairs(sh).count()
+    damped = D.shared_shingle_pairs(sh, max_df=1).count()
+    assert damped == 0  # every shared shingle has df >= 2 by definition
+    assert undamped >= 3

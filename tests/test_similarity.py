@@ -79,3 +79,19 @@ def test_embedding_near_dup_pairs(spark):
     }
     assert (0, 1000) in pairs
     assert pairs[(0, 1000)] == 1.0
+
+
+def test_embedding_near_dup_finds_planted(spark):
+    from pyspark.sql import functions as F
+
+    base = [Row(vec_id=i, embedding=[math.sin(i * 64 + d) for d in range(64)]) for i in range(20)]
+    df = spark.createDataFrame(base)
+    pert = df.select(
+        (F.col("vec_id") + 100).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.005)).alias("embedding"),
+    )
+    out = S.embedding_near_dup_pairs(df.unionByName(pert), threshold=0.99)
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    # every found pair is a planted (i, i+100) pair; most are recovered
+    assert all(b - a == 100 for a, b in got)
+    assert len(got) >= 15
