@@ -46,13 +46,16 @@ def exact_dedup(
     )
 
 
-def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (order-preserving windows).
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from an ALREADY-BOUND token-array
+    column (order-preserving windows).
 
-    Built with transform-over-sequence on the token array — stays in
-    codegen; one expression, no explode until the caller needs rows.
+    ``toks`` must be a plain column reference, not a nested expression:
+    higher-order-function lambdas re-evaluate captured expression trees
+    per element, so an inline ``split()`` here runs the regex once per
+    shingle per row (~16× slower measured at sf0.1). Callers project
+    the token array first — see ``exploded_shingles``.
     """
-    toks = tokens(col)
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     grams = F.transform(
         idx,
@@ -66,13 +69,25 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Single-expression shingle column. Convenient for small frames
+    and tests; hot paths should two-step through a projected token
+    array + ``shingles_from_tokens`` instead (see its docstring)."""
+    return shingles_from_tokens(tokens(col), n)
+
+
 def exploded_shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", shingle_n: int = 3
 ) -> DataFrame:
     """(id, shingle) rows — the shared input of signature generation
-    and Jaccard verification. Callers that run both should cache it."""
-    return df.select(
-        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("shingle")
+    and Jaccard verification. Callers that run both should cache it.
+
+    Two-step projection: tokenize once into a bound column, then
+    shingle — keeps the regex split out of the lambda re-evaluation."""
+    toked = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    return toked.select(
+        F.col(id_col),
+        F.explode(shingles_from_tokens(F.col("_toks"), shingle_n)).alias("shingle"),
     )
 
 
@@ -226,15 +241,53 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_df: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram-Jaccard near-dup pairs: inverted-index candidate
-    generation (every pair sharing ≥1 shingle) + exact Jaccard,
-    thresholded. Unlike MinHash this has no banding recall loss —
-    every pair with J ≥ threshold shares a shingle, so the candidate
-    set is complete (when ``max_df`` is None)."""
+    """Exact n-gram-Jaccard near-dup pairs: inverted-index self-join +
+    exact Jaccard, thresholded. Unlike MinHash this has no banding
+    recall loss — every pair with J ≥ threshold shares a shingle, so
+    the candidate set is complete (when ``max_df`` is None).
+
+    One-pass shape: the shingle self-join's co-occurrence counts ARE
+    the intersection sizes, so candidates and |A∩B| come out of a
+    single join+groupBy (no candidate materialization, no distinct, no
+    re-join of the shingle table — 2 shuffles total on the pair key)."""
     sh = exploded_shingles(df, id_col, text_col, shingle_n).cache()
-    cands = shared_shingle_pairs(sh, id_col, max_df=max_df)
-    verified = jaccard_pairs(df, cands, id_col, text_col, shingle_n, shingles=sh)
-    return verified.filter(F.col("jaccard") >= threshold)
+    if max_df is not None:
+        # Damped mode: prune candidate generation on low-df shingles,
+        # then verify with FULL shingle sets so Jaccard stays exact.
+        cands = shared_shingle_pairs(sh, id_col, max_df=max_df)
+        verified = jaccard_pairs(
+            df, cands, id_col, text_col, shingle_n, shingles=sh
+        )
+        return verified.filter(F.col("jaccard") >= threshold)
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    return (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def minhash_dedup_pairs(
@@ -274,10 +327,7 @@ def simhash_fingerprints(
     map-side partial aggregation — the shape that scales, versus a
     per-row 64-wide fold expression that explodes codegen.
     """
-    sh = df.select(
-        F.col(id_col),
-        F.explode(word_shingles(text_col, shingle_n)).alias("shingle"),
-    )
+    sh = exploded_shingles(df, id_col, text_col, shingle_n)
     # 64-bit hash from two 32-bit md5 halves (a single 16-hex-char
     # conv overflows BIGINT under ANSI for values ≥ 2^63).
     md5c = F.md5(F.col("shingle").cast("binary"))

@@ -75,23 +75,29 @@ def cosine_topk(
     )
 
 
-def _hyperplane(dim: int, plane: int) -> Column:
-    """Deterministic pseudo-random hyperplane: component d is
-    md5-derived in [-0.5, 0.5). Stateless — any executor recomputes
-    the identical plane."""
-    comps = [
-        (
-            F.conv(
-                F.substring(F.md5(F.lit(f"plane{plane}|dim{d}").cast("binary")), 1, 8),
-                16,
-                10,
-            ).cast("double")
-            / F.lit(float(0xFFFFFFFF))
-            - F.lit(0.5)
-        )
+def _hyperplane_values(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane components: component d
+    is md5("plane{p}|dim{d}") first-8-hex → uint32, scaled to
+    [-0.5, 0.5). Stateless — any process recomputes the identical
+    plane (hashlib here == Spark md5 on UTF-8; the driver oracle
+    relies on that to mirror bucketing bit-for-bit)."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"plane{plane}|dim{d}".encode()).hexdigest()[:8], 16)
+        / float(0xFFFFFFFF)
+        - 0.5
         for d in range(dim)
     ]
-    return F.array(*comps)
+
+
+def _hyperplane(dim: int, plane: int) -> Column:
+    """Plane as a literal double array. Computed driver-side in Python
+    rather than as 64 md5/conv/cast expression nodes per plane: the
+    values are constants either way, but literal arrays keep the
+    bucket expression small enough for fast codegen (8 planes × 64
+    dims of md5 nodes measurably slowed plan compilation)."""
+    return F.array(*[F.lit(v) for v in _hyperplane_values(dim, plane)])
 
 
 def lsh_bucket(vec_col: Column, dim: int, n_planes: int = 8) -> Column:

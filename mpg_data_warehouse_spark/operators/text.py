@@ -7,6 +7,11 @@ transform / aggregate higher-order functions) — no Python UDFs, so the
 whole stage stays in whole-stage codegen and scales linearly with no
 serialization boundary. At 100 TB these run as a single narrow map
 stage over the documents table: no shuffle at all.
+
+Hot-path discipline: every ``*_from`` variant takes an already-bound
+token-array column, so multi-metric profiles tokenize ONCE per row
+(``text_profile`` projects ``_toks`` first). The plain wrappers embed
+the split inline — fine for a single metric, wasteful for several.
 """
 
 from __future__ import annotations
@@ -64,18 +69,21 @@ def char_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
-    toks = tokens(col)
+def stopword_ratio_from(
+    toks: Column, stopwords: tuple[str, ...] = STOPWORDS
+) -> Column:
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
     return F.round(n_stop / F.size(toks), 4)
 
 
-def quality_score(col: Column | str) -> Column:
+def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    return stopword_ratio_from(tokens(col), stopwords)
+
+
+def quality_score_from(c: Column, toks: Column) -> Column:
     """Composite quality heuristic in [0,1]: length band + stopword
     presence + mean token length band — the standard cheap pre-filter
     before expensive dedup/model scoring."""
-    c = F.col(col) if isinstance(col, str) else col
-    toks = tokens(c)
     n_tok = F.size(toks)
     mean_tok_len = (F.length(c) - n_tok + 1) / n_tok
     len_ok = (n_tok >= 10) & (n_tok <= 100000)
@@ -88,19 +96,28 @@ def quality_score(col: Column | str) -> Column:
     )
 
 
-def lang_score(col: Column | str, lang: str) -> Column:
+def quality_score(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return quality_score_from(c, tokens(c))
+
+
+def lang_score_from(toks: Column, lang: str) -> Column:
     """Marker hit count for one language."""
     markers = LANG_MARKERS[lang]
-    return F.size(F.filter(tokens(col), lambda t: t.isin(*markers)))
+    return F.size(F.filter(toks, lambda t: t.isin(*markers)))
 
 
-def lang_id(col: Column | str) -> Column:
+def lang_score(col: Column | str, lang: str) -> Column:
+    return lang_score_from(tokens(col), lang)
+
+
+def lang_id_from(toks: Column) -> Column:
     """Stopword-marker language ID: argmax of per-language marker hit
     counts, alphabetically-first language wins ties (deterministic and
     trivially mirrorable as an ANSI CASE chain for the oracle). Pure
     column math — no UDF, no shuffle."""
     langs = sorted(LANG_MARKERS)
-    scores = {lg: lang_score(col, lg) for lg in langs}
+    scores = {lg: lang_score_from(toks, lg) for lg in langs}
     expr = F.lit(langs[-1])
     # Walk backwards: earlier (alphabetical) languages override on >=.
     for lg in reversed(langs[:-1]):
@@ -112,25 +129,36 @@ def lang_id(col: Column | str) -> Column:
     return expr
 
 
-def doc_fingerprint(col: Column | str) -> Column:
+def lang_id(col: Column | str) -> Column:
+    return lang_id_from(tokens(col))
+
+
+def doc_fingerprint_from(toks: Column) -> Column:
     """Order-insensitive content fingerprint: md5 over the sorted
     distinct token set. Survives word reordering and duplication —
     the cheap bucket key for near-dup candidate grouping."""
     return F.md5(
-        F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(col)))).cast(
-            "binary"
-        )
+        F.concat_ws(" ", F.array_sort(F.array_distinct(toks))).cast("binary")
     )
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    return doc_fingerprint_from(tokens(col))
 
 
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """One-pass full text profile: stats + quality + lang + fingerprint."""
-    out = char_stats(df, text_col)
-    return out.withColumns(
+    """One-pass full text profile: stats + quality + lang + fingerprint.
+
+    Tokenizes once into a bound ``_toks`` column, then derives every
+    token-based metric from it — one regex split per row instead of
+    ~10 (HOF lambdas re-evaluate captured expression trees)."""
+    c = F.col(text_col)
+    toked = char_stats(df, text_col).withColumn("_toks", tokens(text_col))
+    return toked.withColumns(
         {
-            "stopword_ratio": stopword_ratio(text_col),
-            "quality_score": quality_score(text_col),
-            "lang_pred": lang_id(text_col),
-            "fingerprint": doc_fingerprint(text_col),
+            "stopword_ratio": stopword_ratio_from(F.col("_toks")),
+            "quality_score": quality_score_from(c, F.col("_toks")),
+            "lang_pred": lang_id_from(F.col("_toks")),
+            "fingerprint": doc_fingerprint_from(F.col("_toks")),
         }
-    )
+    ).drop("_toks")

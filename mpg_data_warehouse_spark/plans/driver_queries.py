@@ -590,12 +590,13 @@ def text_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mpg_data_warehouse_spark.operators import text as X
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
+    toked = docs.select("doc_id", X.tokens("text").alias("_toks"))
+    return toked.select(
         "doc_id",
-        X.token_count("text").alias("n_tokens"),
-        X.stopword_ratio("text").alias("stopword_ratio"),
-        X.lang_id("text").alias("lang_pred"),
-        X.doc_fingerprint("text").alias("fingerprint"),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        X.stopword_ratio_from(F.col("_toks")).alias("stopword_ratio"),
+        X.lang_id_from(F.col("_toks")).alias("lang_pred"),
+        X.doc_fingerprint_from(F.col("_toks")).alias("fingerprint"),
     )
 
 
@@ -1121,22 +1122,12 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _plane_consts(dim: int = 64, n_planes: int = 8) -> list[list[float]]:
-    """The exact plane components operators.similarity._hyperplane
-    produces: md5("plane{p}|dim{d}") first 8 hex chars → uint32 →
-    [−0.5, 0.5). hashlib and Spark md5 agree on UTF-8 input."""
-    import hashlib
+    """The exact plane components operators.similarity uses — single
+    source of truth so Spark bucketing and the DuckDB oracle can never
+    drift."""
+    from mpg_data_warehouse_spark.operators.similarity import _hyperplane_values
 
-    return [
-        [
-            int(
-                hashlib.md5(f"plane{p}|dim{d}".encode()).hexdigest()[:8], 16
-            )
-            / float(0xFFFFFFFF)
-            - 0.5
-            for d in range(dim)
-        ]
-        for p in range(n_planes)
-    ]
+    return [_hyperplane_values(dim, p) for p in range(n_planes)]
 
 
 def _near_dup_oracle_sql() -> str:
