@@ -1198,4 +1198,73 @@ def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (extension): binary content column → Arrow-
+# batched mapInPandas decode → typed metadata. The fake container's
+# fields are deterministic functions of (doc_id, n_chars), so the
+# oracle recomputes them in SQL — hash-matching proves the bytes
+# survived the attach → Arrow batch → Python parse round trip intact.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "multimodal_decode_meta",
+    """
+    SELECT doc_id,
+           CAST(64 + (doc_id % 8) * 32 AS INTEGER) AS width,
+           CAST(48 + (doc_id % 6) * 32 AS INTEGER) AS height,
+           CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                ELSE 'webp' END AS format,
+           n_chars % 256 AS body_len
+    FROM documents
+    """,
+)
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mpg_data_warehouse_spark.operators.multimodal import (
+        attach_fake_image,
+        decode_image_meta,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return decode_image_meta(attach_fake_image(docs))
+
+
+@_q(
+    "multimodal_frame_sample",
+    """
+    WITH meta AS (
+      SELECT doc_id,
+             length('IMG1|' || CAST(64 + (doc_id % 8) * 32 AS VARCHAR)
+                    || '|' || CAST(48 + (doc_id % 6) * 32 AS VARCHAR)
+                    || '|' || (CASE doc_id % 3 WHEN 0 THEN 'png'
+                               WHEN 1 THEN 'jpeg' ELSE 'webp' END)
+                    || '|') + (n_chars % 256) AS payload_len
+      FROM documents
+    )
+    SELECT m.doc_id, CAST(k.frame_idx AS INTEGER) AS frame_idx,
+           CAST(CASE WHEN k.frame_idx < 3
+                     THEN payload_len // 4
+                     ELSE least(payload_len // 4,
+                                payload_len - 3 * (payload_len // 4))
+                END AS BIGINT) AS frame_bytes
+    FROM meta m
+    CROSS JOIN (SELECT unnest([0,1,2,3]) AS frame_idx) k
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→N fan-out through mapInPandas: each payload yields 4 frame
+    slices; the oracle recomputes each slice's byte length from the
+    container arithmetic (last frame may be short)."""
+    from mpg_data_warehouse_spark.operators.multimodal import (
+        attach_fake_image,
+        sample_frames,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    frames = sample_frames(attach_fake_image(docs), n_frames=4)
+    return frames.select(
+        "doc_id", "frame_idx", F.length("frame").cast("long").alias("frame_bytes")
+    )
+
+
 REGISTRY_DOC = "queries: " + ", ".join(sorted(QUERIES))
