@@ -1,0 +1,158 @@
+"""Structured Streaming over the events surface (SURVEY §2.9: the
+reference is batch-only; this is the §7 extension that runs the same
+query shapes incrementally).
+
+Mappings (batch analog → streaming form):
+
+* ``events_hourly_rollup`` → watermarked tumbling-window aggregate
+  (``approx_count_distinct`` replaces exact distinct — exact distinct
+  over unbounded streams needs unbounded state).
+* ``sessionize_events`` (lag + running-sum) → ``session_window`` with
+  the same 30-minute gap: Spark's native stateful session operator.
+* The reference's idempotent anti-join append (J6/S9,
+  notebooks/update_gridVeg_additional_species.ipynb:889-938) →
+  ``foreachBatch`` + anti-join against the sink — exactly-once-ish
+  append on at-least-once delivery.
+
+State-at-scale notes: watermark bounds all window/dedup state; the
+rollup's state key space is (hour × event_type) — tiny; dedup state is
+one entry per event_id within the watermark horizon, the standard
+at-scale dedup configuration (RocksDB state store in production).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, src_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over a parquet directory (explicit schema —
+    streaming sources cannot infer)."""
+    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(src_dir)
+
+
+def hourly_rollup_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window rollup — the incremental form of
+    the batch events_hourly_rollup driver query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.col("w.start").alias("hour_ts"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "approx_users",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once-per-id within the watermark horizon:
+    ``dropDuplicatesWithinWatermark`` keys state on event_id and
+    expires it past the watermark — bounded state at any throughput."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def sessionize_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native stateful session windows (30-min inactivity gap —
+    identical session semantics to the batch lag+running-sum
+    sessionize_events query)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def idempotent_append_stream(
+    events: DataFrame,
+    sink_path: str,
+    checkpoint_dir: str,
+    keys: list[str] | None = None,
+):
+    """The reference's signature ingest op, streaming form: each
+    micro-batch anti-joins the sink on the key before appending, so
+    replays/overlapping inputs never double-insert (J6/S9 parity).
+
+    Returns the started StreamingQuery (availableNow trigger: drain
+    what exists, then stop — the batch-job-shaped streaming run)."""
+    keys = keys or ["event_id"]
+
+    def append_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            existing = spark.read.parquet(sink_path).select(*keys)
+            fresh = batch_df.join(existing, keys, "left_anti")
+        except Exception:  # first batch: sink does not exist yet
+            fresh = batch_df
+        # In-batch dup collapse, then append.
+        fresh.dropDuplicates(keys).write.mode("append").parquet(sink_path)
+
+    return (
+        events.writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, timeout_s: int = 120):
+    """Drain a stream into an in-memory table (tests / smoke checks):
+    availableNow + complete/append mode chosen by Spark, blocks until
+    the drain finishes."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append" if not _has_agg(stream_df) else "complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return q
+
+
+def _has_agg(df: DataFrame) -> bool:
+    return "Aggregate" in df._jdf.queryExecution().analyzed().toString()

@@ -1,0 +1,118 @@
+"""Structured Streaming: each streaming form must agree with its
+batch analog on the same drained input (the incremental-view check),
+and the idempotent append must survive replay."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mpg_data_warehouse_spark.streaming import events as S
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """The driver's events table re-written with µs timestamps (the
+    raw parquet is TIMESTAMP(NANOS), unsupported by stream readers)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out = str(tmp_path_factory.mktemp("events_stream") / "src")
+    (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .repartition(4)  # several files → several stream splits
+        .write.parquet(out)
+    )
+    return out
+
+
+def test_hourly_rollup_stream_matches_batch(spark, events_dir):
+    stream = S.hourly_rollup_stream(S.read_events_stream(spark, events_dir))
+    S.run_to_memory(stream, "rollup_t", timeout_s=180)
+    got = {
+        (r.hour_ts, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.table("rollup_t").collect()
+    }
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_ts"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    want = {
+        (r.hour_ts, r.event_type): (r.n_events, r.sum_value)
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_dedup_stream_collapses_replays(spark, events_dir, tmp_path):
+    dup_dir = str(tmp_path / "dup_src")
+    src = spark.read.parquet(events_dir)
+    src.unionByName(src.limit(50)).repartition(3).write.parquet(dup_dir)
+    n_unique = src.count()
+
+    out = S.dedup_stream(S.read_events_stream(spark, dup_dir))
+    S.run_to_memory(out, "dedup_t", timeout_s=180)
+    got = spark.table("dedup_t")
+    assert got.count() == n_unique
+    assert got.groupBy("event_id").count().filter("count > 1").count() == 0
+
+
+def test_sessionize_stream_matches_batch_session_count(spark, events_dir):
+    stream = S.sessionize_stream(S.read_events_stream(spark, events_dir))
+    S.run_to_memory(stream, "sess_t", timeout_s=180)
+    got = (
+        spark.table("sess_t")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"), F.sum("n_events").alias("n_ev"))
+    )
+    # Batch analog: 30-min-gap lag+running-sum sessionization.
+    ev = spark.read.parquet(events_dir)
+    from pyspark.sql import Window as W
+
+    us = F.unix_micros(F.col("ts"))
+    w = W.partitionBy("user_id").orderBy(us)
+    marked = ev.select(
+        "user_id",
+        F.when(
+            F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > 1800000000), 1
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    want = marked.groupBy("user_id").agg(
+        F.sum("is_start").alias("n_sessions"), F.count(F.lit(1)).alias("n_ev")
+    )
+    got_m = {r.user_id: (r.n_sessions, r.n_ev) for r in got.collect()}
+    want_m = {r.user_id: (r.n_sessions, r.n_ev) for r in want.collect()}
+    assert got_m == want_m
+
+
+def test_idempotent_append_stream_replay_adds_nothing(
+    spark, events_dir, tmp_path
+):
+    sink = str(tmp_path / "sink")
+    q = S.idempotent_append_stream(
+        S.read_events_stream(spark, events_dir),
+        sink,
+        str(tmp_path / "ckpt1"),
+    )
+    q.awaitTermination(180)
+    n1 = spark.read.parquet(sink).count()
+    assert n1 == spark.read.parquet(events_dir).count()
+
+    # Replay the same input with a FRESH checkpoint (simulating a
+    # redelivered/reprocessed source): anti-join must add zero rows.
+    q2 = S.idempotent_append_stream(
+        S.read_events_stream(spark, events_dir),
+        sink,
+        str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(180)
+    assert spark.read.parquet(sink).count() == n1
