@@ -160,6 +160,100 @@ def lsh_topk(
     )
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id_col: str = "cent_id",
+    cent_vec_col: str = "cent_vec",
+) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid (max cosine,
+    centroid-id tiebreak): broadcast the small centroid set, rank, keep
+    rank 1. At 100 TB this is the partitioning pass of an IVF index —
+    one narrow stage; the output is typically written bucketed by
+    ``cell`` so probes become partition-pruned scans."""
+    c = centroids.select(
+        F.col(cent_id_col).alias("cell"), F.col(cent_vec_col).alias("cv")
+    )
+    scored = corpus.crossJoin(F.broadcast(c)).select(
+        id_col,
+        vec_col,
+        "cell",
+        cosine(F.col(vec_col), F.col("cv")).alias("c_cos"),
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("c_cos").desc(), F.col("cell"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(id_col, vec_col, "cell")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus partitioned into ``n_centroids``
+    cells by nearest centroid; each query probes its ``nprobe``
+    nearest cells and scores only their members.
+
+    Centroids are the first ``n_centroids`` corpus rows by id —
+    deterministic and mirrorable in plain SQL (a k-means refinement
+    would drop in without changing the plan shape). Scale shape: the
+    candidate join is keyed on ``cell`` (shuffle or pruned bucket
+    scan), never a full corpus × queries cross product."""
+    centroids = (
+        corpus.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
+    )
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    cells = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        "cell",
+    )
+
+    qc = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).crossJoin(
+        F.broadcast(
+            centroids.select(F.col("cent_id").alias("cell"), F.col("cent_vec"))
+        )
+    )
+    wq = W.partitionBy("query_id").orderBy(
+        cosine(F.col("q_vec"), F.col("cent_vec")).desc(), F.col("cell")
+    )
+    probes = (
+        qc.withColumn("prk", F.row_number().over(wq))
+        .filter(F.col("prk") <= nprobe)
+        .select("query_id", "q_vec", "cell")
+    )
+
+    scored = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        )
+        .distinct()
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

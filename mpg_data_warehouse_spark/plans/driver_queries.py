@@ -1267,4 +1267,112 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF ANN (extension): corpus partitioned by nearest-centroid cell;
+# queries probe their nprobe nearest cells. Centroids are the first 16
+# corpus rows — deterministic, so the oracle replays cell assignment,
+# probe selection, and scoring exactly.
+# ---------------------------------------------------------------------------
+
+_COS = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform(list_zip({a}, {a}), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform(list_zip({b}, {b}), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))))"
+)
+
+
+@_q(
+    "ivf_ann_topk",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS cell, embedding AS cv FROM embeddings
+      WHERE vec_id < 16
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, c.cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_COS.format(a="e.embedding", b="c.cv")} DESC, c.cell
+               ) AS rk
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rk = 1
+    ),
+    probes AS (
+      SELECT query_id, qv, cell FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS qv, c.cell,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_COS.format(a="q.embedding", b="c.cv")} DESC, c.cell
+               ) AS prk
+        FROM embeddings q CROSS JOIN cent c
+        WHERE q.vec_id < 5
+      ) WHERE prk <= 4
+    ),
+    scored AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+             round({_COS.format(a="p.qv", b="a.embedding")}, 6) AS cos_sim
+      FROM assigned a JOIN probes p ON a.cell = p.cell
+      WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+           ) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+)
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mpg_data_warehouse_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_centroids=16, nprobe=4
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming through the contract: drain the events table as a real
+# file-source stream (availableNow) and emit the watermarked rollup.
+# The result is deterministic, so the ORACLE IS THE BATCH SQL — the
+# incremental plan is held to the same hash as the batch plan.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "streaming_hourly_rollup",
+    """
+    SELECT CAST(CAST(date_trunc('hour', ts) AS TIMESTAMP) AS VARCHAR)
+             AS hour_ts,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch↔stream equivalence as a contract query: stage the events
+    with µs timestamps, drain them through readStream + watermark +
+    tumbling window, return the memory-sink table."""
+    import tempfile
+
+    from mpg_data_warehouse_spark.streaming import events as SE
+
+    staged = tempfile.mkdtemp(prefix="stream_events_")
+    _events(spark, sf_dir).write.mode("overwrite").parquet(staged)
+    stream = SE.hourly_rollup_stream(SE.read_events_stream(spark, staged))
+    SE.run_to_memory(stream, "streaming_hourly_rollup_t", timeout_s=300)
+    return spark.table("streaming_hourly_rollup_t").select(
+        F.col("hour_ts").cast("string").alias("hour_ts"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
 REGISTRY_DOC = "queries: " + ", ".join(sorted(QUERIES))

@@ -95,3 +95,22 @@ def test_embedding_near_dup_finds_planted(spark):
     # every found pair is a planted (i, i+100) pair; most are recovered
     assert all(b - a == 100 for a, b in got)
     assert len(got) >= 15
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    from pyspark.sql import functions as F
+    import math as m
+    rows = [Row(vec_id=i, embedding=[m.sin(i * 31 + d) * 0.5 + m.cos(d * (i % 5)) for d in range(DIM)]) for i in range(120)]
+    corpus = spark.createDataFrame(rows)
+    queries = corpus.filter(F.col("vec_id") < 5)
+    exact = S.cosine_topk(corpus, queries, k=5)
+    approx = S.ivf_topk(corpus, queries, k=5, n_centroids=8, nprobe=3)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    # nprobe=3/8 cells: expect solid (not perfect) recall of exact top-5
+    assert len(e & a) / len(e) >= 0.6
+    # and every IVF hit must carry the exact cosine score
+    es = {(r.query_id, r.neighbor_id): r.cos_sim for r in exact.collect()}
+    for r in approx.collect():
+        if (r.query_id, r.neighbor_id) in es:
+            assert abs(es[(r.query_id, r.neighbor_id)] - r.cos_sim) < 1e-9
