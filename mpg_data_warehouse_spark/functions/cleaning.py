@@ -18,7 +18,10 @@ def rename_columns(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
     e.g. 'Survey Data::__kp_Survey' → 'survey_ID',
     src/survey_metadata_update.py:49-58). Single select keeps it one
     projection node; columns not in the mapping are dropped, which
-    also covers P2 (drop zModificationTimestamp etc.)."""
+    also covers P2 (drop zModificationTimestamp etc.). An empty
+    mapping is a no-op (nothing to rename, nothing to drop)."""
+    if not mapping:
+        return df
     return df.select(
         [F.col(f"`{src}`").alias(dst) for src, dst in mapping.items() if src in df.columns]
     )

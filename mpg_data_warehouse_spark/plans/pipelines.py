@@ -1,0 +1,178 @@
+"""End-to-end reference pipelines (SURVEY §3 entry points) as lazy
+DataFrame compositions over the MPG-shaped schemas.
+
+Where the reference splits work between warehouse SQL pushdown and
+local pandas/dplyr (§3.3), these build ONE logical plan and let
+Catalyst run the whole thing distributed — aggregation pushdown,
+column pruning and filter pushdown all happen automatically. Each
+function cites the notebook cells whose semantics it reproduces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mpg_data_warehouse_spark.functions.cleaning import rename_columns
+from mpg_data_warehouse_spark.functions.dates import survey_sequence
+from mpg_data_warehouse_spark.operators.aggregates import multiples
+from mpg_data_warehouse_spark.operators.append import AppendResult, anti_join_append
+from mpg_data_warehouse_spark.operators.complete import complete
+from mpg_data_warehouse_spark.operators.repair import fix_dates_from_dim
+from mpg_data_warehouse_spark.operators.validate import validate
+
+
+def ground_cover_pipeline(
+    ground: DataFrame,
+    survey_meta: DataFrame,
+    ground_meta: DataFrame,
+    min_year: int = 2022,
+    excluded_grid_point: int = 586,
+) -> DataFrame:
+    """The §3.3 ground-cover wrangle
+    (notebooks/gridVeg_groundCover_intercepts_WRANGLE.ipynb:301-762):
+    %-cover per (survey, grid_point, code) → complete() the code grid
+    → enrich with survey + code-group metadata → recent-years filter.
+
+    Scale: the aggregate is the only fact-sized shuffle; both
+    dimension joins broadcast; complete()'s grid build is
+    broadcast-side too (see operators.complete)."""
+    agg = (
+        ground.filter(F.col("intercept_ground_code").isNotNull())
+        .groupBy("survey_ID", "grid_point", "intercept_ground_code")
+        .agg((F.count("intercept_ground_code") / 2).alias("intercepts_pct"))
+    )
+    filled = complete(
+        agg,
+        expand=["intercept_ground_code"],
+        nesting=["survey_ID", "grid_point"],
+        fill={"intercepts_pct": 0.0},
+    )
+    enriched = (
+        filled.join(
+            F.broadcast(
+                survey_meta.select("survey_ID", "year", "survey_sequence")
+            ),
+            "survey_ID",
+            "left",
+        )
+        .join(F.broadcast(ground_meta), "intercept_ground_code", "left")
+    )
+    return enriched.filter(
+        (F.col("year") > min_year) & (F.col("grid_point") != excluded_grid_point)
+    ).select(
+        "survey_ID",
+        "year",
+        "survey_sequence",
+        "grid_point",
+        "intercept_ground_code",
+        "ground_group",
+        "intercepts_pct",
+    )
+
+
+def functional_groups_pipeline(
+    foliar: DataFrame,
+    survey_meta: DataFrame,
+    min_year: int = 2022,
+) -> DataFrame:
+    """The §3.3 plant-functional-groups wrangle
+    (notebooks/gridVeg_plant_functional_groups_WRANGLE.ipynb:371-372,
+    508-511, 748-752, 823-828, 951-952): drop the no-vegetation
+    sentinel, sum cover per (survey × pfg triple), complete() over
+    survey × observed triples (the 1,242 × 23 = 28,556 invariant),
+    enrich, filter."""
+    pfg = ["plant_native_status", "plant_life_cycle", "plant_life_form"]
+    agg = (
+        foliar.filter(F.col("key_plant_code") != "NV")
+        .groupBy("survey_ID", *pfg)
+        .agg(F.sum("intercepts_pct").alias("detection_rate"))
+    )
+    filled = complete(
+        agg,
+        expand=pfg,
+        nesting=["survey_ID"],
+        fill={"detection_rate": 0.0},
+    )
+    enriched = filled.join(
+        F.broadcast(
+            survey_meta.select("survey_ID", "year", "survey_sequence", "grid_point")
+        ),
+        "survey_ID",
+        "left",
+    )
+    return enriched.filter(F.col("year") > min_year).select(
+        "survey_ID",
+        "year",
+        "survey_sequence",
+        "grid_point",
+        *pfg,
+        "detection_rate",
+    )
+
+
+def species_richness_pipeline(
+    foliar: DataFrame,
+    additional: DataFrame,
+    min_year: int = 2022,
+) -> DataFrame:
+    """The §3.3 species-richness wrangle
+    (notebooks/gridVeg_species_richness_WRANGLE.ipynb:185-193,
+    225-226, 305-314, 346-348, 688-691, 740-746, 858-862, 937-941,
+    1037-1039): point-intercept detections ∪ supplemental detections,
+    supplemental pairs already seen ≥2× removed, NV sentinel dropped,
+    recent years kept."""
+    pi = (
+        foliar.filter(F.col("key_plant_species") != F.lit(360))
+        .select("survey_ID", "grid_point", "year", "key_plant_species")
+        .withColumn("detection_type", F.lit("point_intercept"))
+    )
+    supp = (
+        additional.filter(F.col("key_plant_species").isNotNull())
+        .select("survey_ID", "grid_point", "year", "key_plant_species")
+        .withColumn("detection_type", F.lit("supplemental"))
+    )
+    multi = multiples(pi, ["survey_ID", "key_plant_species"]).select(
+        "survey_ID", "key_plant_species"
+    )
+    supp_clean = supp.join(
+        multi, ["survey_ID", "key_plant_species"], "left_anti"
+    )
+    out = pi.unionByName(supp_clean)
+    return out.filter(
+        (F.col("year") > min_year) & F.col("key_plant_species").isNotNull()
+    )
+
+
+def ingest_pipeline(
+    raw: DataFrame,
+    table_path: str,
+    rename_map: dict[str, str],
+    required: list[str],
+    key_cols: list[str],
+    patterns: dict[str, str] | None = None,
+    derive_sequence: bool = True,
+) -> AppendResult:
+    """The §3.1/§3.2 ingest lifecycle: rename → derive → validate →
+    anti-join-append. Raises on validation failure (the reference
+    aborts before touching the warehouse —
+    src/survey_metadata_update.py:241-243)."""
+    df = rename_columns(raw, rename_map)
+    if derive_sequence and "year" in df.columns:
+        df = df.withColumn("survey_sequence", survey_sequence("year"))
+    report = validate(df, required, patterns)
+    if not report.ok:
+        raise ValueError(
+            "validation failed: "
+            f"nulls={report.null_violations} "
+            f"patterns={report.pattern_violations}"
+        )
+    return anti_join_append(raw.sparkSession, df, table_path, key_cols)
+
+
+def date_repair_pipeline(
+    fact: DataFrame, survey_meta: DataFrame
+) -> DataFrame:
+    """The §2 J5 repair: replace every fact date from the survey
+    dimension and re-derive year (src/fix_gridveg_dates.py:85-133)."""
+    return fix_dates_from_dim(fact, survey_meta)

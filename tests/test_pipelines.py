@@ -1,0 +1,156 @@
+"""End-to-end reference pipelines over MPG-shaped fixtures, pinned by
+the reference's own operational invariants (SURVEY §5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mpg_data_warehouse_spark import fixtures as FX
+from mpg_data_warehouse_spark.plans import pipelines as P
+
+
+@pytest.fixture(scope="module")
+def mpg(spark):
+    meta = FX.survey_metadata(spark, n_surveys=40)
+    species = FX.species_metadata(spark)
+    return {
+        "meta": meta,
+        "species": species,
+        "ground": FX.point_intercept_ground(spark, meta, points_per_survey=40),
+        "ground_meta": FX.ground_cover_metadata(spark),
+        "foliar": FX.foliar_cover_all(spark, meta, species),
+        "additional": FX.additional_species(spark, meta),
+    }
+
+
+def test_ground_cover_complete_grid_invariant(spark, mpg):
+    """Pre-filter, the completed grid must be exactly
+    |observed (survey, grid_point)| × |observed codes|
+    (the 1,242×23=28,556-style invariant, and no NULL measures —
+    gridVeg_groundCover_intercepts_WRANGLE.ipynb:552-554, 771-830)."""
+    agg = (
+        mpg["ground"]
+        .filter(F.col("intercept_ground_code").isNotNull())
+        .groupBy("survey_ID", "grid_point", "intercept_ground_code")
+        .agg((F.count("intercept_ground_code") / 2).alias("intercepts_pct"))
+    )
+    from mpg_data_warehouse_spark.operators.complete import complete
+
+    filled = complete(
+        agg,
+        expand=["intercept_ground_code"],
+        nesting=["survey_ID", "grid_point"],
+        fill={"intercepts_pct": 0.0},
+    )
+    n_anchor = agg.select("survey_ID", "grid_point").distinct().count()
+    n_codes = agg.select("intercept_ground_code").distinct().count()
+    assert filled.count() == n_anchor * n_codes
+    assert filled.filter(F.col("intercepts_pct").isNull()).count() == 0
+
+
+def test_ground_cover_pipeline_output(spark, mpg):
+    out = P.ground_cover_pipeline(mpg["ground"], mpg["meta"], mpg["ground_meta"])
+    assert out.columns == [
+        "survey_ID", "year", "survey_sequence", "grid_point",
+        "intercept_ground_code", "ground_group", "intercepts_pct",
+    ]
+    rows = out.collect()
+    assert rows, "recent-years filter should keep some surveys"
+    assert all(r.year > 2022 and r.grid_point != 586 for r in rows)
+    # every kept code resolves to its group (no dangling codes)
+    assert all(r.ground_group is not None for r in rows)
+    # %-cover: count/2 of 40 points ≤ 20, ≥ 0
+    assert all(0.0 <= r.intercepts_pct <= 20.0 for r in rows)
+
+
+def test_functional_groups_cardinality_invariant(spark, mpg):
+    out = P.functional_groups_pipeline(mpg["foliar"], mpg["meta"], min_year=0)
+    agg_src = mpg["foliar"].filter(F.col("key_plant_code") != "NV")
+    n_surveys = agg_src.select("survey_ID").distinct().count()
+    n_combos = (
+        agg_src.select(
+            "plant_native_status", "plant_life_cycle", "plant_life_form"
+        )
+        .distinct()
+        .count()
+    )
+    # min_year=0 keeps everything → the full completed grid survives
+    assert out.count() == n_surveys * n_combos
+    assert out.filter(F.col("detection_rate").isNull()).count() == 0
+
+
+def test_species_richness_no_duplicate_supplementals(spark, mpg):
+    out = P.species_richness_pipeline(mpg["foliar"], mpg["additional"], min_year=0)
+    # Invariant (gridVeg_species_richness_WRANGLE.ipynb:979-987): a
+    # (survey, species) pair that appears ≥2× among point-intercept
+    # detections must have NO supplemental rows.
+    pi_multi = (
+        out.filter(F.col("detection_type") == "point_intercept")
+        .groupBy("survey_ID", "key_plant_species")
+        .count()
+        .filter("count > 1")
+        .select("survey_ID", "key_plant_species")
+    )
+    bad = (
+        out.filter(F.col("detection_type") == "supplemental")
+        .join(pi_multi, ["survey_ID", "key_plant_species"], "left_semi")
+        .count()
+    )
+    assert bad == 0
+    # NV sentinel is gone on the point-intercept side
+    assert out.filter(F.col("key_plant_species") == 360).filter(
+        F.col("detection_type") == "point_intercept"
+    ).count() == 0
+
+
+def test_ingest_pipeline_idempotent(spark, mpg, tmp_path):
+    table = str(tmp_path / "survey_metadata")
+    mpg["meta"].write.parquet(table)
+    raw = mpg["meta"].limit(10).select(
+        F.col("survey_ID").alias("Survey Data::__kp_Survey"),
+        F.col("grid_point").alias("Survey Data::GridPoint"),
+        F.col("year").alias("Survey Data::Year"),
+        F.col("date").alias("Survey Data::Date"),
+        F.col("surveyor").alias("Survey Data::Surveyor"),
+    )
+    rename = {
+        "Survey Data::__kp_Survey": "survey_ID",
+        "Survey Data::GridPoint": "grid_point",
+        "Survey Data::Year": "year",
+        "Survey Data::Date": "date",
+        "Survey Data::Surveyor": "surveyor",
+    }
+    res = P.ingest_pipeline(
+        raw, table, rename, required=["survey_ID", "date"], key_cols=["survey_ID"]
+    )
+    assert res.appended_rows == 0 and res.duplicate_rows == 10
+    assert res.reconciled
+
+
+def test_ingest_pipeline_validation_gate(spark, mpg, tmp_path):
+    table = str(tmp_path / "t2")
+    mpg["meta"].write.parquet(table)
+    bad = spark.createDataFrame(
+        [("x1", None), ("x2", "2024-07-01")], ["survey_ID", "date"]
+    )
+    with pytest.raises(ValueError, match="validation failed"):
+        P.ingest_pipeline(bad, table, {}, required=["date"], key_cols=["survey_ID"])
+
+
+def test_date_repair_pipeline(spark, mpg):
+    corrupted = FX.additional_species(spark, mpg["meta"], corrupt_dates=True)
+    # sanity: corruption planted some mismatched dates
+    joined = corrupted.alias("a").join(
+        mpg["meta"].select("survey_ID", F.col("date").alias("true_date")),
+        "survey_ID",
+    )
+    n_bad = joined.filter(F.col("date") != F.col("true_date")).count()
+    assert n_bad > 0
+    repaired = P.date_repair_pipeline(corrupted, mpg["meta"])
+    re_joined = repaired.alias("a").join(
+        mpg["meta"].select("survey_ID", F.col("date").alias("true_date")),
+        "survey_ID",
+    )
+    assert re_joined.filter(F.col("date") != F.col("true_date")).count() == 0
+    assert repaired.filter(F.col("year") != F.year("date")).count() == 0
