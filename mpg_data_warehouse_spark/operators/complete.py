@@ -36,6 +36,7 @@ def complete(
     nesting: list[str] | None = None,
     fill: dict[str, object] | None = None,
     expand_values: DataFrame | None = None,
+    cache_input: bool = False,
 ) -> DataFrame:
     """Ensure every expand-combo × observed nesting-combo exists.
 
@@ -59,6 +60,15 @@ def complete(
     """
     fill = fill or {}
     nesting = nesting or []
+
+    if cache_input:
+        # The plan references df three times (expand-distinct,
+        # nesting-distinct, and the grid left-join's data side);
+        # without reuse Catalyst re-executes the upstream pipeline for
+        # each — three passes over the fact scan + aggregate at 100 TB.
+        # Caching (or, cross-job, checkpointing to parquet) makes it
+        # one pass. Opt-in: tiny inputs don't repay materialization.
+        df = df.cache()
 
     codes = (
         expand_values.select(*expand).distinct()

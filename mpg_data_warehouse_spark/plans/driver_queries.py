@@ -108,6 +108,9 @@ def ground_cover_pct_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
         expand=["l_returnflag"],
         nesting=["l_orderkey"],
         fill={"intercepts_pct": 0.0},
+        # cache_input stays False: at bench scale the three re-reads
+        # of the pruned columnar scan are cheaper than materializing
+        # the agg; at 100 TB flip it (see operators.complete).
     )
     dim = orders.select(
         "o_orderkey",

@@ -47,6 +47,7 @@ def ground_cover_pipeline(
         expand=["intercept_ground_code"],
         nesting=["survey_ID", "grid_point"],
         fill={"intercepts_pct": 0.0},
+        cache_input=True,
     )
     enriched = (
         filled.join(
@@ -93,6 +94,7 @@ def functional_groups_pipeline(
         expand=pfg,
         nesting=["survey_ID"],
         fill={"detection_rate": 0.0},
+        cache_input=True,
     )
     enriched = filled.join(
         F.broadcast(
