@@ -784,12 +784,85 @@ def ann_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
-@_q("simhash_near_dup_pairs")
+def _simhash_oracle_sql() -> str:
+    """Full DuckDB mirror of the 64-bit SimHash pipeline.
+
+    DuckDB's BIGINT left-shift raises on overflow instead of wrapping,
+    so the unsigned 64-bit hash/fingerprint lives in HUGEINT with
+    division-based bit extraction: bit b of h is (h // 2**b) % 2 —
+    identical to Spark's arithmetic-shift-and-mask on the signed
+    representation for every bit including 63 (verified)."""
+    votes = ",\n             ".join(
+        f"sum(CAST((h // {1 << b}) % 2 AS BIGINT)) AS v{b}" for b in range(64)
+    )
+    fp_sum = "\n           + ".join(
+        f"CASE WHEN 2 * v{b} > n_sh THEN CAST({1 << b} AS HUGEINT) ELSE 0 END"
+        for b in range(64)
+    )
+    chunk = "CAST((fp_u // {div}) % 65536 AS BIGINT)"
+    chunks = ", ".join(
+        chunk.format(div=1 << (16 * i)) + f" AS ck{i}" for i in range(4)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(a.ck{i}, b.ck{i}))" for i in range(4)
+    )
+    pair_on = " OR ".join(f"a.ck{i} = b.ck{i}" for i in range(4))
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(
+               list_slice(regexp_split_to_array(trim(text), '\\s+'),
+                          2, 100000), ' ') AS text
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM base
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(0, greatest(len(toks) - 2, 0) + 1),
+               i -> concat_ws(' ', toks[i+1], toks[i+2])
+             )) AS shingles
+      FROM toks
+    ),
+    sh AS (SELECT doc_id, unnest(shingles) AS s FROM grams),
+    hashed AS (
+      SELECT doc_id,
+             CAST(CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS HUGEINT)
+               * 4294967296
+               + CAST('0x' || substr(md5(s), 9, 8) AS BIGINT) AS h
+      FROM sh
+    ),
+    votes AS (
+      SELECT doc_id, count(*) AS n_sh,
+             {votes}
+      FROM hashed GROUP BY doc_id
+    ),
+    fp AS (
+      SELECT doc_id,
+           ( {fp_sum} ) AS fp_u
+      FROM votes
+    ),
+    ck AS (SELECT doc_id, {chunks} FROM fp),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST({ham} AS BIGINT) AS hamming
+      FROM ck a JOIN ck b
+        ON a.doc_id < b.doc_id AND ({pair_on})
+    )
+    SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+    """
+
+
+@_q("simhash_near_dup_pairs", _simhash_oracle_sql())
 def simhash_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only check: the 64-bit bit-vote
-    fingerprint uses conv/bit ops with no clean DuckDB mirror; pinned
-    instead by unit tests — identical text ⇒ identical fingerprint,
-    small perturbation ⇒ small Hamming distance)."""
+    """SimHash near-dup pairs, fully oracle-mirrored: md5-derived
+    64-bit hashes, per-bit majority vote, 16-bit-chunk pigeonhole
+    blocking, Hamming ≤ 3 — bit-identical in DuckDB HUGEINT math."""
     from mpg_data_warehouse_spark.operators.dedup import simhash_near_pairs
     from mpg_data_warehouse_spark.operators.text import tokens
 
@@ -801,13 +874,75 @@ def simhash_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(docs.unionByName(perturbed), max_hamming=3)
 
 
-@_q("lsh_ann_topk")
+def _lsh_topk_oracle_sql() -> str:
+    """DuckDB mirror of lsh_topk: identical hyperplane constants,
+    sign-pattern buckets, multiprobe (self + 8 Hamming-1 flips),
+    bucket-keyed candidate join, exact cosine rank."""
+    from mpg_data_warehouse_spark.operators.similarity import _hyperplane_values
+
+    bucket_terms = []
+    for p in range(8):
+        lst = "[" + ", ".join(repr(c) for c in _hyperplane_values(64, p)) + "]"
+        bucket_terms.append(
+            f"(CASE WHEN list_sum(list_transform(list_zip(v, {lst}), "
+            f"x -> x[1] * x[2])) >= 0 THEN {1 << p} ELSE 0 END)"
+        )
+    bucket_expr = "\n         + ".join(bucket_terms)
+    probe_list = "[bucket0, " + ", ".join(
+        f"xor(bucket0, {1 << p})" for p in range(8)
+    ) + "]"
+    return f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    b AS (
+      SELECT vec_id, v,
+           {bucket_expr} AS bucket
+      FROM e
+    ),
+    q AS (
+      SELECT vec_id AS query_id, v AS qv, bucket AS bucket0 FROM b
+      WHERE vec_id < 5
+    ),
+    probes AS (
+      SELECT query_id, qv, unnest({probe_list}) AS bucket FROM q
+    ),
+    scored AS (
+      SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id,
+             round(
+               list_sum(list_transform(list_zip(p.qv, c.v),
+                 x -> x[1] * x[2]))
+               / (sqrt(list_sum(list_transform(list_zip(p.qv, p.qv),
+                    x -> x[1] * x[2])))
+                * sqrt(list_sum(list_transform(list_zip(c.v, c.v),
+                    x -> x[1] * x[2])))),
+               6) AS cos_sim
+      FROM b c JOIN probes p ON c.bucket = p.bucket
+      WHERE c.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+           ) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """
+
+
+@_q("lsh_ann_topk", _lsh_topk_oracle_sql())
 def lsh_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (rows-only check; recall vs the
-    brute-force baseline is pinned by tests/test_similarity.py)."""
+    """LSH-bucketed approximate top-k, fully oracle-mirrored
+    (hyperplanes, multiprobe buckets and scoring reproduce in DuckDB);
+    recall vs brute force additionally pinned by
+    tests/test_similarity.py."""
     from mpg_data_warehouse_spark.operators.similarity import lsh_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, dim=64)
 
 
