@@ -1,0 +1,98 @@
+"""Sources: CSV encodings + schema-on-read, cache-through reads,
+writers round trips, catalog ops (reference §2 S1-S8, S12-S15)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Row
+from pyspark.sql import types as T
+
+from mpg_data_warehouse_spark.sources import catalog as C
+from mpg_data_warehouse_spark.sources.readers import (
+    cached_or_compute,
+    read_csv,
+)
+from mpg_data_warehouse_spark.sources.writers import (
+    backup_csv,
+    write_append,
+    write_single_csv,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_read_csv_latin1_and_schema(spark, tmp_path):
+    """S2: latin-1 FileMaker exports with accented characters must
+    survive, and the declared schema must win over inference."""
+    p = str(tmp_path / "latin.csv")
+    with open(p, "w", encoding="latin-1") as f:
+        f.write("survey_ID,grid_point,surveyor\n")
+        f.write("a1,5,Jos\xe9\n")
+        f.write("a2,NA,\n")  # NA → null long, "" → null string
+    schema = T.StructType(
+        [
+            T.StructField("survey_ID", T.StringType()),
+            T.StructField("grid_point", T.LongType()),
+            T.StructField("surveyor", T.StringType()),
+        ]
+    )
+    df = read_csv(spark, p, schema=schema, encoding="ISO-8859-1")
+    rows = {r.survey_ID: r for r in df.collect()}
+    assert df.schema == schema
+    assert rows["a1"].surveyor == "José"
+    assert rows["a2"].grid_point is None and rows["a2"].surveyor is None
+
+
+def test_cached_or_compute_round_trip(spark, tmp_path):
+    """S15: first call computes and persists, second call reads the
+    interim parquet instead of recomputing."""
+    cache = str(tmp_path / "interim")
+    calls = []
+
+    def compute():
+        calls.append(1)
+        return spark.createDataFrame([Row(a=1), Row(a=2)])
+
+    d1 = cached_or_compute(spark, cache, compute)
+    d2 = cached_or_compute(spark, cache, compute)
+    assert d1.count() == 2 and d2.count() == 2
+    assert len(calls) == 1
+
+
+def test_write_append_and_backup(spark, tmp_path):
+    table = str(tmp_path / "t")
+    backup = str(tmp_path / "backup")
+    spark.createDataFrame([Row(k=1, v="x")]).write.parquet(table)
+    write_append(spark.createDataFrame([Row(k=2, v="y")]), table)
+    assert spark.read.parquet(table).count() == 2
+    n = backup_csv(spark, table, backup)
+    assert n == 2
+    assert spark.read.option("header", "true").csv(backup).count() == 2
+
+
+def test_write_single_csv(spark, tmp_path):
+    out = str(tmp_path / "single")
+    write_single_csv(spark.range(5).toDF("n"), out)
+    files = [f for f in os.listdir(out) if f.endswith(".csv")]
+    assert len(files) == 1  # S14 single-file parity (coalesce(1))
+
+
+def test_catalog_register_list_describe(spark):
+    got = C.register_sf_dir(spark, SF)
+    assert "lineitem" in got and "documents" in got
+    listed = C.list_tables(spark)
+    assert set(got) <= set(listed)
+    desc = C.describe_table(spark, "region")
+    names = [c[0] for c in desc]
+    assert names == ["r_regionkey", "r_name"]
+    assert C.row_count(spark, f"{SF}/region.parquet") == 5
+
+
+def test_schema_matches_gate(spark):
+    from mpg_data_warehouse_spark import schemas as SCH
+    from mpg_data_warehouse_spark.fixtures import survey_metadata
+
+    df = survey_metadata(spark, n_surveys=3)
+    assert C.schema_matches(df, SCH.SURVEY_METADATA)
+    assert not C.schema_matches(df.drop("surveyor"), SCH.SURVEY_METADATA)
