@@ -36,6 +36,7 @@ def complete(
     nesting: list[str] | None = None,
     fill: dict[str, object] | None = None,
     expand_values: DataFrame | None = None,
+    nesting_values: DataFrame | None = None,
     cache_input: bool = False,
 ) -> DataFrame:
     """Ensure every expand-combo × observed nesting-combo exists.
@@ -57,6 +58,13 @@ def complete(
         (e.g. the full 18-code ground-cover dimension) instead of the
         observed distinct — useful when the domain is a dimension
         table and some codes were never observed.
+    nesting_values : optional explicit anchor set for the nesting
+        columns. Scale lever: when ``df`` is itself an expensive
+        join+aggregate, deriving the anchors from it re-executes that
+        pipeline; a cheaper equivalent source (e.g. the single key
+        column of the base fact, when referential integrity makes the
+        distinct sets equal) turns the grid build into one narrow
+        column scan.
     """
     fill = fill or {}
     nesting = nesting or []
@@ -76,7 +84,11 @@ def complete(
         else df.select(*expand).distinct()
     )
     if nesting:
-        anchors = df.select(*nesting).distinct()
+        anchors = (
+            nesting_values.select(*nesting).distinct()
+            if nesting_values is not None
+            else df.select(*nesting).distinct()
+        )
         # Code domains are small (≤ a few thousand combos); broadcast
         # keeps the grid build free of a cross-shuffle.
         grid = anchors.crossJoin(F.broadcast(codes))

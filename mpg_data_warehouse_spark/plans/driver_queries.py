@@ -1076,8 +1076,8 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     grid AS (
       SELECT k.l_orderkey, c.p_brand
-      FROM (SELECT DISTINCT l_orderkey FROM agg) k
-      CROSS JOIN (SELECT DISTINCT p_brand FROM agg) c
+      FROM (SELECT DISTINCT l_orderkey FROM lineitem) k
+      CROSS JOIN (SELECT DISTINCT p_brand FROM part) c
     )
     SELECT g.l_orderkey, g.p_brand,
            COALESCE(a.detection_rate, 0.0) AS detection_rate,
@@ -1091,9 +1091,14 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def functional_groups_detection_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Functional-groups wrangle: broadcast dim join (part is the
-    species-metadata analog), group-sum, complete() over the observed
-    group domain, survey join, year filter. Plan shape: one shuffle
-    for the agg, broadcast joins everywhere else."""
+    species-metadata analog), group-sum, complete() with explicit
+    domains, survey join, year filter.
+
+    Grid domains come from the CHEAP sources — brands from the part
+    dimension, anchors from the fact's single key column — not from
+    re-executing the join+aggregate (which the default observed-
+    distinct path would do twice more; TPC-H referential integrity
+    makes the sets identical, and the oracle pins that)."""
     lineitem = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     orders = _t(spark, sf_dir, "orders")
@@ -1107,6 +1112,8 @@ def functional_groups_detection_rate(spark: SparkSession, sf_dir: str) -> DataFr
         expand=["p_brand"],
         nesting=["l_orderkey"],
         fill={"detection_rate": 0.0},
+        expand_values=part,
+        nesting_values=lineitem,
     )
     dim = orders.select(
         "o_orderkey", F.year("o_orderdate").cast("long").alias("o_year")
