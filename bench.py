@@ -35,11 +35,17 @@ HEADLINE = [
     "dedup_exact",
     "minhash_near_dup_pairs",
     "ngram_jaccard_pairs",
+    "simhash_near_dup_pairs",
     "embedding_cosine_near_dup",
     "text_profile",
     "ann_cosine_topk",
+    "lsh_ann_topk",
+    "ivf_ann_topk",
+    "multimodal_decode_meta",
+    "multimodal_frame_sample",
     "events_hourly_rollup",
     "sessionize_events",
+    "streaming_hourly_rollup",
 ]
 
 

@@ -133,6 +133,31 @@ def lang_id(col: Column | str) -> Column:
     return lang_id_from(tokens(col))
 
 
+ROLL_BASE = 1000003
+ROLL_MOD = 2147483647  # 2^31 − 1: acc·B + h < 2^52, exact in int64
+
+
+def rolling_fingerprint_from(toks: Column) -> Column:
+    """Order-SENSITIVE polynomial rolling hash over the token stream:
+    h = Σ md5₃₂(tokᵢ)·Bⁿ⁻ⁱ mod M, folded left-to-right in one codegen
+    expression. Complements the order-insensitive ``doc_fingerprint``
+    (reordered docs collide there, not here). Deterministic and
+    mirrored by DuckDB ``list_reduce`` (fold-from-first-element equals
+    fold-from-zero for this recurrence)."""
+    tok_hash = lambda t: F.conv(  # noqa: E731
+        F.substring(F.md5(t.cast("binary")), 1, 8), 16, 10
+    ).cast("long")
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * ROLL_BASE + tok_hash(t)) % ROLL_MOD,
+    )
+
+
+def rolling_fingerprint(col: Column | str) -> Column:
+    return rolling_fingerprint_from(tokens(col))
+
+
 def doc_fingerprint_from(toks: Column) -> Column:
     """Order-insensitive content fingerprint: md5 over the sorted
     distinct token set. Survives word reordering and duplication —

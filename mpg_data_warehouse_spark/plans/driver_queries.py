@@ -1413,6 +1413,54 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Token counting (whitespace + BPE-ish regex) and order-sensitive
+# rolling-hash fingerprint — the budget-accounting/fingerprinting
+# trio of a training-data pipeline, all JVM-side column math.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "text_tokens_fingerprint",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS ws,
+             list_filter(
+               regexp_split_to_array(
+                 trim(regexp_replace(text, '([^\sA-Za-z0-9]+)', ' \1 ', 'g')),
+                 '\s+'),
+               x -> x <> '') AS bpe
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_tokens_ws,
+           CAST(len(bpe) AS BIGINT) AS n_tokens_bpe,
+           list_reduce(
+             list_transform(ws,
+               x -> CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)),
+             (acc, h) -> (acc * 1000003 + h) % 2147483647
+           ) AS rolling_fp
+    FROM t
+    """,
+)
+def text_tokens_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mpg_data_warehouse_spark.operators import text as X
+
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id",
+        X.tokens("text").alias("_ws"),
+        X.bpe_ish_tokens("text").alias("_bpe"),
+    )
+    return toked.select(
+        "doc_id",
+        F.size("_ws").cast("long").alias("n_tokens_ws"),
+        F.size("_bpe").cast("long").alias("n_tokens_bpe"),
+        X.rolling_fingerprint_from(F.col("_ws")).alias("rolling_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # IVF ANN (extension): corpus partitioned by nearest-centroid cell;
 # queries probe their nprobe nearest cells. Centroids are the first 16
 # corpus rows — deterministic, so the oracle replays cell assignment,

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import Row
 
+from pyspark.sql import functions as F
 from mpg_data_warehouse_spark.operators import text as X
 
 
@@ -74,3 +75,31 @@ def test_char_stats(spark):
     assert row.n_chars == 7
     assert row.n_tokens == 2
     assert row.punct_ratio == round(2 / 7, 4)
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    from pyspark.sql import Row
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="alpha beta gamma"),
+        Row(doc_id=2, text="gamma beta alpha"),   # same tokens, reordered
+        Row(doc_id=3, text="alpha beta gamma"),   # exact dup of 1
+    ])
+    fps = {r.doc_id: (r.roll, r.unordered) for r in df.select(
+        "doc_id",
+        X.rolling_fingerprint("text").alias("roll"),
+        X.doc_fingerprint("text").alias("unordered"),
+    ).collect()}
+    assert fps[1][0] == fps[3][0]           # dup → same rolling fp
+    assert fps[1][0] != fps[2][0]           # reorder → different rolling fp
+    assert fps[1][1] == fps[2][1]           # but same unordered fingerprint
+
+
+def test_bpe_ish_token_count(spark):
+    from pyspark.sql import Row
+    df = spark.createDataFrame([Row(text="ab, cd!ef")])
+    got = df.select(
+        F.size(X.tokens("text")).alias("ws"),
+        F.size(X.bpe_ish_tokens("text")).alias("bpe"),
+    ).collect()[0]
+    assert got.ws == 2
+    assert got.bpe == 5  # ab , cd ! ef
