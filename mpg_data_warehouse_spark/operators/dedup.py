@@ -140,11 +140,18 @@ def lsh_candidate_pairs(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
     ).select(id_col, "bb.band", "bb.bucket")
 
-    counts = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
-    small = banded.join(
-        counts.filter(F.col("n") <= max_bucket).select("band", "bucket"),
-        ["band", "bucket"],
-        "left_semi",
+    # Bucket-size cap via a window on the SAME key the self-join uses:
+    # the window's exchange already partitions by (band, bucket), so
+    # the join adds no further shuffle — versus a separate
+    # aggregate + semi-join, which costs two extra exchanges.
+    from pyspark.sql import Window as _W
+
+    small = (
+        banded.withColumn(
+            "_n", F.count(F.lit(1)).over(_W.partitionBy("band", "bucket"))
+        )
+        .filter(F.col("_n") <= max_bucket)
+        .drop("_n")
     )
     a = small.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"))
     b = small.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"))
