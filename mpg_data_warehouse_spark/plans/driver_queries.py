@@ -1412,6 +1412,41 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- A9: univariate profiling (describe/summary/min-max/nunique) ---
+
+
+@_q(
+    "profile_summary_stats",
+    """
+    SELECT count(*) AS n_rows,
+           CAST(min(o_orderdate) AS VARCHAR) AS min_date,
+           CAST(max(o_orderdate) AS VARCHAR) AS max_date,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(DISTINCT o_orderpriority) AS n_priorities,
+           round(avg(o_totalprice), 2) AS avg_price,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price
+    FROM orders
+    """,
+)
+def profile_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass table profile (reference A9: describe()/summary(),
+    min/max date range, nunique — src/explore_gridveg_metadata.py:137-141,
+    src/survey_metadata_update.py:143-145). Single aggregate row, no
+    driver-side iteration."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_orderdate").cast("string").alias("min_date"),
+        F.max("o_orderdate").cast("string").alias("max_date"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Token counting (whitespace + BPE-ish regex) and order-sensitive
 # rolling-hash fingerprint — the budget-accounting/fingerprinting

@@ -1,0 +1,67 @@
+"""Physical-layout behavior: year-partitioned tables prune at the
+scan (the engine's standard fact layout — SURVEY §4 physical
+partitioning), and the append path's anti-join rides that pruning."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from mpg_data_warehouse_spark import fixtures as FX
+from mpg_data_warehouse_spark.operators.append import anti_join_append
+
+
+def test_year_partition_pruning(spark, tmp_path):
+    table = str(tmp_path / "fact")
+    meta = FX.survey_metadata(spark, n_surveys=30)
+    meta.write.partitionBy("year").parquet(table)
+
+    q = spark.read.parquet(table).filter(F.col("year") == 2024)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the pruned scan must list the year predicate as a partition
+    # filter, not a data filter
+    assert any(
+        "PartitionFilters" in line and "2024" in line
+        for line in plan.splitlines()
+    ), plan
+    got_years = {r.year for r in q.select("year").distinct().collect()}
+    assert got_years <= {2024}
+
+
+def test_anti_join_append_into_partitioned_table(spark, tmp_path):
+    table = str(tmp_path / "fact2")
+    meta = FX.survey_metadata(spark, n_surveys=20)
+    meta.write.partitionBy("year").parquet(table)
+
+    # A season batch: 5 rows already present + 3 brand-new surveys.
+    dup = meta.limit(5)
+    new = spark.createDataFrame(
+        [
+            Row(
+                survey_ID=f"NEW{i}",
+                grid_point=10 + i,
+                year=2031,
+                date=None,
+                survey_sequence="2031",
+                surveyor="ZZZ",
+            )
+            for i in range(3)
+        ],
+        meta.schema,
+    )
+    batch = dup.unionByName(new)
+    res = anti_join_append(
+        spark, batch, table, keys=["survey_ID"], partition_by=("year",)
+    )
+    assert res.appended_rows == 3
+    assert res.duplicate_rows == 5
+    assert res.reconciled
+    # run again: idempotent, and the 2031 partition exists on disk
+    res2 = anti_join_append(
+        spark, batch, table, keys=["survey_ID"], partition_by=("year",)
+    )
+    assert res2.appended_rows == 0
+    import os
+
+    assert any(d.startswith("year=2031") for d in os.listdir(table))

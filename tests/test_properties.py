@@ -1,0 +1,83 @@
+"""Property-based tests (hypothesis) for the engine's custom
+operators: invariants must hold for ARBITRARY inputs, not just the
+fixtures — the reference's operational checks turned adversarial."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from mpg_data_warehouse_spark.operators.append import new_only
+from mpg_data_warehouse_spark.operators.complete import complete
+
+_slow = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+keys = st.integers(min_value=0, max_value=5)
+codes = st.sampled_from(["a", "b", "c", "d"])
+rows = st.lists(
+    st.tuples(keys, codes, st.floats(0, 100, allow_nan=False)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@_slow
+@given(data=rows)
+def test_complete_grid_cardinality_property(spark, data):
+    """For any frame: |complete()| == |distinct anchors| × |distinct
+    codes|, every original row survives, and no measure is NULL."""
+    df = spark.createDataFrame(
+        [Row(k=k, code=c, m=m) for k, c, m in data]
+    ).dropDuplicates(["k", "code"])
+    out = complete(df, expand=["code"], nesting=["k"], fill={"m": 0.0})
+    n_k = df.select("k").distinct().count()
+    n_c = df.select("code").distinct().count()
+    assert out.count() == n_k * n_c
+    assert out.filter(F.col("m").isNull()).count() == 0
+    # original measures survive completion unchanged
+    orig = {(r.k, r.code): r.m for r in df.collect()}
+    got = {(r.k, r.code): r.m for r in out.collect()}
+    for kk, vv in orig.items():
+        assert got[kk] == vv
+
+
+@_slow
+@given(
+    existing=st.lists(keys, min_size=0, max_size=15),
+    batch=st.lists(keys, min_size=0, max_size=15),
+)
+def test_anti_join_partitions_batch_property(spark, existing, batch):
+    """new_only(batch) ∪ already-present(batch) is a disjoint
+    partition of the batch's distinct keys."""
+    e = spark.createDataFrame([Row(k=k) for k in existing] or [Row(k=-1)])
+    b = spark.createDataFrame([Row(k=k) for k in batch] or [Row(k=-1)])
+    new = {r.k for r in new_only(b, e, ["k"]).collect()}
+    eks = set(existing or [-1])
+    bks = set(batch or [-1])
+    assert new == bks - eks
+
+
+@_slow
+@given(data=st.lists(st.text("ab ", min_size=0, max_size=12), min_size=2, max_size=8))
+def test_jaccard_bounds_and_symmetry_property(spark, data):
+    """Exact n-gram Jaccard: every reported pair has 0 < j ≤ 1, and
+    identical texts always score exactly 1.0."""
+    from mpg_data_warehouse_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = [Row(doc_id=i, text=t) for i, t in enumerate(data)]
+    df = spark.createDataFrame(docs)
+    pairs = ngram_jaccard_pairs(df, shingle_n=2, threshold=0.0).collect()
+    by_pair = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    for (a, b), j in by_pair.items():
+        assert a < b
+        assert 0.0 < j <= 1.0
+    for i, ti in enumerate(data):
+        for k in range(i + 1, len(data)):
+            if data[k] == ti:
+                assert by_pair.get((i, k)) == 1.0
