@@ -319,6 +319,82 @@ def minhash_dedup_pairs(
     return verified.filter(F.col("jaccard") >= threshold)
 
 
+def connected_components(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph by iterative
+    min-label propagation: every node repeatedly adopts the smallest
+    label among itself and its neighbors until fixpoint. Converges in
+    O(graph diameter) rounds — near-dup clusters are shallow (dup
+    families, not long chains), so a handful of keyed-join rounds.
+
+    Output: (id, component) where component = min id in the cluster.
+    Each round is one join + one aggregate (both on the id key); the
+    driver only evaluates a scalar convergence count per round —
+    no data ever collects to the driver.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+            )
+        )
+        .distinct()
+        .cache()
+    )
+    labels = ids.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("component")
+    ).cache()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("dst"),
+                    F.col("component").alias("n_comp"),
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("n_comp").alias("n_min"))
+        )
+        updated = (
+            labels.join(
+                neighbor_min, labels.node == neighbor_min.src, "left"
+            )
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("n_min"), F.col("component"))
+                ).alias("component"),
+                (F.col("n_min") < F.col("component")).alias("_changed"),
+            )
+        ).cache()
+        n_changed = updated.filter(F.col("_changed")).count()
+        new_labels = updated.drop("_changed").cache()
+        labels.unpersist()
+        labels = new_labels
+        if n_changed == 0:
+            break
+    return labels.select(F.col("node").alias(id_col), "component")
+
+
+def retain_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup retention: collapse every near-dup cluster to its
+    smallest id (the standard keep-one policy after pair generation).
+    Returns the surviving rows of ``df``."""
+    comp = connected_components(pairs, df.select(id_col), id_col)
+    keep = comp.filter(F.col(id_col) == F.col("component")).select(id_col)
+    return df.join(keep, id_col, "left_semi")
+
+
 def simhash_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

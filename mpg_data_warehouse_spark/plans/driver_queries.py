@@ -669,10 +669,10 @@ _MINHASH_BANDS = " ".join(
 )
 
 
-@_q(
-    "minhash_near_dup_pairs",
-    f"""
-    WITH base AS (
+# Shared CTE chain: perturbed corpus → shingles → signatures → bands →
+# candidates → exact-Jaccard scores. Used by the pair query and by the
+# retention (connected-components) query.
+_MINHASH_CTES = f"""base AS (
       SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + 1000000 AS doc_id,
@@ -726,7 +726,13 @@ _MINHASH_BANDS = " ".join(
       LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
       JOIN sizes za ON za.doc_id = c.id_a
       JOIN sizes zb ON zb.doc_id = c.id_b
-    )
+    )"""
+
+
+@_q(
+    "minhash_near_dup_pairs",
+    f"""
+    WITH {_MINHASH_CTES}
     SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
     """,
 )
@@ -1410,6 +1416,60 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "doc_id", "frame_idx", F.length("frame").cast("long").alias("frame_bytes")
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup retention (the capstone dedup op): pairs → connected
+# components → keep the smallest id per cluster. Spark runs iterative
+# min-label propagation (keyed joins, driver sees only a convergence
+# scalar); the oracle closes the same graph with a recursive CTE.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "near_dup_retention",
+    f"""
+    WITH RECURSIVE {_MINHASH_CTES},
+    pairs AS (
+      SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    cc AS (
+      SELECT doc_id AS node, doc_id AS label FROM base
+      UNION
+      SELECT e.dst AS node, cc.label
+      FROM cc JOIN edges e ON e.src = cc.node
+    ),
+    comp AS (
+      SELECT node, min(label) AS component FROM cc GROUP BY node
+    )
+    SELECT b.doc_id
+    FROM base b JOIN comp ON b.doc_id = comp.node
+    WHERE comp.component = b.doc_id
+    """,
+)
+def near_dup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-per-cluster dedup over the MinHash pair graph."""
+    from mpg_data_warehouse_spark.operators.dedup import (
+        minhash_dedup_pairs,
+        retain_representatives,
+    )
+    from mpg_data_warehouse_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(tokens("text"), 3, 100000)).alias("text"),
+    )
+    base = docs.unionByName(perturbed)
+    pairs = minhash_dedup_pairs(
+        base, num_hashes=8, bands=4, shingle_n=3, threshold=0.5
+    )
+    return retain_representatives(base, pairs).select("doc_id")
 
 
 # --- A9: univariate profiling (describe/summary/min-max/nunique) ---

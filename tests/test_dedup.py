@@ -114,3 +114,26 @@ def test_shared_shingle_max_df_damps(spark):
     damped = D.shared_shingle_pairs(sh, max_df=1).count()
     assert damped == 0  # every shared shingle has df >= 2 by definition
     assert undamped >= 3
+
+
+def test_connected_components_topologies(spark):
+    from pyspark.sql import Row
+    ids = spark.createDataFrame([Row(doc_id=i) for i in range(1, 9)])
+    # chain 1-2-3, triangle 4-5-6 (+redundant edge), isolated 7, 8
+    pairs = spark.createDataFrame([
+        Row(id_a=1, id_b=2), Row(id_a=2, id_b=3),
+        Row(id_a=4, id_b=5), Row(id_a=5, id_b=6), Row(id_a=4, id_b=6),
+    ])
+    comp = {r.doc_id: r.component for r in D.connected_components(pairs, ids).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4, 7: 7, 8: 8}
+
+
+def test_retain_representatives(spark):
+    from pyspark.sql import Row
+    df = spark.createDataFrame([Row(doc_id=i, text=f"t{i}") for i in range(1, 7)])
+    pairs = spark.createDataFrame([
+        Row(id_a=1, id_b=3), Row(id_a=3, id_b=5),   # cluster {1,3,5} -> keep 1
+        Row(id_a=2, id_b=6),                         # cluster {2,6} -> keep 2
+    ])
+    kept = sorted(r.doc_id for r in D.retain_representatives(df, pairs).collect())
+    assert kept == [1, 2, 4]
