@@ -107,6 +107,62 @@ def sessionize_stream(
     )
 
 
+def running_user_totals_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a
+    per-user running (n_events, total_value) accumulator that emits
+    the updated row on every micro-batch — the shape for stateful
+    logic the built-in aggregates can't express (per-key model state,
+    custom eviction, decaying counters, ...).
+
+    State is one small tuple per user_id, Arrow-marshalled per batch;
+    GroupStateTimeout would bound it in a production deployment."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([key[0]], dtype="int64"),
+                "n_events": pd.Series([n], dtype="int64"),
+                "total_value": [round(total, 2)],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def idempotent_append_stream(
     events: DataFrame,
     sink_path: str,

@@ -116,3 +116,37 @@ def test_idempotent_append_stream_replay_adds_nothing(
     )
     q2.awaitTermination(180)
     assert spark.read.parquet(sink).count() == n1
+
+
+def test_stateful_running_totals_matches_batch(spark, events_dir):
+    """applyInPandasWithState accumulator: after draining the whole
+    input, per-user totals must equal the batch groupBy."""
+    stream = S.running_user_totals_stream(S.read_events_stream(spark, events_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("totals_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # update mode may emit intermediate rows across batches; the LAST
+    # row per user is the final state (single-batch availableNow run
+    # emits exactly one row per user).
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.table("totals_t").collect()
+    }
+    want = {
+        r.user_id: (r.n, r.t)
+        for r in (
+            spark.read.parquet(events_dir)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 2).alias("t"),
+            )
+            .collect()
+        )
+    }
+    assert got == want
