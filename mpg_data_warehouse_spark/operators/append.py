@@ -99,6 +99,55 @@ def anti_join_append(
     )
 
 
+def merge_upsert(
+    spark: SparkSession,
+    updates: DataFrame,
+    table_path: str,
+    keys: list[str],
+) -> DataFrame:
+    """Keyed upsert (the Delta ``MERGE INTO ... WHEN MATCHED UPDATE
+    WHEN NOT MATCHED INSERT`` analog on plain parquet, reference J4:
+    docs/fix_gridveg_dates.md:44-52): rows whose key matches are
+    replaced by the update's version, new keys are inserted, untouched
+    rows pass through. Implemented as recompute-overwrite —
+    existing ∖ updates ∪ updates — staged through a temp path so the
+    source is never read-while-overwritten. Returns the merged frame."""
+    existing = spark.read.parquet(table_path)
+    merged = existing.join(
+        updates.select(*keys).distinct(), keys, "left_anti"
+    ).unionByName(updates)
+    tmp = table_path.rstrip("/") + "__merge_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    staged = spark.read.parquet(tmp)
+    staged.write.mode("overwrite").parquet(table_path)
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(table_path)
+
+
+def overwrite_partitions(
+    spark: SparkSession,
+    df: DataFrame,
+    table_path: str,
+    partition_cols: tuple[str, ...] = ("year",),
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions
+    present in ``df``, leaving all others' files untouched — the scale
+    path for the repair flows (a date fix touching 3 seasons rewrites
+    3 partitions of a 100 TB table, not the table). Uses Spark's
+    ``partitionOverwriteMode=dynamic`` session conf scoped to the
+    write."""
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(
+            table_path
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def truncate_replace(
     spark: SparkSession,
     df: DataFrame,

@@ -66,3 +66,44 @@ def test_truncate_replace_reads_own_source(spark, tmp_path):
     rows = truncate_replace(spark, df, table)
     assert rows == 2
     assert spark.read.parquet(table).count() == 2
+
+
+def test_merge_upsert(spark, tmp_path):
+    from mpg_data_warehouse_spark.operators.append import merge_upsert
+
+    table = str(tmp_path / "m")
+    _existing(spark).write.parquet(table)
+    updates = spark.createDataFrame(
+        [
+            Row(survey_ID="a", transect_point="N1", year=2024, v=99.0),  # update
+            Row(survey_ID="z", transect_point="S1", year=2026, v=7.0),   # insert
+        ]
+    )
+    out = merge_upsert(spark, updates, table, ["survey_ID", "transect_point"])
+    rows = {(r.survey_ID, r.transect_point): r.v for r in out.collect()}
+    assert rows[("a", "N1")] == 99.0        # matched -> updated
+    assert rows[("a", "N2")] == 2.0         # untouched passes through
+    assert rows[("z", "S1")] == 7.0         # new -> inserted
+    assert len(rows) == 4
+
+
+def test_overwrite_partitions_touches_only_matching(spark, tmp_path):
+    import os
+
+    from mpg_data_warehouse_spark.operators.append import overwrite_partitions
+
+    table = str(tmp_path / "p")
+    _existing(spark).write.partitionBy("year").parquet(table)
+    before_2024 = set(os.listdir(f"{table}/year=2024"))
+    before_2025 = set(os.listdir(f"{table}/year=2025"))
+
+    repl = spark.createDataFrame(
+        [Row(survey_ID="only", transect_point="W1", v=5.0, year=2025)]
+    )
+    overwrite_partitions(spark, repl, table, ("year",))
+
+    after = spark.read.parquet(table)
+    assert after.filter("year = 2025").count() == 1      # replaced
+    assert after.filter("year = 2024").count() == 2      # untouched
+    assert set(os.listdir(f"{table}/year=2024")) == before_2024
+    assert set(os.listdir(f"{table}/year=2025")) != before_2025
