@@ -62,6 +62,39 @@ def read_csv(
     return df
 
 
+def read_csv_with_fallback(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    encodings: tuple[str, ...] = ("UTF-8", "ISO-8859-1"),
+    **kwargs,
+) -> DataFrame:
+    """Encoding-fallback CSV read (reference S2 variant: try UTF-8,
+    on decode failure fall back to latin-1 —
+    notebooks/append_csv_to_bq.ipynb:265-270). Spark's reader does not
+    raise on bad bytes at plan time, so the probe materializes one
+    partition's worth of rows and checks for the U+FFFD replacement
+    character that signals a wrong decode."""
+    last = None
+    for enc in encodings:
+        df = read_csv(spark, path, schema=schema, encoding=enc, **kwargs)
+        try:
+            sample = df.limit(100).collect()
+        except Exception as exc:  # malformed for this encoding
+            last = exc
+            continue
+        bad = any(
+            "�" in str(v)
+            for row in sample
+            for v in row
+            if isinstance(v, str)
+        )
+        if not bad:
+            return df
+        last = ValueError(f"replacement chars under {enc}")
+    raise ValueError(f"no encoding in {encodings} decodes {path}: {last}")
+
+
 def read_table(spark: SparkSession, path_or_name: str) -> DataFrame:
     """Warehouse table scan (reference S4: ``SELECT * FROM t`` →
     client download). Here: a lazy parquet/Delta scan — projections

@@ -1,0 +1,76 @@
+"""Plan contracts: physical-plan properties the engine promises
+(broadcast dims, pushdown, pruning, no cartesian blowups) — guarded
+so a refactor can't silently regress them."""
+
+from __future__ import annotations
+
+import pytest
+
+from mpg_data_warehouse_spark.plans.driver_queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    return (
+        QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_multi_way_join_broadcasts_all_dims(spark):
+    plan = _plan(spark, "multi_way_join_enrich")
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scans_prune_columns(spark):
+    plan = _plan(spark, "multi_way_join_enrich")
+    # lineitem scan must read only the 3 projected columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>" in plan
+
+
+def test_flagship_grid_is_broadcast_built(spark):
+    plan = _plan(spark, "ground_cover_pct_complete")
+    # the complete() cross join must be a broadcast NLJ over the tiny
+    # code domain, never a shuffle cartesian
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "regex_sentinel_filter")
+    assert "PushedFilters: [" in plan
+
+
+def test_anti_join_is_broadcast(spark):
+    plan = _plan(spark, "anti_join_new_keys")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["text_profile", "quality_score_docs", "text_tokens_fingerprint"],
+)
+def test_text_queries_are_shuffle_free(spark, name):
+    # single narrow projection: no Exchange anywhere in the plan
+    assert "Exchange" not in _plan(spark, name)
+
+
+def test_no_python_udfs_in_reference_queries(spark):
+    # UD3 policy: zero Python UDFs outside the multimodal boundary
+    for name in [
+        "ground_cover_pct_complete",
+        "functional_groups_detection_rate",
+        "species_richness_union_dedup",
+        "minhash_near_dup_pairs",
+        "text_profile",
+        "ann_cosine_topk",
+    ]:
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_multimodal_is_the_only_python_boundary(spark):
+    plan = _plan(spark, "multimodal_decode_meta")
+    assert "MapInPandas" in plan

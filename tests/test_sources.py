@@ -96,3 +96,24 @@ def test_schema_matches_gate(spark):
     df = survey_metadata(spark, n_surveys=3)
     assert C.schema_matches(df, SCH.SURVEY_METADATA)
     assert not C.schema_matches(df.drop("surveyor"), SCH.SURVEY_METADATA)
+
+
+def test_read_csv_fallback_to_latin1(spark, tmp_path):
+    from mpg_data_warehouse_spark.sources.readers import read_csv_with_fallback
+
+    p = str(tmp_path / "l1.csv")
+    with open(p, "w", encoding="latin-1") as f:
+        f.write("name\nJos\xe9\nRen\xe9e\n")
+    df = read_csv_with_fallback(spark, p)
+    got = {r.name for r in df.collect()}
+    assert got == {"José", "Renée"}  # latin-1 fallback decoded cleanly
+
+
+def test_read_csv_fallback_prefers_utf8(spark, tmp_path):
+    from mpg_data_warehouse_spark.sources.readers import read_csv_with_fallback
+
+    p = str(tmp_path / "u8.csv")
+    with open(p, "w", encoding="utf-8") as f:
+        f.write("name\nJosé\n")
+    df = read_csv_with_fallback(spark, p)
+    assert [r.name for r in df.collect()] == ["José"]
