@@ -1,0 +1,110 @@
+"""Temporal join operators Spark lacks natively: as-of join and
+binned range join.
+
+Neither appears in the reference (SURVEY §2.3: "No theta/range/as-of
+joins") — these are the §7 extension operators a timestamped event
+surface needs, built as compositions of existing DataFrame ops per
+the engine's custom-operator policy (composition first, Pandas UDF
+only if semantics demand).
+
+* ``asof_join`` — for every left row, the latest right row with
+  ``right_ts <= left_ts`` per key. Spark has no ASOF JOIN; the naive
+  encoding (non-equi join + per-left-row max) is a cross-product-per-
+  key. This implementation is the union-sort trick: tag both sides,
+  union, and carry right-side values forward with a
+  ``last(ignorenulls)`` running window — ONE shuffle+sort on
+  (key, ts), linear state, no cross product at any scale.
+* ``range_join_binned`` — point-in-interval joins compile to
+  BroadcastNestedLoopJoin in Spark (quadratic work per partition).
+  Binning rewrites them as an equi-join on the bin id: intervals
+  explode to the bins they overlap, points map to one bin, the join
+  is hash-partitioned, and the exact predicate filters within bins.
+  Bin width trades replication factor vs selectivity — set it near
+  the typical interval length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Left as-of join: every left row gains ``prefix + c`` for each
+    ``c`` in ``right_cols``, holding the value from the latest right
+    row with ``right_ts <= left_ts`` and matching ``key`` (NULL when
+    no prior right row exists). Ties at equal timestamps resolve to
+    the right row (matching DuckDB ``ASOF JOIN ... ON l.ts >= r.ts``).
+    """
+    lt = left.withColumn("_side", F.lit(1)).withColumn("_ts", F.col(left_ts))
+    rt_cols = [F.col(c).alias(f"{prefix}{c}") for c in right_cols]
+    rt = (
+        right.select(key, F.col(right_ts).alias("_ts"), *rt_cols)
+        .withColumn("_side", F.lit(0))
+    )
+    for c in left.columns:
+        if c not in rt.columns:
+            rt = rt.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    for c in right_cols:
+        lt = lt.withColumn(
+            f"{prefix}{c}", F.lit(None).cast(right.schema[c].dataType)
+        )
+    unioned = lt.unionByName(rt.select(*lt.columns))
+    # Right rows sort before left rows at equal _ts (side 0 < 1), so a
+    # left row at exactly t sees a right row at t.
+    w = (
+        W.partitionBy(key)
+        .orderBy("_ts", "_side")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    filled = unioned
+    for c in right_cols:
+        filled = filled.withColumn(
+            f"{prefix}{c}",
+            F.last(F.col(f"{prefix}{c}"), ignorenulls=True).over(w),
+        )
+    return filled.filter(F.col("_side") == 1).drop("_side", "_ts")
+
+
+def range_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join (``lo <= point <= hi``) as a binned
+    equi-join. ``point_col``/``lo_col``/``hi_col`` must be numeric in
+    the same units (cast dates to epoch days first). Output: every
+    (point row × containing interval row) pair, exact."""
+    p = points.withColumn(
+        "_bin", F.floor(F.col(point_col) / F.lit(bin_width)).cast("long")
+    )
+    i = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(bin_width)).cast("long"),
+                F.floor(F.col(hi_col) / F.lit(bin_width)).cast("long"),
+            )
+        ),
+    )
+    return (
+        p.join(i, "_bin", how)
+        .filter(
+            (F.col(point_col) >= F.col(lo_col))
+            & (F.col(point_col) <= F.col(hi_col))
+        )
+        .drop("_bin")
+    )

@@ -1472,6 +1472,96 @@ def near_dup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retain_representatives(base, pairs).select("doc_id")
 
 
+# ---------------------------------------------------------------------------
+# Temporal joins Spark lacks natively (§7 extensions): as-of join
+# (union-sort trick, one shuffle) and binned range join (equi-join on
+# bin ids instead of a nested-loop non-equi join). DuckDB mirrors
+# with native ASOF JOIN and a plain inequality join respectively.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "asof_join_events",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+      WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, epoch_us(ts) AS us, value FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id, c.user_id,
+           round(p.value, 2) AS asof_value
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.us >= p.us
+    """,
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click annotated with the value of the user's most recent
+    prior (or simultaneous) purchase."""
+    from mpg_data_warehouse_spark.operators.temporal import asof_join
+
+    ev = _events(spark, sf_dir).withColumn("us", F.unix_micros("ts"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "us"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "us", "value"
+    )
+    out = asof_join(
+        clicks, purchases, key="user_id", left_ts="us", right_ts="us",
+        right_cols=["value"],
+    )
+    return out.select(
+        "event_id", "user_id", F.round("asof_value", 2).alias("asof_value")
+    )
+
+
+@_q(
+    "range_join_click_attribution",
+    """
+    WITH iv AS (
+      SELECT event_id AS purchase_id,
+             epoch_us(ts) // 3600000000 - 6 AS lo_h,
+             epoch_us(ts) // 3600000000 + 6 AS hi_h
+      FROM events WHERE event_type = 'purchase'
+    ),
+    pts AS (
+      SELECT event_id,
+             epoch_us(ts) // 3600000000 AS ev_h
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT i.purchase_id, count(*) AS n_clicks_near
+    FROM pts p JOIN iv i
+      ON p.ev_h >= i.lo_h AND p.ev_h <= i.hi_h
+    GROUP BY i.purchase_id
+    """,
+)
+def range_join_click_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Clicks inside each purchase's ±6-hour attribution window — the
+    point-in-interval join via bin equi-join (bin = window width, so
+    each interval lands in ≤ 2 bins)."""
+    from mpg_data_warehouse_spark.operators.temporal import range_join_binned
+
+    ev = _events(spark, sf_dir).withColumn(
+        "ev_h", F.expr("unix_micros(ts) div 3600000000")
+    )
+    iv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        (F.col("ev_h") - 6).alias("lo_h"),
+        (F.col("ev_h") + 6).alias("hi_h"),
+    )
+    pts = ev.filter(F.col("event_type") == "click").select("event_id", "ev_h")
+    joined = range_join_binned(pts, iv, "ev_h", "lo_h", "hi_h", bin_width=12)
+    return joined.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_clicks_near")
+    )
+
+
 # --- A9: univariate profiling (describe/summary/min-max/nunique) ---
 
 

@@ -1,0 +1,60 @@
+"""Temporal joins: as-of semantics (latest-prior, ties, no-prior
+NULL) and binned range join exactness at bin boundaries."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from mpg_data_warehouse_spark.operators.temporal import (
+    asof_join,
+    range_join_binned,
+)
+
+
+def test_asof_latest_prior_and_nulls(spark):
+    left = spark.createDataFrame(
+        [Row(id=1, k="u", t=5), Row(id=2, k="u", t=15), Row(id=3, k="u", t=2),
+         Row(id=4, k="v", t=10)]
+    )
+    right = spark.createDataFrame(
+        [Row(k="u", t=3, v=30.0), Row(k="u", t=10, v=100.0),
+         Row(k="w", t=1, v=9.0)]
+    )
+    out = {r.id: r.asof_v for r in asof_join(
+        left, right, key="k", left_ts="t", right_ts="t",
+        right_cols=["v"], prefix="asof_",
+    ).collect()}
+    assert out[1] == 30.0    # t=5 → right t=3
+    assert out[2] == 100.0   # t=15 → right t=10
+    assert out[3] is None    # t=2 → no prior right row
+    assert out[4] is None    # key v has no right rows at all
+
+
+def test_asof_tie_takes_simultaneous_right(spark):
+    left = spark.createDataFrame([Row(id=1, k="u", t=10)])
+    right = spark.createDataFrame([Row(k="u", t=10, v=7.0)])
+    out = asof_join(left, right, "k", "t", "t", ["v"]).collect()[0]
+    assert out.asof_v == 7.0  # l.ts >= r.ts includes equality
+
+
+def test_asof_preserves_left_cardinality(spark):
+    left = spark.createDataFrame([Row(id=i, k="u", t=i) for i in range(20)])
+    right = spark.createDataFrame([Row(k="u", t=5, v=1.0), Row(k="u", t=9, v=2.0)])
+    out = asof_join(left, right, "k", "t", "t", ["v"])
+    assert out.count() == 20  # never fans out, never drops
+
+
+def test_range_join_binned_matches_naive(spark):
+    pts = spark.createDataFrame([Row(pid=i, x=i) for i in range(0, 50)])
+    ivs = spark.createDataFrame(
+        [Row(iid=1, lo=3, hi=9), Row(iid=2, lo=9, hi=9),
+         Row(iid=3, lo=20, hi=41), Row(iid=4, lo=60, hi=70)]
+    )
+    binned = range_join_binned(pts, ivs, "x", "lo", "hi", bin_width=7)
+    naive = pts.crossJoin(ivs).filter("x >= lo AND x <= hi")
+    got = sorted((r.pid, r.iid) for r in binned.collect())
+    want = sorted((r.pid, r.iid) for r in naive.collect())
+    assert got == want
+    assert got  # non-empty (intervals 1-3 contain points)
+    # boundary membership: hi inclusive, single-point interval works
+    assert (9, 1) in got and (9, 2) in got
