@@ -45,6 +45,10 @@ HEADLINE = [
     "multimodal_frame_sample",
     "events_hourly_rollup",
     "sessionize_events",
+    "asof_join_events",
+    "range_join_click_attribution",
+    "profile_summary_stats",
+    "text_tokens_fingerprint",
     "streaming_hourly_rollup",
 ]
 
