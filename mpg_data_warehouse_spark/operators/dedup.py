@@ -465,15 +465,16 @@ def simhash_near_pairs(
     b = chunks.select(
         F.col(id_col).alias("id_b"), F.col("fp").alias("fp_b"), "chunk", "ckey"
     )
-    pairs = (
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    # Hamming filter BEFORE the distinct: the filter is a cheap narrow
+    # op on the joined rows, so the dedup exchange only carries pairs
+    # that already passed (multi-chunk collisions are the common case
+    # for true near-dups — exactly the rows worth deduplicating).
+    return (
         a.join(b, ["chunk", "ckey"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "fp_a", "fp_b")
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-    return (
-        pairs.withColumn("hamming", hamming.cast("long"))
+        .withColumn("hamming", hamming.cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )

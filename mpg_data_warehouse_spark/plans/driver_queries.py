@@ -64,6 +64,18 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents table spread across cores: the driver parquet is a
+    single row-group (one scan task), so the tokenize/shingle/md5
+    pipelines downstream would run single-threaded without this tiny
+    (~600 KB) repartition shuffle."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(16)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship: A1 group-count-scaled → A8 complete() → J1 dim join → P5 filter.
 # The ground-cover %-cover wrangle (reference
@@ -740,7 +752,7 @@ def minhash_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mpg_data_warehouse_spark.operators.dedup import minhash_dedup_pairs
     from mpg_data_warehouse_spark.operators.text import tokens
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs(spark, sf_dir)
     perturbed = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat_ws(" ", F.slice(tokens("text"), 3, 100000)).alias("text"),
@@ -872,7 +884,7 @@ def simhash_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mpg_data_warehouse_spark.operators.dedup import simhash_near_pairs
     from mpg_data_warehouse_spark.operators.text import tokens
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs(spark, sf_dir)
     perturbed = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat_ws(" ", F.slice(tokens("text"), 2, 100000)).alias("text"),
@@ -1253,7 +1265,7 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mpg_data_warehouse_spark.operators.dedup import ngram_jaccard_pairs
     from mpg_data_warehouse_spark.operators.text import tokens
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs(spark, sf_dir)
     perturbed = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat_ws(" ", F.slice(tokens("text"), 3, 100000)).alias("text"),
@@ -1460,7 +1472,7 @@ def near_dup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from mpg_data_warehouse_spark.operators.text import tokens
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs(spark, sf_dir)
     perturbed = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat_ws(" ", F.slice(tokens("text"), 3, 100000)).alias("text"),
