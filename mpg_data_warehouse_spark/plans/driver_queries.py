@@ -1574,6 +1574,55 @@ def range_join_click_attribution(
     )
 
 
+# ---------------------------------------------------------------------------
+# Multi-granularity rollup in ONE pass (the continuous-aggregate /
+# hypertable-rollup analog): GROUPING SETS over (hour, type) and
+# (day, type) — one shuffle feeds both granularities, vs two
+# separate aggregation jobs.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "events_multi_grain_rollup",
+    """
+    SELECT CAST(CAST(date_trunc('hour', ts) AS TIMESTAMP) AS VARCHAR)
+             AS hour_ts,
+           CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR)
+             AS day_ts,
+           event_type,
+           CAST(grouping(date_trunc('hour', ts)) AS BIGINT) AS is_day_grain,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS (
+      (date_trunc('hour', ts), date_trunc('day', ts), event_type),
+      (date_trunc('day', ts), event_type)
+    )
+    """,
+)
+def events_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _events(spark, sf_dir).select(
+        F.date_trunc("hour", "ts").alias("_hour"),
+        F.date_trunc("day", "ts").alias("_day"),
+        "event_type",
+        "value",
+    )
+    h, d, t = F.col("_hour"), F.col("_day"), F.col("event_type")
+    grouped = events.groupingSets([[h, d, t], [d, t]], h, d, t)
+    return grouped.agg(
+        F.grouping(h).cast("long").alias("is_day_grain"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    ).select(
+        F.col("_hour").cast("string").alias("hour_ts"),
+        F.col("_day").cast("string").alias("day_ts"),
+        "event_type",
+        "is_day_grain",
+        "n_events",
+        "sum_value",
+    )
+
+
 # --- A9: univariate profiling (describe/summary/min-max/nunique) ---
 
 
