@@ -55,7 +55,10 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0  # unknown scale marker for non-sfN directory names
     # Shuffle-partition count sized to the benchmark SF (≤ ~600 K-row
     # facts): fewer, fuller partitions cut fixed per-task overhead
     # ~12% here; AQE still re-splits any stage that outgrows them.
