@@ -167,6 +167,62 @@ def foliar_cover_all(
     return spark.createDataFrame(rows, SCH.FOLIAR_COVER_ALL)
 
 
+def image_metadata_raw(
+    spark: SparkSession,
+    meta: DataFrame,
+    per_survey: int = 2,
+    seed: int = 29,
+) -> DataFrame:
+    """FileMaker-shaped raw image rows (pre-ingest): source headers,
+    trailing-whitespace image_direction variants (the invisible-char
+    defect the reference fixes with strip() —
+    notebooks/update_gridVeg_image_metadata.ipynb:416-418), no
+    image_url yet (derived at ingest, :447-450)."""
+    rng = random.Random(seed)
+    rows = []
+    for m in meta.collect():
+        for i in range(per_survey):
+            img_id = "".join(
+                rng.choice("0123456789abcdef") for _ in range(12)
+            )
+            direction = rng.choice(DIRECTIONS)
+            if rng.random() < 0.25:
+                direction += " "  # planted trailing whitespace
+            rows.append((img_id, m.survey_ID, m.date, m.year, m.grid_point, direction))
+    return spark.createDataFrame(
+        rows,
+        "`Image::__kp_ID` string, `Image::_kf_Survey` string, "
+        "`Image::Date` date, `Image::Year` long, "
+        "`Image::GridPoint` long, `Image::Direction` string",
+    )
+
+
+def point_intercept_vegetation(
+    spark: SparkSession,
+    meta: DataFrame,
+    points_per_survey: int = 20,
+    seed: int = 31,
+) -> DataFrame:
+    """Vegetation fact rows: layered intercepts with increasing null
+    rates by layer (FIXTURES.md: ≈5%/60%/90%/98%), ~20% null
+    height."""
+    rng = random.Random(seed)
+    null_rates = (0.05, 0.60, 0.90, 0.98)
+    rows = []
+    for m in meta.collect():
+        for p in range(points_per_survey):
+            tp = f"{'NESW'[p % 4]}{p // 4 + 1}"
+            intercepts = [
+                None if rng.random() < r else rng.randint(1, 700)
+                for r in null_rates
+            ]
+            height = None if rng.random() < 0.2 else round(rng.uniform(0, 150), 1)
+            rows.append(
+                (m.survey_ID, m.grid_point, m.date, m.year, tp, height, *intercepts)
+            )
+    return spark.createDataFrame(rows, SCH.POINT_INTERCEPT_VEGETATION)
+
+
 def additional_species(
     spark: SparkSession,
     meta: DataFrame,

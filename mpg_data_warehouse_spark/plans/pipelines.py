@@ -172,6 +172,45 @@ def ingest_pipeline(
     return anti_join_append(raw.sparkSession, df, table_path, key_cols)
 
 
+IMAGE_RENAME_MAP = {
+    "Image::__kp_ID": "image_ID",
+    "Image::_kf_Survey": "survey_ID",
+    "Image::Date": "date",
+    "Image::Year": "year",
+    "Image::GridPoint": "grid_point",
+    "Image::Direction": "image_direction",
+}
+
+IMAGE_URL_BASE = "https://storage.cloud.google.com/gridveg-reference-images/"
+
+
+def image_ingest_pipeline(
+    raw: DataFrame,
+    table_path: str,
+    url_base: str = IMAGE_URL_BASE,
+) -> AppendResult:
+    """The image-metadata ingest (§3.2 variant,
+    notebooks/update_gridVeg_image_metadata.ipynb): rename → trim the
+    invisible-whitespace image_direction defect (:416-418, F7) →
+    derive image_url from the id (:447-450, F8) → validate → anti-join
+    append keyed on image_ID (:1098-1142, J6)."""
+    from mpg_data_warehouse_spark.functions.cleaning import image_url
+
+    df = (
+        rename_columns(raw, IMAGE_RENAME_MAP)
+        .withColumn("image_direction", F.trim(F.col("image_direction")))
+        .withColumn("image_url", image_url(F.col("image_ID"), url_base))
+        .select(
+            "image_ID", "image_url", "survey_ID", "date", "year",
+            "grid_point", "image_direction",
+        )
+    )
+    report = validate(df, required=["image_ID", "survey_ID", "date"])
+    if not report.ok:
+        raise ValueError(f"validation failed: {report.null_violations}")
+    return anti_join_append(raw.sparkSession, df, table_path, ["image_ID"])
+
+
 def date_repair_pipeline(
     fact: DataFrame, survey_meta: DataFrame
 ) -> DataFrame:

@@ -154,3 +154,47 @@ def test_date_repair_pipeline(spark, mpg):
     )
     assert re_joined.filter(F.col("date") != F.col("true_date")).count() == 0
     assert repaired.filter(F.col("year") != F.year("date")).count() == 0
+
+
+def test_image_ingest_pipeline(spark, mpg, tmp_path):
+    """Trim fix + url derivation + image_ID-keyed idempotent append
+    (reference update_gridVeg_image_metadata flow)."""
+    import pyspark.sql.functions as SF
+
+    from mpg_data_warehouse_spark import schemas as SCH
+
+    table = str(tmp_path / "images")
+    spark.createDataFrame([], SCH.IMAGE_METADATA).write.parquet(table)
+    raw = FX.image_metadata_raw(spark, mpg["meta"].limit(10))
+    res = P.image_ingest_pipeline(raw, table)
+    assert res.appended_rows == 20 and res.reconciled
+    got = spark.read.parquet(table)
+    # F7: no trailing whitespace survives
+    assert got.filter(SF.col("image_direction").rlike(r"\s$")).count() == 0
+    assert set(
+        r.image_direction for r in got.select("image_direction").distinct().collect()
+    ) <= {"North", "East", "South", "West"}
+    # F8: every url is base + id + .jpg
+    bad_urls = got.filter(
+        SF.col("image_url")
+        != SF.concat(SF.lit(P.IMAGE_URL_BASE), SF.col("image_ID"), SF.lit(".jpg"))
+    ).count()
+    assert bad_urls == 0
+    # J6 idempotence: replay appends nothing
+    res2 = P.image_ingest_pipeline(raw, table)
+    assert res2.appended_rows == 0
+
+
+def test_vegetation_fixture_null_layering(spark, mpg):
+    veg = FX.point_intercept_vegetation(spark, mpg["meta"].limit(20))
+    import pyspark.sql.functions as SF
+
+    rates = veg.select(
+        *[
+            (SF.count(SF.when(SF.col(f"intercept_{i}").isNull(), 1))
+             / SF.count(SF.lit(1))).alias(f"r{i}")
+            for i in range(1, 5)
+        ]
+    ).collect()[0]
+    # null rate must increase with layer (the reference's layering)
+    assert rates.r1 < rates.r2 < rates.r3 < rates.r4
