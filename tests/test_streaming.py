@@ -150,3 +150,71 @@ def test_stateful_running_totals_matches_batch(spark, events_dir):
         )
     }
     assert got == want
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode windowed agg with a 2h watermark: an event arriving
+    a micro-batch later but 12h in the past targets a finalized window
+    and must be DROPPED (bounded state ⇒ late data loss is explicit)."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+
+    def write_file(name, rows, mtime):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        path = os.path.join(src, name)
+        pdf.to_parquet(path)
+        os.utime(path, (mtime, mtime))
+
+    base = "2024-03-01 {h:02d}:30:00"
+    now = _time.time()
+    # batch 1: one event per hour, hours 0..10
+    write_file(
+        "a.parquet",
+        [(i, base.format(h=i), 1, "click", 1.0, "{}") for i in range(11)],
+        now - 100,
+    )
+    # batch 2: fresh event at hour 12 — advances the watermark so the
+    # hour-0 window's state is EVICTED (drop is only guaranteed for
+    # evicted state; a late row arriving while state is live may merge)
+    write_file(
+        "b.parquet",
+        [(101, base.format(h=12), 1, "click", 1.0, "{}")],
+        now - 70,
+    )
+    # batch 3: the LATE replay of hour 0 + a fresh event at hour 13
+    write_file(
+        "c.parquet",
+        [(100, base.format(h=0), 1, "click", 1.0, "{}"),
+         (102, base.format(h=13), 1, "click", 1.0, "{}")],
+        now - 40,
+    )
+
+    events = spark.readStream.schema(S.EVENTS_STREAM_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    agg = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.hour("w.start").alias("h"), "n_events")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r.h: r.n_events for r in spark.table("late_t").collect()}
+    assert got.get(0) == 1      # late replay did NOT inflate hour 0
+    assert 13 not in got        # unfinalized window not emitted
+    assert all(v == 1 for v in got.values())
