@@ -65,3 +65,28 @@ def test_anti_join_append_into_partitioned_table(spark, tmp_path):
     import os
 
     assert any(d.startswith("year=2031") for d in os.listdir(table))
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """Star-join runtime pruning: a selective dim filter on the
+    partition key must inject a dynamic pruning subquery into the
+    fact scan (at 100 TB this skips whole partitions at runtime)."""
+    fact_path = str(tmp_path / "dpp_fact")
+    meta = FX.survey_metadata(spark, n_surveys=60)
+    ground = FX.point_intercept_ground(spark, meta, points_per_survey=5)
+    ground.write.partitionBy("year").parquet(fact_path)
+
+    fact = spark.read.parquet(fact_path)
+    dim = meta.select("year", "survey_sequence").distinct().filter(
+        F.col("survey_sequence") == "2024"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # DPP via broadcast reuse needs the dim broadcastable (default)
+        joined = fact.join(dim, "year").select("survey_ID", "year")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+        got_years = {r.year for r in joined.select("year").distinct().collect()}
+        assert got_years <= {2024}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
