@@ -45,8 +45,12 @@ class AppendResult:
 def new_only(new: DataFrame, existing: DataFrame, keys: list[str]) -> DataFrame:
     """Rows of ``new`` whose key is absent from ``existing``
     (reference J6). Multi-column keys join directly — no composite
-    string concat needed."""
-    return new.join(existing.select(*keys).distinct(), on=keys, how="left_anti")
+    string concat needed. Column order is preserved (a keyed join
+    moves key columns to the front; appended parquet must keep the
+    table's declared order for schema-equality gates)."""
+    return new.join(
+        existing.select(*keys).distinct(), on=keys, how="left_anti"
+    ).select(*new.columns)
 
 
 def already_present(new: DataFrame, existing: DataFrame, keys: list[str]) -> DataFrame:

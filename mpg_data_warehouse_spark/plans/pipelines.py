@@ -172,6 +172,71 @@ def ingest_pipeline(
     return anti_join_append(raw.sparkSession, df, table_path, key_cols)
 
 
+def point_intercepts_ingest_pipeline(
+    raw: DataFrame,
+    vegetation_path: str,
+    ground_path: str,
+) -> tuple[AppendResult, AppendResult]:
+    """The §3.1 fan-out ingest (src/point_intercepts_update.py:445-524):
+    ONE FileMaker CSV feeds TWO tables — the vegetation transform
+    (heights + 4 intercept layers) and the ground transform (ground
+    code) — and the ground append only runs if the vegetation append
+    succeeded (:522-524). Both keyed on (survey_ID, transect_point);
+    both validate the ^[NSEW]\\d{1,2}$ transect format (P10) before
+    any write."""
+    from mpg_data_warehouse_spark.functions.cleaning import (
+        clean_null_sentinels,
+        coerce_double,
+        coerce_long,
+    )
+    from mpg_data_warehouse_spark.operators.validate import (
+        TRANSECT_POINT_PATTERN,
+    )
+    from mpg_data_warehouse_spark.schemas import (
+        POINT_INTERCEPTS_SOURCE_COLUMNS,
+    )
+
+    renamed = rename_columns(raw, POINT_INTERCEPTS_SOURCE_COLUMNS)
+    cleaned = renamed
+    for c in ("intercept_1", "intercept_2", "intercept_3", "intercept_4"):
+        cleaned = cleaned.withColumn(c, coerce_long(clean_null_sentinels(c)))
+    cleaned = cleaned.withColumn(
+        "height_intercept_1",
+        coerce_double(clean_null_sentinels("height_intercept_1")),
+    ).withColumn("grid_point", coerce_long("grid_point"))
+
+    veg = cleaned.select(
+        "survey_ID", "grid_point", "date", "year", "transect_point",
+        "height_intercept_1", "intercept_1", "intercept_2",
+        "intercept_3", "intercept_4",
+    )
+    ground = cleaned.select(
+        "survey_ID", "grid_point", "date", "year", "transect_point",
+        "intercept_1", "intercept_ground_code",
+    )
+    keys = ["survey_ID", "transect_point"]
+    required = ["survey_ID", "transect_point", "date"]
+    patterns = {"transect_point": TRANSECT_POINT_PATTERN}
+
+    for frame, label in ((veg, "vegetation"), (ground, "ground")):
+        report = validate(frame, required, patterns)
+        if not report.ok:
+            raise ValueError(
+                f"{label} validation failed: nulls={report.null_violations} "
+                f"patterns={report.pattern_violations}"
+            )
+
+    spark = raw.sparkSession
+    veg_result = anti_join_append(spark, veg, vegetation_path, keys)
+    if not veg_result.reconciled:
+        raise RuntimeError(
+            "vegetation append did not reconcile; ground append skipped "
+            f"({veg_result})"
+        )
+    ground_result = anti_join_append(spark, ground, ground_path, keys)
+    return veg_result, ground_result
+
+
 IMAGE_RENAME_MAP = {
     "Image::__kp_ID": "image_ID",
     "Image::_kf_Survey": "survey_ID",

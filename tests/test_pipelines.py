@@ -198,3 +198,78 @@ def test_vegetation_fixture_null_layering(spark, mpg):
     ).collect()[0]
     # null rate must increase with layer (the reference's layering)
     assert rates.r1 < rates.r2 < rates.r3 < rates.r4
+
+
+def test_point_intercepts_fanout_ingest(spark, mpg, tmp_path):
+    """One CSV batch fans out to vegetation + ground tables; ground
+    runs only after vegetation reconciles; both idempotent."""
+    import pyspark.sql.functions as SF
+
+    from mpg_data_warehouse_spark import schemas as SCH
+
+    veg_path = str(tmp_path / "veg")
+    ground_path = str(tmp_path / "ground")
+    spark.createDataFrame([], SCH.POINT_INTERCEPT_VEGETATION).write.parquet(veg_path)
+    spark.createDataFrame([], SCH.POINT_INTERCEPT_GROUND).write.parquet(ground_path)
+
+    # raw FileMaker-shaped batch derived from the ground fixture, with
+    # sentinel "" / "NA" strings in the numeric layers
+    g = mpg["ground"].limit(30)
+    raw = g.select(
+        SF.col("survey_ID").alias("Survey Data::__kp_Survey"),
+        SF.col("grid_point").cast("string").alias("Survey Data::_kf_Site"),
+        SF.col("date").alias("Survey Data::SurveyDate"),
+        SF.col("year").alias("Survey Data::SurveyYear"),
+        SF.col("transect_point").alias("PointTrans"),
+        SF.lit("12.5").alias("Height"),
+        SF.coalesce(SF.col("intercept_ground_code"), SF.lit("BG")).alias("GroundCover"),
+        SF.col("intercept_1").cast("string").alias("_kf_Hit1_serial"),
+        SF.lit("NA").alias("_kf_Hit2_serial"),
+        SF.lit("").alias("_kf_Hit3_serial"),
+        SF.lit("7").alias("_kf_Hit4_serial"),
+    )
+    veg_res, ground_res = P.point_intercepts_ingest_pipeline(raw, veg_path, ground_path)
+    assert veg_res.appended_rows == 30 and veg_res.reconciled
+    assert ground_res.appended_rows == 30 and ground_res.reconciled
+
+    veg = spark.read.parquet(veg_path)
+    assert veg.schema == SCH.POINT_INTERCEPT_VEGETATION
+    row = veg.limit(1).collect()[0]
+    assert row.height_intercept_1 == 12.5
+    assert row.intercept_2 is None and row.intercept_3 is None  # sentinels → NULL
+    assert row.intercept_4 == 7
+
+    # replay: both appends add zero
+    v2, g2 = P.point_intercepts_ingest_pipeline(raw, veg_path, ground_path)
+    assert v2.appended_rows == 0 and g2.appended_rows == 0
+
+
+def test_point_intercepts_bad_transect_aborts_before_write(spark, mpg, tmp_path):
+    import pyspark.sql.functions as SF
+
+    from mpg_data_warehouse_spark import schemas as SCH
+
+    veg_path = str(tmp_path / "veg2")
+    ground_path = str(tmp_path / "ground2")
+    spark.createDataFrame([], SCH.POINT_INTERCEPT_VEGETATION).write.parquet(veg_path)
+    spark.createDataFrame([], SCH.POINT_INTERCEPT_GROUND).write.parquet(ground_path)
+    raw = mpg["ground"].limit(3).select(
+        SF.col("survey_ID").alias("Survey Data::__kp_Survey"),
+        SF.col("grid_point").cast("string").alias("Survey Data::_kf_Site"),
+        SF.col("date").alias("Survey Data::SurveyDate"),
+        SF.col("year").alias("Survey Data::SurveyYear"),
+        SF.lit("X99").alias("PointTrans"),  # invalid transect format
+        SF.lit("1.0").alias("Height"),
+        SF.lit("BG").alias("GroundCover"),
+        SF.lit("1").alias("_kf_Hit1_serial"),
+        SF.lit("2").alias("_kf_Hit2_serial"),
+        SF.lit("3").alias("_kf_Hit3_serial"),
+        SF.lit("4").alias("_kf_Hit4_serial"),
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="validation failed"):
+        P.point_intercepts_ingest_pipeline(raw, veg_path, ground_path)
+    # the gate fired BEFORE any write
+    assert spark.read.parquet(veg_path).count() == 0
+    assert spark.read.parquet(ground_path).count() == 0
