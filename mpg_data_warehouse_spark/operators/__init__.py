@@ -19,8 +19,15 @@ from mpg_data_warehouse_spark.operators.dedup import (
     simhash_near_pairs,
 )
 from mpg_data_warehouse_spark.operators.joins import salted_join, write_bucketed
+from mpg_data_warehouse_spark.operators.ranking import topk_per_group
+from mpg_data_warehouse_spark.operators.sampling import (
+    deterministic_sample,
+    split_train_holdout,
+    stratified_sample,
+)
 from mpg_data_warehouse_spark.operators.similarity import (
     cosine_topk,
+    embedding_centroids,
     embedding_near_dup_pairs,
     ivf_topk,
     lsh_topk,
@@ -29,7 +36,7 @@ from mpg_data_warehouse_spark.operators.temporal import (
     asof_join,
     range_join_binned,
 )
-from mpg_data_warehouse_spark.operators.text import text_profile
+from mpg_data_warehouse_spark.operators.text import redact, term_counts, text_profile, tfidf
 from mpg_data_warehouse_spark.operators.validate import validate
 
 __all__ = [
@@ -38,6 +45,8 @@ __all__ = [
     "complete",
     "connected_components",
     "cosine_topk",
+    "deterministic_sample",
+    "embedding_centroids",
     "embedding_near_dup_pairs",
     "exact_dedup",
     "ivf_topk",
@@ -47,10 +56,16 @@ __all__ = [
     "ngram_jaccard_pairs",
     "overwrite_partitions",
     "range_join_binned",
+    "redact",
     "retain_representatives",
     "salted_join",
     "simhash_near_pairs",
+    "split_train_holdout",
+    "stratified_sample",
+    "term_counts",
     "text_profile",
+    "tfidf",
+    "topk_per_group",
     "truncate_replace",
     "validate",
     "write_bucketed",

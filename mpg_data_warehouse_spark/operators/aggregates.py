@@ -111,3 +111,31 @@ def union_tagged(
     for t in tagged[1:]:
         out = out.unionByName(t)
     return out
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    decimals: int = 4,
+) -> DataFrame:
+    """Exact per-group quantiles (linear interpolation) of a numeric
+    column — the profiling step before outlier filtering / length
+    bucketing of a corpus.
+
+    Uses the exact ``percentile`` aggregate (sort-based within group):
+    right for profiling grouped data where each group fits an executor.
+    For a single global quantile over 100 TB use
+    ``percentile_approx`` (KLL-sketch, bounded memory, mergeable
+    map-side) instead — exact global percentile would sort the world.
+    DuckDB oracle mirror: ``quantile_cont(v, p)`` (same type-7
+    interpolation), rounded identically on both sides.
+    """
+    aggs = [
+        F.round(F.percentile(F.col(value_col), F.lit(p)), decimals).alias(
+            f"p{int(p * 100):02d}"
+        )
+        for p in probs
+    ]
+    return df.groupBy(*group_cols).agg(*aggs)

@@ -1,0 +1,86 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Large-scale corpus work needs *reproducible* samples: the same row set
+regardless of partitioning, executor count, task retries, or Spark
+version. ``df.sample()`` is none of those (it is seed + partition
+dependent), so everything here derives the keep/drop decision from a
+content hash of a stable key column — md5, the same primitive the
+dedup family uses (operators/dedup.py), so oracles can replay the
+exact decision in DuckDB: ``CAST('0x' || substr(md5(k),1,8) AS
+BIGINT) % buckets``.
+
+Scale notes (100 TB): all of these are narrow map-side filters — no
+shuffle, no state, fully pipelined into the scan. The hash is one md5
+per row; the filter prunes before any downstream join/agg, so a 1%
+sample cuts the rest of the plan's input 100×. Stratified rates are a
+single ``CASE WHEN`` chain (broadcastable strata count), never a join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hash_bucket",
+    "deterministic_sample",
+    "stratified_sample",
+    "split_train_holdout",
+]
+
+
+def hash_bucket(key: Column | str, buckets: int = 10_000) -> Column:
+    """Stable bucket in [0, buckets) from md5 of the key's string form.
+
+    First 8 hex chars → 32-bit unsigned int → modulo. Matches DuckDB
+    ``CAST('0x' || substr(md5(k), 1, 8) AS BIGINT) % buckets`` bit for
+    bit, which is what makes sampled query results oracle-checkable.
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.conv(F.substring(F.md5(c.cast("string").cast("binary")), 1, 8), 16, 10)
+    return (h.cast("long") % F.lit(buckets)).alias("bucket")
+
+
+def deterministic_sample(
+    df: DataFrame, key: str, fraction: float, buckets: int = 10_000
+) -> DataFrame:
+    """Keep rows whose hash bucket falls below ``fraction`` of the
+    bucket space. Reproducible across runs/partitionings; unbiased for
+    hash-uniform keys. Map-side only — no shuffle."""
+    cut = int(round(fraction * buckets))
+    return df.filter(hash_bucket(key, buckets) < F.lit(cut))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: str,
+    key: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (``sampleBy`` made
+    reproducible): each stratum value gets its own keep-fraction.
+
+    The per-row cutoff is a CASE WHEN chain over the (small) strata
+    domain — pure column math, so the whole thing stays one narrow
+    map stage even with thousands of strata.
+    """
+    cut: Column = F.lit(int(round(default_rate * buckets)))
+    for value, rate in sorted(rates.items()):
+        cut = F.when(
+            F.col(strata) == F.lit(value), F.lit(int(round(rate * buckets)))
+        ).otherwise(cut)
+    return df.filter(hash_bucket(key, buckets) < cut)
+
+
+def split_train_holdout(
+    df: DataFrame, key: str, holdout_fraction: float, buckets: int = 10_000
+) -> tuple[DataFrame, DataFrame]:
+    """Disjoint, exhaustive, reproducible train/holdout split keyed on
+    content hash — the standard eval-contamination guard: a key lands
+    on the same side in every run and every pipeline that uses the
+    same key column."""
+    cut = int(round(holdout_fraction * buckets))
+    b = hash_bucket(key, buckets)
+    return df.filter(b >= F.lit(cut)), df.filter(b < F.lit(cut))

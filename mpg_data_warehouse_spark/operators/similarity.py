@@ -288,3 +288,32 @@ def embedding_near_dup_pairs(
         .distinct()
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def embedding_centroids(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    decimals: int = 5,
+) -> DataFrame:
+    """Per-group mean vector (average pooling), emitted LONG —
+    ``(group, pos, centroid)`` — rather than re-assembled arrays.
+
+    Plan: posexplode the vector (narrow, ×dim row blowup) → one
+    hash-agg keyed (group, pos). Partial aggregation sums map-side, so
+    the shuffle carries |groups|·dim partial sums per partition — at
+    100 TB with dim=1024 and 10k groups that is ~10M rows per
+    partition worst case, still tiny next to the input. The long form
+    is deliberately join-ready for IVF assignment (``ivf_assign``)
+    and keeps the oracle trivial (DuckDB
+    ``generate_subscripts``+``unnest`` zip). Rounding bounds
+    float-accumulation-order drift between engines.
+    """
+    exploded = df.select(
+        F.col(group_col), F.posexplode(F.col(vec_col)).alias("pos", "v")
+    )
+    return (
+        exploded.groupBy(group_col, "pos")
+        .agg(F.round(F.avg("v"), decimals).alias("centroid"))
+        .withColumn("pos", F.col("pos").cast("long"))
+    )

@@ -187,3 +187,100 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": doc_fingerprint_from(F.col("_toks")),
         }
     ).drop("_toks")
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary / TF-IDF — corpus-level term statistics.
+# ---------------------------------------------------------------------------
+
+
+def norm_tokens(col: Column | str) -> Column:
+    """Lowercased whitespace tokens with empties dropped — the
+    canonical normalization shared by the vocabulary and TF-IDF ops
+    (and mirrored in oracles as
+    ``unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(F.lower(c)), r"\s+"), lambda t: t != F.lit(""))
+
+
+def doc_term_counts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-(document, term) frequency: explode normalized tokens, one
+    hash-agg on (doc, term). At 100 TB the explode is a narrow map; the
+    agg shuffles (doc, term) pairs — partial aggregation collapses
+    within-partition repeats first, so the wire carries distinct pairs,
+    not raw tokens."""
+    return (
+        df.select(F.col(id_col), F.explode(norm_tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def term_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary with total occurrence counts. One explode +
+    one agg keyed by term; map-side combine absorbs the Zipf head, so
+    shuffle volume ≈ vocabulary size per partition, not token count."""
+    return (
+        df.select(F.explode(norm_tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def tfidf(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """TF-IDF per (document, term): tf × ln(N / df).
+
+    Plan shape: one (doc, term) agg → a term-keyed doc-frequency agg
+    derived FROM it (no second pass over raw text) → term-keyed join
+    to attach idf. The doc-frequency side is |vocabulary| rows —
+    orders of magnitude smaller than the corpus, broadcastable for
+    real-world vocabularies (≤ a few GB); Spark's AQE converts the
+    join to broadcast-hash at runtime when it fits.
+    """
+    dtc = doc_term_counts(df, id_col, text_col)
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    docfreq = dtc.groupBy("term").agg(
+        F.count(F.lit(1)).alias("doc_freq")
+    )
+    return (
+        dtc.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("doc_freq")), 6),
+        )
+        .drop("n_docs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Redaction — pattern-based PII/content scrubbing.
+# ---------------------------------------------------------------------------
+
+# Conservative cross-engine pattern (Java regex AND RE2 compatible: no
+# backreferences, no lookaround) — emails plus standalone digit runs.
+PII_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}|\b\d{4,}\b"
+
+
+def redaction_count(col: Column | str, pattern: str = PII_PATTERN) -> Column:
+    """How many pattern hits a row carries (audit metric — run it
+    BEFORE the replace so the report and the scrub share one scan)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0))).cast("long")
+
+
+def redact(
+    col: Column | str,
+    pattern: str = PII_PATTERN,
+    replacement: str = "[REDACTED]",
+) -> Column:
+    """Replace every pattern match. Pure JVM regexp_replace — a narrow
+    map over the corpus, no shuffle; keep patterns RE2-safe so the
+    same regex drives Spark, DuckDB oracles, and any downstream Go/C++
+    scrubbers identically."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, pattern, replacement)

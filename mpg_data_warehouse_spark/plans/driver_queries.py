@@ -25,9 +25,23 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from mpg_data_warehouse_spark.operators.aggregates import (
+    group_quantiles,
     string_agg_ordered_limited,
 )
 from mpg_data_warehouse_spark.operators.complete import complete
+from mpg_data_warehouse_spark.operators.ranking import topk_per_group
+from mpg_data_warehouse_spark.operators.sampling import (
+    split_train_holdout,
+    stratified_sample,
+)
+from mpg_data_warehouse_spark.operators.similarity import embedding_centroids
+from mpg_data_warehouse_spark.operators.text import (
+    PII_PATTERN,
+    redact,
+    redaction_count,
+    term_counts,
+    tfidf,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -1812,6 +1826,244 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline extensions, batch 2: deterministic sampling,
+# ranking, vocabulary / TF-IDF, redaction, quantile profiling,
+# embedding centroids. All md5-derived decisions replay exactly in the
+# DuckDB oracle (operators/sampling.py docstring).
+# ---------------------------------------------------------------------------
+
+_STRATA_SQL = """
+      CASE o_orderpriority
+        WHEN '1-URGENT' THEN 5000
+        WHEN '2-HIGH' THEN 2500
+        ELSE 500
+      END"""
+
+
+@_q(
+    "stratified_sample_orders",
+    f"""
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders
+    WHERE (CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
+                 AS BIGINT) % 10000) < {_STRATA_SQL}
+    """,
+)
+def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible per-stratum sampling: urgent orders kept at 50%,
+    high at 25%, everything else at 5% — hash-keyed on o_orderkey so
+    the sample is identical on every run and in the oracle."""
+    orders = _t(spark, sf_dir, "orders")
+    return stratified_sample(
+        orders,
+        strata="o_orderpriority",
+        key="o_orderkey",
+        rates={"1-URGENT": 0.5, "2-HIGH": 0.25},
+        default_rate=0.05,
+    ).select("o_orderkey", "o_orderpriority", "o_totalprice")
+
+
+@_q(
+    "train_holdout_split",
+    """
+    SELECT c_custkey,
+           CASE WHEN (CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)
+                           AS BIGINT) % 10000) < 1000
+                THEN 'holdout' ELSE 'train' END AS split
+    FROM customer
+    """,
+)
+def train_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjoint-and-exhaustive 10% holdout keyed on content hash (the
+    eval-contamination guard); emitted as one tagged union so the
+    oracle can CASE over the same hash."""
+    customer = _t(spark, sf_dir, "customer")
+    train, holdout = split_train_holdout(customer, key="c_custkey", holdout_fraction=0.1)
+    return train.select("c_custkey", F.lit("train").alias("split")).unionByName(
+        holdout.select("c_custkey", F.lit("holdout").alias("split"))
+    )
+
+
+@_q(
+    "topk_orders_per_priority",
+    """
+    SELECT o_orderpriority, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey
+             ) AS rn
+      FROM orders
+    )
+    WHERE rn <= 5
+    """,
+)
+def topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered ranking window (top-5 per priority). WindowGroupLimit
+    prunes to 5 rows per group map-side before the exchange; ties are
+    broken by o_orderkey so the result is partitioning-independent."""
+    orders = _t(spark, sf_dir, "orders")
+    return topk_per_group(
+        orders,
+        partition_by=["o_orderpriority"],
+        order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=5,
+    ).select(
+        "o_orderpriority",
+        F.col("rn").cast("long").alias("rn"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+
+
+_NORM_TOKENS_SQL = """
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+      FROM documents"""
+
+
+@_q(
+    "vocab_top_terms",
+    f"""
+    SELECT term, count(*) AS n
+    FROM ({_NORM_TOKENS_SQL})
+    WHERE term <> ''
+    GROUP BY term
+    ORDER BY n DESC, term
+    LIMIT 50
+    """,
+)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: explode normalized tokens, one term-keyed
+    agg (map-side combine absorbs the Zipf head), deterministic top-50."""
+    docs = _docs(spark, sf_dir)
+    return (
+        term_counts(docs, "text")
+        .orderBy(F.col("n").desc(), F.col("term"))
+        .limit(50)
+    )
+
+
+@_q(
+    "tfidf_top_terms",
+    f"""
+    WITH dtc AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM ({_NORM_TOKENS_SQL})
+      WHERE term <> ''
+      GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, count(*) AS doc_freq FROM dtc GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT d.doc_id, d.term, d.tf,
+             round(d.tf * ln(CAST(n.n_docs AS DOUBLE) / f.doc_freq), 6) AS tfidf
+      FROM dtc d JOIN dfreq f USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, tfidf, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    )
+    WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF signature terms, top-3 per document: one (doc,term) agg,
+    doc-frequency derived from it (no second text pass), term-keyed
+    join, ranking window with deterministic tie-break."""
+    docs = _docs(spark, sf_dir)
+    scored = tfidf(docs, "doc_id", "text")
+    return topk_per_group(
+        scored,
+        partition_by=["doc_id"],
+        order_by=[F.col("tfidf").desc(), F.col("term")],
+        k=3,
+    ).select(
+        "doc_id", "term", "tf", "tfidf", F.col("rn").cast("long").alias("rn")
+    )
+
+
+# PII plus a banned-term policy entry — the extra alternation makes the
+# scrub observable on the synthetic corpus (which contains no emails).
+_SCRUB_PATTERN = PII_PATTERN + r"|\bspark\b"
+
+
+@_q(
+    "redact_scrub_docs",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_SCRUB_PATTERN}')) AS BIGINT)
+             AS n_hits,
+           length(regexp_replace(text, '{_SCRUB_PATTERN}', '[REDACTED]', 'g'))
+             AS redacted_len
+    FROM documents
+    """,
+)
+def redact_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern scrub audit + replace in one narrow map: per-doc hit
+    count and post-redaction length. The pattern is RE2-safe so Spark
+    (Java regex) and DuckDB (RE2) agree match-for-match."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id",
+        redaction_count("text", _SCRUB_PATTERN).alias("n_hits"),
+        F.length(redact("text", _SCRUB_PATTERN)).alias("redacted_len"),
+    )
+
+
+@_q(
+    "quantile_profile_lineitem",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def quantile_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quartiles of extended price (type-7 linear
+    interpolation on both engines). Grouped exact percentile is the
+    profiling tool; the 100 TB global variant is percentile_approx
+    (see group_quantiles docstring)."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return group_quantiles(
+        lineitem, ["l_returnflag"], "l_extendedprice", (0.25, 0.5, 0.75)
+    ).select(
+        "l_returnflag",
+        F.col("p25"),
+        F.col("p50"),
+        F.col("p75"),
+    )
+
+
+@_q(
+    "embedding_label_centroids",
+    """
+    WITH e AS (
+      SELECT label,
+             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+             unnest(embedding) AS v
+      FROM embeddings
+    )
+    SELECT label, pos, round(avg(v), 5) AS centroid
+    FROM e
+    GROUP BY label, pos
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-pooled per-label centroid vectors in join-ready long
+    form (label, pos, centroid): posexplode + one hash-agg; rounding
+    bounds cross-engine float-accumulation drift."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_centroids(emb, "label", "embedding", decimals=5)
 
 
 REGISTRY_DOC = "queries: " + ", ".join(sorted(QUERIES))

@@ -81,3 +81,18 @@ def test_jaccard_bounds_and_symmetry_property(spark, data):
         for k in range(i + 1, len(data)):
             if data[k] == ti:
                 assert by_pair.get((i, k)) == 1.0
+
+
+def test_group_quantiles_median_exact(spark):
+    """Odd-count group: p50 must be the exact middle element; p25/p75
+    interpolate (type-7), pinned against numpy."""
+    import numpy as np
+
+    from mpg_data_warehouse_spark.operators.aggregates import group_quantiles
+
+    vals = [1.0, 5.0, 2.0, 9.0, 4.0]  # sorted: 1 2 4 5 9 → median 4
+    df = spark.createDataFrame([("g", v) for v in vals], ["g", "v"])
+    row = group_quantiles(df, ["g"], "v").first()
+    assert row.p50 == 4.0
+    assert row.p25 == round(float(np.percentile(vals, 25)), 4)
+    assert row.p75 == round(float(np.percentile(vals, 75)), 4)

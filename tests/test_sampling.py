@@ -1,0 +1,79 @@
+"""Deterministic sampling: reproducibility, stratum rates, and the
+disjoint/exhaustive guarantee of the train/holdout split."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mpg_data_warehouse_spark.operators.sampling import (
+    deterministic_sample,
+    hash_bucket,
+    split_train_holdout,
+    stratified_sample,
+)
+
+from tests.conftest import SF_ORACLE
+
+
+def _orders(spark):
+    return spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+
+
+def test_deterministic_sample_reproducible_and_partitioning_independent(spark):
+    orders = _orders(spark)
+    s1 = deterministic_sample(orders, "o_orderkey", 0.2)
+    s2 = deterministic_sample(orders.repartition(13), "o_orderkey", 0.2)
+    keys1 = {r.o_orderkey for r in s1.select("o_orderkey").collect()}
+    keys2 = {r.o_orderkey for r in s2.select("o_orderkey").collect()}
+    assert keys1 == keys2 and keys1  # same rows regardless of layout
+
+
+def test_deterministic_sample_rate_close_to_nominal(spark):
+    orders = _orders(spark)
+    total = orders.count()
+    got = deterministic_sample(orders, "o_orderkey", 0.2).count()
+    assert abs(got / total - 0.2) < 0.02  # hash-uniform keys → ±2%
+
+
+def test_stratified_rates_differ_per_stratum(spark):
+    orders = _orders(spark)
+    sample = stratified_sample(
+        orders,
+        strata="o_orderpriority",
+        key="o_orderkey",
+        rates={"1-URGENT": 0.5, "2-HIGH": 0.25},
+        default_rate=0.05,
+    )
+    base = {r["o_orderpriority"]: r["n"] for r in
+            orders.groupBy("o_orderpriority").agg(F.count("*").alias("n")).collect()}
+    got = {r["o_orderpriority"]: r["n"] for r in
+           sample.groupBy("o_orderpriority").agg(F.count("*").alias("n")).collect()}
+    assert abs(got["1-URGENT"] / base["1-URGENT"] - 0.5) < 0.05
+    assert abs(got["2-HIGH"] / base["2-HIGH"] - 0.25) < 0.05
+    assert got.get("5-LOW", 0) / base["5-LOW"] < 0.10
+
+
+def test_split_disjoint_and_exhaustive(spark):
+    cust = spark.read.parquet(f"{SF_ORACLE}/customer.parquet")
+    train, hold = split_train_holdout(cust, "c_custkey", 0.1)
+    n, nt, nh = cust.count(), train.count(), hold.count()
+    assert nt + nh == n
+    overlap = train.select("c_custkey").intersect(hold.select("c_custkey"))
+    assert overlap.count() == 0
+    assert 0.05 < nh / n < 0.15
+
+
+def test_sampling_is_map_side_only(spark):
+    """Scale contract: the sample filter must not introduce a shuffle."""
+    orders = _orders(spark)
+    plan = deterministic_sample(orders, "o_orderkey", 0.2)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_hash_bucket_range(spark):
+    orders = _orders(spark)
+    row = orders.select(
+        F.min(hash_bucket("o_orderkey", 100)).alias("lo"),
+        F.max(hash_bucket("o_orderkey", 100)).alias("hi"),
+    ).first()
+    assert row.lo >= 0 and row.hi <= 99

@@ -114,3 +114,24 @@ def test_ivf_recall_vs_bruteforce(spark):
     for r in approx.collect():
         if (r.query_id, r.neighbor_id) in es:
             assert abs(es[(r.query_id, r.neighbor_id)] - r.cos_sim) < 1e-9
+
+
+def test_embedding_centroids_match_numpy(spark):
+    import numpy as np
+
+    from mpg_data_warehouse_spark.operators.similarity import embedding_centroids
+
+    from tests.conftest import SF_ORACLE
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    got = {
+        (r.label, r.pos): r.centroid
+        for r in embedding_centroids(emb, "label", "embedding").collect()
+    }
+    pdf = emb.toPandas()
+    for label, grp in pdf.groupby("label"):
+        mean = np.mean(np.stack(grp["embedding"].to_numpy()), axis=0)
+        for pos in (0, 7, 63):
+            assert abs(got[(label, pos)] - round(float(mean[pos]), 5)) < 1e-4
+    dim = len(pdf["embedding"].iloc[0])
+    assert len(got) == pdf["label"].nunique() * dim

@@ -103,3 +103,55 @@ def test_bpe_ish_token_count(spark):
     ).collect()[0]
     assert got.ws == 2
     assert got.bpe == 5  # ab , cd ! ef
+
+
+def test_term_counts_and_tfidf_small(spark):
+    from mpg_data_warehouse_spark.operators.text import term_counts, tfidf
+
+    docs = spark.createDataFrame(
+        [("a", "cat sat on the mat"), ("b", "cat cat dog"), ("c", "dog runs")],
+        ["doc_id", "text"],
+    )
+    tc = {r.term: r.n for r in term_counts(docs).collect()}
+    assert tc["cat"] == 3 and tc["dog"] == 2 and tc["mat"] == 1
+    tf = tfidf(docs)
+    row = tf.filter("doc_id = 'b' and term = 'cat'").first()
+    assert row.tf == 2 and row.doc_freq == 2
+    # idf = ln(3/2); score = 2*ln(1.5)
+    import math
+
+    assert abs(row.tfidf - round(2 * math.log(3 / 2), 6)) < 1e-9
+    # a term present in every doc scores 0
+    assert tf.filter("term = 'cat' and tfidf != 0").count() == 2  # df=2 of 3
+
+
+def test_redact_and_count(spark):
+    from mpg_data_warehouse_spark.operators.text import redact, redaction_count
+
+    docs = spark.createDataFrame(
+        [("a", "mail me at bob@example.com or call 5551234567"),
+         ("b", "no pii here")],
+        ["doc_id", "text"],
+    )
+    out = docs.select(
+        "doc_id",
+        redaction_count("text").alias("n"),
+        redact("text").alias("clean"),
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id["a"].n == 2
+    assert "bob@example.com" not in by_id["a"].clean
+    assert "5551234567" not in by_id["a"].clean
+    assert by_id["a"].clean.count("[REDACTED]") == 2
+    assert by_id["b"].n == 0 and by_id["b"].clean == "no pii here"
+
+
+def test_norm_tokens_drops_empties(spark):
+    from pyspark.sql import functions as F
+
+    from mpg_data_warehouse_spark.operators.text import norm_tokens
+
+    df = spark.createDataFrame([("  Hello   WORLD ",), ("",)], ["text"])
+    got = [r.t for r in df.select(norm_tokens("text").alias("t")).collect()]
+    assert got[0] == ["hello", "world"]
+    assert got[1] == []
