@@ -91,6 +91,24 @@ def exploded_shingles(
     )
 
 
+MINHASH_MOD = 2147483647  # 2^31 − 1; keeps every product < 2^62 (exact int64)
+
+
+def _minhash_seed_constants(num_hashes: int) -> list[tuple[int, int]]:
+    """Per-seed (A_i, B_i) multipliers < MINHASH_MOD, derived from md5
+    of a fixed tag — deterministic in Python (hashlib md5 == Spark/
+    DuckDB md5 on ASCII), so oracles inline the SAME literals and the
+    permutation family replays exactly. ``| 1`` keeps them nonzero."""
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        a = int(hashlib.md5(f"minhash-a-{i}".encode()).hexdigest()[:8], 16)
+        b = int(hashlib.md5(f"minhash-b-{i}".encode()).hexdigest()[:8], 16)
+        out.append(((a % MINHASH_MOD) | 1, (b % MINHASH_MOD) | 1))
+    return out
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -99,21 +117,38 @@ def minhash_signatures(
     shingle_n: int = 3,
     shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """MinHash signature per document: for seed i, the lexicographic
-    min of md5(i || shingle). One explode + one groupBy; signature
-    columns named sig_0..sig_{k-1}."""
+    """MinHash signature per document via the one-hash permutation
+    family: ONE md5 per shingle (split into two 32-bit halves hi/lo),
+    then seed i's value is the cheap integer mix
+
+        g_i = ((hi % M)·A_i + (lo % M)·B_i + i) mod M,  M = 2^31−1
+
+    and sig_i = min(g_i) over the doc's shingles. Versus hashing every
+    shingle ``num_hashes`` times, this cuts the dominant map-stage CPU
+    of the whole dedup pipeline ~k× (md5 is the expensive part; the
+    mix is three int64 ops, all < 2^62 so exact in both engines). The
+    md5/hi/lo are projected as bound columns BEFORE the aggregation so
+    the digest runs once per row, not once per agg expression.
+    Signature columns are LongType named sig_0..sig_{k-1}."""
     shingled = (
         shingles
         if shingles is not None
         else exploded_shingles(df, id_col, text_col, shingle_n)
     )
+    md5c = F.md5(F.col("shingle").cast("binary"))
+    hashed = shingled.select(
+        F.col(id_col),
+        (F.conv(F.substring(md5c, 1, 8), 16, 10).cast("long") % MINHASH_MOD).alias("_hi"),
+        (F.conv(F.substring(md5c, 9, 8), 16, 10).cast("long") % MINHASH_MOD).alias("_lo"),
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")).cast("binary"))).alias(
-            f"sig_{i}"
-        )
-        for i in range(num_hashes)
+        F.min(
+            (F.col("_hi") * F.lit(a) + F.col("_lo") * F.lit(b) + F.lit(i))
+            % F.lit(MINHASH_MOD)
+        ).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(_minhash_seed_constants(num_hashes))
     ]
-    return shingled.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(

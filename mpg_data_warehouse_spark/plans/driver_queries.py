@@ -687,11 +687,21 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Jaccard ≥ 0.5. Full pipeline is oracle-checked: signatures, banding,
 # candidate join, and exact-Jaccard verify all reproduce in DuckDB
 # because every hash is md5-derived.
+# One-hash MinHash permutation family (operators/dedup.py
+# minhash_signatures): per-seed constants inlined as literals so the
+# oracle replays the exact same integer mix over one md5 per shingle.
+from mpg_data_warehouse_spark.operators.dedup import (  # noqa: E402
+    MINHASH_MOD as _MH_M,
+    _minhash_seed_constants,
+)
+
 _MINHASH_SIGS = ", ".join(
-    f"min(md5('{i}|' || s)) AS sig_{i}" for i in range(8)
+    f"min(((hi * {a} + lo * {b} + {i}) % {_MH_M})) AS sig_{i}"
+    for i, (a, b) in enumerate(_minhash_seed_constants(8))
 )
 _MINHASH_BANDS = " ".join(
-    f"WHEN {b} THEN sig_{2*b} || '|' || sig_{2*b+1}" for b in range(4)
+    f"WHEN {b} THEN CAST(sig_{2*b} AS VARCHAR) || '|' || CAST(sig_{2*b+1} AS VARCHAR)"
+    for b in range(4)
 )
 
 
@@ -720,9 +730,15 @@ _MINHASH_CTES = f"""base AS (
       FROM toks
     ),
     sh AS (SELECT doc_id, unnest(shingles) AS s FROM grams),
+    shh AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) % {_MH_M} AS hi,
+             CAST('0x' || substr(md5(s), 9, 8) AS BIGINT) % {_MH_M} AS lo
+      FROM sh
+    ),
     sigs AS (
       SELECT doc_id, {_MINHASH_SIGS}
-      FROM sh GROUP BY doc_id
+      FROM shh GROUP BY doc_id
     ),
     bands AS (
       SELECT doc_id, band,
