@@ -9,6 +9,7 @@ from mpg_data_warehouse_spark.operators.append import (
     overwrite_partitions,
     truncate_replace,
 )
+from mpg_data_warehouse_spark.operators.chunking import pack_sequences
 from mpg_data_warehouse_spark.operators.complete import complete
 from mpg_data_warehouse_spark.operators.dedup import (
     connected_components,
@@ -55,6 +56,7 @@ __all__ = [
     "minhash_dedup_pairs",
     "ngram_jaccard_pairs",
     "overwrite_partitions",
+    "pack_sequences",
     "range_join_binned",
     "redact",
     "retain_representatives",

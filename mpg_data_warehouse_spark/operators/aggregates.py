@@ -139,3 +139,74 @@ def group_quantiles(
         for p in probs
     ]
     return df.groupBy(*group_cols).agg(*aggs)
+
+
+def pivot_counts(
+    df: DataFrame,
+    row_key: list[str],
+    pivot_col: str,
+    values: list[str],
+    prefix: str = "n_",
+) -> DataFrame:
+    """Cross-tab: one row per ``row_key``, one count column per listed
+    ``pivot_col`` value, absent combinations as 0 (not null).
+
+    Passing ``values`` explicitly matters at scale twice over: it
+    skips the extra distinct-values job Spark otherwise runs, and it
+    keeps the output schema static (a runtime-discovered pivot can
+    explode to millions of columns on dirty data). One shuffle on
+    ``row_key``; the pivot itself is map-side conditional counting.
+    Output columns are ``prefix + lowercased value``.
+    """
+    out = df.groupBy(*row_key).pivot(pivot_col, values).agg(F.count(F.lit(1)))
+    renamed = out.select(
+        *row_key,
+        *[
+            F.coalesce(F.col(f"`{v}`"), F.lit(0)).cast("long").alias(
+                f"{prefix}{v.lower()}"
+            )
+            for v in values
+        ],
+    )
+    return renamed
+
+
+def group_corr_stats(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group bivariate profile: Pearson correlation, sample
+    covariance, and sample stddevs — the feature-relationship scan run
+    before building scaling/weighting heuristics. Single hash-agg
+    (all four moments accumulate in one pass, partial-agg friendly);
+    rounding bounds accumulation-order drift across engines."""
+    return df.groupBy(*group_cols).agg(
+        F.round(F.corr(x_col, y_col), decimals).alias("corr_xy"),
+        F.round(F.covar_samp(x_col, y_col), decimals).alias("covar_xy"),
+        F.round(F.stddev_samp(x_col), decimals).alias("stddev_x"),
+        F.round(F.stddev_samp(y_col), decimals).alias("stddev_y"),
+    )
+
+
+def histogram_fixed(
+    df: DataFrame,
+    value_col: str,
+    bin_width: float,
+    max_bin: int,
+) -> DataFrame:
+    """Fixed-width histogram: bucket = min(floor(v / width), max_bin),
+    counted per bucket. Engine-agnostic arithmetic (plain floor-of-
+    division — deliberately not width_bucket, which DuckDB lacks), so
+    oracles replay it verbatim. One tiny shuffle of ≤ max_bin+1 rows
+    after map-side combine — histogram of 100 TB costs one scan."""
+    bucket = F.least(
+        F.floor(F.col(value_col) / F.lit(bin_width)), F.lit(max_bin)
+    ).cast("long")
+    return (
+        df.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

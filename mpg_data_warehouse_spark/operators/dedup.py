@@ -46,9 +46,11 @@ def exact_dedup(
     )
 
 
-def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles from an ALREADY-BOUND token-array
-    column (order-preserving windows).
+def shingles_from_tokens(toks: Column, n: int = 3, distinct: bool = True) -> Column:
+    """Word n-gram shingles from an ALREADY-BOUND token-array column
+    (order-preserving windows); ``distinct=True`` (set semantics) for
+    dedup/Jaccard, ``distinct=False`` (all occurrences) for LM-style
+    n-gram counting.
 
     ``toks`` must be a plain column reference, not a nested expression:
     higher-order-function lambdas re-evaluate captured expression trees
@@ -66,7 +68,7 @@ def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
         ),
     )
     # Short docs (< n tokens) yield one partial shingle; keep it.
-    return F.array_distinct(grams)
+    return F.array_distinct(grams) if distinct else grams
 
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:

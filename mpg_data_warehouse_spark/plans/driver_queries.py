@@ -2082,4 +2082,195 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_centroids(emb, "label", "embedding", decimals=5)
 
 
+# ---------------------------------------------------------------------------
+# Training-data pipeline extensions, batch 3: sequence packing, LM
+# n-gram counts, cross-tab pivot, bivariate profiling, histograms,
+# JSONL round-trip.
+# ---------------------------------------------------------------------------
+
+_PACK_MAX, _PACK_OVERLAP = 64, 8
+_PACK_STRIDE = _PACK_MAX - _PACK_OVERLAP
+
+
+@_q(
+    "pack_sequences_docs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ),
+    cn AS (
+      SELECT doc_id, t,
+             CASE WHEN len(t) <= {_PACK_MAX} THEN 1
+                  ELSE 1 + (len(t) - {_PACK_MAX} + {_PACK_STRIDE - 1})
+                           // {_PACK_STRIDE}
+             END AS n_chunks
+      FROM toks
+    ),
+    ch AS (
+      SELECT doc_id, t, unnest(range(0, n_chunks)) AS chunk_id FROM cn
+    )
+    SELECT doc_id, chunk_id,
+           md5(array_to_string(
+             list_slice(t, chunk_id * {_PACK_STRIDE} + 1,
+                           chunk_id * {_PACK_STRIDE} + {_PACK_MAX}), ' '))
+             AS chunk_md5,
+           CAST(len(list_slice(t, chunk_id * {_PACK_STRIDE} + 1,
+                                  chunk_id * {_PACK_STRIDE} + {_PACK_MAX}))
+                AS BIGINT) AS n_tokens
+    FROM ch
+    """,
+)
+def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget chunking (64-token windows, 8-token overlap) —
+    chunk text verified via md5 so the hash compare covers content,
+    not just the chunk grid."""
+    from mpg_data_warehouse_spark.operators.chunking import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = pack_sequences(docs, "doc_id", "text", _PACK_MAX, _PACK_OVERLAP)
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        F.md5(F.col("chunk_text").cast("binary")).alias("chunk_md5"),
+        "n_tokens",
+    )
+
+
+@_q(
+    "trigram_top_counts",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT list_transform(
+               range(0, greatest(len(t) - 3, 0) + 1),
+               i -> concat_ws(' ', t[i+1], t[i+2], t[i+3])
+             ) AS g
+      FROM toks
+    )
+    SELECT gram, count(*) AS n
+    FROM (SELECT unnest(g) AS gram FROM grams)
+    GROUP BY gram
+    ORDER BY n DESC, gram
+    LIMIT 50
+    """,
+)
+def trigram_top_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-style trigram counts (ALL occurrences — distinct=False is
+    what separates language-model statistics from dedup shingles):
+    explode + one gram-keyed agg, deterministic top-50."""
+    from mpg_data_warehouse_spark.operators.dedup import shingles_from_tokens
+    from mpg_data_warehouse_spark.operators.text import tokens
+
+    docs = _docs(spark, sf_dir)
+    toked = docs.select(tokens("text").alias("_toks"))
+    return (
+        toked.select(
+            F.explode(shingles_from_tokens(F.col("_toks"), 3, distinct=False)).alias(
+                "gram"
+            )
+        )
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("gram"))
+        .limit(50)
+    )
+
+
+@_q(
+    "pivot_status_by_priority",
+    """
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tab with an explicit value list: static schema, no
+    distinct-discovery job, absent cells 0 not null."""
+    from mpg_data_warehouse_spark.operators.aggregates import pivot_counts
+
+    orders = _t(spark, sf_dir, "orders")
+    return pivot_counts(orders, ["o_orderpriority"], "o_orderstatus", ["F", "O", "P"])
+
+
+@_q(
+    "corr_profile_lineitem",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_xy,
+           round(covar_samp(l_quantity, l_extendedprice), 6) AS covar_xy,
+           round(stddev_samp(l_quantity), 6) AS stddev_x,
+           round(stddev_samp(l_extendedprice), 6) AS stddev_y
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def corr_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate profile per group — four moments in one hash-agg
+    pass (partial-aggregation friendly)."""
+    from mpg_data_warehouse_spark.operators.aggregates import group_corr_stats
+
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return group_corr_stats(
+        lineitem, ["l_returnflag"], "l_quantity", "l_extendedprice"
+    )
+
+
+@_q(
+    "histogram_extendedprice",
+    """
+    SELECT CAST(least(floor(l_extendedprice / 5000.0), 20) AS BIGINT) AS bucket,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def histogram_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: engine-agnostic floor-of-division
+    bucketing, one ≤21-row shuffle after map-side combine."""
+    from mpg_data_warehouse_spark.operators.aggregates import histogram_fixed
+
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return histogram_fixed(lineitem, "l_extendedprice", 5000.0, 20)
+
+
+@_q(
+    "jsonl_roundtrip_orders",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_price,
+           CAST(min(o_orderdate) AS VARCHAR) AS min_date
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def jsonl_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink→source round-trip proof: stage orders as JSON-Lines,
+    read back under the explicit catalog schema (no inference pass),
+    aggregate — the oracle aggregates the original parquet, so any
+    loss in the round-trip (dates, doubles, nulls) breaks the hash."""
+    import tempfile
+
+    from mpg_data_warehouse_spark.sources.readers import read_jsonl
+    from mpg_data_warehouse_spark.sources.writers import write_jsonl
+
+    orders = _t(spark, sf_dir, "orders")
+    staged = tempfile.mkdtemp(prefix="jsonl_orders_")
+    write_jsonl(orders, staged, partitions=4)
+    back = read_jsonl(spark, staged, orders.schema)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.min("o_orderdate").cast("string").alias("min_date"),
+    )
+
+
 REGISTRY_DOC = "queries: " + ", ".join(sorted(QUERIES))

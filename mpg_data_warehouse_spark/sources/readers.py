@@ -147,3 +147,19 @@ def any_null_rows(df: DataFrame) -> DataFrame:
     notebooks/fix_gridVeg_additional_species_na_rows.ipynb:453-454)."""
     cond = reduce(lambda a, b: a | b, [F.col(c).isNull() for c in df.columns])
     return df.filter(cond)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+) -> DataFrame:
+    """JSON-Lines reader with an EXPLICIT schema — the canonical
+    interchange format of training-data pipelines.
+
+    The schema argument is mandatory on purpose: without it Spark runs
+    a full inference pass over the data (a second 100 TB scan) and
+    dirty rows silently widen columns to string. Malformed lines land
+    in nulls under the default PERMISSIVE mode rather than failing the
+    job; pair with ``null_audit`` for a quarantine report."""
+    return spark.read.schema(schema).json(path)

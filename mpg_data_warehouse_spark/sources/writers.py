@@ -59,3 +59,14 @@ def write_single_csv(df: DataFrame, path: str) -> None:
     notebooks/gridVeg_groundCover_intercepts_WRANGLE.ipynb:965-969).
     coalesce(1) is deliberate and only sane for small results."""
     df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+
+
+def write_jsonl(df: DataFrame, path: str, partitions: int | None = None) -> None:
+    """JSON-Lines sink (one JSON object per line, Spark's native json
+    format). ``partitions`` controls output file count — coalesce for
+    few-big-files handoff to tokenizer jobs, omit to keep the plan's
+    parallelism. Dates/timestamps serialize as ISO strings, the
+    round-trip-safe encoding (readers parse them back under an
+    explicit schema)."""
+    out = df.coalesce(partitions) if partitions else df
+    out.write.mode("overwrite").json(path)

@@ -96,3 +96,54 @@ def test_group_quantiles_median_exact(spark):
     assert row.p50 == 4.0
     assert row.p25 == round(float(np.percentile(vals, 25)), 4)
     assert row.p75 == round(float(np.percentile(vals, 75)), 4)
+
+
+def test_pivot_counts_zero_fill_and_totals(spark):
+    from mpg_data_warehouse_spark.operators.aggregates import pivot_counts
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("a", "y"), ("b", "y")], ["k", "v"]
+    )
+    out = {r.k: r for r in pivot_counts(df, ["k"], "v", ["x", "y", "z"]).collect()}
+    assert out["a"].n_x == 2 and out["a"].n_y == 1 and out["a"].n_z == 0
+    assert out["b"].n_x == 0 and out["b"].n_y == 1
+    # totals preserved
+    assert sum(r.n_x + r.n_y + r.n_z for r in out.values()) == df.count()
+
+
+def test_group_corr_stats_perfect_line(spark):
+    from mpg_data_warehouse_spark.operators.aggregates import group_corr_stats
+
+    df = spark.createDataFrame(
+        [("g", float(i), 2.0 * i + 1) for i in range(10)], ["g", "x", "y"]
+    )
+    row = group_corr_stats(df, ["g"], "x", "y").first()
+    assert row.corr_xy == 1.0
+    # identity covar(x,2x+1) = 2·var(x); stddev is rounded to 6dp
+    # before squaring, so allow the amplified rounding error
+    assert abs(row.covar_xy - 2 * row.stddev_x**2) < 1e-4
+
+
+def test_histogram_fixed_caps_and_counts(spark):
+    from mpg_data_warehouse_spark.operators.aggregates import histogram_fixed
+
+    df = spark.createDataFrame([(v,) for v in [0.0, 4.9, 5.0, 12.0, 999.0]], ["v"])
+    out = {r.bucket: r.n for r in histogram_fixed(df, "v", 5.0, 3).collect()}
+    assert out[0] == 2 and out[1] == 1 and out[2] == 1 and out[3] == 1  # capped
+
+
+def test_jsonl_roundtrip_preserves_schema_and_rows(spark, tmp_path):
+    from mpg_data_warehouse_spark.sources.readers import read_jsonl
+    from mpg_data_warehouse_spark.sources.writers import write_jsonl
+
+    from tests.conftest import SF_ORACLE
+
+    orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+    path = str(tmp_path / "orders_jsonl")
+    write_jsonl(orders, path, partitions=2)
+    back = read_jsonl(spark, path, orders.schema)
+    assert back.schema == orders.schema
+    assert back.count() == orders.count()
+    a = orders.agg(F.sum("o_totalprice")).first()[0]
+    b = back.agg(F.sum("o_totalprice")).first()[0]
+    assert abs(a - b) < 1e-6
