@@ -212,3 +212,56 @@ def run_to_memory(stream_df: DataFrame, name: str, timeout_s: int = 120):
 
 def _has_agg(df: DataFrame) -> bool:
     return "Aggregate" in df._jdf.queryExecution().analyzed().toString()
+
+
+def click_attribution_stream(
+    impressions: DataFrame,
+    clicks: DataFrame,
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: attribute each click to
+    the impression of the same user that happened at most ``max_delay``
+    earlier — the streaming form of the batch
+    ``range_join_click_attribution`` query (operators/temporal.py).
+
+    Both sides carry a watermark plus the time-range join condition;
+    together they bound the join state Spark must buffer: an
+    impression can be evicted once the watermark passes its timestamp
+    + max_delay, a click once the watermark passes its timestamp.
+    Without BOTH conditions the state grows forever — that is the
+    stream-stream-join contract at 100 TB/day, not an optimization.
+    The join itself shuffles both streams by ``user_id`` exactly like
+    the batch equi-join; per-micro-batch volume is what sizes the
+    cluster, not total history.
+    """
+    imp = (
+        impressions.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id"),
+            F.col("ts").alias("imp_ts"),
+            F.col("event_type").alias("imp_type"),
+        )
+    )
+    clk = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("value").alias("click_value"),
+        )
+    )
+    return imp.join(
+        clk,
+        [
+            imp.user_id == clk.user_id,
+            clk.click_ts >= imp.imp_ts,
+            clk.click_ts <= imp.imp_ts + F.expr(f"INTERVAL {max_delay}"),
+        ],
+    ).select(
+        imp.user_id,
+        "imp_ts",
+        "imp_type",
+        "click_ts",
+        "click_value",
+    )

@@ -218,3 +218,41 @@ def test_watermark_drops_late_events(spark, tmp_path):
     assert got.get(0) == 1      # late replay did NOT inflate hour 0
     assert 13 not in got        # unfinalized window not emitted
     assert all(v == 1 for v in got.values())
+
+
+def test_click_attribution_stream_matches_batch(spark, events_dir):
+    """Stream-stream join must agree with the batch range join on the
+    same drained input."""
+    ev = spark.read.parquet(events_dir)
+    types = [r[0] for r in ev.select("event_type").distinct().collect()]
+    imp_type, click_type = sorted(types)[0], sorted(types)[-1]
+
+    imp_stream = S.read_events_stream(spark, events_dir).filter(
+        F.col("event_type") == imp_type
+    )
+    clk_stream = S.read_events_stream(spark, events_dir).filter(
+        F.col("event_type") == click_type
+    )
+    joined = S.click_attribution_stream(imp_stream, clk_stream, "1 hour")
+    S.run_to_memory(joined, "attrib_t", timeout_s=180)
+    got = {
+        (r.user_id, r.imp_ts, r.click_ts)
+        for r in spark.table("attrib_t").collect()
+    }
+
+    imp_b = ev.filter(F.col("event_type") == imp_type).select(
+        "user_id", F.col("ts").alias("imp_ts")
+    )
+    clk_b = ev.filter(F.col("event_type") == click_type).select(
+        F.col("user_id").alias("cuid"), F.col("ts").alias("click_ts")
+    )
+    batch = imp_b.join(
+        clk_b,
+        (F.col("user_id") == F.col("cuid"))
+        & (F.col("click_ts") >= F.col("imp_ts"))
+        & (F.col("click_ts") <= F.col("imp_ts") + F.expr("INTERVAL 1 hour")),
+    )
+    want = {
+        (r.user_id, r.imp_ts, r.click_ts) for r in batch.collect()
+    }
+    assert got == want and got  # non-empty agreement
