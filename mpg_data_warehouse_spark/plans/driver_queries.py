@@ -2273,4 +2273,75 @@ def jsonl_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# SCD2 dimension maintenance (history-preserving update — the
+# warehouse-native form of the reference's in-place repairs).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "scd2_customer_segments",
+    """
+    WITH chg AS (
+      SELECT c_custkey, 'MACHINERY' AS new_seg, c_acctbal + 100 AS new_bal
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 'NEWSEG', 0.0
+      FROM customer WHERE c_custkey % 97 = 0
+    )
+    SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
+           '1995-01-01' AS effective_from, '9999-12-31' AS effective_to,
+           TRUE AS is_current
+    FROM customer c
+    WHERE c.c_custkey NOT IN (SELECT c_custkey FROM chg)
+    UNION ALL
+    SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
+           '1995-01-01', '2000-06-15', FALSE
+    FROM customer c JOIN chg ON c.c_custkey = chg.c_custkey
+    UNION ALL
+    SELECT chg.c_custkey, chg.new_seg, chg.new_bal,
+           '2000-06-15', '9999-12-31', TRUE
+    FROM chg
+    """,
+)
+def scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 apply: bootstrap the customer dimension as of 1995-01-01,
+    apply a change batch (every 7th customer re-segmented with a
+    balance adjustment; every 97th key arrives brand new) as of
+    2000-06-15. The oracle reconstructs the identical
+    untouched/closed/reopened partition with set logic."""
+    from mpg_data_warehouse_spark.operators.scd import scd2_apply, scd2_init
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    dim = scd2_init(cust, "1995-01-01")
+    changes = (
+        cust.filter(F.col("c_custkey") % 7 == 0)
+        .select(
+            "c_custkey",
+            F.lit("MACHINERY").alias("c_mktsegment"),
+            (F.col("c_acctbal") + 100).alias("c_acctbal"),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 97 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.lit("NEWSEG").alias("c_mktsegment"),
+                F.lit(0.0).alias("c_acctbal"),
+            )
+        )
+    )
+    out = scd2_apply(
+        dim, changes, "c_custkey", ["c_mktsegment", "c_acctbal"], "2000-06-15"
+    )
+    return out.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.col("effective_from").cast("string").alias("effective_from"),
+        F.col("effective_to").cast("string").alias("effective_to"),
+        "is_current",
+    )
+
+
 REGISTRY_DOC = "queries: " + ", ".join(sorted(QUERIES))

@@ -74,3 +74,38 @@ def test_no_python_udfs_in_reference_queries(spark):
 def test_multimodal_is_the_only_python_boundary(spark):
     plan = _plan(spark, "multimodal_decode_meta")
     assert "MapInPandas" in plan
+
+
+def test_runtime_bloom_filter_on_selective_join(spark):
+    """Scale contract: with the runtime bloom-filter rule enabled, a
+    selective dim-side filter should inject a BloomFilter (or at least
+    a runtime filter subquery) into the fact scan, cutting shuffle
+    input before the join."""
+    from tests.conftest import SF_ORACLE
+
+    prev = spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+    )
+    # local test data is far below the 10GB production default — the
+    # contract under test is the injection mechanics, not the sizing
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # a broadcastable build side never needs a bloom filter — force the
+    # shuffle-join regime the rule targets
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        lineitem = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        joined = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+    finally:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", prev)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)

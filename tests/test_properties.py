@@ -147,3 +147,20 @@ def test_jsonl_roundtrip_preserves_schema_and_rows(spark, tmp_path):
     a = orders.agg(F.sum("o_totalprice")).first()[0]
     b = back.agg(F.sum("o_totalprice")).first()[0]
     assert abs(a - b) < 1e-6
+
+
+def test_approx_aggregates_within_tolerance(spark):
+    """The 100 TB substitutes (approx_count_distinct / KLL
+    percentile_approx) must land within their documented error of the
+    exact answers they replace."""
+    from tests.conftest import SF_ORACLE
+
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    row = li.agg(
+        F.countDistinct("l_orderkey").alias("exact_d"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_d"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+        F.expr("percentile_approx(l_extendedprice, 0.5, 10000)").alias("approx_p50"),
+    ).first()
+    assert abs(row.approx_d - row.exact_d) / row.exact_d < 0.05
+    assert abs(row.approx_p50 - row.exact_p50) / row.exact_p50 < 0.01
