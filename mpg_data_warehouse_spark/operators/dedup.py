@@ -515,3 +515,59 @@ def simhash_near_pairs(
         .select("id_a", "id_b", "hamming")
         .distinct()
     )
+
+
+def contamination_report(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    min_overlap: float = 0.0,
+) -> DataFrame:
+    """Train/eval contamination scan: for every (eval doc, corpus doc)
+    pair sharing at least one word n-gram, the fraction of the eval
+    doc's distinct shingles present in the corpus doc —
+    ``overlap = |eval ∩ corpus| / |eval|`` (containment, not Jaccard:
+    a benchmark question embedded in a long web page must still score
+    1.0).
+
+    Output: (eval_id, corpus_id, n_shared, n_eval_shingles, overlap),
+    filtered to ``overlap > min_overlap``.
+
+    Scale shape: shingle-explode both sides (narrow), inner join keyed
+    on shingle — the eval side is small (benchmarks are thousands of
+    docs, not billions), so its shingle table broadcasts and the scan
+    of the 100 TB corpus never shuffles; the per-pair count agg is on
+    (eval_id, corpus_id) pairs that actually share content. The
+    decision-side complement of ``split_train_holdout``
+    (operators/sampling.py): that op prevents leakage by
+    construction, this one detects leakage that arrived from outside.
+    """
+    ev = exploded_shingles(eval_set, id_col, text_col, shingle_n)
+    ev_sizes = ev.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_eval_shingles"))
+    ev_b = F.broadcast(ev.select(F.col(id_col).alias("eval_id"), "shingle"))
+    co = exploded_shingles(corpus, id_col, text_col, shingle_n).select(
+        F.col(id_col).alias("corpus_id"), "shingle"
+    )
+    shared = (
+        co.join(ev_b, "shingle")
+        .groupBy("eval_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(
+                ev_sizes.select(
+                    F.col(id_col).alias("eval_id"),
+                    "n_eval_shingles",
+                )
+            ),
+            "eval_id",
+        )
+        .withColumn(
+            "overlap",
+            F.round(F.col("n_shared") / F.col("n_eval_shingles"), 4),
+        )
+        .filter(F.col("overlap") > min_overlap)
+    )

@@ -2373,4 +2373,52 @@ def token_budget_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHINGLE_SQL = """list_distinct(list_transform(
+               range(0, greatest(len(t) - 3, 0) + 1),
+               i -> concat_ws(' ', t[i+1], t[i+2], t[i+3])))"""
+
+
+@_q(
+    "eval_contamination_pairs",
+    f"""
+    WITH evt AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE doc_id < 10
+    ),
+    cot AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents WHERE doc_id >= 10
+    ),
+    ev AS (
+      SELECT doc_id AS eval_id, unnest({_SHINGLE_SQL}) AS shingle FROM evt
+    ),
+    co AS (
+      SELECT doc_id AS corpus_id, unnest({_SHINGLE_SQL}) AS shingle FROM cot
+    ),
+    sizes AS (
+      SELECT eval_id, count(*) AS n_eval_shingles FROM ev GROUP BY eval_id
+    ),
+    shared AS (
+      SELECT ev.eval_id, co.corpus_id, count(*) AS n_shared
+      FROM co JOIN ev USING (shingle)
+      GROUP BY ev.eval_id, co.corpus_id
+    )
+    SELECT s.eval_id, s.corpus_id, s.n_shared, z.n_eval_shingles,
+           round(CAST(s.n_shared AS DOUBLE) / z.n_eval_shingles, 4) AS overlap
+    FROM shared s JOIN sizes z USING (eval_id)
+    WHERE round(CAST(s.n_shared AS DOUBLE) / z.n_eval_shingles, 4) > 0.05
+    """,
+)
+def eval_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination scan: containment of each eval doc's trigram
+    set inside every corpus doc sharing content. Eval side broadcasts;
+    the corpus scan never shuffles."""
+    from mpg_data_warehouse_spark.operators.dedup import contamination_report
+
+    docs = _docs(spark, sf_dir)
+    eval_set = docs.filter(F.col("doc_id") < 10)
+    corpus = docs.filter(F.col("doc_id") >= 10)
+    return contamination_report(corpus, eval_set, min_overlap=0.05)
+
+
 REGISTRY_DOC = "queries: " + ", ".join(sorted(QUERIES))

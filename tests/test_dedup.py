@@ -137,3 +137,40 @@ def test_retain_representatives(spark):
     ])
     kept = sorted(r.doc_id for r in D.retain_representatives(df, pairs).collect())
     assert kept == [1, 2, 4]
+
+
+def test_contamination_report_planted_leak(spark):
+    from mpg_data_warehouse_spark.operators.dedup import contamination_report
+
+    corpus = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta epsilon zeta eta theta"),
+            (101, "totally unrelated content about other things entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    # eval doc 1 is a verbatim substring of corpus doc 100 → containment 1.0
+    eval_set = spark.createDataFrame(
+        [(1, "beta gamma delta epsilon"), (2, "nothing shared here at all")],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r.eval_id, r.corpus_id): r.overlap
+        for r in contamination_report(corpus, eval_set).collect()
+    }
+    assert out[(1, 100)] == 1.0
+    assert (2, 100) not in out and (2, 101) not in out
+
+
+def test_contamination_eval_side_broadcast(spark):
+    """Scale contract: the corpus-side scan joins against a broadcast
+    eval shingle table — no shuffle of the corpus."""
+    from mpg_data_warehouse_spark.operators.dedup import contamination_report
+
+    corpus = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    ev = spark.createDataFrame([(2, "b c d")], ["doc_id", "text"])
+    plan = (
+        contamination_report(corpus, ev)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
