@@ -84,3 +84,38 @@ def split_train_holdout(
     cut = int(round(holdout_fraction * buckets))
     b = hash_bucket(key, buckets)
     return df.filter(b >= F.lit(cut)), df.filter(b < F.lit(cut))
+
+
+def budget_rebalance_sample(
+    df: DataFrame,
+    strata: str,
+    key: str,
+    weight: Column | str,
+    target_per_stratum: float,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Down-sample each stratum toward a target *weight* budget (e.g.
+    tokens per source — corpus mix rebalancing): stratum keep-rate =
+    min(1, target / stratum_total), applied with the deterministic
+    hash-bucket filter, so the mix is reproducible run-to-run and
+    auditable in SQL.
+
+    Rates are DATA-DEPENDENT but still deterministic: the per-stratum
+    totals come from one small aggregate (|strata| rows, broadcast
+    back), the cutoff uses floor() so any engine replays it exactly.
+    The expected kept weight per stratum ≈ target (hash-uniform keys);
+    exact budgets would need a sort-and-take — a full shuffle — and
+    are rarely worth it for mix shaping at 100 TB.
+    """
+    w = F.col(weight) if isinstance(weight, str) else weight
+    weighted = df.withColumn("_w", w)
+    totals = weighted.groupBy(strata).agg(F.sum("_w").alias("_total"))
+    cut = F.floor(
+        F.least(F.lit(1.0), F.lit(float(target_per_stratum)) / F.col("_total"))
+        * buckets
+    )
+    return (
+        weighted.join(F.broadcast(totals), strata)
+        .filter(hash_bucket(key, buckets) < cut)
+        .drop("_total")
+    )

@@ -2444,4 +2444,53 @@ def eval_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_report(corpus, eval_set, min_overlap=0.05)
 
 
+@_q(
+    "corpus_mix_rebalance",
+    """
+    WITH tok AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                  t -> t <> '')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    tot AS (
+      SELECT source, CAST(sum(n_tok) AS BIGINT) AS total
+      FROM tok GROUP BY source
+    ),
+    kept AS (
+      SELECT t.source, t.n_tok
+      FROM tok t JOIN tot USING (source)
+      WHERE (CAST('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 10000)
+            < CAST(floor(least(1.0, 800.0 / tot.total) * 10000) AS BIGINT)
+    )
+    SELECT source,
+           count(*) AS n_docs_kept,
+           CAST(sum(n_tok) AS BIGINT) AS tokens_kept
+    FROM kept
+    GROUP BY source
+    """,
+)
+def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mix shaping: down-sample every source toward an 800-token
+    budget with DATA-DEPENDENT but fully deterministic rates — one
+    small per-source total aggregate broadcast back, hash-bucket keep
+    decision, floor() cutoffs, all replayed exactly by the oracle."""
+    from mpg_data_warehouse_spark.operators.sampling import budget_rebalance_sample
+    from mpg_data_warehouse_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    toks = F.filter(tokens("text"), lambda t: t != F.lit(""))
+    tok = docs.select(
+        "doc_id", "source", F.size(toks).cast("long").alias("n_tok")
+    )
+    kept = budget_rebalance_sample(
+        tok, strata="source", key="doc_id", weight="n_tok", target_per_stratum=800.0
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tok").alias("tokens_kept"),
+    )
+
+
 REGISTRY_DOC = "queries: " + ", ".join(sorted(QUERIES))

@@ -77,3 +77,39 @@ def test_hash_bucket_range(spark):
         F.max(hash_bucket("o_orderkey", 100)).alias("hi"),
     ).first()
     assert row.lo >= 0 and row.hi <= 99
+
+
+def test_budget_rebalance_hits_targets(spark):
+    """Each stratum's kept weight must land near the target (under it
+    on average, since rates are capped at 1.0), and strata already
+    under budget must be kept whole."""
+    from pyspark.sql import functions as F
+
+    from mpg_data_warehouse_spark.operators.sampling import budget_rebalance_sample
+
+    rows = [(f"d{s}_{i}", f"s{s}", 10) for s in range(3) for i in range(200)]
+    rows += [("tiny1", "small", 10), ("tiny2", "small", 10)]  # 20 < target
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tok"])
+    kept = budget_rebalance_sample(
+        df, strata="source", key="doc_id", weight="n_tok", target_per_stratum=500.0
+    )
+    got = {
+        r.source: r.w
+        for r in kept.groupBy("source").agg(F.sum("n_tok").alias("w")).collect()
+    }
+    # under-budget stratum kept in full
+    assert got["small"] == 20
+    # 2000-token strata sampled toward 500 (rate 0.25) — hash noise at
+    # n=200 docs is ~±20%
+    for s in range(3):
+        assert 300 <= got[f"s{s}"] <= 700
+
+
+def test_budget_rebalance_reproducible(spark):
+    from mpg_data_warehouse_spark.operators.sampling import budget_rebalance_sample
+
+    rows = [(f"d{i}", f"s{i%4}", 5 + i % 7) for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tok"])
+    a = budget_rebalance_sample(df, "source", "doc_id", "n_tok", 200.0)
+    b = budget_rebalance_sample(df.repartition(11), "source", "doc_id", "n_tok", 200.0)
+    assert {r.doc_id for r in a.collect()} == {r.doc_id for r in b.collect()}
