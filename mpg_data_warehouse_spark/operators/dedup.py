@@ -571,3 +571,77 @@ def contamination_report(
         )
         .filter(F.col("overlap") > min_overlap)
     )
+
+
+def incremental_minhash_pairs(
+    corpus_sigs: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket: int = 1000,
+) -> tuple[DataFrame, DataFrame]:
+    """Continual-ingest dedup: candidate near-dup pairs for a NEW
+    batch against an already-signed corpus WITHOUT re-reading the
+    corpus text — the signature table (``minhash_signatures`` output,
+    persisted at ingest time) is the only corpus state touched.
+
+    Returns ``(new_sigs, pairs)``:
+    * ``new_sigs`` — the batch's signatures, for the caller to append
+      to the signature table (keeping the incremental invariant);
+    * ``pairs`` — (id_a, id_b) candidates where at least one side is
+      new. New-vs-new duplicates are included; corpus-vs-corpus pairs
+      are excluded by construction (they were reported when those
+      docs were ingested).
+
+    Scale shape: the corpus contributes |corpus| band rows
+    (signature-width data, ~100 B/doc — NOT the 100 TB of text); the
+    batch side is small. The band join is keyed (band, bucket) like
+    the batch path, with the same degenerate-bucket cap. This is what
+    makes daily dedup of a growing corpus O(|corpus| signatures +
+    |batch| text) instead of O(|corpus| text).
+    """
+    new_sigs = minhash_signatures(
+        new_docs, id_col, text_col, num_hashes, shingle_n
+    )
+    tag = "_is_new"
+    both = corpus_sigs.withColumn(tag, F.lit(False)).unionByName(
+        new_sigs.withColumn(tag, F.lit(True))
+    )
+    rows = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        sig_slice = [F.col(f"sig_{b * rows + r}") for r in range(rows)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *sig_slice).cast("binary")).alias("bucket"),
+            )
+        )
+    banded = both.select(
+        F.col(id_col), F.col(tag), F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, tag, "bb.band", "bb.bucket")
+
+    from pyspark.sql import Window as _W
+
+    small = (
+        banded.withColumn(
+            "_n", F.count(F.lit(1)).over(_W.partitionBy("band", "bucket"))
+        )
+        .filter(F.col("_n") <= max_bucket)
+        .drop("_n")
+    )
+    a = small.select("band", "bucket", F.col(id_col).alias("id_a"),
+                     F.col(tag).alias("_new_a"))
+    b = small.select("band", "bucket", F.col(id_col).alias("id_b"),
+                     F.col(tag).alias("_new_b"))
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("_new_a") | F.col("_new_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return new_sigs, pairs

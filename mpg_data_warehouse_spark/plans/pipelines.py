@@ -282,3 +282,79 @@ def date_repair_pipeline(
     """The §2 J5 repair: replace every fact date from the survey
     dimension and re-derive year (src/fix_gridveg_dates.py:85-133)."""
     return fix_dates_from_dim(fact, survey_meta)
+
+
+def curate_corpus_pipeline(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    jaccard_threshold: float = 0.5,
+    max_tokens: int = 64,
+    overlap: int = 8,
+    target_tokens_per_source: float | None = None,
+) -> DataFrame:
+    """End-to-end training-corpus curation, composing the engine's
+    LLM-pipeline operators into one lazy plan:
+
+        quality filter → exact dedup (keep canonical) → near-dup
+        retention (MinHash+LSH → verify → connected components, keep
+        one per cluster) → [optional per-source token-budget
+        rebalance] → sequence packing
+
+    Output: packed chunks (doc_id, chunk_id, chunk_text, n_tokens)
+    plus the surviving doc's source. Every stage is individually
+    oracle-checked by its own contract query; this composition is the
+    production shape — one job, no intermediate materialization
+    except the cached shingle table inside the dedup stage.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from mpg_data_warehouse_spark.operators.chunking import pack_sequences
+    from mpg_data_warehouse_spark.operators.dedup import (
+        content_hash,
+        minhash_dedup_pairs,
+        retain_representatives,
+    )
+    from mpg_data_warehouse_spark.operators.sampling import budget_rebalance_sample
+    from mpg_data_warehouse_spark.operators.text import quality_score, tokens
+
+    scored = docs.withColumn("_q", quality_score("text"))
+    kept = scored.filter(F.col("_q") >= min_quality).drop("_q")
+
+    # exact dedup: canonical = min doc_id per content hash
+    canon = (
+        kept.withColumn("_h", content_hash("text"))
+        .withColumn(
+            "_rk",
+            F.row_number().over(Window.partitionBy("_h").orderBy("doc_id")),
+        )
+        .filter(F.col("_rk") == 1)
+        .drop("_h", "_rk")
+    )
+
+    # Materialize the (tiny) pair set before the iterative
+    # connected-components stage: CC re-references its edge input every
+    # round, and without a lineage cut each round would stack the whole
+    # shingle→signature→band→verify pipeline again — plan depth grows
+    # multiplicatively and the driver, not the data, becomes the
+    # bottleneck. localCheckpoint truncates lineage at executor-storage
+    # cost of |pairs| rows (at 100 TB: checkpoint to durable storage).
+    pairs = minhash_dedup_pairs(
+        canon.select("doc_id", "text"), threshold=jaccard_threshold
+    ).select("id_a", "id_b").localCheckpoint()
+    survivors = retain_representatives(canon, pairs)
+
+    if target_tokens_per_source is not None:
+        toks = F.filter(tokens("text"), lambda t: t != F.lit(""))
+        survivors = budget_rebalance_sample(
+            survivors.withColumn("_n_tok", F.size(toks).cast("long")),
+            strata="source",
+            key="doc_id",
+            weight="_n_tok",
+            target_per_stratum=target_tokens_per_source,
+        ).drop("_w", "_n_tok")
+
+    chunks = pack_sequences(
+        survivors, "doc_id", "text", max_tokens=max_tokens, overlap=overlap
+    )
+    return chunks.join(survivors.select("doc_id", "source"), "doc_id")

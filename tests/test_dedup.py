@@ -174,3 +174,43 @@ def test_contamination_eval_side_broadcast(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_incremental_minhash_matches_batch_rerun(spark):
+    """Signing the corpus once and running the batch path on
+    corpus+new must agree with the incremental path on every pair
+    that involves a new doc."""
+    from mpg_data_warehouse_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "completely different content about spark and shuffles"),
+        (3, "the quick brown fox jumps over the lazy dog today"),
+    ]
+    new = [
+        (10, "the quick brown fox jumps over the lazy dog today"),  # dup of 1/3
+        (11, "fresh unseen text with no duplicates anywhere at all"),
+    ]
+    corpus = spark.createDataFrame(base, ["doc_id", "text"])
+    batch = spark.createDataFrame(new, ["doc_id", "text"])
+
+    corpus_sigs = minhash_signatures(corpus)
+    new_sigs, inc_pairs = incremental_minhash_pairs(corpus_sigs, batch)
+    got = {(r.id_a, r.id_b) for r in inc_pairs.collect()}
+
+    all_sigs = minhash_signatures(corpus.unionByName(batch))
+    full = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(all_sigs).collect()
+        if r.id_a >= 10 or r.id_b >= 10
+    }
+    assert got == full
+    assert (1, 10) in got and (3, 10) in got  # new dup found
+    assert not any(a <= 3 and b <= 3 for a, b in got)  # no old-old pairs
+    # returned signatures keep the incremental invariant
+    assert set(new_sigs.columns) == set(corpus_sigs.columns)
+    assert new_sigs.count() == 2

@@ -273,3 +273,57 @@ def test_point_intercepts_bad_transect_aborts_before_write(spark, mpg, tmp_path)
     # the gate fired BEFORE any write
     assert spark.read.parquet(veg_path).count() == 0
     assert spark.read.parquet(ground_path).count() == 0
+
+
+def test_curate_corpus_pipeline_invariants(spark):
+    """End-to-end curation: exact dups collapse, near-dups collapse to
+    one representative, chunks respect the token budget, and the run
+    is deterministic."""
+    from mpg_data_warehouse_spark.plans.pipelines import curate_corpus_pipeline
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [
+            (1, base * 3, "web"),
+            (2, base * 3, "web"),          # exact dup of 1
+            (3, ("x " * 2) + base * 3, "web"),  # near dup of 1
+            (4, "completely different long form content " * 5, "books"),
+            (5, "shrt", "web"),            # fails quality (too few tokens)
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = curate_corpus_pipeline(docs, min_quality=0.5, max_tokens=16, overlap=4)
+    kept_docs = {r.doc_id for r in out.select("doc_id").distinct().collect()}
+    assert 5 not in kept_docs            # quality-filtered
+    assert kept_docs & {1, 2, 3} == {1}  # exact + near dups → canonical only
+    assert 4 in kept_docs
+    assert out.filter("n_tokens > 16").count() == 0
+    # deterministic end to end
+    out2 = curate_corpus_pipeline(docs, min_quality=0.5, max_tokens=16, overlap=4)
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in out2.collect()}
+
+
+def test_curate_corpus_pipeline_budget_stage(spark):
+    from pyspark.sql import functions as F
+
+    from mpg_data_warehouse_spark.plans.pipelines import curate_corpus_pipeline
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        # big docs share a long prefix but keep pairwise Jaccard < 0.5
+        # (distinct doc{i} run dominates the union) — they survive
+        # near-dedup and get budget-sampled
+        [(i, f"{words} " + " ".join(f"doc{i}w{j}" for j in range(20)), "big")
+         for i in range(40)]
+        + [(100, "unrelated tiny corpus entry about nothing shared", "small")],
+        ["doc_id", "text", "source"],
+    )
+    out = curate_corpus_pipeline(
+        docs, min_quality=0.0, target_tokens_per_source=100.0, max_tokens=64
+    )
+    per_src = {
+        r.source: r.t
+        for r in out.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    assert per_src.get("small", 0) > 0          # under budget → kept whole
+    assert per_src["big"] < 40 * 21             # big source down-sampled
