@@ -209,15 +209,23 @@ def ingest_transform_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.c_custkey, c.c_name
     FROM customer c
     WHERE NOT EXISTS (
-      SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) < 1996
     )
     """,
 )
 def anti_join_new_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The J6 signature ingest op: batch (customers) minus the keys
+    the warehouse already has (pre-1996 order activity plays the
+    existing table — the full orders set covers every customer at
+    sf0.01, which would make the anti-join vacuously empty and the
+    check worthless)."""
     customer = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    existing = _t(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") < 1996
+    )
     return customer.join(
-        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+        existing, customer.c_custkey == existing.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
 
 
@@ -428,30 +436,45 @@ def window_partition_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "union_only_in",
     """
-    SELECT c_custkey AS entity_key, 'Only in Customer' AS location
-    FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WITH urgent AS (
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    low AS (
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    )
+    SELECT u.o_custkey AS entity_key, 'Only in Urgent' AS location
+    FROM urgent u
+    WHERE NOT EXISTS (SELECT 1 FROM low l WHERE l.o_custkey = u.o_custkey)
     UNION ALL
-    SELECT DISTINCT o_custkey AS entity_key, 'Only in Orders' AS location
-    FROM orders o
-    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    SELECT l.o_custkey AS entity_key, 'Only in Low' AS location
+    FROM low l
+    WHERE NOT EXISTS (SELECT 1 FROM urgent u WHERE u.o_custkey = l.o_custkey)
     """,
 )
 def union_only_in(spark: SparkSession, sf_dir: str) -> DataFrame:
-    customer = _t(spark, sf_dir, "customer")
+    """The U1/J8 investigation shape (only-in-A ∪ only-in-B with
+    literal tags) over two fact slices — urgent-only vs low-only
+    customers; both directions are non-empty at every SF, unlike the
+    customer-vs-orders version (referential integrity made it
+    vacuous)."""
     orders = _t(spark, sf_dir, "orders")
-    only_cust = (
-        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
-        .select(F.col("c_custkey").alias("entity_key"))
-        .withColumn("location", F.lit("Only in Customer"))
-    )
-    only_ord = (
-        orders.join(customer, orders.o_custkey == customer.c_custkey, "left_anti")
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
         .select(F.col("o_custkey").alias("entity_key"))
         .distinct()
-        .withColumn("location", F.lit("Only in Orders"))
     )
-    return only_cust.unionByName(only_ord)
+    low = (
+        orders.filter(F.col("o_orderpriority") == "5-LOW")
+        .select(F.col("o_custkey").alias("entity_key"))
+        .distinct()
+    )
+    only_urgent = urgent.join(low, "entity_key", "left_anti").withColumn(
+        "location", F.lit("Only in Urgent")
+    )
+    only_low = low.join(urgent, "entity_key", "left_anti").withColumn(
+        "location", F.lit("Only in Low")
+    )
+    return only_urgent.unionByName(only_low)
 
 
 # --- P11: one-pass per-column null audit ---
