@@ -108,3 +108,58 @@ def range_join_binned(
         )
         .drop("_bin")
     )
+
+
+def funnel_conversion(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    step_a: str,
+    step_b: str,
+    max_delay_seconds: int,
+) -> DataFrame:
+    """Ordered two-step funnel per user: the FIRST ``step_a`` event,
+    the first ``step_b`` at or after it, and whether the pair
+    converts within ``max_delay_seconds``.
+
+    Output: (user, a_ts, b_ts nullable, converted bool) — one row per
+    user who performed step A at all.
+
+    Plan shape: filter to the two step types (pushed to the scan),
+    one groupBy(user) with conditional min aggregates — min(ts | A)
+    and min(ts | B ∧ ts ≥ first-A) need first-A before B can be
+    bounded, so it runs as two cheap aggregates over the pre-filtered
+    slice: first-A per user, broadcast-joined back, then min-B.
+    Both shuffles are on the user key over the two-type slice only —
+    at 100 TB of events the funnel cost is proportional to the two
+    step types' volume, not the event stream.
+    """
+    ev = events.select(
+        F.col(user_col).alias("user"),
+        F.col(ts_col).alias("ts"),
+        F.col(type_col).alias("etype"),
+    ).filter(F.col("etype").isin(step_a, step_b))
+    first_a = (
+        ev.filter(F.col("etype") == step_a)
+        .groupBy("user")
+        .agg(F.min("ts").alias("a_ts"))
+    )
+    b_after = (
+        ev.filter(F.col("etype") == step_b)
+        .join(first_a, "user")
+        .filter(F.col("ts") >= F.col("a_ts"))
+        .groupBy("user")
+        .agg(F.min("ts").alias("b_ts"))
+    )
+    return (
+        first_a.join(b_after, "user", "left")
+        .withColumn(
+            "converted",
+            F.col("b_ts").isNotNull()
+            & (
+                F.col("b_ts").cast("long") - F.col("a_ts").cast("long")
+                <= F.lit(max_delay_seconds)
+            ),
+        )
+    )

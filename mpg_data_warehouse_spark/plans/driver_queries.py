@@ -2516,4 +2516,45 @@ def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "funnel_click_to_purchase",
+    """
+    WITH ev AS (
+      SELECT user_id AS usr, epoch_us(ts) // 1000000 AS s, event_type
+      FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ),
+    fa AS (
+      SELECT usr, min(s) AS a_s FROM ev WHERE event_type = 'click' GROUP BY usr
+    ),
+    fb AS (
+      SELECT e.usr, min(e.s) AS b_s
+      FROM ev e JOIN fa ON fa.usr = e.usr
+      WHERE e.event_type = 'purchase' AND e.s >= fa.a_s
+      GROUP BY e.usr
+    )
+    SELECT fa.usr AS user_id, fa.a_s, fb.b_s,
+           (fb.b_s IS NOT NULL AND fb.b_s - fa.a_s <= 3600) AS converted
+    FROM fa LEFT JOIN fb ON fa.usr = fb.usr
+    """,
+)
+def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered two-step funnel (first click → first purchase at or
+    after it, 1-hour conversion window) — cost proportional to the
+    two step types' volume, not the event stream. Timestamps emitted
+    as epoch seconds (truncating cast on both engines)."""
+    from mpg_data_warehouse_spark.operators.temporal import funnel_conversion
+
+    ev = _events(spark, sf_dir)
+    out = funnel_conversion(
+        ev, "user_id", "ts", "event_type", "click", "purchase", 3600
+    )
+    return out.select(
+        F.col("user").alias("user_id"),
+        F.col("a_ts").cast("long").alias("a_s"),
+        F.col("b_ts").cast("long").alias("b_s"),
+        "converted",
+    )
+
+
 REGISTRY_DOC = "queries: " + ", ".join(sorted(QUERIES))

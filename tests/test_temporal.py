@@ -58,3 +58,39 @@ def test_range_join_binned_matches_naive(spark):
     assert got  # non-empty (intervals 1-3 contain points)
     # boundary membership: hi inclusive, single-point interval works
     assert (9, 1) in got and (9, 2) in got
+
+
+def test_funnel_conversion_semantics(spark):
+    import datetime as dt
+
+    from mpg_data_warehouse_spark.operators.temporal import funnel_conversion
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(mins):
+        return t0 + dt.timedelta(minutes=mins)
+
+    rows = [
+        # u1: click @0, purchase @30 → converted
+        (1, ts(0), "click"), (1, ts(30), "purchase"),
+        # u2: purchase BEFORE first click, next purchase @90 → not converted
+        (2, ts(-10), "purchase"), (2, ts(0), "click"), (2, ts(90), "purchase"),
+        # u3: click only → b null, not converted
+        (3, ts(5), "click"),
+        # u4: purchase only (no click) → absent from output
+        (4, ts(1), "purchase"),
+        # u5: two clicks, purchase within window of FIRST click only
+        (5, ts(0), "click"), (5, ts(55), "click"), (5, ts(50), "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {
+        r.user: (r.converted, r.b_ts is not None)
+        for r in funnel_conversion(
+            ev, "user_id", "ts", "event_type", "click", "purchase", 3600
+        ).collect()
+    }
+    assert out[1] == (True, True)
+    assert out[2] == (False, True)   # 90 min > 1h window
+    assert out[3] == (False, False)
+    assert 4 not in out
+    assert out[5] == (True, True)    # first-click anchor
