@@ -2557,4 +2557,55 @@ def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "local_supplier_revenue",
+    """
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE c.c_nationkey = s.s_nationkey
+      AND year(o.o_orderdate) >= 1996
+    GROUP BY n.n_name
+    """,
+)
+def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped local-supplier revenue: the full snowflake
+    (fact → orders → customer, fact → supplier → nation → region)
+    with the join-key-correlation predicate c_nationkey = s_nationkey.
+
+    Plan: customer/supplier/nation/region all broadcast (dim-sized);
+    the only fact-scale shuffle is lineitem→orders. The correlation
+    filter runs map-side after the broadcasts — Catalyst cannot push
+    it below either join (it spans both branches), which is exactly
+    why the dims must broadcast: a shuffle-join snowflake would move
+    the fact four times."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.year("o_orderdate") >= 1996)
+    cust = F.broadcast(_t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"))
+    supp = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    nat = F.broadcast(_t(spark, sf_dir, "nation"))
+    reg = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(nat, supp.s_nationkey == nat.n_nationkey)
+        .join(reg, nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
 REGISTRY_DOC = "queries: " + ", ".join(sorted(QUERIES))

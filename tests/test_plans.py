@@ -109,3 +109,18 @@ def test_runtime_bloom_filter_on_selective_join(spark):
     finally:
         spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", prev)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+
+
+def test_snowflake_dims_broadcast(spark):
+    """Q5-shaped snowflake: every dimension join must be broadcast —
+    at most the lineitem-orders join may shuffle. A shuffle-join
+    snowflake would move the fact once per dimension."""
+    from mpg_data_warehouse_spark.plans.driver_queries import QUERIES
+    from tests.conftest import SF_ORACLE
+
+    plan = (
+        QUERIES["local_supplier_revenue"](spark, SF_ORACLE)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("SortMergeJoin") <= 1
