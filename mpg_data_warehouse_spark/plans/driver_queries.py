@@ -2608,4 +2608,45 @@ def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "rolling_avg_user_value",
+    """
+    SELECT user_id,
+           event_id,
+           round(avg(value) OVER (
+             PARTITION BY user_id
+             ORDER BY epoch_us(ts) // 1000000, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+           ), 4) AS rolling_avg,
+           CAST(row_number() OVER (
+             PARTITION BY user_id
+             ORDER BY epoch_us(ts) // 1000000, event_id
+           ) AS BIGINT) AS seq
+    FROM events
+    WHERE user_id < 50
+    """,
+)
+def rolling_avg_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered window FRAME (rows between 4 preceding and current):
+    per-user rolling mean of event value — the moving-metric shape
+    (W-family extension; the reference's only window is a partition
+    count). One shuffle on user_id, per-partition sort; ties broken
+    by event_id so the frame contents are partitioning-independent.
+    The user_id filter is pushed to the scan."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 50)
+    order = [F.col("ts").cast("long"), F.col("event_id")]
+    frame = (
+        Window.partitionBy("user_id").orderBy(*order).rowsBetween(-4, 0)
+    )
+    seq_w = Window.partitionBy("user_id").orderBy(*order)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(frame), 4).alias("rolling_avg"),
+        F.row_number().over(seq_w).cast("long").alias("seq"),
+    )
+
+
 REGISTRY_DOC = "queries: " + ", ".join(sorted(QUERIES))
