@@ -13,7 +13,9 @@ from mpg_data_warehouse_spark.operators.chunking import pack_sequences
 from mpg_data_warehouse_spark.operators.complete import complete
 from mpg_data_warehouse_spark.operators.dedup import (
     connected_components,
+    contamination_report,
     exact_dedup,
+    incremental_minhash_pairs,
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
     retain_representatives,
@@ -22,10 +24,12 @@ from mpg_data_warehouse_spark.operators.dedup import (
 from mpg_data_warehouse_spark.operators.joins import salted_join, write_bucketed
 from mpg_data_warehouse_spark.operators.ranking import topk_per_group
 from mpg_data_warehouse_spark.operators.sampling import (
+    budget_rebalance_sample,
     deterministic_sample,
     split_train_holdout,
     stratified_sample,
 )
+from mpg_data_warehouse_spark.operators.scd import scd2_apply, scd2_init
 from mpg_data_warehouse_spark.operators.similarity import (
     cosine_topk,
     embedding_centroids,
@@ -35,6 +39,7 @@ from mpg_data_warehouse_spark.operators.similarity import (
 )
 from mpg_data_warehouse_spark.operators.temporal import (
     asof_join,
+    funnel_conversion,
     range_join_binned,
 )
 from mpg_data_warehouse_spark.operators.text import redact, term_counts, text_profile, tfidf
@@ -43,13 +48,17 @@ from mpg_data_warehouse_spark.operators.validate import validate
 __all__ = [
     "anti_join_append",
     "asof_join",
+    "budget_rebalance_sample",
     "complete",
     "connected_components",
+    "contamination_report",
     "cosine_topk",
     "deterministic_sample",
     "embedding_centroids",
     "embedding_near_dup_pairs",
     "exact_dedup",
+    "funnel_conversion",
+    "incremental_minhash_pairs",
     "ivf_topk",
     "lsh_topk",
     "merge_upsert",
@@ -61,6 +70,8 @@ __all__ = [
     "redact",
     "retain_representatives",
     "salted_join",
+    "scd2_apply",
+    "scd2_init",
     "simhash_near_pairs",
     "split_train_holdout",
     "stratified_sample",
