@@ -113,3 +113,29 @@ def compact_table(
     shutil.rmtree(path)
     shutil.move(tmp, path)
     return n_after
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    partitions: int,
+) -> None:
+    """Range-clustered parquet write: ``repartitionByRange`` on the
+    cluster columns + in-partition sort, so each output file owns a
+    disjoint key range and carries tight parquet min/max footer stats.
+
+    This is the plain-parquet analog of Z-ordering for a single sort
+    dimension: a later scan with a predicate on the cluster column
+    skips whole files/row-groups via footer stats instead of reading
+    100 TB to filter it. The range partitioner samples the data to
+    pick balanced split points, so skew in the cluster key yields
+    balanced files (unlike hash-partitioning by a skewed key).
+    Re-cluster periodically as data arrives — composes with
+    ``compact_table``'s staged atomic-swap pattern."""
+    (
+        df.repartitionByRange(partitions, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -133,3 +133,35 @@ def test_compact_table_reduces_files_preserves_rows(spark, tmp_path):
     back = spark.read.parquet(path)
     assert file_stats(back).count() == 4
     assert back.agg(F.sum("v")).first()[0] == src.agg(F.sum("v")).first()[0]
+
+
+def test_write_clustered_files_have_disjoint_ranges(spark, tmp_path):
+    """Range clustering must give each file a disjoint key range with
+    tight parquet footer stats — the property file skipping relies on."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from mpg_data_warehouse_spark.sources.writers import write_clustered
+
+    from tests.conftest import SF_ORACLE
+
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    path = str(tmp_path / "clustered")
+    write_clustered(li, path, ["l_shipdate"], partitions=8)
+
+    ranges = []
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.to_arrow_schema().get_field_index("l_shipdate")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min); maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) == 8
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint (touching at boundaries allowed)
+    # row preservation
+    assert spark.read.parquet(path).count() == li.count()
