@@ -103,6 +103,18 @@ def anti_join_append(
     )
 
 
+def merged_view(
+    existing: DataFrame, updates: DataFrame, keys: list[str]
+) -> DataFrame:
+    """The pure MERGE result (no write): existing rows whose key is
+    NOT updated, plus every update row — matched keys take the
+    update's version, new keys insert, the rest pass through. One
+    keyed anti-join (update keys broadcast when small) + union."""
+    return existing.join(
+        updates.select(*keys).distinct(), keys, "left_anti"
+    ).unionByName(updates)
+
+
 def merge_upsert(
     spark: SparkSession,
     updates: DataFrame,
@@ -111,15 +123,11 @@ def merge_upsert(
 ) -> DataFrame:
     """Keyed upsert (the Delta ``MERGE INTO ... WHEN MATCHED UPDATE
     WHEN NOT MATCHED INSERT`` analog on plain parquet, reference J4:
-    docs/fix_gridveg_dates.md:44-52): rows whose key matches are
-    replaced by the update's version, new keys are inserted, untouched
-    rows pass through. Implemented as recompute-overwrite —
-    existing ∖ updates ∪ updates — staged through a temp path so the
-    source is never read-while-overwritten. Returns the merged frame."""
+    docs/fix_gridveg_dates.md:44-52): ``merged_view`` materialized as
+    recompute-overwrite, staged through a temp path so the source is
+    never read-while-overwritten. Returns the merged frame."""
     existing = spark.read.parquet(table_path)
-    merged = existing.join(
-        updates.select(*keys).distinct(), keys, "left_anti"
-    ).unionByName(updates)
+    merged = merged_view(existing, updates, keys)
     tmp = table_path.rstrip("/") + "__merge_tmp"
     merged.write.mode("overwrite").parquet(tmp)
     staged = spark.read.parquet(tmp)

@@ -2649,4 +2649,47 @@ def rolling_avg_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "merge_upsert_customers",
+    """
+    WITH upd AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal + 500 AS c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 5 = 0
+      UNION ALL
+      SELECT c_custkey + 2000000, 'NEW CUSTOMER', c_nationkey, 0.0, 'NEWSEG'
+      FROM customer WHERE c_custkey % 89 = 0
+    )
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM upd
+    """,
+)
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE semantics (J4 / S12 mutation path) as a pure view so
+    the oracle can hash it: every 5th customer updated (balance
+    adjustment), every 89th key inserted brand new, rest pass
+    through. ``merge_upsert`` materializes exactly this frame."""
+    from mpg_data_warehouse_spark.operators.append import merged_view
+
+    cust = _t(spark, sf_dir, "customer")
+    updates = cust.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + 500).alias("c_acctbal"),
+        "c_mktsegment",
+    ).unionByName(
+        cust.filter(F.col("c_custkey") % 89 == 0).select(
+            (F.col("c_custkey") + 2000000).alias("c_custkey"),
+            F.lit("NEW CUSTOMER").alias("c_name"),
+            "c_nationkey",
+            F.lit(0.0).alias("c_acctbal"),
+            F.lit("NEWSEG").alias("c_mktsegment"),
+        )
+    )
+    return merged_view(cust, updates, ["c_custkey"])
+
+
 REGISTRY_DOC = "queries: " + ", ".join(sorted(QUERIES))
