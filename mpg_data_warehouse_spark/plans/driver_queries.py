@@ -2692,4 +2692,32 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged_view(cust, updates, ["c_custkey"])
 
 
+@_q(
+    "user_value_deltas",
+    """
+    SELECT user_id, event_id,
+           round(value - lag(value) OVER (
+             PARTITION BY user_id
+             ORDER BY epoch_us(ts) // 1000000, event_id
+           ), 4) AS delta
+    FROM events
+    WHERE user_id < 50
+    """,
+)
+def user_value_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag()-based change detection per user (first event's delta is
+    NULL on both engines); deterministic tie-broken ordering."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").cast("long"), F.col("event_id")
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
+    )
+
+
 REGISTRY_DOC = "queries: " + ", ".join(sorted(QUERIES))
