@@ -6,6 +6,7 @@ temporal joins, join-strategy helpers."""
 from mpg_data_warehouse_spark.operators.append import (
     anti_join_append,
     merge_upsert,
+    merge_upsert_partitioned,
     overwrite_partitions,
     truncate_replace,
 )
@@ -62,6 +63,7 @@ __all__ = [
     "ivf_topk",
     "lsh_topk",
     "merge_upsert",
+    "merge_upsert_partitioned",
     "minhash_dedup_pairs",
     "ngram_jaccard_pairs",
     "overwrite_partitions",

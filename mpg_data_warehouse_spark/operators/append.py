@@ -123,19 +123,85 @@ def merge_upsert(
 ) -> DataFrame:
     """Keyed upsert (the Delta ``MERGE INTO ... WHEN MATCHED UPDATE
     WHEN NOT MATCHED INSERT`` analog on plain parquet, reference J4:
-    docs/fix_gridveg_dates.md:44-52): ``merged_view`` materialized as
-    recompute-overwrite, staged through a temp path so the source is
-    never read-while-overwritten. Returns the merged frame."""
+    docs/fix_gridveg_dates.md:44-52): ``merged_view`` materialized
+    ONCE into a staging dir (writing to a sibling path, so the source
+    is never read-while-overwritten), then installed with the
+    two-rename swap — a crash at any point leaves a complete table on
+    disk. Returns the merged frame.
+
+    This is the unpartitioned fallback: it rewrites the whole table.
+    When the table is partitioned and keys are partition-stable, use
+    ``merge_upsert_partitioned`` — it rewrites only the partitions the
+    batch touches."""
+    from ..sources.writers import swap_into_place
+
     existing = spark.read.parquet(table_path)
     merged = merged_view(existing, updates, keys)
     tmp = table_path.rstrip("/") + "__merge_tmp"
     merged.write.mode("overwrite").parquet(tmp)
-    staged = spark.read.parquet(tmp)
-    staged.write.mode("overwrite").parquet(table_path)
-    import shutil
-
-    shutil.rmtree(tmp, ignore_errors=True)
+    swap_into_place(tmp, table_path)
     return spark.read.parquet(table_path)
+
+
+def merge_upsert_partitioned(
+    spark: SparkSession,
+    updates: DataFrame,
+    table_path: str,
+    keys: list[str],
+    partition_cols: tuple[str, ...] = ("year",),
+    check_partition_stable: bool = True,
+) -> DataFrame:
+    """Partition-scoped MERGE: rewrite ONLY the partitions present in
+    ``updates``, leaving every other partition's files untouched — the
+    100 TB path for the repair flows (a date fix touching 3 seasons
+    rewrites 3 partitions, not the table).
+
+    Plan shape: (1) collect the batch's distinct partition tuples (a
+    few scalars — the ONE sanctioned driver collect here); (2) read
+    the existing table pruned to those partitions (partition-pruned
+    scan, not a full scan); (3) ``merged_view`` on that slice; (4)
+    dynamic partition overwrite of just those partitions.
+
+    Requires partition-stable keys: a matched key's update row must
+    live in the same partition as its existing row, else the stale row
+    in the untouched partition would survive as a duplicate.
+    ``check_partition_stable`` verifies this with one small join
+    (updates-sized, broadcast) and raises before writing anything.
+    Returns the merged slice (the rewritten partitions' new content).
+    """
+    existing = spark.read.parquet(table_path)
+    part_vals = updates.select(*partition_cols).distinct()
+    touched = part_vals.collect()
+    pred = None
+    for row in touched:
+        clause = None
+        for c in partition_cols:
+            eq = F.col(c) == F.lit(row[c])
+            clause = eq if clause is None else (clause & eq)
+        pred = clause if pred is None else (pred | clause)
+    affected = existing.filter(pred) if pred is not None else existing.limit(0)
+
+    if check_partition_stable:
+        # A matched key whose existing row lives OUTSIDE the touched
+        # partitions would be duplicated, not updated. The key set is
+        # batch-sized — broadcast semi-join against the full table's
+        # key+partition projection, count the violations.
+        outside = existing.filter(~pred) if pred is not None else existing
+        moved = (
+            outside.select(*keys)
+            .join(F.broadcast(updates.select(*keys).distinct()), keys, "left_semi")
+            .count()
+        )
+        if moved:
+            raise ValueError(
+                f"{moved} updated key(s) exist in partitions not covered by "
+                "the batch; partition-scoped merge would duplicate them. "
+                "Use merge_upsert (full rewrite) or include those partitions."
+            )
+
+    merged = merged_view(affected, updates, keys)
+    overwrite_partitions(spark, merged, table_path, partition_cols)
+    return merged
 
 
 def overwrite_partitions(
@@ -166,17 +232,23 @@ def truncate_replace(
     table_path: str,
     partition_by: tuple[str, ...] = (),
 ) -> int:
-    """Atomic-intent full-table replace (reference S12 WRITE_TRUNCATE,
-    notebooks/fix_gridVeg_additional_species_na_rows.ipynb:913-926).
-    Parquet overwrite is not transactional like Delta/BigQuery; the
-    repair pipelines take a backup first (sources.writers.backup_csv),
-    mirroring the reference's extract-before-mutate discipline."""
-    # localCheckpoint severs lineage to the source path so we can
-    # safely overwrite a table we computed FROM (read-modify-replace).
-    df = df.localCheckpoint(eager=True)
-    rows = df.count()
+    """Full-table replace (reference S12 WRITE_TRUNCATE,
+    notebooks/fix_gridVeg_additional_species_na_rows.ipynb:913-926),
+    staged: the new content is fully written to a sibling temp dir —
+    safe even when ``df``'s lineage READS ``table_path``, because the
+    live table is untouched while the plan executes — then installed
+    with the two-rename swap. A crash at any point leaves a complete
+    table on disk (old or new), unlike a direct ``mode("overwrite")``
+    which deletes the target before writing. The repair pipelines
+    still take a backup first (sources.writers.backup_csv), mirroring
+    the reference's extract-before-mutate discipline."""
+    from ..sources.writers import swap_into_place
+
+    tmp = table_path.rstrip("/") + "__replace_tmp"
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
-    w.parquet(table_path)
+    w.parquet(tmp)
+    rows = spark.read.parquet(tmp).count()
+    swap_into_place(tmp, table_path)
     return rows

@@ -85,13 +85,47 @@ def file_stats(df: DataFrame) -> DataFrame:
     )
 
 
+def swap_into_place(tmp: str, live: str) -> None:
+    """Install a fully-written staging directory as the live table via
+    two renames: live → live__old, tmp → live, then delete live__old.
+
+    The path never holds a half-written table — at every instant it
+    either resolves to the complete old data, the complete new data,
+    or (for the instant between the two renames) nothing; a reader
+    landing in that instant fails fast and retries rather than reading
+    partial files. If the process dies mid-swap, both complete copies
+    still exist on disk (live__old and/or tmp) for manual recovery.
+
+    Local-filesystem semantics: ``os.rename`` of a directory is atomic
+    on POSIX. On an object store (S3-style) directory "rename" is
+    copy+delete — use a transactional table format (Delta/Iceberg) or
+    an output committer there instead; this helper is the plain-parquet
+    local/HDFS fallback."""
+    import os
+    import shutil
+
+    old = live.rstrip("/") + "__old"
+    shutil.rmtree(old, ignore_errors=True)
+    had_live = os.path.exists(live)
+    if had_live:
+        os.rename(live, old)
+    try:
+        os.rename(tmp, live)
+    except OSError:
+        if had_live:
+            os.rename(old, live)  # roll back: old table restored intact
+        raise
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def compact_table(
     spark: SparkSession, path: str, target_files: int, tmp_suffix: str = "__compact"
 ) -> int:
     """Rewrite a parquet directory into ``target_files`` files
-    (small-files compaction). Stages into a sibling temp dir, then
-    atomically swaps via rename — readers never observe a half-written
-    table. Returns the row count (verified pre/post).
+    (small-files compaction). Stages into a sibling temp dir, verifies
+    the row count, then installs it with the two-rename swap
+    (``swap_into_place``) — no window where the path holds a partially
+    deleted or partially written table. Returns the row count.
 
     At warehouse scale this is the maintenance job that keeps scan
     task counts sane: 10⁶ kilobyte-files → scheduler death; compaction
@@ -110,8 +144,7 @@ def compact_table(
         raise RuntimeError(
             f"compaction row mismatch: {n_before} -> {n_after}; aborted"
         )
-    shutil.rmtree(path)
-    shutil.move(tmp, path)
+    swap_into_place(tmp, path)
     return n_after
 
 

@@ -87,6 +87,97 @@ def test_merge_upsert(spark, tmp_path):
     assert len(rows) == 4
 
 
+def _dir_digest(root):
+    """Map of relative parquet-file path -> md5 of its bytes (proves
+    byte-identity of untouched partitions, not just row equality)."""
+    import hashlib
+    import os
+
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(dirpath, f)
+                with open(p, "rb") as fh:
+                    out[os.path.relpath(p, root)] = hashlib.md5(
+                        fh.read()
+                    ).hexdigest()
+    return out
+
+
+def test_merge_upsert_partitioned_rewrites_only_touched(spark, tmp_path):
+    from mpg_data_warehouse_spark.operators.append import (
+        merge_upsert_partitioned,
+    )
+
+    table = str(tmp_path / "mp")
+    _existing(spark).write.partitionBy("year").parquet(table)
+    before = _dir_digest(table)
+
+    updates = spark.createDataFrame(
+        [
+            Row(survey_ID="b", transect_point="E1", v=42.0, year=2025),  # update
+            Row(survey_ID="c", transect_point="E2", v=8.0, year=2025),   # insert
+        ]
+    )
+    merge_upsert_partitioned(
+        spark, updates, table, ["survey_ID", "transect_point"], ("year",)
+    )
+    after = _dir_digest(table)
+
+    # Untouched partition's files: same names AND same bytes.
+    b24 = {k: v for k, v in before.items() if k.startswith("year=2024")}
+    a24 = {k: v for k, v in after.items() if k.startswith("year=2024")}
+    assert b24 == a24 and b24
+
+    rows = {
+        (r.survey_ID, r.transect_point): r.v
+        for r in spark.read.parquet(table).collect()
+    }
+    assert rows[("b", "E1")] == 42.0   # matched -> updated
+    assert rows[("c", "E2")] == 8.0    # new -> inserted
+    assert rows[("a", "N1")] == 1.0    # other partition untouched
+    assert len(rows) == 4
+
+
+def test_merge_upsert_partitioned_rejects_moved_keys(spark, tmp_path):
+    import pytest
+
+    from mpg_data_warehouse_spark.operators.append import (
+        merge_upsert_partitioned,
+    )
+
+    table = str(tmp_path / "mv")
+    _existing(spark).write.partitionBy("year").parquet(table)
+    # Key (a, N1) lives in year=2024; the update claims year=2025 —
+    # a partition-scoped merge would leave the stale 2024 row behind.
+    updates = spark.createDataFrame(
+        [Row(survey_ID="a", transect_point="N1", v=9.0, year=2025)]
+    )
+    with pytest.raises(ValueError, match="partition"):
+        merge_upsert_partitioned(
+            spark, updates, table, ["survey_ID", "transect_point"], ("year",)
+        )
+    # Nothing was written: table content unchanged.
+    assert spark.read.parquet(table).count() == 3
+
+
+def test_swap_into_place_staged_visibility(spark, tmp_path):
+    """truncate_replace leaves a complete table at the path even when
+    its input lineage reads the path being replaced; no __old/__tmp
+    residue remains."""
+    import os
+
+    table = str(tmp_path / "sw")
+    _existing(spark).write.parquet(table)
+    df = spark.read.parquet(table).filter("year = 2025")
+    rows = truncate_replace(spark, df, table)
+    assert rows == 1
+    assert spark.read.parquet(table).count() == 1
+    assert not os.path.exists(table + "__replace_tmp")
+    assert not os.path.exists(table + "__old")
+
+
 def test_overwrite_partitions_touches_only_matching(spark, tmp_path):
     import os
 
