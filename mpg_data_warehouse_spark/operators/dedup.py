@@ -153,6 +153,55 @@ def minhash_signatures(
     return hashed.groupBy(id_col).agg(*aggs)
 
 
+def band_signatures(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Explode a signature table into banded bucket rows
+    ``(id, *extra_cols, band, bucket)`` — one row per (doc, band),
+    bucket = md5 of the band's signature slice. The single banding
+    implementation shared by the batch (``lsh_candidate_pairs``) and
+    incremental (``incremental_minhash_pairs``) paths so cap/bucket
+    fixes can never drift between them."""
+    rows = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        sig_slice = [F.col(f"sig_{b * rows + r}") for r in range(rows)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *sig_slice).cast("binary")).alias("bucket"),
+            )
+        )
+    return signatures.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.explode(F.array(*band_cols)).alias("bb"),
+    ).select(id_col, *extra_cols, "bb.band", "bb.bucket")
+
+
+def cap_buckets(banded: DataFrame, max_bucket: int) -> DataFrame:
+    """Drop (band, bucket) groups larger than ``max_bucket`` —
+    degenerate content: a bucket of B docs contributes B·(B-1)/2
+    pairs; the cap bounds worst-case blowup. Implemented as a window
+    count on the SAME key the downstream self-join uses: the window's
+    exchange already partitions by (band, bucket), so the join adds no
+    further shuffle — versus a separate aggregate + semi-join, which
+    costs two extra exchanges."""
+    from pyspark.sql import Window as _W
+
+    return (
+        banded.withColumn(
+            "_n", F.count(F.lit(1)).over(_W.partitionBy("band", "bucket"))
+        )
+        .filter(F.col("_n") <= max_bucket)
+        .drop("_n")
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -161,34 +210,10 @@ def lsh_candidate_pairs(
     max_bucket: int = 1000,
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs (a < b) sharing at
-    least one band bucket. Buckets larger than ``max_bucket`` are
-    dropped (degenerate content — a bucket of B docs contributes
-    B·(B-1)/2 pairs; the cap bounds worst-case blowup)."""
-    rows = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        sig_slice = [F.col(f"sig_{b * rows + r}") for r in range(rows)]
-        band_cols.append(
-            F.struct(
-                F.lit(b).alias("band"), F.md5(F.concat_ws("|", *sig_slice).cast("binary")).alias("bucket")
-            )
-        )
-    banded = signatures.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
-    ).select(id_col, "bb.band", "bb.bucket")
-
-    # Bucket-size cap via a window on the SAME key the self-join uses:
-    # the window's exchange already partitions by (band, bucket), so
-    # the join adds no further shuffle — versus a separate
-    # aggregate + semi-join, which costs two extra exchanges.
-    from pyspark.sql import Window as _W
-
-    small = (
-        banded.withColumn(
-            "_n", F.count(F.lit(1)).over(_W.partitionBy("band", "bucket"))
-        )
-        .filter(F.col("_n") <= max_bucket)
-        .drop("_n")
+    least one band bucket, with degenerate buckets capped
+    (``cap_buckets``)."""
+    small = cap_buckets(
+        band_signatures(signatures, id_col, num_hashes, bands), max_bucket
     )
     a = small.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"))
     b = small.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"))
@@ -610,28 +635,9 @@ def incremental_minhash_pairs(
     both = corpus_sigs.withColumn(tag, F.lit(False)).unionByName(
         new_sigs.withColumn(tag, F.lit(True))
     )
-    rows = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        sig_slice = [F.col(f"sig_{b * rows + r}") for r in range(rows)]
-        band_cols.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *sig_slice).cast("binary")).alias("bucket"),
-            )
-        )
-    banded = both.select(
-        F.col(id_col), F.col(tag), F.explode(F.array(*band_cols)).alias("bb")
-    ).select(id_col, tag, "bb.band", "bb.bucket")
-
-    from pyspark.sql import Window as _W
-
-    small = (
-        banded.withColumn(
-            "_n", F.count(F.lit(1)).over(_W.partitionBy("band", "bucket"))
-        )
-        .filter(F.col("_n") <= max_bucket)
-        .drop("_n")
+    small = cap_buckets(
+        band_signatures(both, id_col, num_hashes, bands, extra_cols=(tag,)),
+        max_bucket,
     )
     a = small.select("band", "bucket", F.col(id_col).alias("id_a"),
                      F.col(tag).alias("_new_a"))

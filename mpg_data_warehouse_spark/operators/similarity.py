@@ -261,16 +261,30 @@ def embedding_near_dup_pairs(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: LSH-bucketed self-join
     (same sign pattern ⇒ likely high cosine), exact cosine verify,
     threshold. The scale path for semantic dedup — the bucket join
-    replaces the O(n²) pair space."""
+    replaces the O(n²) pair space.
+
+    Buckets larger than ``max_bucket`` are dropped before the
+    self-join (same policy as the MinHash path,
+    ``dedup.lsh_candidate_pairs``): near-identical embeddings —
+    precisely the near-dup case — concentrate in one bucket, and a
+    degenerate bucket of B members would emit B²/2 pairs before the
+    threshold filter. The cap bounds the worst case at
+    max_bucket²/2 per bucket; mass-duplicate content belongs to
+    exact dedup (hash of the vector bytes), not the pairwise path.
+    The count uses a window over the SAME key the join shuffles on,
+    so capping adds no extra exchange."""
     b = df.select(
         F.col(id_col),
         F.col(vec_col),
         lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
-    )
+    ).withColumn(
+        "_n", F.count(F.lit(1)).over(W.partitionBy("bucket"))
+    ).filter(F.col("_n") <= max_bucket).drop("_n")
     a = b.select(
         F.col("bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
     )

@@ -1396,6 +1396,7 @@ def _near_dup_oracle_sql() -> str:
       SELECT vec_id, v,
            {bucket_expr} AS bucket
       FROM aug
+      QUALIFY count(*) OVER (PARTITION BY bucket) <= 1000
     ),
     pairs AS (
       SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b,
@@ -1433,7 +1434,8 @@ def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x + F.lit(0.005)).alias("embedding"),
     )
     return embedding_near_dup_pairs(
-        emb.unionByName(perturbed), threshold=0.99, dim=64, n_planes=8
+        emb.unionByName(perturbed), threshold=0.99, dim=64, n_planes=8,
+        max_bucket=1000,  # mirrored by the oracle's QUALIFY bucket cap
     )
 
 

@@ -97,6 +97,41 @@ def test_embedding_near_dup_finds_planted(spark):
     assert len(got) >= 15
 
 
+def test_embedding_near_dup_bucket_cap_bounds_candidates(spark):
+    """A mass-duplicate cluster (B identical vectors) must NOT emit
+    B²/2 pairs: the degenerate bucket exceeds max_bucket and is
+    dropped, while normal-sized buckets still yield their pairs."""
+    from pyspark.sql import functions as F
+
+    n_mass = 400
+    mass = spark.range(n_mass).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(d + 1)) for d in range(DIM)]).alias("embedding"),
+    )
+    # One well-separated planted near-dup pair in its own bucket.
+    pair = spark.createDataFrame(
+        [
+            Row(vec_id=10_000, embedding=[(-1.0) ** d * (d + 1) for d in range(DIM)]),
+            Row(vec_id=10_001, embedding=[(-1.0) ** d * (d + 1) + 0.001 for d in range(DIM)]),
+        ]
+    )
+    df = mass.unionByName(pair)
+
+    capped = S.embedding_near_dup_pairs(
+        df, threshold=0.99, dim=DIM, max_bucket=100
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in capped}
+    # The 400-member bucket (79,800 potential pairs) is dropped wholesale;
+    # the planted pair in a small bucket survives.
+    assert got == {(10_000, 10_001)}
+
+    # Sanity: with the cap lifted the mass cluster floods the output.
+    uncapped = S.embedding_near_dup_pairs(
+        df, threshold=0.99, dim=DIM, max_bucket=10**9
+    ).count()
+    assert uncapped == n_mass * (n_mass - 1) // 2 + 1
+
+
 def test_ivf_recall_vs_bruteforce(spark):
     from pyspark.sql import functions as F
     import math as m
