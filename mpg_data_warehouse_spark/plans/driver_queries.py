@@ -1892,6 +1892,96 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "streaming_user_totals",
+    """
+    SELECT user_id,
+           count(*) AS n_events,
+           round(sum(coalesce(value, 0)), 2) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator through the contract: drain
+    the events through ``applyInPandasWithState`` (per-user running
+    accumulator, update mode) and keep each user's LAST emitted state
+    — which must equal the batch groupBy. n_events is strictly
+    monotonic per user across updates, so "last" = max(n_events);
+    deterministic regardless of how the drain is micro-batched."""
+    import tempfile
+
+    from mpg_data_warehouse_spark.streaming import events as SE
+
+    staged = tempfile.mkdtemp(prefix="stream_totals_")
+    _events(spark, sf_dir).write.mode("overwrite").parquet(staged)
+    stream = SE.running_user_totals_stream(SE.read_events_stream(spark, staged))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("streaming_user_totals_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    t = spark.table("streaming_user_totals_t")
+    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        t.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("user_id", "n_events", "total_value")
+    )
+
+
+@_q(
+    "streaming_click_attribution",
+    """
+    WITH imp AS (
+      SELECT user_id, epoch_us(ts) AS imp_us FROM events
+      WHERE event_type = 'view'
+    ),
+    clk AS (
+      SELECT user_id, epoch_us(ts) AS click_us, value AS click_value
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT i.user_id, i.imp_us, c.click_us,
+           round(c.click_value, 2) AS click_value
+    FROM imp i JOIN clk c
+      ON i.user_id = c.user_id
+     AND c.click_us >= i.imp_us
+     AND c.click_us <= i.imp_us + 3600000000
+    """,
+)
+def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream join through the contract: views and
+    clicks drained as two file streams, each click attributed to every
+    view of the same user at most 1 hour earlier. availableNow drains
+    the staged input in one micro-batch, so the join output is the
+    complete (deterministic) pair set — held to the batch-SQL hash,
+    exactly like streaming_hourly_rollup."""
+    import tempfile
+
+    from mpg_data_warehouse_spark.streaming import events as SE
+
+    staged = tempfile.mkdtemp(prefix="stream_attr_")
+    _events(spark, sf_dir).write.mode("overwrite").parquet(staged)
+    imp = SE.read_events_stream(spark, staged).filter(
+        F.col("event_type") == "view"
+    )
+    clk = SE.read_events_stream(spark, staged).filter(
+        F.col("event_type") == "click"
+    )
+    joined = SE.click_attribution_stream(imp, clk, max_delay="1 hour")
+    out = joined.select(
+        "user_id",
+        F.unix_micros("imp_ts").alias("imp_us"),
+        F.unix_micros("click_ts").alias("click_us"),
+        F.round("click_value", 2).alias("click_value"),
+    )
+    SE.run_to_memory(out, "streaming_click_attribution_t", timeout_s=300)
+    return spark.table("streaming_click_attribution_t")
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline extensions, batch 2: deterministic sampling,
 # ranking, vocabulary / TF-IDF, redaction, quantile profiling,

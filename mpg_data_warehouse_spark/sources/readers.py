@@ -67,19 +67,23 @@ def read_csv_with_fallback(
     path: str,
     schema: T.StructType | None = None,
     encodings: tuple[str, ...] = ("UTF-8", "ISO-8859-1"),
+    probe_rows: int = 100,
     **kwargs,
 ) -> DataFrame:
     """Encoding-fallback CSV read (reference S2 variant: try UTF-8,
     on decode failure fall back to latin-1 —
     notebooks/append_csv_to_bq.ipynb:265-270). Spark's reader does not
-    raise on bad bytes at plan time, so the probe materializes one
-    partition's worth of rows and checks for the U+FFFD replacement
-    character that signals a wrong decode."""
+    raise on bad bytes at plan time, so the probe materializes
+    ``probe_rows`` rows (a LocalLimit — the scan stops after the first
+    partition yields enough, it never reads the full file) and checks
+    for the U+FFFD replacement character that signals a wrong decode.
+    ``probe_rows`` bounds driver memory: it is a constant per candidate
+    encoding regardless of file size."""
     last = None
     for enc in encodings:
         df = read_csv(spark, path, schema=schema, encoding=enc, **kwargs)
         try:
-            sample = df.limit(100).collect()
+            sample = df.limit(probe_rows).collect()
         except Exception as exc:  # malformed for this encoding
             last = exc
             continue

@@ -163,6 +163,16 @@ def running_user_totals_stream(
     )
 
 
+def _sink_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe through the Hadoop FileSystem API — works for
+    any scheme Spark can read (local, HDFS, object stores), unlike an
+    ``os.path`` check."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def idempotent_append_stream(
     events: DataFrame,
     sink_path: str,
@@ -173,16 +183,23 @@ def idempotent_append_stream(
     micro-batch anti-joins the sink on the key before appending, so
     replays/overlapping inputs never double-insert (J6/S9 parity).
 
+    The sink-absent case is detected by an EXPLICIT existence probe,
+    not by catching read errors: a transient read failure or a
+    corrupted sink must propagate and fail the micro-batch (so the
+    trigger retries it) rather than silently skipping the anti-join
+    and double-inserting — the no-double-insert guarantee depends on
+    every successful batch having seen the real sink state.
+
     Returns the started StreamingQuery (availableNow trigger: drain
     what exists, then stop — the batch-job-shaped streaming run)."""
     keys = keys or ["event_id"]
 
     def append_batch(batch_df: DataFrame, _batch_id: int) -> None:
         spark = batch_df.sparkSession
-        try:
+        if _sink_exists(spark, sink_path):
             existing = spark.read.parquet(sink_path).select(*keys)
             fresh = batch_df.join(existing, keys, "left_anti")
-        except Exception:  # first batch: sink does not exist yet
+        else:  # first batch: sink does not exist yet
             fresh = batch_df
         # In-batch dup collapse, then append.
         fresh.dropDuplicates(keys).write.mode("append").parquet(sink_path)

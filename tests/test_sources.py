@@ -109,6 +109,23 @@ def test_read_csv_fallback_to_latin1(spark, tmp_path):
     assert got == {"José", "Renée"}  # latin-1 fallback decoded cleanly
 
 
+def test_read_csv_fallback_probe_is_bounded(spark, tmp_path):
+    """The encoding probe reads ``probe_rows`` rows, not the file: a
+    large file whose non-UTF-8 bytes sit in the FIRST rows must still
+    trigger the latin-1 fallback with a tiny probe — proving the
+    decision is made from the bounded prefix, never a full scan."""
+    from mpg_data_warehouse_spark.sources.readers import read_csv_with_fallback
+
+    p = str(tmp_path / "big_l1.csv")
+    with open(p, "w", encoding="latin-1") as f:
+        f.write("name\nJos\xe9\n")  # bad byte for UTF-8, row 1
+        for i in range(50_000):  # ASCII tail the probe must NOT need
+            f.write(f"row{i}\n")
+    df = read_csv_with_fallback(spark, p, probe_rows=10)
+    assert df.count() == 50_001
+    assert df.limit(1).collect()[0].name == "José"
+
+
 def test_read_csv_fallback_prefers_utf8(spark, tmp_path):
     from mpg_data_warehouse_spark.sources.readers import read_csv_with_fallback
 

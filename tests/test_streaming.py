@@ -118,6 +118,28 @@ def test_idempotent_append_stream_replay_adds_nothing(
     assert spark.read.parquet(sink).count() == n1
 
 
+def test_idempotent_append_corrupt_sink_fails_not_duplicates(
+    spark, events_dir, tmp_path
+):
+    """A sink that EXISTS but cannot be read must fail the micro-batch
+    (so the trigger retries), never silently skip the anti-join and
+    double-insert — the guarantee the explicit existence probe exists
+    to protect."""
+    import pyspark.errors
+
+    sink = str(tmp_path / "sink")
+    os.makedirs(sink)
+    with open(os.path.join(sink, "part-00000.parquet"), "w") as f:
+        f.write("this is not parquet")
+    q = S.idempotent_append_stream(
+        S.read_events_stream(spark, events_dir),
+        sink,
+        str(tmp_path / "ckpt"),
+    )
+    with pytest.raises(pyspark.errors.StreamingQueryException):
+        q.awaitTermination(180)
+
+
 def test_stateful_running_totals_matches_batch(spark, events_dir):
     """applyInPandasWithState accumulator: after draining the whole
     input, per-user totals must equal the batch groupBy."""
