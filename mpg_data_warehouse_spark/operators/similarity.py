@@ -169,10 +169,14 @@ def ivf_assign(
     cent_vec_col: str = "cent_vec",
 ) -> DataFrame:
     """Assign every corpus vector to its nearest centroid (max cosine,
-    centroid-id tiebreak): broadcast the small centroid set, rank, keep
-    rank 1. At 100 TB this is the partitioning pass of an IVF index —
-    one narrow stage; the output is typically written bucketed by
-    ``cell`` so probes become partition-pruned scans."""
+    centroid-id tiebreak): broadcast the small centroid set, argmax
+    per vector via ``max_by`` over a (cos, -cell) struct — a hash
+    aggregate with map-side partial combine, NOT a sort window: the
+    shuffle carries one pre-reduced row per vector per map partition
+    instead of sorting |corpus| × |centroids| rows. At 100 TB this is
+    the partitioning pass of an IVF index; the output is typically
+    written bucketed by ``cell`` so probes become partition-pruned
+    scans."""
     c = centroids.select(
         F.col(cent_id_col).alias("cell"), F.col(cent_vec_col).alias("cv")
     )
@@ -182,12 +186,61 @@ def ivf_assign(
         "cell",
         cosine(F.col(vec_col), F.col("cv")).alias("c_cos"),
     )
-    w = W.partitionBy(id_col).orderBy(F.col("c_cos").desc(), F.col("cell"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select(id_col, vec_col, "cell")
+    # max over (c_cos, -cell) == highest cosine, lowest cell id on ties
+    # — identical ordering to ORDER BY c_cos DESC, cell.
+    return scored.groupBy(id_col).agg(
+        F.first(vec_col).alias(vec_col),
+        F.max_by("cell", F.struct(F.col("c_cos"), -F.col("cell"))).alias("cell"),
     )
+
+
+def kmeans_refine_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 1,
+    decimals: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd refinement of the IVF centroids.
+
+    Seeds are the first ``n_centroids`` corpus rows by id (stateless,
+    any engine recomputes them); each iteration assigns every vector
+    to its nearest seed by cosine (``ivf_assign``) and replaces each
+    centroid with the member mean, component-wise, rounded to
+    ``decimals`` — rounding absorbs the accumulation-order drift
+    between engines so the oracle replays the refinement exactly
+    (same trick as ``embedding_centroids``). No RNG anywhere: the
+    result is a pure function of the corpus.
+
+    Plan shape per iteration: one broadcast-assign pass over the
+    corpus + one (cell, pos)-keyed hash-agg — the k-means|| shape. At
+    100 TB this runs as an offline index-build job whose output (a
+    |cells| × dim table, a few KB) is persisted and broadcast at
+    query time; it is NOT recomputed per query."""
+    cents = corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+    )
+    for _ in range(iters):
+        assigned = ivf_assign(corpus, cents, id_col, vec_col)
+        long = assigned.select(
+            "cell", F.posexplode(F.col(vec_col)).alias("pos", "v")
+        )
+        per_pos = long.groupBy("cell", "pos").agg(
+            F.round(F.avg("v"), decimals).alias("cv")
+        )
+        cents = per_pos.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda s: s["cv"],
+            ).alias("cent_vec")
+        ).select(F.col("cell").alias("cent_id"), "cent_vec")
+        # |cells| × dim rows — a few KB. Every downstream consumer
+        # (next iteration, cell assignment, probe selection) re-reads
+        # this subtree; caching it cuts the corpus re-scans that lazy
+        # recomputation would multiply in.
+        cents = cents.cache()
+    return cents
 
 
 def ivf_topk(
@@ -198,20 +251,30 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iters: int = 1,
 ) -> DataFrame:
     """IVF approximate top-k: corpus partitioned into ``n_centroids``
     cells by nearest centroid; each query probes its ``nprobe``
     nearest cells and scores only their members.
 
-    Centroids are the first ``n_centroids`` corpus rows by id —
-    deterministic and mirrorable in plain SQL (a k-means refinement
-    would drop in without changing the plan shape). Scale shape: the
-    candidate join is keyed on ``cell`` (shuffle or pruned bucket
-    scan), never a full corpus × queries cross product."""
-    centroids = (
-        corpus.filter(F.col(id_col) < n_centroids)
-        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
-    )
+    Centroids are the first ``n_centroids`` corpus rows by id,
+    improved by ``refine_iters`` deterministic Lloyd iterations
+    (``kmeans_refine_centroids``) — seed rows need not span the space
+    for recall to hold. Everything stays mirrorable in plain SQL.
+    Scale shape: the candidate join is keyed on ``cell`` (shuffle or
+    pruned bucket scan), never a full corpus × queries cross
+    product; the refinement is the offline index-build pass."""
+    if refine_iters > 0:
+        centroids = kmeans_refine_centroids(
+            corpus, n_centroids, refine_iters, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        centroids = (
+            corpus.filter(F.col(id_col) < n_centroids)
+            .select(
+                F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+            )
+        )
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
     cells = assigned.select(
         F.col(id_col).alias("neighbor_id"),

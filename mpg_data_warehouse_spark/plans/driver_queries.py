@@ -1786,9 +1786,11 @@ def text_tokens_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # IVF ANN (extension): corpus partitioned by nearest-centroid cell;
-# queries probe their nprobe nearest cells. Centroids are the first 16
-# corpus rows — deterministic, so the oracle replays cell assignment,
-# probe selection, and scoring exactly.
+# queries probe their nprobe nearest cells. Centroids seed from the
+# first 16 corpus rows, then one deterministic Lloyd iteration
+# (member-mean per cell, rounded — kmeans_refine_centroids); the
+# oracle replays seeding, refinement, cell assignment, probe
+# selection, and scoring exactly.
 # ---------------------------------------------------------------------------
 
 _COS = (
@@ -1804,9 +1806,33 @@ _COS = (
 @_q(
     "ivf_ann_topk",
     f"""
-    WITH cent AS (
+    WITH cent0 AS (
       SELECT vec_id AS cell, embedding AS cv FROM embeddings
       WHERE vec_id < 16
+    ),
+    assign0 AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, c.cell,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_COS.format(a="e.embedding", b="c.cv")} DESC, c.cell
+               ) AS rk
+        FROM embeddings e CROSS JOIN cent0 c
+      ) WHERE rk = 1
+    ),
+    cent_long AS (
+      SELECT cell,
+             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+             unnest(embedding) AS v
+      FROM assign0
+    ),
+    cent AS (
+      SELECT cell, list(cvp ORDER BY pos) AS cv
+      FROM (
+        SELECT cell, pos, round(avg(v), 5) AS cvp
+        FROM cent_long GROUP BY cell, pos
+      )
+      GROUP BY cell
     ),
     assigned AS (
       SELECT vec_id, embedding, cell FROM (
@@ -1848,7 +1874,12 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return ivf_topk(
-        emb, emb.filter(F.col("vec_id") < 5), k=10, n_centroids=16, nprobe=4
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=10,
+        n_centroids=16,
+        nprobe=4,
+        refine_iters=1,
     )
 
 
