@@ -1924,6 +1924,41 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "catalog_region_nations",
+    """
+    SELECT r.r_name AS region_name,
+           count(*) AS n_nations,
+           min(n.n_name) AS first_nation
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def catalog_region_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-database resolution through the contract (SURVEY §1.3:
+    BigQuery dataset → catalog DATABASE): the sf-dir is registered as
+    a database of EXTERNAL parquet tables (metadata only, no copy) and
+    the query resolves every input via ``spark.table("db.t")`` — no
+    temp views, no direct paths. The join itself broadcasts the 5-row
+    region dim."""
+    from mpg_data_warehouse_spark.sources.catalog import register_sf_database
+
+    db = register_sf_database(spark, sf_dir, tables=("nation", "region"))
+    nation = spark.table(f"{db}.nation")
+    region = spark.table(f"{db}.region")
+    return (
+        nation.join(
+            F.broadcast(region),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.min("n_name").alias("first_nation"),
+        )
+    )
+
+
+@_q(
     "streaming_user_totals",
     """
     SELECT user_id,

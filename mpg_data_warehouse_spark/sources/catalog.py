@@ -49,6 +49,101 @@ def list_tables(spark: SparkSession) -> list[str]:
     return sorted(t.name for t in spark.catalog.listTables())
 
 
+# ---------------------------------------------------------------------------
+# Catalog databases (SURVEY §1.3: the reference's BigQuery datasets —
+# `vegetation`, `grid_point_summaries`, ... — map to catalog
+# databases). Spark's catalog API is identical across backing stores:
+# in-memory per-session here; a Hive metastore / Unity / Glue catalog
+# on a production cluster persists the same objects across sessions
+# with no code change. Reference catalog ops:
+# src/investigate_gridveg_dates.py:180-192 (INFORMATION_SCHEMA.TABLES
+# listing), client.get_table(id).schema introspection.
+# ---------------------------------------------------------------------------
+
+
+def create_database(
+    spark: SparkSession, name: str, location: str | None = None
+) -> None:
+    """``CREATE DATABASE IF NOT EXISTS`` — the dataset namespace.
+
+    ``location`` pins the database directory explicitly; without it
+    Spark places it under ``spark.sql.warehouse.dir`` (cwd-relative
+    by default, so callers that can't control cwd should pass one).
+    """
+    loc = f" LOCATION '{location}'" if location else ""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {name}{loc}")
+
+
+def register_external_table(
+    spark: SparkSession, db: str, name: str, path: str
+) -> None:
+    """Register an existing parquet directory as a catalog table
+    (``USING parquet LOCATION ...`` — metadata only, zero data copy,
+    exactly how a 100 TB lake table enters the catalog). Re-pointing
+    an existing name at a new location drops and recreates the
+    metadata entry; the files are never touched."""
+    spark.sql(f"DROP TABLE IF EXISTS {db}.{name}")
+    spark.sql(
+        f"CREATE TABLE {db}.{name} USING parquet LOCATION '{path}'"
+    )
+
+
+def save_as_table(
+    df: DataFrame,
+    table: str,
+    mode: str = "overwrite",
+    path: str | None = None,
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """``saveAsTable`` round-trip: managed (data lives under the
+    warehouse dir, DROP TABLE deletes it) or, with ``path``, external
+    (catalog holds only metadata). ``spark.table(table)`` resolves it
+    afterwards — the engine's CREATE TABLE AS SELECT."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def describe_table_sql(spark: SparkSession, table: str) -> DataFrame:
+    """``DESCRIBE TABLE`` through SQL — (col_name, data_type, comment)
+    rows straight from catalog metadata, no data scan; the SQL-surface
+    twin of :func:`describe_table`."""
+    return spark.sql(f"DESCRIBE TABLE {table}")
+
+
+def register_sf_database(
+    spark: SparkSession,
+    sf_dir: str,
+    db: str | None = None,
+    tables: tuple[str, ...] = TESTDATA_TABLES,
+) -> str:
+    """Expose an sf-dir as a catalog DATABASE of external parquet
+    tables (vs :func:`register_sf_dir`'s session temp views). The
+    database name derives from the path (md5-suffixed) so different
+    scale factors coexist in one catalog; repeated calls are
+    idempotent. Returns the database name."""
+    import hashlib
+    import tempfile
+
+    if db is None:
+        digest = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        db = f"mpgdw_{digest}"
+    # Every table here is external (explicit LOCATION), so the db dir
+    # holds no data; pin it under tmp so the call never depends on a
+    # writable cwd-relative spark-warehouse.
+    create_database(
+        spark, db, os.path.join(tempfile.gettempdir(), "mpgdw_catalog", db)
+    )
+    for name in tables:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            register_external_table(spark, db, name, path)
+    return db
+
+
 def describe_table(spark: SparkSession, name: str) -> list[tuple[str, str, bool]]:
     """Reference S7 schema introspection: (name, type, nullable) per
     column, from catalog metadata — no data scan."""

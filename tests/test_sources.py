@@ -182,3 +182,39 @@ def test_write_clustered_files_have_disjoint_ranges(spark, tmp_path):
         assert hi1 <= lo2  # disjoint (touching at boundaries allowed)
     # row preservation
     assert spark.read.parquet(path).count() == li.count()
+
+
+def test_catalog_database_external_tables(spark):
+    """SURVEY §1.3: an sf-dir exposed as a catalog DATABASE of
+    external parquet tables — `spark.table("db.t")` resolves without
+    temp views, repeated registration is idempotent, and DESCRIBE
+    TABLE serves schema from metadata."""
+    db = C.register_sf_database(spark, SF, tables=("nation", "region"))
+    assert db == C.register_sf_database(spark, SF, tables=("nation", "region"))
+    assert {"nation", "region"} <= {
+        t.name for t in spark.catalog.listTables(db)
+    }
+    nation = spark.table(f"{db}.nation")
+    assert nation.count() == 25
+    desc = {
+        r.col_name: r.data_type
+        for r in C.describe_table_sql(spark, f"{db}.region").collect()
+    }
+    assert desc["r_regionkey"] == "int" and desc["r_name"] == "string"
+
+
+def test_save_as_table_round_trip(spark, tmp_path):
+    """saveAsTable → spark.table round-trip on an external path:
+    catalog holds metadata, data lands where we said, and overwrite
+    mode replaces content."""
+    C.create_database(spark, "ct_test", str(tmp_path / "db"))
+    src = spark.range(0, 100).withColumnRenamed("id", "k")
+    C.save_as_table(src, "ct_test.t1", path=str(tmp_path / "t1"))
+    assert spark.table("ct_test.t1").count() == 100
+    C.save_as_table(
+        spark.range(0, 7).withColumnRenamed("id", "k"), "ct_test.t1"
+    )
+    assert spark.table("ct_test.t1").count() == 7
+    assert os.path.exists(str(tmp_path / "t1"))
+    spark.sql("DROP TABLE ct_test.t1")
+    spark.sql("DROP DATABASE ct_test")
