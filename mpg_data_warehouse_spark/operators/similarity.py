@@ -50,12 +50,22 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k by cosine: broadcast queries × corpus, ranked per
     query with deterministic tie-break on neighbor id. Output:
-    (query_id, neighbor_id, cos_sim, rank). Self-matches excluded."""
+    (query_id, neighbor_id, cos_sim, rank). Self-matches excluded.
+
+    Norms are projected per SIDE ROW below the join (``q_norm``
+    materializes in the broadcast relation, ``c_norm`` in the stream
+    side's child project), so each candidate pair costs one array
+    fold (the dot), not three — same IEEE ops in the same order as
+    folding inline, so scores stay bit-identical to the oracle."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("q_norm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("c_norm"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -63,7 +73,11 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ).alias("cos_sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(
@@ -126,11 +140,13 @@ def lsh_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("c_norm"),
         lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
     )
     q_base = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("q_norm"),
         lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket0"),
     )
     probes = [F.col("bucket0")]
@@ -139,7 +155,10 @@ def lsh_topk(
             F.col("bucket0").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)
         ]
     q = q_base.select(
-        "query_id", "q_vec", F.explode(F.array(*probes)).alias("bucket")
+        "query_id",
+        "q_vec",
+        "q_norm",
+        F.explode(F.array(*probes)).alias("bucket"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
@@ -147,7 +166,11 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ).alias("cos_sim"),
         )
         .distinct()
     )
@@ -178,13 +201,26 @@ def ivf_assign(
     written bucketed by ``cell`` so probes become partition-pruned
     scans."""
     c = centroids.select(
-        F.col(cent_id_col).alias("cell"), F.col(cent_vec_col).alias("cv")
+        F.col(cent_id_col).alias("cell"),
+        F.col(cent_vec_col).alias("cv"),
+        l2_norm(F.col(cent_vec_col)).alias("cvn"),
     )
-    scored = corpus.crossJoin(F.broadcast(c)).select(
-        id_col,
-        vec_col,
-        "cell",
-        cosine(F.col(vec_col), F.col("cv")).alias("c_cos"),
+    # Corpus-row norm projected once below the join (vs once per
+    # centroid pair inside cosine()): per pair costs one fold.
+    scored = (
+        corpus.select(
+            id_col, vec_col, l2_norm(F.col(vec_col)).alias("vn")
+        )
+        .crossJoin(F.broadcast(c))
+        .select(
+            id_col,
+            vec_col,
+            "cell",
+            (
+                dot(F.col(vec_col), F.col("cv"))
+                / (F.col("vn") * F.col("cvn"))
+            ).alias("c_cos"),
+        )
     )
     # max over (c_cos, -cell) == highest cosine, lowest cell id on ties
     # — identical ordering to ORDER BY c_cos DESC, cell.
@@ -279,23 +315,34 @@ def ivf_topk(
     cells = assigned.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("c_norm"),
         "cell",
     )
 
     qc = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("q_norm"),
     ).crossJoin(
         F.broadcast(
-            centroids.select(F.col("cent_id").alias("cell"), F.col("cent_vec"))
+            centroids.select(
+                F.col("cent_id").alias("cell"),
+                F.col("cent_vec"),
+                l2_norm(F.col("cent_vec")).alias("cent_norm"),
+            )
         )
     )
     wq = W.partitionBy("query_id").orderBy(
-        cosine(F.col("q_vec"), F.col("cent_vec")).desc(), F.col("cell")
+        (
+            dot(F.col("q_vec"), F.col("cent_vec"))
+            / (F.col("q_norm") * F.col("cent_norm"))
+        ).desc(),
+        F.col("cell"),
     )
     probes = (
         qc.withColumn("prk", F.row_number().over(wq))
         .filter(F.col("prk") <= nprobe)
-        .select("query_id", "q_vec", "cell")
+        .select("query_id", "q_vec", "q_norm", "cell")
     )
 
     scored = (
@@ -304,7 +351,11 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ).alias("cos_sim"),
         )
         .distinct()
     )
@@ -344,15 +395,22 @@ def embedding_near_dup_pairs(
     b = df.select(
         F.col(id_col),
         F.col(vec_col),
+        l2_norm(F.col(vec_col)).alias("_norm"),
         lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
     ).withColumn(
         "_n", F.count(F.lit(1)).over(W.partitionBy("bucket"))
     ).filter(F.col("_n") <= max_bucket).drop("_n")
     a = b.select(
-        F.col("bucket"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+        F.col("bucket"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.col("_norm").alias("na"),
     )
     c = b.select(
-        F.col("bucket"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+        F.col("bucket"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("_norm").alias("nb"),
     )
     return (
         a.join(c, "bucket")
@@ -360,7 +418,10 @@ def embedding_near_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("cos_sim"),
         )
         .distinct()
         .filter(F.col("cos_sim") >= threshold)
