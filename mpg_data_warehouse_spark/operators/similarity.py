@@ -230,6 +230,63 @@ def ivf_assign(
     )
 
 
+def _py_l2_norm(vec: list[float]) -> float:
+    """Driver-side replica of ``l2_norm``'s sequential fold — same
+    IEEE ops in the same order (acc + xᵢ·xᵢ, then sqrt), so a norm
+    computed here is bit-identical to the in-plan column version."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def with_nearest_cell(
+    df: DataFrame,
+    cent_rows: list[tuple[int, list[float]]],
+    vec_col: str,
+    norm_col: str,
+) -> DataFrame:
+    """Append the nearest-centroid ``cell`` id with NO shuffle of
+    ``df``: the centroid set (a few KB — it MUST be small) rides in as
+    a ONE-ROW broadcast relation holding the whole matrix plus
+    parallel norm/cell arrays, and the argmax is ``array_max`` over
+    (cosine, -cell) structs — lexicographic struct ordering gives
+    highest cosine, lowest cell id on ties, the exact ordering
+    ``ivf_assign``'s ``max_by`` uses. The plan is a broadcast NLJ
+    against one row + a projection: at 100 TB the corpus is read once
+    and never moved, vs. the join-then-aggregate shape that shuffles
+    every vector per iteration. (A literal-array form would do the
+    same math, but PySpark expands list literals element-by-element —
+    |cells|×dim driver calls per query build; one Arrow-shipped row
+    is a single transfer and keeps the doubles bit-exact.)"""
+    spark = df.sparkSession
+    mat = [[float(x) for x in vec] for _, vec in cent_rows]
+    norms = [_py_l2_norm(vec) for _, vec in cent_rows]
+    neg_cells = [-int(cell) for cell, _ in cent_rows]
+    matrix = spark.createDataFrame(
+        [(mat, norms, neg_cells)],
+        "_cmat array<array<double>>, _cnorms array<double>, "
+        "_cnegs array<long>",
+    )
+    cands = F.transform(
+        F.col("_cmat"),
+        lambda cv, i: F.struct(
+            (
+                dot(F.col(vec_col), cv)
+                / (F.col(norm_col) * F.element_at(F.col("_cnorms"), i + 1))
+            ).alias("c_cos"),
+            F.element_at(F.col("_cnegs"), i + 1).alias("neg_cell"),
+        ),
+    )
+    return (
+        df.crossJoin(F.broadcast(matrix))
+        .withColumn("cell", -F.array_max(cands)["neg_cell"])
+        .drop("_cmat", "_cnorms", "_cnegs")
+    )
+
+
 def kmeans_refine_centroids(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -242,41 +299,65 @@ def kmeans_refine_centroids(
 
     Seeds are the first ``n_centroids`` corpus rows by id (stateless,
     any engine recomputes them); each iteration assigns every vector
-    to its nearest seed by cosine (``ivf_assign``) and replaces each
-    centroid with the member mean, component-wise, rounded to
-    ``decimals`` — rounding absorbs the accumulation-order drift
-    between engines so the oracle replays the refinement exactly
-    (same trick as ``embedding_centroids``). No RNG anywhere: the
-    result is a pure function of the corpus.
+    to its nearest centroid by cosine and replaces each centroid with
+    the member mean, component-wise, rounded to ``decimals`` —
+    rounding absorbs the accumulation-order drift between engines so
+    the oracle replays the refinement exactly (same trick as
+    ``embedding_centroids``). No RNG anywhere: the result is a pure
+    function of the corpus.
 
-    Plan shape per iteration: one broadcast-assign pass over the
-    corpus + one (cell, pos)-keyed hash-agg — the k-means|| shape. At
-    100 TB this runs as an offline index-build job whose output (a
-    |cells| × dim table, a few KB) is persisted and broadcast at
-    query time; it is NOT recomputed per query."""
-    cents = corpus.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+    Plan shape per iteration: the centroid table (|cells| × dim — a
+    few KB) is collected to the driver and re-inlined as a literal
+    (``nearest_cell_expr``), so assignment is a map-only projection
+    over the corpus, and the only shuffle is the (cell, pos)-keyed
+    partial-aggregated mean — the shape Spark MLlib's own k-means
+    uses (centroids live on the driver between iterations; bounded
+    scalar traffic, never corpus rows). The previous
+    join-then-``groupBy(id)`` shape shuffled every corpus VECTOR once
+    per iteration; this shuffles only per-partition partial sums."""
+    rows = _collect_centroid_rows(
+        corpus.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+        )
+    )
+    base = corpus.select(
+        F.col(vec_col), l2_norm(F.col(vec_col)).alias("_vn")
     )
     for _ in range(iters):
-        assigned = ivf_assign(corpus, cents, id_col, vec_col)
-        long = assigned.select(
-            "cell", F.posexplode(F.col(vec_col)).alias("pos", "v")
+        assigned = base.select(
+            nearest_cell_expr(rows, vec_col, "_vn"), F.col(vec_col)
         )
-        per_pos = long.groupBy("cell", "pos").agg(
-            F.round(F.avg("v"), decimals).alias("cv")
+        per_pos = (
+            assigned.select(
+                "cell", F.posexplode(F.col(vec_col)).alias("pos", "v")
+            )
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg("v"), decimals).alias("cv"))
         )
-        cents = per_pos.groupBy("cell").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
-                lambda s: s["cv"],
-            ).alias("cent_vec")
-        ).select(F.col("cell").alias("cent_id"), "cent_vec")
-        # |cells| × dim rows — a few KB. Every downstream consumer
-        # (next iteration, cell assignment, probe selection) re-reads
-        # this subtree; caching it cuts the corpus re-scans that lazy
-        # recomputation would multiply in.
-        cents = cents.cache()
-    return cents
+        acc: dict[int, dict[int, float]] = {}
+        for r in per_pos.collect():  # ≤ |cells| × dim rows, a few KB
+            acc.setdefault(r["cell"], {})[r["pos"]] = r["cv"]
+        rows = [
+            (cell, [pos_cv[p] for p in sorted(pos_cv)])
+            for cell, pos_cv in sorted(acc.items())
+        ]
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [(c, v) for c, v in rows], "cent_id long, cent_vec array<double>"
+    )
+
+
+def _collect_centroid_rows(
+    centroids: DataFrame,
+    cent_id_col: str = "cent_id",
+    cent_vec_col: str = "cent_vec",
+) -> list[tuple[int, list[float]]]:
+    """Centroid table → driver-side [(cell, vector), …] sorted by
+    cell. Bounded: centroid sets are |cells| × dim by construction."""
+    return sorted(
+        (r[cent_id_col], [float(x) for x in r[cent_vec_col]])
+        for r in centroids.collect()
+    )
 
 
 def ivf_topk(
@@ -311,13 +392,16 @@ def ivf_topk(
                 F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
             )
         )
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
-    cells = assigned.select(
+    # Cell assignment as a map-only literal expression (the centroid
+    # table is a few KB by construction): the corpus is scanned once
+    # and never shuffled — the 100 TB shape, where the index-build
+    # pass writes these cells out bucketed and probes prune on them.
+    cent_rows = _collect_centroid_rows(centroids)
+    cells = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         l2_norm(F.col(vec_col)).alias("c_norm"),
-        "cell",
-    )
+    ).withColumn("cell", nearest_cell_expr(cent_rows, "c_vec", "c_norm"))
 
     qc = queries.select(
         F.col(id_col).alias("query_id"),

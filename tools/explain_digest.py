@@ -1,0 +1,122 @@
+"""Per-query physical-plan digests: for every registry query, capture
+the executed plan, normalize away volatile tokens (expr ids, paths,
+stats), and emit EXPLAINS.md with operator counts + a stable plan
+hash. Round-over-round diffs of this file make perf regressions
+attributable to a specific plan change (VERDICT r1 item 7).
+
+Usage: python tools/explain_digest.py [sf_dir] [out_md]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from mpg_data_warehouse_spark.plans.driver_queries import QUERIES
+from mpg_data_warehouse_spark.session import get_spark
+
+# Operators whose counts form the digest row. Exchange is the shuffle
+# count; the join columns catch a broadcast silently degrading to SMJ;
+# the Python columns guard the zero-UDF policy.
+OPS = [
+    "Exchange",
+    "BroadcastHashJoin",
+    "SortMergeJoin",
+    "BroadcastNestedLoopJoin",
+    "CartesianProduct",
+    "HashAggregate",
+    "ObjectHashAggregate",
+    "SortAggregate",
+    "Window",
+    "WindowGroupLimit",
+    "MapInPandas",
+    "ArrowEvalPython",
+    "BatchEvalPython",
+    "Generate",
+]
+
+_VOLATILE = [
+    (re.compile(r"#\d+L?"), "#_"),          # expression ids
+    (re.compile(r"file:[^\s,\]]+"), "file:_"),  # scan paths
+    (re.compile(r"plan_id=\d+"), "plan_id=_"),
+    (re.compile(r"\[id=#?\d+\]"), "[id=_]"),
+    (re.compile(r"Statistics\([^)]*\)"), "Statistics(_)"),
+]
+
+
+def normalize(plan: str) -> str:
+    for pat, repl in _VOLATILE:
+        plan = pat.sub(repl, plan)
+    return plan
+
+
+def digest(plan: str) -> tuple[dict[str, int], str]:
+    norm = normalize(plan)
+    counts = {op: len(re.findall(rf"\b{op}\b", norm)) for op in OPS}
+    h = hashlib.sha256(norm.encode()).hexdigest()[:12]
+    return counts, h
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out = sys.argv[2] if len(sys.argv) > 2 else os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "EXPLAINS.md",
+    )
+    spark = get_spark("explain-digest")
+
+    shown = [op for op in OPS]
+    lines = [
+        "# EXPLAINS — physical-plan digests",
+        "",
+        f"Plans captured at `{sf_dir}` (plan *shape* is sf-invariant for",
+        "these queries; AQE may re-split at runtime). `hash` is a sha256",
+        "prefix of the normalized executed plan — a changed hash with an",
+        "unchanged operator row means expression-level drift only.",
+        "Regenerate: `python tools/explain_digest.py`.",
+        "",
+        "| query | " + " | ".join(
+            {"Exchange": "xchg", "BroadcastHashJoin": "bhj",
+             "SortMergeJoin": "smj", "BroadcastNestedLoopJoin": "bnlj",
+             "CartesianProduct": "cart", "HashAggregate": "hagg",
+             "ObjectHashAggregate": "ohagg", "SortAggregate": "sagg",
+             "Window": "win", "WindowGroupLimit": "wgl",
+             "MapInPandas": "mip", "ArrowEvalPython": "arrow",
+             "BatchEvalPython": "pyudf", "Generate": "gen"}[op]
+            for op in shown
+        ) + " | hash |",
+        "|---|" + "---|" * (len(shown) + 1),
+    ]
+
+    failures: list[str] = []
+    for name in sorted(QUERIES):
+        try:
+            df = QUERIES[name](spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # streaming-only or env-gated entries
+            failures.append(f"{name}: {type(exc).__name__}")
+            continue
+        counts, h = digest(plan)
+        lines.append(
+            f"| {name} | "
+            + " | ".join(str(counts[op]) for op in shown)
+            + f" | `{h}` |"
+        )
+
+    if failures:
+        lines += ["", "Not planable in batch mode:"] + [
+            f"- {f}" for f in failures
+        ]
+    lines.append("")
+    with open(out, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {out} ({len(QUERIES) - len(failures)} plans)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
