@@ -307,9 +307,10 @@ def kmeans_refine_centroids(
     function of the corpus.
 
     Plan shape per iteration: the centroid table (|cells| × dim — a
-    few KB) is collected to the driver and re-inlined as a literal
-    (``nearest_cell_expr``), so assignment is a map-only projection
-    over the corpus, and the only shuffle is the (cell, pos)-keyed
+    few KB) is collected to the driver and re-shipped as a one-row
+    broadcast (``with_nearest_cell``), so assignment is a map-only
+    projection over the corpus, and the only shuffle is the (cell,
+    pos)-keyed
     partial-aggregated mean — the shape Spark MLlib's own k-means
     uses (centroids live on the driver between iterations; bounded
     scalar traffic, never corpus rows). The previous
@@ -324,8 +325,8 @@ def kmeans_refine_centroids(
         F.col(vec_col), l2_norm(F.col(vec_col)).alias("_vn")
     )
     for _ in range(iters):
-        assigned = base.select(
-            nearest_cell_expr(rows, vec_col, "_vn"), F.col(vec_col)
+        assigned = with_nearest_cell(base, rows, vec_col, "_vn").select(
+            "cell", F.col(vec_col)
         )
         per_pos = (
             assigned.select(
@@ -397,11 +398,16 @@ def ivf_topk(
     # and never shuffled — the 100 TB shape, where the index-build
     # pass writes these cells out bucketed and probes prune on them.
     cent_rows = _collect_centroid_rows(centroids)
-    cells = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        l2_norm(F.col(vec_col)).alias("c_norm"),
-    ).withColumn("cell", nearest_cell_expr(cent_rows, "c_vec", "c_norm"))
+    cells = with_nearest_cell(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            l2_norm(F.col(vec_col)).alias("c_norm"),
+        ),
+        cent_rows,
+        "c_vec",
+        "c_norm",
+    )
 
     qc = queries.select(
         F.col(id_col).alias("query_id"),

@@ -35,6 +35,7 @@ from mpg_data_warehouse_spark.operators.sampling import (
     stratified_sample,
 )
 from mpg_data_warehouse_spark.operators.similarity import embedding_centroids
+from mpg_data_warehouse_spark.sources.readers import read_events
 from mpg_data_warehouse_spark.operators.text import (
     PII_PATTERN,
     redact,
@@ -64,18 +65,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events table with ``ts`` as a usable timestamp.
-
-    The driver's events.parquet stores TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; ``nanosAsLong`` (session conf, safe to
-    set at runtime) reads it as nanos-since-epoch, converted here to a
-    microsecond TIMESTAMP via integer division (exact — double math
-    would lose precision above 2^53 ns). Oracle queries must likewise
-    avoid emitting raw nanosecond timestamps.
-    """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = _t(spark, sf_dir, "events")
-    return ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    """events table with ``ts`` as a usable (UTC) TIMESTAMP, whatever
+    the physical parquet layout — see ``sources.readers.read_events``
+    for the dtype-branching contract (nanos-long, TIMESTAMP_NTZ, and
+    TIMESTAMP layouts all normalize to the same instants)."""
+    return read_events(spark, os.path.join(sf_dir, "events.parquet"))
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:

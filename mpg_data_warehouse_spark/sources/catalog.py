@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mpg_data_warehouse_spark.schemas import TESTDATA_TABLES
+from mpg_data_warehouse_spark.sources.readers import read_events
 
 
 def register_sf_dir(
@@ -31,12 +32,9 @@ def register_sf_dir(
         if not os.path.exists(path):
             continue
         if name == "events":
-            # TIMESTAMP(NANOS) parquet: read as long nanos, convert
-            # to a µs timestamp (exact integer division).
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            df = spark.read.parquet(path).withColumn(
-                "ts", F.expr("timestamp_micros(ts div 1000)")
-            )
+            # ts layout varies between driver generations; normalize
+            # to a UTC TIMESTAMP whatever the physical encoding.
+            df = read_events(spark, path)
         else:
             df = spark.read.parquet(path)
         df.createOrReplaceTempView(name)

@@ -99,6 +99,47 @@ def read_csv_with_fallback(
     raise ValueError(f"no encoding in {encodings} decodes {path}: {last}")
 
 
+def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to a UTC TIMESTAMP regardless of
+    the physical parquet layout it was read from.
+
+    The events table is externally owned and its ``ts`` layout has
+    varied (TIMESTAMP(NANOS) → INT64 nanos under the ``nanosAsLong``
+    legacy conf; timestamp[us] → TIMESTAMP_NTZ), so the engine applies
+    the same schema-verification discipline the reference uses on its
+    externally-owned inputs (notebooks/append_csv_to_bq.ipynb:316-323,
+    src/investigate_gridveg_dates.py:12-17): branch on the READ dtype,
+    never assume one layout.
+
+    - LongType (nanos-since-epoch) → exact integer division to µs then
+      ``timestamp_micros`` (double math would lose precision > 2^53 ns);
+    - TIMESTAMP_NTZ → cast to TIMESTAMP (identity on stored micros with
+      the session tz pinned UTC, matching DuckDB's ``epoch_us`` naive-
+      timestamp treatment);
+    - TIMESTAMP → pass through.
+    """
+    ts_type = df.schema[ts_col].dataType
+    if isinstance(ts_type, T.LongType):
+        return df.withColumn(
+            ts_col, F.expr(f"timestamp_micros({ts_col} div 1000)")
+        )
+    if isinstance(ts_type, T.TimestampNTZType):
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
+def read_events(spark: SparkSession, path: str) -> DataFrame:
+    """events-table scan with ``ts`` normalized to a UTC TIMESTAMP
+    (see ``normalize_event_ts``). Sets the ``nanosAsLong`` legacy conf
+    (runtime-safe) so TIMESTAMP(NANOS) files read as longs instead of
+    failing the vectorized reader, and pins the session timezone UTC so
+    the NTZ cast and downstream unix_micros/date_trunc agree with a
+    UTC-naive oracle."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return normalize_event_ts(spark.read.parquet(path))
+
+
 def read_table(spark: SparkSession, path_or_name: str) -> DataFrame:
     """Warehouse table scan (reference S4: ``SELECT * FROM t`` →
     client download). Here: a lazy parquet/Delta scan — projections

@@ -9,6 +9,7 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
+from mpg_data_warehouse_spark.sources.readers import read_events
 from mpg_data_warehouse_spark.streaming import events as S
 
 SF = "/root/testdata/sf0.001"
@@ -16,13 +17,12 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def events_dir(spark, tmp_path_factory):
-    """The driver's events table re-written with µs timestamps (the
-    raw parquet is TIMESTAMP(NANOS), unsupported by stream readers)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """The driver's events table re-written with a normalized µs
+    TIMESTAMP ``ts`` (the raw parquet layout varies by driver
+    generation and nanos is unsupported by stream readers)."""
     out = str(tmp_path_factory.mktemp("events_stream") / "src")
     (
-        spark.read.parquet(f"{SF}/events.parquet")
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        read_events(spark, f"{SF}/events.parquet")
         .repartition(4)  # several files → several stream splits
         .write.parquet(out)
     )
