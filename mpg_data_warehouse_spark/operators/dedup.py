@@ -397,6 +397,18 @@ def connected_components(
     Each round is one join + one aggregate (both on the id key); the
     driver only evaluates a scalar convergence count per round —
     no data ever collects to the driver.
+
+    Lineage discipline: iterative algorithms must TRUNCATE lineage,
+    not just cache — a cached plan still carries its full upstream
+    tree, so feeding (say) a MinHash banding pipeline in as ``pairs``
+    restacked the whole shingle→band→verify lineage once per round
+    and the analyzed plan grew to thousands of exchanges (the
+    optimizer/driver, not the data, became the bottleneck). The edge
+    list and every round's labels are therefore ``localCheckpoint``ed
+    (eager, lineage-cutting); each round's plan is one join + one agg
+    over two checkpointed tables, O(1) in round count. On a real
+    cluster set a reliable ``spark.sparkContext.setCheckpointDir`` and
+    swap for ``checkpoint()`` to survive executor loss.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -406,11 +418,11 @@ def connected_components(
             )
         )
         .distinct()
-        .cache()
+        .localCheckpoint()
     )
     labels = ids.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("component")
-    ).cache()
+    ).localCheckpoint()
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(
@@ -434,11 +446,9 @@ def connected_components(
                 ).alias("component"),
                 (F.col("n_min") < F.col("component")).alias("_changed"),
             )
-        ).cache()
+        ).localCheckpoint()
         n_changed = updated.filter(F.col("_changed")).count()
-        new_labels = updated.drop("_changed").cache()
-        labels.unpersist()
-        labels = new_labels
+        labels = updated.drop("_changed")
         if n_changed == 0:
             break
     return labels.select(F.col("node").alias(id_col), "component")
