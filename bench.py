@@ -24,7 +24,7 @@ from mpg_data_warehouse_spark.session import get_spark
 HEADLINE = [
     "ground_cover_pct_complete",
     "multi_way_join_enrich",
-    "anti_join_new_keys",
+    "membership_semi_anti",
     "date_repair_from_dim",
     "distinct_count_per_year",
     "string_agg_top3_dates",
@@ -32,7 +32,7 @@ HEADLINE = [
     "group_multiples_having",
     "functional_groups_detection_rate",
     "species_richness_union_dedup",
-    "dedup_exact",
+    "near_dup_retention",
     "minhash_near_dup_pairs",
     "ngram_jaccard_pairs",
     "simhash_near_dup_pairs",
@@ -41,14 +41,14 @@ HEADLINE = [
     "ann_cosine_topk",
     "lsh_ann_topk",
     "ivf_ann_topk",
-    "multimodal_decode_meta",
     "multimodal_frame_sample",
-    "events_hourly_rollup",
+    "events_multi_grain_rollup",
     "sessionize_events",
-    "asof_join_events",
-    "range_join_click_attribution",
+    "temporal_asof_range",
+    "user_value_windows",
     "profile_summary_stats",
     "text_tokens_fingerprint",
+    "pack_token_budget",
     "streaming_hourly_rollup",
 ]
 

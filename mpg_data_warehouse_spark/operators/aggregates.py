@@ -132,13 +132,24 @@ def group_quantiles(
     DuckDB oracle mirror: ``quantile_cont(v, p)`` (same type-7
     interpolation), rounded identically on both sides.
     """
-    aggs = [
+    return df.groupBy(*group_cols).agg(*quantile_aggs(value_col, probs, decimals))
+
+
+def quantile_aggs(
+    value_col: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    decimals: int = 4,
+) -> list:
+    """The aggregate expressions behind ``group_quantiles``, exposed so
+    composite profiling queries can fold them into ONE hash-agg pass
+    alongside other aggregates instead of re-scanning the fact table
+    per profiling family."""
+    return [
         F.round(F.percentile(F.col(value_col), F.lit(p)), decimals).alias(
             f"p{int(p * 100):02d}"
         )
         for p in probs
     ]
-    return df.groupBy(*group_cols).agg(*aggs)
 
 
 def pivot_counts(
@@ -183,12 +194,18 @@ def group_corr_stats(
     before building scaling/weighting heuristics. Single hash-agg
     (all four moments accumulate in one pass, partial-agg friendly);
     rounding bounds accumulation-order drift across engines."""
-    return df.groupBy(*group_cols).agg(
+    return df.groupBy(*group_cols).agg(*corr_aggs(x_col, y_col, decimals))
+
+
+def corr_aggs(x_col: str, y_col: str, decimals: int = 6) -> list:
+    """The aggregate expressions behind ``group_corr_stats`` — see
+    ``quantile_aggs`` for why they are exposed."""
+    return [
         F.round(F.corr(x_col, y_col), decimals).alias("corr_xy"),
         F.round(F.covar_samp(x_col, y_col), decimals).alias("covar_xy"),
         F.round(F.stddev_samp(x_col), decimals).alias("stddev_x"),
         F.round(F.stddev_samp(y_col), decimals).alias("stddev_y"),
-    )
+    ]
 
 
 def histogram_fixed(

@@ -76,12 +76,25 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents table spread across cores: the driver parquet is a
     single row-group (one scan task), so the tokenize/shingle/md5
     pipelines downstream would run single-threaded without this tiny
-    (~600 KB) repartition shuffle."""
-    return (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .repartition(16)
-    )
+    repartition shuffle.
+
+    The partition count is derived from the compressed file size
+    (~4 MB of parquet per partition — text compresses ~5×, so that is
+    ~20 MB in flight per task), floored at the session's scheduling
+    width and capped at 4× it; a corpus big enough to carry multiple
+    row groups splits at the scan and skips the shuffle entirely."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    try:
+        n_files = docs.rdd.getNumPartitions()
+        size = os.path.getsize(path)
+    except OSError:
+        return docs.repartition(spark.sparkContext.defaultParallelism)
+    width = spark.sparkContext.defaultParallelism
+    if n_files >= width:
+        return docs
+    target = max(width, min(4 * width, 1 + size // (4 << 20)))
+    return docs.repartition(int(target))
 
 
 # ---------------------------------------------------------------------------
@@ -194,54 +207,65 @@ def ingest_transform_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- J6: the signature anti-join (new-minus-existing) ---
+# --- J6 signature anti-join + P9/J9 semi-join membership as one
+# tagged union (registry-consolidated from anti_join_new_keys +
+# semi_join_existing). Each branch keeps its original tables and join
+# direction; the union is plan-level only. ---
 
 
 @_q(
-    "anti_join_new_keys",
+    "membership_semi_anti",
     """
-    SELECT c.c_custkey, c.c_name
+    SELECT 'new_key' AS membership, c.c_custkey AS entity_key,
+           c.c_name AS entity_name
     FROM customer c
     WHERE NOT EXISTS (
       SELECT 1 FROM orders o
       WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) < 1996
     )
-    """,
-)
-def anti_join_new_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The J6 signature ingest op: batch (customers) minus the keys
-    the warehouse already has (pre-1996 order activity plays the
-    existing table — the full orders set covers every customer at
-    sf0.01, which would make the anti-join vacuously empty and the
-    check worthless)."""
-    customer = _t(spark, sf_dir, "customer")
-    existing = _t(spark, sf_dir, "orders").filter(
-        F.year("o_orderdate") < 1996
-    )
-    return customer.join(
-        existing, customer.c_custkey == existing.o_custkey, "left_anti"
-    ).select("c_custkey", "c_name")
-
-
-# --- P9/J9: semi-join membership ---
-
-
-@_q(
-    "semi_join_existing",
-    """
-    SELECT p.p_partkey, p.p_name
+    UNION ALL
+    SELECT 'existing' AS membership, p.p_partkey AS entity_key,
+           p.p_name AS entity_name
     FROM part p
     WHERE EXISTS (
       SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey
     )
     """,
 )
-def semi_join_existing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def membership_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti branch is the J6 signature ingest op: batch (customers)
+    minus the keys the warehouse already has (pre-1996 order activity
+    plays the existing table — the full orders set covers every
+    customer at sf0.01, which would make the anti-join vacuously
+    empty and the check worthless). Semi branch is the P9/J9
+    membership probe (parts with lineitem activity)."""
+    customer = _t(spark, sf_dir, "customer")
+    existing = _t(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") < 1996
+    )
+    new_keys = (
+        customer.join(
+            existing, customer.c_custkey == existing.o_custkey, "left_anti"
+        )
+        .select(
+            F.lit("new_key").alias("membership"),
+            F.col("c_custkey").alias("entity_key"),
+            F.col("c_name").alias("entity_name"),
+        )
+    )
     part = _t(spark, sf_dir, "part")
     lineitem = _t(spark, sf_dir, "lineitem")
-    return part.join(
-        lineitem, part.p_partkey == lineitem.l_partkey, "left_semi"
-    ).select("p_partkey", "p_name")
+    in_lineitem = (
+        part.join(
+            lineitem, part.p_partkey == lineitem.l_partkey, "left_semi"
+        )
+        .select(
+            F.lit("existing").alias("membership"),
+            F.col("p_partkey").alias("entity_key"),
+            F.col("p_name").alias("entity_name"),
+        )
+    )
+    return new_keys.unionByName(in_lineitem)
 
 
 # --- J2/J3: multi-way left-join enrichment (broadcast dims) ---
@@ -328,25 +352,47 @@ def distinct_count_per_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- A5: conditional counts (COUNTIF) ---
+# --- A5 conditional counts + A9 quantile profile + bivariate moments
+# in ONE hash-agg pass (registry-consolidated: previously three
+# separate contract queries — conditional_counts,
+# quantile_profile_lineitem, corr_profile_lineitem — each re-scanned
+# lineitem; at 100 TB one fact scan feeding one partial-aggregated
+# shuffle is the only acceptable plan for a profiling report). The
+# aggregate expression lists come from the same operators
+# (aggregates.quantile_aggs / corr_aggs = group_quantiles /
+# group_corr_stats). ---
 
 
 @_q(
-    "conditional_counts",
+    "lineitem_flag_profile",
     """
     SELECT l_returnflag,
            count(*) FILTER (WHERE l_discount > 0.05) AS n_high_discount,
            count(*) FILTER (WHERE l_tax = 0)         AS n_no_tax,
-           count(*) AS n_rows
+           count(*) AS n_rows,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_xy,
+           round(covar_samp(l_quantity, l_extendedprice), 6) AS covar_xy,
+           round(stddev_samp(l_quantity), 6) AS stddev_x,
+           round(stddev_samp(l_extendedprice), 6) AS stddev_y
     FROM lineitem GROUP BY l_returnflag
     """,
 )
-def conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lineitem_flag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mpg_data_warehouse_spark.operators.aggregates import (
+        corr_aggs,
+        quantile_aggs,
+    )
+
     lineitem = _t(spark, sf_dir, "lineitem")
     return lineitem.groupBy("l_returnflag").agg(
         F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_high_discount"),
         F.count(F.when(F.col("l_tax") == 0, 1)).alias("n_no_tax"),
         F.count(F.lit(1)).alias("n_rows"),
+        *quantile_aggs("l_extendedprice"),
+        *corr_aggs("l_quantity", "l_extendedprice"),
     )
 
 
@@ -400,14 +446,18 @@ def distinct_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              PARTITION BY CASE WHEN value >= 100 THEN 'high'
                                WHEN value >= 50  THEN 'mid'
                                ELSE 'low' END
-           ) AS category_count
+           ) AS category_count,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
     FROM events
     """,
 )
 def window_partition_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's only window function (W1:
     COUNT(*) OVER (PARTITION BY CASE ...),
-    src/analyze_gridveg_dates_pattern.py:73-79)."""
+    src/analyze_gridveg_dates_pattern.py:73-79), plus the JSON scalar
+    extraction from the props column (SURVEY §2.8 extension surface;
+    registry-consolidated from json_extract_props — same event grain,
+    one extra narrow projection on the same scan)."""
     events = _events(spark, sf_dir)
     category = (
         F.when(F.col("value") >= 100, "high")
@@ -421,6 +471,7 @@ def window_partition_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1))
         .over(W.partitionBy("category"))
         .alias("category_count"),
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
     )
 
 
@@ -559,46 +610,115 @@ def regex_sentinel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
-# --- A10/F2: frequency tables over date components ---
+# --- A10/F2 frequency tables: date-component value counts AND a
+# fixed-width numeric histogram as one tagged union (registry-
+# consolidated from value_counts_by_month + histogram_extendedprice).
+# Each branch is its own scan + one tiny post-combine shuffle; the
+# union is plan-level only (no extra exchange). ---
 
 
 @_q(
-    "value_counts_by_month",
+    "frequency_tables",
     """
-    SELECT CAST(year(o_orderdate) AS BIGINT)  AS year,
-           CAST(month(o_orderdate) AS BIGINT) AS month,
+    SELECT 'month' AS kind,
+           CAST(year(o_orderdate) AS BIGINT)  AS k1,
+           CAST(month(o_orderdate) AS BIGINT) AS k2,
            count(*) AS n
     FROM orders GROUP BY year(o_orderdate), month(o_orderdate)
+    UNION ALL
+    SELECT 'price_bucket' AS kind,
+           CAST(least(floor(l_extendedprice / 5000.0), 20) AS BIGINT) AS k1,
+           CAST(NULL AS BIGINT) AS k2,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY 2
     """,
 )
-def value_counts_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+def frequency_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mpg_data_warehouse_spark.operators.aggregates import histogram_fixed
+
     orders = _t(spark, sf_dir, "orders")
-    return orders.groupBy(
-        F.year("o_orderdate").cast("long").alias("year"),
-        F.month("o_orderdate").cast("long").alias("month"),
-    ).agg(F.count(F.lit(1)).alias("n"))
+    months = (
+        orders.groupBy(
+            F.year("o_orderdate").cast("long").alias("k1"),
+            F.month("o_orderdate").cast("long").alias("k2"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("month").alias("kind"), "k1", "k2", "n")
+    )
+    lineitem = _t(spark, sf_dir, "lineitem")
+    hist = histogram_fixed(lineitem, "l_extendedprice", 5000.0, 20).select(
+        F.lit("price_bucket").alias("kind"),
+        F.col("bucket").alias("k1"),
+        F.lit(None).cast("long").alias("k2"),
+        "n",
+    )
+    return months.unionByName(hist)
 
 
 # --- O1-O3: deterministic top-k ---
 
 
 @_q(
-    "top_k_orders",
+    "topk_orders_scoped",
     """
-    SELECT o_orderkey, o_totalprice, o_orderpriority
-    FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey
-    LIMIT 10
+    SELECT 'all' AS scope, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_orderkey, o_totalprice,
+             row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    )
+    WHERE rn <= 10
+    UNION ALL
+    SELECT o_orderpriority AS scope, CAST(rn AS BIGINT) AS rn,
+           o_orderkey, o_totalprice
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey
+             ) AS rn
+      FROM orders
+    )
+    WHERE rn <= 5
     """,
 )
-def top_k_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ORDER BY + LIMIT plans as TakeOrderedAndProject — no global
-    sort materialization (reference O3). Tie-broken on the key so the
-    row set is engine-independent."""
+def topk_orders_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1-O3 global top-k + per-group ranking window in one tagged
+    union (registry-consolidated from top_k_orders +
+    topk_orders_per_priority). The global branch plans as
+    TakeOrderedAndProject — no global sort materialization; its rank
+    comes from a window over the already-limited 10-row single
+    partition (trivial by construction). The per-group branch is a
+    row_number window with WindowGroupLimit pruning to 5 rows per
+    group map-side before its exchange. Ties broken on the key so
+    both row sets are engine-independent."""
     orders = _t(spark, sf_dir, "orders")
-    return orders.orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
-    ).limit(10).select("o_orderkey", "o_totalprice", "o_orderpriority")
+    glob = (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select(
+            F.lit("all").alias("scope"),
+            F.row_number()
+            .over(W.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")))
+            .cast("long")
+            .alias("rn"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+    )
+    per_group = topk_per_group(
+        orders,
+        partition_by=["o_orderpriority"],
+        order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=5,
+    ).select(
+        F.col("o_orderpriority").alias("scope"),
+        F.col("rn").cast("long").alias("rn"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    return glob.unionByName(per_group)
 
 
 # ===========================================================================
@@ -637,76 +757,39 @@ _LANG_SCORES_SQL = """
                 WHEN s_es >= s_fr THEN 'es'
                 ELSE 'fr' END AS lang_pred,
            md5(array_to_string(list_sort(list_distinct(toks)), ' '))
-             AS fingerprint
+             AS fingerprint,
+           round((CAST(len(toks) >= 10 AND len(toks) <= 100000 AS INT)
+                + CAST(CAST(len(list_filter(toks, x -> x IN {_STOP_SQL}))
+                            AS DOUBLE) / len(toks) > 0.01 AS INT)
+                + CAST((CAST(length(text) - len(toks) + 1 AS DOUBLE)
+                        / len(toks)) >= 2.0
+                       AND (CAST(length(text) - len(toks) + 1 AS DOUBLE)
+                            / len(toks)) <= 12.0 AS INT)
+                 ) / 3.0, 4) AS quality_score
     FROM scored
     """,
 )
 def text_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: token count, stopword ratio, language-ID
-    heuristic, order-insensitive content fingerprint — all JVM-side
-    column math (operators.text), one narrow map stage."""
+    heuristic, order-insensitive content fingerprint, and the
+    composite quality score (registry-consolidated from
+    quality_score_docs — same doc grain, tokenized ONCE and shared
+    across every metric) — all JVM-side column math (operators.text),
+    one narrow map stage."""
     from mpg_data_warehouse_spark.operators import text as X
 
     docs = _t(spark, sf_dir, "documents")
-    toked = docs.select("doc_id", X.tokens("text").alias("_toks"))
+    toked = docs.select("doc_id", "text", X.tokens("text").alias("_toks"))
     return toked.select(
         "doc_id",
         F.size("_toks").cast("long").alias("n_tokens"),
         X.stopword_ratio_from(F.col("_toks")).alias("stopword_ratio"),
         X.lang_id_from(F.col("_toks")).alias("lang_pred"),
         X.doc_fingerprint_from(F.col("_toks")).alias("fingerprint"),
+        X.quality_score_from(F.col("text"), F.col("_toks")).alias(
+            "quality_score"
+        ),
     )
-
-
-@_q(
-    "quality_score_docs",
-    """
-    WITH t AS (
-      SELECT doc_id, text,
-             regexp_split_to_array(trim(text), '\\s+') AS toks
-      FROM documents
-    ),
-    m AS (
-      SELECT doc_id,
-             len(toks) AS n_tok,
-             CAST(length(text) - len(toks) + 1 AS DOUBLE) / len(toks)
-               AS mean_tok_len,
-             CAST(len(list_filter(toks,
-                  x -> x IN ('the','a','and','of','to','in','is'))) AS DOUBLE)
-               / len(toks) AS stop_ratio
-      FROM t
-    )
-    SELECT doc_id,
-           round((CAST(n_tok >= 10 AND n_tok <= 100000 AS INT)
-                + CAST(stop_ratio > 0.01 AS INT)
-                + CAST(mean_tok_len >= 2.0 AND mean_tok_len <= 12.0 AS INT)
-                 ) / 3.0, 4) AS quality_score
-    FROM m
-    """,
-)
-def quality_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mpg_data_warehouse_spark.operators.text import quality_score
-
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", quality_score("text").alias("quality_score"))
-
-
-@_q(
-    "dedup_exact",
-    """
-    SELECT md5(text) AS content_hash,
-           min(doc_id) AS doc_id,
-           count(*) AS n_copies
-    FROM documents
-    GROUP BY md5(text)
-    """,
-)
-def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: hash-groupBy on content (one shuffle, map-side
-    partial agg; operators.dedup.exact_dedup)."""
-    from mpg_data_warehouse_spark.operators.dedup import exact_dedup
-
-    return exact_dedup(_t(spark, sf_dir, "documents"))
 
 
 # MinHash+LSH near-dup. The synthetic corpus has no organic near-dups,
@@ -736,17 +819,15 @@ _MINHASH_BANDS = " ".join(
 
 # Shared CTE chain: perturbed corpus → shingles → signatures → bands →
 # candidates → exact-Jaccard scores. Used by the pair query and by the
-# retention (connected-components) query.
-_MINHASH_CTES = f"""base AS (
-      SELECT doc_id, text FROM documents
-      UNION ALL
-      SELECT doc_id + 1000000 AS doc_id,
+# retention (connected-components) query; the latter supplies its own
+# ``base`` (exact-dedup survivors), so base and body are separate.
+_MINHASH_PERTURBED = """SELECT doc_id + 1000000 AS doc_id,
              array_to_string(
                list_slice(regexp_split_to_array(trim(text), '\\s+'),
                           3, 100000), ' ') AS text
-      FROM documents WHERE doc_id % 10 = 0
-    ),
-    toks AS (
+      FROM documents WHERE doc_id % 10 = 0"""
+
+_MINHASH_BODY = f"""toks AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
       FROM base
     ),
@@ -798,6 +879,16 @@ _MINHASH_CTES = f"""base AS (
       JOIN sizes za ON za.doc_id = c.id_a
       JOIN sizes zb ON zb.doc_id = c.id_b
     )"""
+
+_MINHASH_CTES = (
+    f"""base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      {_MINHASH_PERTURBED}
+    ),
+    """
+    + _MINHASH_BODY
+)
 
 
 @_q(
@@ -1021,52 +1112,6 @@ def lsh_ann_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
     )
     return lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, dim=64)
-
-
-@_q(
-    "json_extract_props",
-    """
-    SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
-    FROM events
-    """,
-)
-def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON scalar extraction from the events.props string column
-    (SURVEY §2.8 extension surface)."""
-    events = _events(spark, sf_dir)
-    return events.select(
-        "event_id",
-        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
-    )
-
-
-@_q(
-    "events_hourly_rollup",
-    """
-    SELECT CAST(CAST(date_trunc('hour', ts) AS TIMESTAMP) AS VARCHAR)
-             AS hour_ts,
-           event_type,
-           count(*) AS n_events,
-           round(sum(value), 2) AS sum_value,
-           count(DISTINCT user_id) AS n_users
-    FROM events
-    GROUP BY date_trunc('hour', ts), event_type
-    """,
-)
-def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling-window rollup in batch form (the Structured Streaming
-    module runs the same plan shape incrementally with a watermark —
-    streaming/events.py)."""
-    events = _events(spark, sf_dir)
-    return events.groupBy(
-        F.date_trunc("hour", "ts").cast("string").alias("hour_ts"),
-        "event_type",
-    ).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
-        F.countDistinct("user_id").alias("n_users"),
-    )
 
 
 @_q(
@@ -1443,32 +1488,14 @@ def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "multimodal_decode_meta",
-    """
-    SELECT doc_id,
-           CAST(64 + (doc_id % 8) * 32 AS INTEGER) AS width,
-           CAST(48 + (doc_id % 6) * 32 AS INTEGER) AS height,
-           CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-                ELSE 'webp' END AS format,
-           n_chars % 256 AS body_len
-    FROM documents
-    """,
-)
-def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mpg_data_warehouse_spark.operators.multimodal import (
-        attach_fake_image,
-        decode_image_meta,
-    )
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    return decode_image_meta(attach_fake_image(docs))
-
-
-@_q(
     "multimodal_frame_sample",
     """
     WITH meta AS (
       SELECT doc_id,
+             CAST(64 + (doc_id % 8) * 32 AS INTEGER) AS width,
+             CAST(48 + (doc_id % 6) * 32 AS INTEGER) AS height,
+             CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                  ELSE 'webp' END AS format,
              length('IMG1|' || CAST(64 + (doc_id % 8) * 32 AS VARCHAR)
                     || '|' || CAST(48 + (doc_id % 6) * 32 AS VARCHAR)
                     || '|' || (CASE doc_id % 3 WHEN 0 THEN 'png'
@@ -1481,24 +1508,39 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                      THEN payload_len // 4
                      ELSE least(payload_len // 4,
                                 payload_len - 3 * (payload_len // 4))
-                END AS BIGINT) AS frame_bytes
+                END AS BIGINT) AS frame_bytes,
+           m.width, m.height, m.format
     FROM meta m
     CROSS JOIN (SELECT unnest([0,1,2,3]) AS frame_idx) k
     """,
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1→N fan-out through mapInPandas: each payload yields 4 frame
-    slices; the oracle recomputes each slice's byte length from the
-    container arithmetic (last frame may be short)."""
+    """1→N fan-out through mapInPandas (each payload yields 4 frame
+    slices) joined with the Arrow-batched header decode (registry-
+    consolidated from multimodal_decode_meta): per-frame byte lengths
+    plus the decoded typed metadata, co-keyed on doc_id so the join
+    shuffles only the tiny metadata relation alongside the frames.
+    The oracle recomputes both the slice arithmetic (last frame may
+    be short) and the header fields from the source table."""
     from mpg_data_warehouse_spark.operators.multimodal import (
         attach_fake_image,
+        decode_image_meta,
         sample_frames,
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    frames = sample_frames(attach_fake_image(docs), n_frames=4)
-    return frames.select(
-        "doc_id", "frame_idx", F.length("frame").cast("long").alias("frame_bytes")
+    with_img = attach_fake_image(docs)
+    frames = sample_frames(with_img, n_frames=4)
+    meta = decode_image_meta(with_img).select(
+        "doc_id", "width", "height", "format"
+    )
+    return frames.join(meta, "doc_id").select(
+        "doc_id",
+        "frame_idx",
+        F.length("frame").cast("long").alias("frame_bytes"),
+        "width",
+        "height",
+        "format",
     )
 
 
@@ -1513,7 +1555,19 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "near_dup_retention",
     f"""
-    WITH RECURSIVE {_MINHASH_CTES},
+    WITH RECURSIVE raw AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      {_MINHASH_PERTURBED}
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text
+      FROM documents WHERE doc_id % 17 = 0
+    ),
+    base AS (
+      SELECT min(doc_id) AS doc_id, min(text) AS text
+      FROM raw GROUP BY md5(text)
+    ),
+    {_MINHASH_BODY},
     pairs AS (
       SELECT id_a, id_b FROM scored WHERE jaccard >= 0.5
     ),
@@ -1537,8 +1591,19 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def near_dup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keep-one-per-cluster dedup over the MinHash pair graph."""
+    """The full curation dedup pipeline (registry-consolidated from
+    dedup_exact + the near-dup retention capstone): exact hash-groupBy
+    dedup FIRST (one cheap shuffle removes verbatim copies — every
+    17th doc is re-injected verbatim under id+2,000,000 to make the
+    pass observable), then MinHash pair generation and
+    keep-one-per-cluster retention over the survivors. Running the
+    exact pass before shingling is the production ordering: at 100 TB
+    verbatim copies are the bulk of dup mass and must never reach the
+    (far costlier) shingle/band stage. If the exact pass leaked a
+    copy, MinHash would see jaccard-1.0 pairs and the retained set —
+    hence the hash — would shift."""
     from mpg_data_warehouse_spark.operators.dedup import (
+        exact_dedup,
         minhash_dedup_pairs,
         retain_representatives,
     )
@@ -1549,7 +1614,12 @@ def near_dup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat_ws(" ", F.slice(tokens("text"), 3, 100000)).alias("text"),
     )
-    base = docs.unionByName(perturbed)
+    copies = docs.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+    )
+    raw = docs.unionByName(perturbed).unionByName(copies)
+    keep = exact_dedup(raw).select("doc_id")
+    base = raw.join(keep, "doc_id", "left_semi")
     pairs = minhash_dedup_pairs(
         base, num_hashes=8, bands=4, shingle_n=3, threshold=0.5
     )
@@ -1565,85 +1635,94 @@ def near_dup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "asof_join_events",
+    "temporal_asof_range",
     """
     WITH clicks AS (
       SELECT event_id, user_id, epoch_us(ts) AS us FROM events
       WHERE event_type = 'click'
     ),
     purchases AS (
-      SELECT user_id, epoch_us(ts) AS us, value FROM events
+      SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events
       WHERE event_type = 'purchase'
-    )
-    SELECT c.event_id, c.user_id,
-           round(p.value, 2) AS asof_value
+    ),
+    iv AS (
+      SELECT event_id AS purchase_id,
+             us // 3600000000 - 6 AS lo_h,
+             us // 3600000000 + 6 AS hi_h
+      FROM purchases
+    ),
+    pts AS (SELECT event_id, us // 3600000000 AS ev_h FROM clicks)
+    SELECT 'asof' AS kind, c.event_id AS id_a, c.user_id AS id_b,
+           round(p.value, 2) AS metric
     FROM clicks c
     ASOF LEFT JOIN purchases p
       ON c.user_id = p.user_id AND c.us >= p.us
+    UNION ALL
+    SELECT 'range' AS kind, i.purchase_id AS id_a,
+           CAST(NULL AS BIGINT) AS id_b,
+           CAST(count(*) AS DOUBLE) AS metric
+    FROM pts p JOIN iv i
+      ON p.ev_h >= i.lo_h AND p.ev_h <= i.hi_h
+    GROUP BY i.purchase_id
     """,
 )
-def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Each click annotated with the value of the user's most recent
-    prior (or simultaneous) purchase."""
-    from mpg_data_warehouse_spark.operators.temporal import asof_join
+def temporal_asof_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two temporal joins Spark lacks natively, as one tagged
+    union (registry-consolidated from asof_join_events +
+    range_join_click_attribution; each branch keeps its own plan).
+
+    asof branch: each click annotated with the value of the user's
+    most recent prior (or simultaneous) purchase — union-sort trick,
+    one shuffle on the key. range branch: clicks inside each
+    purchase's ±6-hour attribution window — point-in-interval join
+    via bin equi-join (bin = window width, so each interval lands in
+    ≤ 2 bins), never a nested-loop non-equi join. DuckDB mirrors with
+    native ASOF JOIN and a plain inequality join respectively."""
+    from mpg_data_warehouse_spark.operators.temporal import (
+        asof_join,
+        range_join_binned,
+    )
 
     ev = _events(spark, sf_dir).withColumn("us", F.unix_micros("ts"))
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "us"
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "us", "value"
+        "event_id", "user_id", "us", "value"
     )
-    out = asof_join(
-        clicks, purchases, key="user_id", left_ts="us", right_ts="us",
+    asof = asof_join(
+        clicks,
+        purchases.select("user_id", "us", "value"),
+        key="user_id",
+        left_ts="us",
+        right_ts="us",
         right_cols=["value"],
+    ).select(
+        F.lit("asof").alias("kind"),
+        F.col("event_id").alias("id_a"),
+        F.col("user_id").alias("id_b"),
+        F.round("asof_value", 2).alias("metric"),
     )
-    return out.select(
-        "event_id", "user_id", F.round("asof_value", 2).alias("asof_value")
-    )
-
-
-@_q(
-    "range_join_click_attribution",
-    """
-    WITH iv AS (
-      SELECT event_id AS purchase_id,
-             epoch_us(ts) // 3600000000 - 6 AS lo_h,
-             epoch_us(ts) // 3600000000 + 6 AS hi_h
-      FROM events WHERE event_type = 'purchase'
-    ),
-    pts AS (
-      SELECT event_id,
-             epoch_us(ts) // 3600000000 AS ev_h
-      FROM events WHERE event_type = 'click'
-    )
-    SELECT i.purchase_id, count(*) AS n_clicks_near
-    FROM pts p JOIN iv i
-      ON p.ev_h >= i.lo_h AND p.ev_h <= i.hi_h
-    GROUP BY i.purchase_id
-    """,
-)
-def range_join_click_attribution(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Clicks inside each purchase's ±6-hour attribution window — the
-    point-in-interval join via bin equi-join (bin = window width, so
-    each interval lands in ≤ 2 bins)."""
-    from mpg_data_warehouse_spark.operators.temporal import range_join_binned
-
-    ev = _events(spark, sf_dir).withColumn(
-        "ev_h", F.expr("unix_micros(ts) div 3600000000")
-    )
-    iv = ev.filter(F.col("event_type") == "purchase").select(
+    iv = purchases.select(
         F.col("event_id").alias("purchase_id"),
-        (F.col("ev_h") - 6).alias("lo_h"),
-        (F.col("ev_h") + 6).alias("hi_h"),
+        (F.expr("us div 3600000000") - 6).alias("lo_h"),
+        (F.expr("us div 3600000000") + 6).alias("hi_h"),
     )
-    pts = ev.filter(F.col("event_type") == "click").select("event_id", "ev_h")
-    joined = range_join_binned(pts, iv, "ev_h", "lo_h", "hi_h", bin_width=12)
-    return joined.groupBy("purchase_id").agg(
-        F.count(F.lit(1)).alias("n_clicks_near")
+    pts = clicks.select(
+        "event_id", F.expr("us div 3600000000").alias("ev_h")
     )
+    ranged = (
+        range_join_binned(pts, iv, "ev_h", "lo_h", "hi_h", bin_width=12)
+        .groupBy("purchase_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks_near"))
+        .select(
+            F.lit("range").alias("kind"),
+            F.col("purchase_id").alias("id_a"),
+            F.lit(None).cast("long").alias("id_b"),
+            F.col("n_clicks_near").cast("double").alias("metric"),
+        )
+    )
+    return asof.unionByName(ranged)
 
 
 # ---------------------------------------------------------------------------
@@ -1664,7 +1743,8 @@ def range_join_click_attribution(
            event_type,
            CAST(grouping(date_trunc('hour', ts)) AS BIGINT) AS is_day_grain,
            count(*) AS n_events,
-           round(sum(value), 2) AS sum_value
+           round(sum(value), 2) AS sum_value,
+           count(DISTINCT user_id) AS n_users
     FROM events
     GROUP BY GROUPING SETS (
       (date_trunc('hour', ts), date_trunc('day', ts), event_type),
@@ -1673,11 +1753,16 @@ def range_join_click_attribution(
     """,
 )
 def events_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry-consolidated: subsumes the former events_hourly_rollup
+    (its hour grain is this query's hour grouping set, now including
+    the per-grain user count-distinct; the streaming module keeps the
+    incremental hourly form under its own contract query)."""
     events = _events(spark, sf_dir).select(
         F.date_trunc("hour", "ts").alias("_hour"),
         F.date_trunc("day", "ts").alias("_day"),
         "event_type",
         "value",
+        "user_id",
     )
     h, d, t = F.col("_hour"), F.col("_day"), F.col("event_type")
     grouped = events.groupingSets([[h, d, t], [d, t]], h, d, t)
@@ -1685,6 +1770,7 @@ def events_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping(h).cast("long").alias("is_day_grain"),
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
     ).select(
         F.col("_hour").cast("string").alias("hour_ts"),
         F.col("_day").cast("string").alias("day_ts"),
@@ -1692,6 +1778,7 @@ def events_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_day_grain",
         "n_events",
         "sum_value",
+        "n_users",
     )
 
 
@@ -1716,8 +1803,23 @@ def profile_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass table profile (reference A9: describe()/summary(),
     min/max date range, nunique — src/explore_gridveg_metadata.py:137-141,
     src/survey_metadata_update.py:143-145). Single aggregate row, no
-    driver-side iteration."""
-    orders = _t(spark, sf_dir, "orders")
+    driver-side iteration.
+
+    Registry-consolidated with the JSONL round-trip proof (formerly
+    jsonl_roundtrip_orders): the profiled orders are first staged as
+    JSON-Lines and read back under the explicit catalog schema (no
+    inference pass) — the oracle profiles the ORIGINAL parquet, so
+    any loss in the round-trip (dates, doubles, nulls, row loss)
+    breaks the hash."""
+    import tempfile
+
+    from mpg_data_warehouse_spark.sources.readers import read_jsonl
+    from mpg_data_warehouse_spark.sources.writers import write_jsonl
+
+    raw = _t(spark, sf_dir, "orders")
+    staged = tempfile.mkdtemp(prefix="jsonl_orders_")
+    write_jsonl(raw, staged, partitions=4)
+    orders = read_jsonl(spark, staged, raw.schema)
     return orders.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.min("o_orderdate").cast("string").alias("min_date"),
@@ -2058,80 +2160,60 @@ _STRATA_SQL = """
 
 
 @_q(
-    "stratified_sample_orders",
+    "sample_split_tagged",
     f"""
-    SELECT o_orderkey, o_orderpriority, o_totalprice
+    SELECT 'orders_sample' AS kind, o_orderkey AS entity_key,
+           o_orderpriority AS label
     FROM orders
     WHERE (CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)
                  AS BIGINT) % 10000) < {_STRATA_SQL}
+    UNION ALL
+    SELECT 'customer_split' AS kind, c_custkey AS entity_key,
+           CASE WHEN (CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)
+                           AS BIGINT) % 10000) < 1000
+                THEN 'holdout' ELSE 'train' END AS label
+    FROM customer
     """,
 )
-def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reproducible per-stratum sampling: urgent orders kept at 50%,
-    high at 25%, everything else at 5% — hash-keyed on o_orderkey so
-    the sample is identical on every run and in the oracle."""
+def sample_split_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-sampling family as one tagged union (registry-
+    consolidated from stratified_sample_orders + train_holdout_split;
+    each branch keeps its own table and plan).
+
+    orders_sample branch: reproducible per-stratum sampling — urgent
+    orders kept at 50%, high at 25%, everything else at 5% —
+    hash-keyed on o_orderkey so the sample is identical on every run
+    and in the oracle. customer_split branch: disjoint-and-exhaustive
+    10% holdout keyed on content hash (the eval-contamination
+    guard)."""
     orders = _t(spark, sf_dir, "orders")
-    return stratified_sample(
+    sampled = stratified_sample(
         orders,
         strata="o_orderpriority",
         key="o_orderkey",
         rates={"1-URGENT": 0.5, "2-HIGH": 0.25},
         default_rate=0.05,
-    ).select("o_orderkey", "o_orderpriority", "o_totalprice")
-
-
-@_q(
-    "train_holdout_split",
-    """
-    SELECT c_custkey,
-           CASE WHEN (CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)
-                           AS BIGINT) % 10000) < 1000
-                THEN 'holdout' ELSE 'train' END AS split
-    FROM customer
-    """,
-)
-def train_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Disjoint-and-exhaustive 10% holdout keyed on content hash (the
-    eval-contamination guard); emitted as one tagged union so the
-    oracle can CASE over the same hash."""
-    customer = _t(spark, sf_dir, "customer")
-    train, holdout = split_train_holdout(customer, key="c_custkey", holdout_fraction=0.1)
-    return train.select("c_custkey", F.lit("train").alias("split")).unionByName(
-        holdout.select("c_custkey", F.lit("holdout").alias("split"))
-    )
-
-
-@_q(
-    "topk_orders_per_priority",
-    """
-    SELECT o_orderpriority, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice
-    FROM (
-      SELECT o_orderpriority, o_orderkey, o_totalprice,
-             row_number() OVER (
-               PARTITION BY o_orderpriority
-               ORDER BY o_totalprice DESC, o_orderkey
-             ) AS rn
-      FROM orders
-    )
-    WHERE rn <= 5
-    """,
-)
-def topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered ranking window (top-5 per priority). WindowGroupLimit
-    prunes to 5 rows per group map-side before the exchange; ties are
-    broken by o_orderkey so the result is partitioning-independent."""
-    orders = _t(spark, sf_dir, "orders")
-    return topk_per_group(
-        orders,
-        partition_by=["o_orderpriority"],
-        order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
-        k=5,
     ).select(
-        "o_orderpriority",
-        F.col("rn").cast("long").alias("rn"),
-        "o_orderkey",
-        "o_totalprice",
+        F.lit("orders_sample").alias("kind"),
+        F.col("o_orderkey").alias("entity_key"),
+        F.col("o_orderpriority").alias("label"),
     )
+    customer = _t(spark, sf_dir, "customer")
+    train, holdout = split_train_holdout(
+        customer, key="c_custkey", holdout_fraction=0.1
+    )
+    split = train.select(
+        F.lit("customer_split").alias("kind"),
+        F.col("c_custkey").alias("entity_key"),
+        F.lit("train").alias("label"),
+    ).unionByName(
+        holdout.select(
+            F.lit("customer_split").alias("kind"),
+            F.col("c_custkey").alias("entity_key"),
+            F.lit("holdout").alias("label"),
+        )
+    )
+    return sampled.unionByName(split)
 
 
 _NORM_TOKENS_SQL = """
@@ -2141,25 +2223,72 @@ _NORM_TOKENS_SQL = """
 
 
 @_q(
-    "vocab_top_terms",
+    "vocab_and_trigram_top",
     f"""
-    SELECT term, count(*) AS n
-    FROM ({_NORM_TOKENS_SQL})
-    WHERE term <> ''
-    GROUP BY term
-    ORDER BY n DESC, term
-    LIMIT 50
+    WITH words AS (
+      SELECT term, count(*) AS n
+      FROM ({_NORM_TOKENS_SQL})
+      WHERE term <> ''
+      GROUP BY term
+      ORDER BY n DESC, term
+      LIMIT 50
+    ),
+    toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ),
+    gram_lists AS (
+      SELECT list_transform(
+               range(0, greatest(len(t) - 3, 0) + 1),
+               i -> concat_ws(' ', t[i+1], t[i+2], t[i+3])
+             ) AS g
+      FROM toks
+    ),
+    grams AS (
+      SELECT gram, count(*) AS n
+      FROM (SELECT unnest(g) AS gram FROM gram_lists)
+      GROUP BY gram
+      ORDER BY n DESC, gram
+      LIMIT 50
+    )
+    SELECT 'word' AS kind, term AS gram, n FROM words
+    UNION ALL
+    SELECT 'trigram' AS kind, gram, n FROM grams
     """,
 )
-def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus vocabulary head: explode normalized tokens, one term-keyed
-    agg (map-side combine absorbs the Zipf head), deterministic top-50."""
+def vocab_and_trigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head + LM-style trigram head as one tagged
+    union (registry-consolidated from vocab_top_terms +
+    trigram_top_counts). Word branch: explode normalized tokens, one
+    term-keyed agg (map-side combine absorbs the Zipf head),
+    deterministic top-50. Trigram branch counts ALL occurrences —
+    distinct=False is what separates language-model statistics from
+    dedup shingles — with the same one-agg + deterministic-top-k
+    shape."""
+    from mpg_data_warehouse_spark.operators.dedup import shingles_from_tokens
+    from mpg_data_warehouse_spark.operators.text import tokens
+
     docs = _docs(spark, sf_dir)
-    return (
+    words = (
         term_counts(docs, "text")
         .orderBy(F.col("n").desc(), F.col("term"))
         .limit(50)
+        .select(F.lit("word").alias("kind"), F.col("term").alias("gram"), "n")
     )
+    toked = docs.select(tokens("text").alias("_toks"))
+    grams = (
+        toked.select(
+            F.explode(
+                shingles_from_tokens(F.col("_toks"), 3, distinct=False)
+            ).alias("gram")
+        )
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("gram"))
+        .limit(50)
+        .select(F.lit("trigram").alias("kind"), "gram", "n")
+    )
+    return words.unionByName(grams)
 
 
 @_q(
@@ -2232,33 +2361,6 @@ def redact_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "quantile_profile_lineitem",
-    """
-    SELECT l_returnflag,
-           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
-           round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
-           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
-    FROM lineitem
-    GROUP BY l_returnflag
-    """,
-)
-def quantile_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact per-group quartiles of extended price (type-7 linear
-    interpolation on both engines). Grouped exact percentile is the
-    profiling tool; the 100 TB global variant is percentile_approx
-    (see group_quantiles docstring)."""
-    lineitem = _t(spark, sf_dir, "lineitem")
-    return group_quantiles(
-        lineitem, ["l_returnflag"], "l_extendedprice", (0.25, 0.5, 0.75)
-    ).select(
-        "l_returnflag",
-        F.col("p25"),
-        F.col("p50"),
-        F.col("p75"),
-    )
-
-
-@_q(
     "embedding_label_centroids",
     """
     WITH e AS (
@@ -2291,14 +2393,15 @@ _PACK_STRIDE = _PACK_MAX - _PACK_OVERLAP
 
 
 @_q(
-    "pack_sequences_docs",
+    "pack_token_budget",
     f"""
     WITH toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      SELECT doc_id, source, lang,
+             regexp_split_to_array(trim(text), '\\s+') AS t
       FROM documents
     ),
     cn AS (
-      SELECT doc_id, t,
+      SELECT doc_id, source, lang, t,
              CASE WHEN len(t) <= {_PACK_MAX} THEN 1
                   ELSE 1 + (len(t) - {_PACK_MAX} + {_PACK_STRIDE - 1})
                            // {_PACK_STRIDE}
@@ -2306,76 +2409,93 @@ _PACK_STRIDE = _PACK_MAX - _PACK_OVERLAP
       FROM toks
     ),
     ch AS (
-      SELECT doc_id, t, unnest(range(0, n_chunks)) AS chunk_id FROM cn
-    )
-    SELECT doc_id, chunk_id,
-           md5(array_to_string(
-             list_slice(t, chunk_id * {_PACK_STRIDE} + 1,
-                           chunk_id * {_PACK_STRIDE} + {_PACK_MAX}), ' '))
-             AS chunk_md5,
-           CAST(len(list_slice(t, chunk_id * {_PACK_STRIDE} + 1,
-                                  chunk_id * {_PACK_STRIDE} + {_PACK_MAX}))
-                AS BIGINT) AS n_tokens
-    FROM ch
-    """,
-)
-def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token-budget chunking (64-token windows, 8-token overlap) —
-    chunk text verified via md5 so the hash compare covers content,
-    not just the chunk grid."""
-    from mpg_data_warehouse_spark.operators.chunking import pack_sequences
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    out = pack_sequences(docs, "doc_id", "text", _PACK_MAX, _PACK_OVERLAP)
-    return out.select(
-        "doc_id",
-        "chunk_id",
-        F.md5(F.col("chunk_text").cast("binary")).alias("chunk_md5"),
-        "n_tokens",
-    )
-
-
-@_q(
-    "trigram_top_counts",
-    """
-    WITH toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
-      FROM documents
+      SELECT doc_id, source, lang, t,
+             unnest(range(0, n_chunks)) AS chunk_id
+      FROM cn
     ),
-    grams AS (
-      SELECT list_transform(
-               range(0, greatest(len(t) - 3, 0) + 1),
-               i -> concat_ws(' ', t[i+1], t[i+2], t[i+3])
-             ) AS g
-      FROM toks
+    per_chunk AS (
+      SELECT source, lang,
+             CAST(len(list_slice(t, chunk_id * {_PACK_STRIDE} + 1,
+                                    chunk_id * {_PACK_STRIDE} + {_PACK_MAX}))
+                  AS BIGINT) AS chunk_tokens,
+             CAST('0x' || substr(md5(array_to_string(
+               list_slice(t, chunk_id * {_PACK_STRIDE} + 1,
+                             chunk_id * {_PACK_STRIDE} + {_PACK_MAX}), ' ')),
+               1, 8) AS BIGINT) AS cksum
+      FROM ch
+    ),
+    chunk_stats AS (
+      SELECT source, lang,
+             count(*) AS n_chunks,
+             CAST(sum(chunk_tokens) AS BIGINT) AS chunk_tokens,
+             CAST(sum(cksum) AS BIGINT) AS chunk_checksum
+      FROM per_chunk GROUP BY source, lang
+    ),
+    doc_stats AS (
+      SELECT source, lang,
+             count(*) AS n_docs,
+             CAST(sum(len(list_filter(t, x -> x <> ''))) AS BIGINT)
+               AS total_tokens
+      FROM toks GROUP BY source, lang
     )
-    SELECT gram, count(*) AS n
-    FROM (SELECT unnest(g) AS gram FROM grams)
-    GROUP BY gram
-    ORDER BY n DESC, gram
-    LIMIT 50
+    SELECT d.source, d.lang, d.n_docs, d.total_tokens,
+           c.n_chunks, c.chunk_tokens, c.chunk_checksum
+    FROM doc_stats d JOIN chunk_stats c
+      ON d.source = c.source AND d.lang = c.lang
     """,
 )
-def trigram_top_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LM-style trigram counts (ALL occurrences — distinct=False is
-    what separates language-model statistics from dedup shingles):
-    explode + one gram-keyed agg, deterministic top-50."""
-    from mpg_data_warehouse_spark.operators.dedup import shingles_from_tokens
+def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget accounting + sequence packing in one report
+    (registry-consolidated from token_budget_by_source +
+    pack_sequences_docs): docs and whitespace tokens per (source,
+    lang) slice — the mix-weighting input of corpus curation — joined
+    with the packed-chunk counts from 64-token/8-overlap windows.
+    Chunk CONTENT stays verified through the md5-derived checksum
+    summed per slice (sum of 32-bit hash prefixes — order-insensitive
+    and exact in BIGINT), so a mis-sliced window still breaks the
+    hash even though the report is aggregated. Plan: one narrow token
+    count + one chunk fan-out, each partially aggregated to the tiny
+    (source, lang) grain before a broadcast-sized join."""
+    from mpg_data_warehouse_spark.operators.chunking import pack_sequences
     from mpg_data_warehouse_spark.operators.text import tokens
 
-    docs = _docs(spark, sf_dir)
-    toked = docs.select(tokens("text").alias("_toks"))
-    return (
-        toked.select(
-            F.explode(shingles_from_tokens(F.col("_toks"), 3, distinct=False)).alias(
-                "gram"
-            )
-        )
-        .groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), F.col("gram"))
-        .limit(50)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "text"
     )
+    toks = F.filter(tokens("text"), lambda t: t != F.lit(""))
+    doc_stats = (
+        docs.select("source", "lang", F.size(toks).cast("long").alias("_n"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n").alias("total_tokens"),
+        )
+    )
+    chunks = pack_sequences(
+        docs.select("doc_id", "text"), "doc_id", "text", _PACK_MAX, _PACK_OVERLAP
+    )
+    chunk_stats = (
+        chunks.join(docs.select("doc_id", "source", "lang"), "doc_id")
+        .select(
+            "source",
+            "lang",
+            F.col("n_tokens").cast("long").alias("chunk_tokens"),
+            F.conv(
+                F.substring(F.md5(F.col("chunk_text").cast("binary")), 1, 8),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("cksum"),
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("chunk_tokens").alias("chunk_tokens"),
+            F.sum("cksum").alias("chunk_checksum"),
+        )
+    )
+    return doc_stats.join(chunk_stats, ["source", "lang"])
 
 
 @_q(
@@ -2398,79 +2518,6 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pivot_counts(orders, ["o_orderpriority"], "o_orderstatus", ["F", "O", "P"])
 
 
-@_q(
-    "corr_profile_lineitem",
-    """
-    SELECT l_returnflag,
-           round(corr(l_quantity, l_extendedprice), 6) AS corr_xy,
-           round(covar_samp(l_quantity, l_extendedprice), 6) AS covar_xy,
-           round(stddev_samp(l_quantity), 6) AS stddev_x,
-           round(stddev_samp(l_extendedprice), 6) AS stddev_y
-    FROM lineitem
-    GROUP BY l_returnflag
-    """,
-)
-def corr_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bivariate profile per group — four moments in one hash-agg
-    pass (partial-aggregation friendly)."""
-    from mpg_data_warehouse_spark.operators.aggregates import group_corr_stats
-
-    lineitem = _t(spark, sf_dir, "lineitem")
-    return group_corr_stats(
-        lineitem, ["l_returnflag"], "l_quantity", "l_extendedprice"
-    )
-
-
-@_q(
-    "histogram_extendedprice",
-    """
-    SELECT CAST(least(floor(l_extendedprice / 5000.0), 20) AS BIGINT) AS bucket,
-           count(*) AS n
-    FROM lineitem
-    GROUP BY 1
-    """,
-)
-def histogram_extendedprice(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-width histogram: engine-agnostic floor-of-division
-    bucketing, one ≤21-row shuffle after map-side combine."""
-    from mpg_data_warehouse_spark.operators.aggregates import histogram_fixed
-
-    lineitem = _t(spark, sf_dir, "lineitem")
-    return histogram_fixed(lineitem, "l_extendedprice", 5000.0, 20)
-
-
-@_q(
-    "jsonl_roundtrip_orders",
-    """
-    SELECT o_orderpriority,
-           count(*) AS n,
-           round(sum(o_totalprice), 2) AS sum_price,
-           CAST(min(o_orderdate) AS VARCHAR) AS min_date
-    FROM orders
-    GROUP BY o_orderpriority
-    """,
-)
-def jsonl_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSONL sink→source round-trip proof: stage orders as JSON-Lines,
-    read back under the explicit catalog schema (no inference pass),
-    aggregate — the oracle aggregates the original parquet, so any
-    loss in the round-trip (dates, doubles, nulls) breaks the hash."""
-    import tempfile
-
-    from mpg_data_warehouse_spark.sources.readers import read_jsonl
-    from mpg_data_warehouse_spark.sources.writers import write_jsonl
-
-    orders = _t(spark, sf_dir, "orders")
-    staged = tempfile.mkdtemp(prefix="jsonl_orders_")
-    write_jsonl(orders, staged, partitions=4)
-    back = read_jsonl(spark, staged, orders.schema)
-    return back.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
-        F.min("o_orderdate").cast("string").alias("min_date"),
-    )
-
-
 # ---------------------------------------------------------------------------
 # SCD2 dimension maintenance (history-preserving update — the
 # warehouse-native form of the reference's in-place repairs).
@@ -2480,22 +2527,35 @@ def jsonl_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "scd2_customer_segments",
     """
-    WITH chg AS (
+    WITH upd AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal + 500 AS c_acctbal
+      FROM customer WHERE c_custkey % 5 = 0
+      UNION ALL
+      SELECT c_custkey + 2000000, 'NEWSEG', 0.0
+      FROM customer WHERE c_custkey % 89 = 0
+    ),
+    merged AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal
+      FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, c_acctbal FROM upd
+    ),
+    chg AS (
       SELECT c_custkey, 'MACHINERY' AS new_seg, c_acctbal + 100 AS new_bal
-      FROM customer WHERE c_custkey % 7 = 0
+      FROM merged WHERE c_custkey % 7 = 0
       UNION ALL
       SELECT c_custkey + 1000000, 'NEWSEG', 0.0
-      FROM customer WHERE c_custkey % 97 = 0
+      FROM merged WHERE c_custkey % 97 = 0
     )
     SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
            '1995-01-01' AS effective_from, '9999-12-31' AS effective_to,
            TRUE AS is_current
-    FROM customer c
+    FROM merged c
     WHERE c.c_custkey NOT IN (SELECT c_custkey FROM chg)
     UNION ALL
     SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
            '1995-01-01', '2000-06-15', FALSE
-    FROM customer c JOIN chg ON c.c_custkey = chg.c_custkey
+    FROM merged c JOIN chg ON c.c_custkey = chg.c_custkey
     UNION ALL
     SELECT chg.c_custkey, chg.new_seg, chg.new_bal,
            '2000-06-15', '9999-12-31', TRUE
@@ -2503,16 +2563,34 @@ def jsonl_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD2 apply: bootstrap the customer dimension as of 1995-01-01,
-    apply a change batch (every 7th customer re-segmented with a
-    balance adjustment; every 97th key arrives brand new) as of
-    2000-06-15. The oracle reconstructs the identical
-    untouched/closed/reopened partition with set logic."""
+    """Dimension-maintenance pipeline (registry-consolidated from
+    merge_upsert_customers + the SCD2 apply): first the MERGE
+    semantics (J4/S12 mutation path, operators.append.merged_view —
+    every 5th customer's balance adjusted, every 89th key inserted
+    brand new), then SCD2 bootstrap of the merged dimension as of
+    1995-01-01 and a change batch (every 7th merged customer
+    re-segmented with a balance adjustment; every 97th key arrives
+    brand new) applied as of 2000-06-15. The oracle reconstructs the
+    identical untouched/closed/reopened partition with set logic over
+    the same merged view."""
+    from mpg_data_warehouse_spark.operators.append import merged_view
     from mpg_data_warehouse_spark.operators.scd import scd2_apply, scd2_init
 
-    cust = _t(spark, sf_dir, "customer").select(
+    raw = _t(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
+    updates = raw.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("c_acctbal") + 500).alias("c_acctbal"),
+    ).unionByName(
+        raw.filter(F.col("c_custkey") % 89 == 0).select(
+            (F.col("c_custkey") + 2000000).alias("c_custkey"),
+            F.lit("NEWSEG").alias("c_mktsegment"),
+            F.lit(0.0).alias("c_acctbal"),
+        )
+    )
+    cust = merged_view(raw, updates, ["c_custkey"])
     dim = scd2_init(cust, "1995-01-01")
     changes = (
         cust.filter(F.col("c_custkey") % 7 == 0)
@@ -2539,35 +2617,6 @@ def scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("effective_from").cast("string").alias("effective_from"),
         F.col("effective_to").cast("string").alias("effective_to"),
         "is_current",
-    )
-
-
-@_q(
-    "token_budget_by_source",
-    """
-    SELECT source, lang,
-           count(*) AS n_docs,
-           CAST(sum(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
-                                    t -> t <> ''))) AS BIGINT) AS total_tokens
-    FROM documents
-    GROUP BY source, lang
-    """,
-)
-def token_budget_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-token budget accounting: docs and whitespace tokens
-    per (source, lang) slice — the mix-weighting input of corpus
-    curation. Narrow token count + one small agg."""
-    from mpg_data_warehouse_spark.operators.text import tokens
-
-    docs = _t(spark, sf_dir, "documents").select("source", "lang", "text")
-    toks = F.filter(tokens("text"), lambda t: t != F.lit(""))
-    return (
-        docs.select("source", "lang", F.size(toks).cast("long").alias("_n"))
-        .groupBy("source", "lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("_n").alias("total_tokens"),
-        )
     )
 
 
@@ -2761,7 +2810,7 @@ def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "rolling_avg_user_value",
+    "user_value_windows",
     """
     SELECT user_id,
            event_id,
@@ -2770,6 +2819,10 @@ def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
              ORDER BY epoch_us(ts) // 1000000, event_id
              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
            ), 4) AS rolling_avg,
+           round(value - lag(value) OVER (
+             PARTITION BY user_id
+             ORDER BY epoch_us(ts) // 1000000, event_id
+           ), 4) AS delta,
            CAST(row_number() OVER (
              PARTITION BY user_id
              ORDER BY epoch_us(ts) // 1000000, event_id
@@ -2778,97 +2831,28 @@ def local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE user_id < 50
     """,
 )
-def rolling_avg_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered window FRAME (rows between 4 preceding and current):
-    per-user rolling mean of event value — the moving-metric shape
-    (W-family extension; the reference's only window is a partition
-    count). One shuffle on user_id, per-partition sort; ties broken
-    by event_id so the frame contents are partitioning-independent.
-    The user_id filter is pushed to the scan."""
+def user_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered window FRAME (rows between 4 preceding and current)
+    rolling mean + lag()-based change detection + sequence rank, all
+    over ONE (partition, order) spec so Spark plans a single window
+    operator — one shuffle on user_id, one per-partition sort
+    (registry-consolidated from rolling_avg_user_value +
+    user_value_deltas; the W-family extension beyond the reference's
+    single partition count). First event's delta is NULL on both
+    engines; ties broken by event_id so frame contents are
+    partitioning-independent. The user_id filter pushes to the scan."""
     from pyspark.sql import Window
 
     ev = _events(spark, sf_dir).filter(F.col("user_id") < 50)
     order = [F.col("ts").cast("long"), F.col("event_id")]
-    frame = (
-        Window.partitionBy("user_id").orderBy(*order).rowsBetween(-4, 0)
-    )
-    seq_w = Window.partitionBy("user_id").orderBy(*order)
+    w = Window.partitionBy("user_id").orderBy(*order)
+    frame = w.rowsBetween(-4, 0)
     return ev.select(
         "user_id",
         "event_id",
         F.round(F.avg("value").over(frame), 4).alias("rolling_avg"),
-        F.row_number().over(seq_w).cast("long").alias("seq"),
-    )
-
-
-@_q(
-    "merge_upsert_customers",
-    """
-    WITH upd AS (
-      SELECT c_custkey, c_name, c_nationkey, c_acctbal + 500 AS c_acctbal,
-             c_mktsegment
-      FROM customer WHERE c_custkey % 5 = 0
-      UNION ALL
-      SELECT c_custkey + 2000000, 'NEW CUSTOMER', c_nationkey, 0.0, 'NEWSEG'
-      FROM customer WHERE c_custkey % 89 = 0
-    )
-    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-    FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
-    UNION ALL
-    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM upd
-    """,
-)
-def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The MERGE semantics (J4 / S12 mutation path) as a pure view so
-    the oracle can hash it: every 5th customer updated (balance
-    adjustment), every 89th key inserted brand new, rest pass
-    through. ``merge_upsert`` materializes exactly this frame."""
-    from mpg_data_warehouse_spark.operators.append import merged_view
-
-    cust = _t(spark, sf_dir, "customer")
-    updates = cust.filter(F.col("c_custkey") % 5 == 0).select(
-        "c_custkey",
-        "c_name",
-        "c_nationkey",
-        (F.col("c_acctbal") + 500).alias("c_acctbal"),
-        "c_mktsegment",
-    ).unionByName(
-        cust.filter(F.col("c_custkey") % 89 == 0).select(
-            (F.col("c_custkey") + 2000000).alias("c_custkey"),
-            F.lit("NEW CUSTOMER").alias("c_name"),
-            "c_nationkey",
-            F.lit(0.0).alias("c_acctbal"),
-            F.lit("NEWSEG").alias("c_mktsegment"),
-        )
-    )
-    return merged_view(cust, updates, ["c_custkey"])
-
-
-@_q(
-    "user_value_deltas",
-    """
-    SELECT user_id, event_id,
-           round(value - lag(value) OVER (
-             PARTITION BY user_id
-             ORDER BY epoch_us(ts) // 1000000, event_id
-           ), 4) AS delta
-    FROM events
-    WHERE user_id < 50
-    """,
-)
-def user_value_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag()-based change detection per user (first event's delta is
-    NULL on both engines); deterministic tie-broken ordering."""
-    from pyspark.sql import Window
-
-    ev = _events(spark, sf_dir).filter(F.col("user_id") < 50)
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").cast("long"), F.col("event_id")
-    )
-    return ev.select(
-        "user_id",
-        "event_id",
         F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
+        F.row_number().over(w).cast("long").alias("seq"),
     )
 
 

@@ -44,13 +44,14 @@ def test_filter_pushdown_reaches_scan(spark):
 
 
 def test_anti_join_is_broadcast(spark):
-    plan = _plan(spark, "anti_join_new_keys")
+    plan = _plan(spark, "membership_semi_anti")
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "LeftSemi" in plan
 
 
 @pytest.mark.parametrize(
     "name",
-    ["text_profile", "quality_score_docs", "text_tokens_fingerprint"],
+    ["text_profile", "text_tokens_fingerprint"],
 )
 def test_text_queries_are_shuffle_free(spark, name):
     # single narrow projection: no Exchange anywhere in the plan
@@ -72,7 +73,7 @@ def test_no_python_udfs_in_reference_queries(spark):
 
 
 def test_multimodal_is_the_only_python_boundary(spark):
-    plan = _plan(spark, "multimodal_decode_meta")
+    plan = _plan(spark, "multimodal_frame_sample")
     assert "MapInPandas" in plan
 
 
