@@ -418,11 +418,11 @@ def connected_components(
             )
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)  # materialized by round 1's count
     )
     labels = ids.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("component")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(
@@ -446,7 +446,9 @@ def connected_components(
                 ).alias("component"),
                 (F.col("n_min") < F.col("component")).alias("_changed"),
             )
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
+        # The convergence count doubles as the checkpoint materializer:
+        # one job per round, lineage truncated, no second pass.
         n_changed = updated.filter(F.col("_changed")).count()
         labels = updated.drop("_changed")
         if n_changed == 0:

@@ -32,6 +32,16 @@ def get_spark(
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        # Heap for the single local JVM (driver + all executor threads
+        # in local mode). The 1g Spark default OOMs past sf~0.5 with 32
+        # concurrent tasks; on a cluster this maps to executor memory
+        # and is set by the deploy, not here. Only effective for the
+        # session that launches the JVM — later getOrCreate calls
+        # ignore it, which is the desired no-op.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+        )
         # AQE: runtime shuffle-partition coalescing, skew-join splitting,
         # and dynamic broadcast conversion — essential at 100 TB where
         # static partition counts are always wrong for some stage.
