@@ -1619,7 +1619,12 @@ def near_dup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     raw = docs.unionByName(perturbed).unionByName(copies)
     keep = exact_dedup(raw).select("doc_id")
-    base = raw.join(keep, "doc_id", "left_semi")
+    # base feeds three consumers (shingle pipeline, CC id list, final
+    # retention join) and an iterative op downstream: materialize the
+    # exact-pass result once instead of re-running hash-groupBy + semi
+    # join per consumer (at 100 TB this is the checkpoint between the
+    # exact and near stages of the curation pipeline).
+    base = raw.join(keep, "doc_id", "left_semi").localCheckpoint(eager=False)
     pairs = minhash_dedup_pairs(
         base, num_hashes=8, bands=4, shingle_n=3, threshold=0.5
     )
