@@ -284,3 +284,144 @@ def redact(
     scrubbers identically."""
     c = F.col(col) if isinstance(col, str) else col
     return F.regexp_replace(c, pattern, replacement)
+
+
+# ---------------------------------------------------------------------------
+# Line-level boilerplate removal (the C4/Dolma-style cleaning pass:
+# navigation bars, cookie banners, and license footers repeat VERBATIM
+# across thousands of pages — they are line-frequency outliers, not
+# document-frequency outliers, so line-grain dedup is its own op).
+# ---------------------------------------------------------------------------
+
+
+def line_doc_frequencies(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(line, line_df) — in how many DISTINCT documents each exact
+    line occurs. One explode + one hash-agg; count-distinct on the doc
+    id is partial-aggregation friendly because the explode emits each
+    (doc, line) pair at most once after the in-row dedup."""
+    lines = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.split(F.col(text_col), r"\n"))
+        ).alias("line"),
+    )
+    return lines.groupBy("line").agg(
+        F.countDistinct(id_col).alias("line_df")
+    )
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    max_line_df: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """Remove every line that occurs in more than ``max_line_df``
+    distinct documents, preserving the order of surviving lines.
+
+    Scale shape: the boilerplate line SET is tiny by construction
+    (only frequency outliers qualify), so the removal join broadcasts
+    it and the corpus is never shuffled for the filter; the only
+    corpus-scale shuffle is the per-document reassembly groupBy. Lines
+    shorter than ``min_line_chars`` are exempt (blank separators are
+    universal, removing them would glue paragraphs).
+
+    Returns ``df`` with ``text_col`` rewritten and an
+    ``n_lines_removed`` count per document.
+    """
+    other_cols = [c for c in df.columns if c != text_col]
+    stop = (
+        line_doc_frequencies(df, id_col, text_col)
+        .filter(
+            (F.col("line_df") > max_line_df)
+            & (F.length("line") >= min_line_chars)
+        )
+        .select(F.col("line").alias("_stop_line"))
+    )
+    exploded = df.select(
+        *other_cols,
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("_pos", "_line"),
+    )
+    kept = exploded.join(
+        F.broadcast(stop),
+        exploded["_line"] == F.col("_stop_line"),
+        "left_anti",
+    )
+    rebuilt = (
+        kept.groupBy(*other_cols)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_pos", "_line"))
+                    ),
+                    lambda s: s["_line"],
+                ),
+                "\n",
+            ).alias(text_col),
+            F.count(F.lit(1)).alias("_n_kept"),
+        )
+    )
+    n_lines = F.size(F.split(F.col(text_col), r"\n"))
+    with_counts = df.select(
+        *other_cols, n_lines.alias("_n_total")
+    )
+    return (
+        rebuilt.join(with_counts, other_cols)
+        .withColumn(
+            "n_lines_removed",
+            (F.col("_n_total") - F.col("_n_kept")).cast("long"),
+        )
+        .drop("_n_kept", "_n_total")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-rule family): within-document repetition
+# is a strong low-quality marker (keyword stuffing, scraped templates,
+# generation loops).
+# ---------------------------------------------------------------------------
+
+
+def duplicate_line_fraction(col: Column | str) -> Column:
+    """Fraction of a document's lines that are duplicates of an
+    earlier line — pure in-row array math, no shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.split(c, r"\n")
+    n = F.size(lines)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        F.round((n - F.size(F.array_distinct(lines))) / n, 4)
+    )
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition profile: duplicate-line fraction (in-row
+    array math) and top-bigram fraction (share of all word bigrams
+    taken by the single most frequent one — explode + two keyed aggs,
+    both partial-aggregation friendly; the first groups on (doc,
+    bigram), the second reduces to doc grain, so the shuffle volume is
+    the distinct-bigram count, never the token stream)."""
+    from mpg_data_warehouse_spark.operators.dedup import shingles_from_tokens
+
+    base = df.select(
+        F.col(id_col),
+        duplicate_line_fraction(F.col(text_col)).alias("dup_line_frac"),
+    )
+    bg = df.select(
+        F.col(id_col),
+        F.explode(
+            shingles_from_tokens(tokens(text_col), 2, distinct=False)
+        ).alias("_bg"),
+    )
+    per_bg = bg.groupBy(id_col, "_bg").agg(F.count(F.lit(1)).alias("_c"))
+    per_doc = per_bg.groupBy(id_col).agg(
+        F.round(F.max("_c") / F.sum("_c"), 4).alias("top_bigram_frac")
+    )
+    return base.join(per_doc, id_col, "left").fillna(
+        {"top_bigram_frac": 0.0}
+    )

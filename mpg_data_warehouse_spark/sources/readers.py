@@ -194,6 +194,19 @@ def any_null_rows(df: DataFrame) -> DataFrame:
     return df.filter(cond)
 
 
+def read_orc(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """ORC table scan — the second columnar warehouse format Spark
+    ships natively (vectorized reader, predicate pushdown and column
+    pruning reach the stripe footers exactly as with parquet). Schema
+    optional: ORC files self-describe; pass one to pin a contract."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
 def read_jsonl(
     spark: SparkSession,
     path: str,

@@ -72,6 +72,15 @@ def write_jsonl(df: DataFrame, path: str, partitions: int | None = None) -> None
     out.write.mode("overwrite").json(path)
 
 
+def write_orc(df: DataFrame, path: str, partitions: int | None = None) -> None:
+    """ORC sink (Spark-native columnar alternative to parquet — same
+    vectorized write path, stripe-level statistics for downstream
+    skipping). ``partitions`` coalesces for file-count control, omit
+    to keep the plan's parallelism."""
+    out = df.coalesce(partitions) if partitions else df
+    out.write.mode("overwrite").orc(path)
+
+
 def file_stats(df: DataFrame) -> DataFrame:
     """Rows-per-input-file report via ``input_file_name()`` — the
     small-files audit that decides whether a table needs compaction.
