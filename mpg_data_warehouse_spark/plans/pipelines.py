@@ -291,20 +291,26 @@ def curate_corpus_pipeline(
     max_tokens: int = 64,
     overlap: int = 8,
     target_tokens_per_source: float | None = None,
+    max_line_df: int | None = None,
 ) -> DataFrame:
     """End-to-end training-corpus curation, composing the engine's
     LLM-pipeline operators into one lazy plan:
 
-        quality filter → exact dedup (keep canonical) → near-dup
-        retention (MinHash+LSH → verify → connected components, keep
-        one per cluster) → [optional per-source token-budget
-        rebalance] → sequence packing
+        [optional line-level boilerplate strip] → quality filter →
+        exact dedup (keep canonical) → near-dup retention
+        (MinHash+LSH → verify → connected components, keep one per
+        cluster) → [optional per-source token-budget rebalance] →
+        sequence packing
 
     Output: packed chunks (doc_id, chunk_id, chunk_text, n_tokens)
     plus the surviving doc's source. Every stage is individually
     oracle-checked by its own contract query; this composition is the
     production shape — one job, no intermediate materialization
     except the cached shingle table inside the dedup stage.
+
+    ``max_line_df`` enables the C4-style boilerplate pass FIRST:
+    shared nav/footer lines would otherwise both depress quality
+    scores and create spurious near-dup pairs downstream.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import Window
@@ -316,8 +322,16 @@ def curate_corpus_pipeline(
         retain_representatives,
     )
     from mpg_data_warehouse_spark.operators.sampling import budget_rebalance_sample
-    from mpg_data_warehouse_spark.operators.text import quality_score, tokens
+    from mpg_data_warehouse_spark.operators.text import (
+        quality_score,
+        strip_boilerplate_lines,
+        tokens,
+    )
 
+    if max_line_df is not None:
+        docs = strip_boilerplate_lines(docs, max_line_df).drop(
+            "n_lines_removed"
+        )
     scored = docs.withColumn("_q", quality_score("text"))
     kept = scored.filter(F.col("_q") >= min_quality).drop("_q")
 

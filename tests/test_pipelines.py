@@ -327,3 +327,26 @@ def test_curate_corpus_pipeline_budget_stage(spark):
     }
     assert per_src.get("small", 0) > 0          # under budget → kept whole
     assert per_src["big"] < 40 * 21             # big source down-sampled
+
+
+def test_curate_corpus_pipeline_boilerplate_stage(spark):
+    """With max_line_df set, a nav line shared by every web page is
+    stripped BEFORE dedup/quality — docs that differ only by their
+    body survive as distinct, and the boilerplate never reaches the
+    packed chunks."""
+    from mpg_data_warehouse_spark.plans.pipelines import curate_corpus_pipeline
+
+    nav = "home about contact privacy terms sitemap login register help"
+    docs = spark.createDataFrame(
+        [
+            (i, f"{nav}\n" + " ".join(f"doc{i}word{j}" for j in range(30)), "web")
+            for i in range(1, 5)
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = curate_corpus_pipeline(
+        docs, min_quality=0.0, max_tokens=64, max_line_df=2
+    )
+    kept_docs = {r.doc_id for r in out.select("doc_id").distinct().collect()}
+    assert kept_docs == {1, 2, 3, 4}  # bodies are distinct -> all survive
+    assert out.filter(F.col("chunk_text").contains("sitemap")).count() == 0
