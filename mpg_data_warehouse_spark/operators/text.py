@@ -412,7 +412,10 @@ def repetition_signals(
         F.col(id_col),
         duplicate_line_fraction(F.col(text_col)).alias("dup_line_frac"),
     )
-    bg = df.select(
+    # Docs under 2 tokens have no real bigram (the shingle builder
+    # emits one truncated gram for them, which would read as 100%
+    # repetition); exclude them — the left join below fills 0.0.
+    bg = df.filter(F.size(tokens(text_col)) >= 2).select(
         F.col(id_col),
         F.explode(
             shingles_from_tokens(tokens(text_col), 2, distinct=False)

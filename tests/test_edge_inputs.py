@@ -43,3 +43,60 @@ def test_connected_components_empty_edges(spark):
     pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
     comp = {r.doc_id: r.component for r in D.connected_components(pairs, ids).collect()}
     assert comp == {0: 0, 1: 1, 2: 2}
+
+
+def test_strip_boilerplate_empty_and_single(spark):
+    from mpg_data_warehouse_spark.operators.text import strip_boilerplate_lines
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    out = strip_boilerplate_lines(empty, max_line_df=1)
+    assert out.count() == 0
+    assert set(out.columns) == {"doc_id", "text", "n_lines_removed"}
+
+    one = spark.createDataFrame([Row(doc_id=1, text="a\nb")])
+    rows = strip_boilerplate_lines(one, max_line_df=5).collect()
+    assert rows[0].text == "a\nb" and rows[0].n_lines_removed == 0
+
+
+def test_repetition_signals_degenerate_docs(spark):
+    from mpg_data_warehouse_spark.operators.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="one"), Row(doc_id=2, text="two words")]
+    )
+    rows = {r.doc_id: r for r in repetition_signals(df).collect()}
+    # no bigrams in a 1-token doc -> left-join null filled with 0.0
+    assert rows[1].top_bigram_frac == 0.0
+    assert rows[2].top_bigram_frac == 1.0  # single bigram is 100% of mass
+
+
+def test_asof_join_no_right_rows(spark):
+    from mpg_data_warehouse_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [Row(event_id=1, user_id=1, us=100)]
+    )
+    right = spark.createDataFrame([], "user_id bigint, us bigint, value double")
+    out = asof_join(
+        left, right, key="user_id", left_ts="us", right_ts="us",
+        right_cols=["value"],
+    )
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].asof_value is None
+
+
+def test_scd2_apply_empty_changes(spark):
+    from mpg_data_warehouse_spark.operators.scd import scd2_apply, scd2_init
+
+    cust = spark.createDataFrame(
+        [Row(c_custkey=1, c_mktsegment="A", c_acctbal=1.0)]
+    )
+    dim = scd2_init(cust, "1995-01-01")
+    empty = spark.createDataFrame(
+        [], "c_custkey bigint, c_mktsegment string, c_acctbal double"
+    )
+    out = scd2_apply(
+        dim, empty, "c_custkey", ["c_mktsegment", "c_acctbal"], "2000-06-15"
+    )
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].is_current
