@@ -278,3 +278,33 @@ def test_click_attribution_stream_matches_batch(spark, events_dir):
         (r.user_id, r.imp_ts, r.click_ts) for r in batch.collect()
     }
     assert got == want and got  # non-empty agreement
+
+
+def test_idempotent_append_checkpoint_resume_reads_only_new_files(
+    spark, tmp_path
+):
+    """Restart with the SAME checkpoint after new source files arrive:
+    the file-source offset log must hand the resumed run only the new
+    files, and the sink ends exactly complete with no duplicates."""
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    first = read_events(spark, f"{SF}/events.parquet").filter(
+        F.col("event_id") < 500
+    )
+    second = read_events(spark, f"{SF}/events.parquet").filter(
+        F.col("event_id") >= 500
+    )
+    first.write.parquet(src)
+
+    q = S.idempotent_append_stream(S.read_events_stream(spark, src), sink, ckpt)
+    q.awaitTermination(180)
+    n1 = spark.read.parquet(sink).count()
+    assert n1 == first.count()
+
+    second.write.mode("append").parquet(src)
+    q2 = S.idempotent_append_stream(S.read_events_stream(spark, src), sink, ckpt)
+    q2.awaitTermination(180)
+    got = spark.read.parquet(sink)
+    assert got.count() == first.count() + second.count()
+    assert got.select("event_id").distinct().count() == got.count()
