@@ -409,6 +409,20 @@ def ivf_topk(
         "c_norm",
     )
 
+    probes = _probe_cells(queries, centroids, nprobe, id_col, vec_col)
+    return _score_probes(cells, probes, k)
+
+
+def _probe_cells(
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Each query's ``nprobe`` nearest cells by centroid cosine:
+    queries × broadcast(centroids) + a per-query ranking window.
+    Output: (query_id, q_vec, q_norm, cell)."""
     qc = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
@@ -429,12 +443,16 @@ def ivf_topk(
         ).desc(),
         F.col("cell"),
     )
-    probes = (
+    return (
         qc.withColumn("prk", F.row_number().over(wq))
         .filter(F.col("prk") <= nprobe)
         .select("query_id", "q_vec", "q_norm", "cell")
     )
 
+
+def _score_probes(cells: DataFrame, probes: DataFrame, k: int) -> DataFrame:
+    """Exact-cosine scoring of probed cell members + per-query top-k.
+    ``cells``: (neighbor_id, c_vec, c_norm, cell)."""
     scored = (
         cells.join(F.broadcast(probes), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -456,6 +474,76 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_write_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    refine_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF index at rest: the corpus written PARTITIONED
+    BY cell (one directory per inverted list) plus the centroid table
+    under ``<path>/_centroids`` (underscore-prefixed, so a plain
+    parquet read of ``path`` never picks it up as data).
+
+    This is the offline index-build pass of the 100 TB shape: the
+    corpus is scanned once (map-only broadcast argmax assignment, see
+    ``with_nearest_cell``), then laid out so every future probe is a
+    partition-PRUNED scan of nprobe inverted lists — no shuffle, no
+    full-corpus read, no index structure beyond the filesystem
+    layout. Centroids are deterministic (``kmeans_refine_centroids``),
+    so rebuilding the index on the same corpus is idempotent."""
+    if refine_iters > 0:
+        centroids = kmeans_refine_centroids(
+            corpus, n_centroids, refine_iters, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        centroids = corpus.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+        )
+    cent_rows = _collect_centroid_rows(centroids)
+    cells = with_nearest_cell(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            l2_norm(F.col(vec_col)).alias("c_norm"),
+        ),
+        cent_rows,
+        "c_vec",
+        "c_norm",
+    )
+    cells.write.mode("overwrite").partitionBy("cell").parquet(path)
+    centroids.write.mode("overwrite").parquet(f"{path}/_centroids")
+
+
+def ivf_probe_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted IVF index (``ivf_write_index``): pick each
+    query's ``nprobe`` cells against the stored centroids, then scan
+    ONLY those cell partitions — the probe-cell set is collected to
+    the driver (bounded by ``n_centroids``, a few ints) and pushed as
+    a partition filter, so the executed plan reads nprobe inverted
+    lists and the rest of the corpus is never opened
+    (``PartitionFilters`` in the scan proves it). Scoring and
+    ranking are byte-identical to the in-flight ``ivf_topk``, so a
+    persisted index returns exactly the same top-k."""
+    centroids = spark.read.parquet(f"{path}/_centroids")
+    probes = _probe_cells(queries, centroids, nprobe, id_col, vec_col)
+    probe_cells = sorted(
+        r.cell for r in probes.select("cell").distinct().collect()
+    )
+    cells = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))
+    return _score_probes(cells, probes, k)
 
 
 def embedding_near_dup_pairs(

@@ -202,3 +202,60 @@ def test_embedding_centroids_match_numpy(spark):
             assert abs(got[(label, pos)] - round(float(mean[pos]), 5)) < 1e-4
     dim = len(pdf["embedding"].iloc[0])
     assert len(got) == pdf["label"].nunique() * dim
+
+
+def test_ivf_index_at_rest_matches_in_flight_and_prunes(spark, tmp_path):
+    """ivf_write_index + ivf_probe_index must return exactly the
+    in-flight ivf_topk result (same centroids, scoring, ranking), and
+    the probe's corpus scan must be partition-pruned to the probed
+    cells only."""
+    from pyspark.sql import functions as F
+
+    from mpg_data_warehouse_spark.operators.similarity import (
+        ivf_probe_index,
+        ivf_topk,
+        ivf_write_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    want = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in ivf_topk(emb, queries, k=10, n_centroids=8, nprobe=3).collect()
+    }
+
+    path = str(tmp_path / "ivf_index")
+    ivf_write_index(emb, path, n_centroids=8)
+    probed = ivf_probe_index(spark, path, queries, k=10, nprobe=3)
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in probed.collect()
+    }
+    assert got == want
+
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan or "PartitionFilters: [isnotnull(cell" in plan or "cell#" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_ivf_index_rebuild_is_idempotent(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mpg_data_warehouse_spark.operators.similarity import (
+        ivf_probe_index,
+        ivf_write_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    path = str(tmp_path / "ivf_idx2")
+    ivf_write_index(emb, path, n_centroids=8)
+    q = emb.filter(F.col("vec_id") < 3)
+    r1 = {tuple(r) for r in ivf_probe_index(spark, path, q, k=5).collect()}
+    ivf_write_index(emb, path, n_centroids=8)  # rebuild over same corpus
+    r2 = {tuple(r) for r in ivf_probe_index(spark, path, q, k=5).collect()}
+    assert r1 == r2
