@@ -157,6 +157,42 @@ def compact_table(
     return n_after
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hash-bucketed managed table (``bucketBy`` + ``saveAsTable``):
+    rows are hash-distributed into ``n_buckets`` files per partition
+    ON WRITE, and the bucketing spec is recorded in the catalog.
+
+    This is the co-located-join primitive: two tables bucketed on the
+    same key with the same bucket count join with ZERO Exchange on
+    either side — the per-bucket files ARE the shuffle output,
+    amortized across every future join/aggregation on that key. At
+    100 TB this converts the repeated fact-fact shuffle (the single
+    most expensive recurring operation in a warehouse) into a
+    bucket-aligned merge, which is why the big facts (lineitem→orders
+    here; point-intercepts→surveys in the reference's shape) should
+    live bucketed at rest. ``sort_cols`` additionally sorts within
+    buckets so the join skips its Sort too.
+
+    Bucketing requires the catalog (``saveAsTable``) — a plain
+    ``parquet(path)`` write cannot record the spec; pair with
+    ``sources.catalog`` database helpers for placement."""
+    writer = (
+        df.write.format("parquet")
+        .mode(mode)
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def write_clustered(
     df: DataFrame,
     path: str,

@@ -90,3 +90,46 @@ def test_dynamic_partition_pruning(spark, tmp_path):
         assert got_years <= {2024}
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_tables_join_without_exchange(spark):
+    """Two tables bucketed on the same key/count must join with ZERO
+    shuffle: the bucket files are the pre-materialized shuffle output.
+    Broadcast is disabled to force the merge-join regime the bucketing
+    targets."""
+    from pyspark.sql import functions as F
+
+    from mpg_data_warehouse_spark.sources.writers import write_bucketed_table
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    customer = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    write_bucketed_table(
+        orders, "orders_bkt", ["o_custkey"], 4, sort_cols=["o_custkey"]
+    )
+    write_bucketed_table(
+        customer, "customer_bkt", ["c_custkey"], 4, sort_cols=["c_custkey"]
+    )
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table("orders_bkt")
+            .join(
+                spark.table("customer_bkt"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .select("o_orderkey", "c_name")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucket-aligned: no shuffle at all
+        assert "SelectedBucketsCount" in plan
+        # correctness: same rows as the plain join
+        want = orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        ).count()
+        assert joined.count() == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.sql("DROP TABLE IF EXISTS orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS customer_bkt")
