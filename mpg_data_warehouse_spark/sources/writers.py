@@ -16,6 +16,7 @@ pruning turns those scans into a handful of directories even at
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_append(
@@ -155,6 +156,89 @@ def compact_table(
         )
     swap_into_place(tmp, path)
     return n_after
+
+
+def zorder_value(
+    c1: "F.Column",
+    lo1: float,
+    hi1: float,
+    c2: "F.Column",
+    lo2: float,
+    hi2: float,
+    bits: int = 16,
+) -> "F.Column":
+    """Z-order (Morton) key of two numeric columns: each value is
+    min-max normalized into ``bits`` bits against the supplied bounds,
+    then the bits interleave — points close in BOTH dimensions get
+    close z values. Pure bitwise column math (a static ``2·bits``-term
+    expression, whole-stage-codegen'd); the bounds come from one
+    cheap min/max aggregate so no global sort or window is needed.
+    Heavily skewed columns normalize unevenly under min-max — for
+    those, pre-bucket by rank or pick the dominant dimension for
+    plain ``write_clustered``."""
+    scale = (1 << bits) - 1
+
+    def norm(c, lo, hi):
+        span = (hi - lo) or 1.0
+        return F.least(
+            F.lit(scale),
+            F.greatest(
+                F.lit(0), ((c - F.lit(lo)) / F.lit(span) * scale).cast("long")
+            ),
+        )
+
+    n1, n2 = norm(c1, lo1, hi1), norm(c2, lo2, hi2)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        b1 = F.shiftright(n1, i).bitwiseAND(F.lit(1))
+        b2 = F.shiftright(n2, i).bitwiseAND(F.lit(1))
+        z = z.bitwiseOR(F.shiftleft(b1, 2 * i)).bitwiseOR(
+            F.shiftleft(b2, 2 * i + 1)
+        )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col1: str,
+    col2: str,
+    partitions: int,
+    bits: int = 16,
+) -> None:
+    """Two-dimensional clustering write: range-partition + sort on the
+    Z-order key of (``col1``, ``col2``), so each output file owns a
+    compact REGION of the 2-D key space and carries tight parquet
+    min/max footer stats on BOTH columns — a later scan filtering on
+    either (or both) skips most files, where single-column clustering
+    (``write_clustered``) only serves one dimension.
+
+    Cost: one min/max aggregate pass (bounds for normalization) + the
+    same repartitionByRange/sort as any clustering write. The z key is
+    dropped before writing — it is layout, not data."""
+    b = df.agg(
+        F.min(col1).alias("lo1"),
+        F.max(col1).alias("hi1"),
+        F.min(col2).alias("lo2"),
+        F.max(col2).alias("hi2"),
+    ).collect()[0]
+    z = zorder_value(
+        F.col(col1).cast("double"),
+        float(b.lo1),
+        float(b.hi1),
+        F.col(col2).cast("double"),
+        float(b.lo2),
+        float(b.hi2),
+        bits,
+    )
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(partitions, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
 
 
 def write_bucketed_table(

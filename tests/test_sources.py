@@ -218,3 +218,45 @@ def test_save_as_table_round_trip(spark, tmp_path):
     assert os.path.exists(str(tmp_path / "t1"))
     spark.sql("DROP TABLE ct_test.t1")
     spark.sql("DROP DATABASE ct_test")
+
+
+def test_write_zordered_tightens_both_columns(spark, tmp_path):
+    """Z-order clustering must tighten per-file min/max footer ranges
+    on BOTH dimensions (vs the global range), where single-column
+    clustering only serves one — the property 2-D file skipping
+    relies on."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from mpg_data_warehouse_spark.sources.writers import write_zordered
+
+    from tests.conftest import SF_ORACLE
+
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    path = str(tmp_path / "zordered")
+    write_zordered(li, path, "l_orderkey", "l_partkey", partitions=16)
+
+    def avg_file_span(col):
+        spans, glo, ghi = [], None, None
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.to_arrow_schema().get_field_index(col)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            spans.append(max(maxs) - min(mins))
+            glo = min(mins) if glo is None else min(glo, min(mins))
+            ghi = max(maxs) if ghi is None else max(ghi, max(maxs))
+        return (sum(spans) / len(spans)) / (ghi - glo)
+
+    # each file should cover well under the full range in BOTH dims
+    assert avg_file_span("l_orderkey") < 0.6
+    assert avg_file_span("l_partkey") < 0.6
+    out = spark.read.parquet(path)
+    assert out.count() == li.count()
+    assert set(out.columns) == {"l_orderkey", "l_partkey", "l_quantity"}
