@@ -61,6 +61,23 @@ def rollback(
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+def prune_versions(versions_dir: str, keep_last: int) -> list[str]:
+    """Retention: delete all but the newest ``keep_last`` snapshots
+    (the VACUUM analog for the plain-parquet version store). Returns
+    the deleted version ids. Never touches the live table; refuses
+    nonsensical retention (keep_last < 1) rather than silently wiping
+    every restore point."""
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (refusing to delete all restore points)")
+    versions = list_versions(versions_dir)
+    doomed = versions[:-keep_last] if len(versions) > keep_last else []
+    for vid in doomed:
+        shutil.rmtree(os.path.join(versions_dir, vid))
+    return doomed
+
+
 def mutate_with_backup(
     spark: SparkSession,
     table_path: str,

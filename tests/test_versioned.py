@@ -70,3 +70,25 @@ def test_mutate_with_backup_auto_rollback(spark, tmp_path):
     restored = spark.read.parquet(table)
     assert restored.count() == 10
     assert restored.filter("k = 777").count() == 0
+
+
+def test_prune_versions_retention(spark, tmp_path):
+    import pytest
+
+    from mpg_data_warehouse_spark.operators import versioned as V
+
+    table = str(tmp_path / "t")
+    vdir = str(tmp_path / "versions")
+    spark.range(5).write.parquet(table)
+    for _ in range(4):
+        V.snapshot(spark, table, vdir)
+    assert V.list_versions(vdir) == ["v0001", "v0002", "v0003", "v0004"]
+
+    deleted = V.prune_versions(vdir, keep_last=2)
+    assert deleted == ["v0001", "v0002"]
+    assert V.list_versions(vdir) == ["v0003", "v0004"]
+    # surviving snapshots still readable; numbering continues upward
+    assert V.read_version(spark, vdir, "v0004").count() == 5
+    assert V.snapshot(spark, table, vdir) == "v0005"
+    with pytest.raises(ValueError):
+        V.prune_versions(vdir, keep_last=0)
