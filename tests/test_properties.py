@@ -164,3 +164,54 @@ def test_approx_aggregates_within_tolerance(spark):
     ).first()
     assert abs(row.approx_d - row.exact_d) / row.exact_d < 0.05
     assert abs(row.approx_p50 - row.exact_p50) / row.exact_p50 < 0.01
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.text(alphabet="abcx ", min_size=1, max_size=12).map(str.strip).filter(bool),
+            min_size=1,
+            max_size=5,
+        ).map("\n".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_strip_boilerplate_identity_when_threshold_above_corpus(spark, texts):
+    """With max_line_df >= corpus size no line can be an outlier:
+    strip_boilerplate_lines must return every document VERBATIM (the
+    reassembly round-trip is lossless, order preserved)."""
+    from mpg_data_warehouse_spark.operators.text import strip_boilerplate_lines
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    out = strip_boilerplate_lines(df, max_line_df=len(texts))
+    got = {r.doc_id: (r.text, r.n_lines_removed) for r in out.collect()}
+    assert got == {i: (t, 0) for i, t in enumerate(texts)}
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 1000), st.integers(0, 1000)),
+        min_size=2,
+        max_size=30,
+        unique=True,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_zorder_value_is_deterministic_and_bounded(spark, pts):
+    """zorder_value is a pure function of (value, bounds): stable
+    across evaluations and within [0, 4^bits)."""
+    from mpg_data_warehouse_spark.sources.writers import zorder_value
+
+    df = spark.createDataFrame(pts, ["x", "y"])
+    z = zorder_value(
+        F.col("x").cast("double"), 0.0, 1000.0,
+        F.col("y").cast("double"), 0.0, 1000.0, bits=8,
+    )
+    a = [r.z for r in df.select(z.alias("z")).orderBy("x", "y").collect()]
+    b = [r.z for r in df.select(z.alias("z")).orderBy("x", "y").collect()]
+    assert a == b
+    assert all(0 <= v < (1 << 16) for v in a)
