@@ -5,16 +5,21 @@ Design for 100 TB: the binary payload never leaves the executor as
 anything but Arrow record batches; decode / feature-extraction /
 frame-sampling are per-batch Python (vectorized over the batch), with
 schemas declared up front so Catalyst can prune and the sink can
-partition. The actual media codecs (Pillow / libsndfile / ffmpeg) are
-NOT in this environment, so the decode *body* is stubbed two ways:
+partition. Three decode tiers:
 
 * ``decode_image_meta`` / ``decode_audio_meta`` / ``sample_frames``
   parse a deterministic fake container format (``attach_fake_*``
   below) — the Spark-side plumbing (binary column, batch iteration,
   output schema, row fan-out) is real and oracle-checkable.
-* ``decode_image_real`` and friends raise ``NotImplementedError``
-  with the dependency name — swap their parse body for the real codec
-  in an environment that has it; the plan shape does not change.
+* ``decode_image_real`` / ``decode_audio_real`` decode REAL formats
+  with no codec library: PCM WAV via the stdlib ``wave`` module,
+  PPM (P6) and uncompressed 24-bit BMP via numpy over the public
+  fixed layouts. Failures quarantine as ``ok=false`` rows — never a
+  failed task.
+* Formats needing Pillow / soundfile / ffmpeg (png/jpeg/mp3/…) fall
+  through to Pillow when importable (absent in this container) and
+  quarantine with the reason otherwise — the plan shape is identical,
+  only the per-row body grows.
 
 Fake container layout (ASCII, so both engines can reason about it):
 ``IMG1|{width}|{height}|{format}|{body}`` — header fields derived
@@ -32,6 +37,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -208,30 +215,203 @@ def sample_frames(
     return src.mapInPandas(slice_frames, FRAME_SCHEMA)
 
 
+IMAGE_REAL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("format", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_luma", DoubleType()),
+        StructField("ok", BooleanType()),
+        StructField("err", StringType()),
+    ]
+)
+
+AUDIO_REAL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("peak", DoubleType()),
+        StructField("ok", BooleanType()),
+        StructField("err", StringType()),
+    ]
+)
+
+
+def _decode_ppm(raw: bytes) -> tuple[str, int, int, float]:
+    """Binary PPM (P6): ASCII header (w, h, maxval; '#' comments) then
+    raw RGB bytes."""
+    import numpy as np
+
+    if not raw.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    tokens, pos = [], 2
+    while len(tokens) < 3:
+        while pos < len(raw) and raw[pos : pos + 1].isspace():
+            pos += 1
+        if raw[pos : pos + 1] == b"#":
+            pos = raw.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while end < len(raw) and not raw[end : end + 1].isspace():
+            end += 1
+        tokens.append(int(raw[pos:end]))
+        pos = end
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    px = np.frombuffer(raw, dtype=np.uint8, count=w * h * 3, offset=pos)
+    px = px.reshape(h, w, 3).astype(np.float64)
+    luma = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+    return "ppm", w, h, float(luma.mean() / maxval * 255.0 if maxval != 255 else luma.mean())
+
+
+def _decode_bmp(raw: bytes) -> tuple[str, int, int, float]:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER): header offsets per
+    the public format spec; rows padded to 4 bytes, bottom-up unless
+    height is negative."""
+    import numpy as np
+
+    if not raw.startswith(b"BM"):
+        raise ValueError("not a BMP")
+    data_off = int.from_bytes(raw[10:14], "little")
+    w = int.from_bytes(raw[18:22], "little", signed=True)
+    h = int.from_bytes(raw[22:26], "little", signed=True)
+    bpp = int.from_bytes(raw[28:30], "little")
+    comp = int.from_bytes(raw[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    abs_h = abs(h)
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = np.frombuffer(
+        raw, dtype=np.uint8, count=stride * abs_h, offset=data_off
+    ).reshape(abs_h, stride)[:, : w * 3].reshape(abs_h, w, 3)
+    if h > 0:
+        rows = rows[::-1]  # stored bottom-up
+    px = rows.astype(np.float64)  # BGR order
+    luma = 0.299 * px[..., 2] + 0.587 * px[..., 1] + 0.114 * px[..., 0]
+    return "bmp", w, abs_h, float(luma.mean())
+
+
 def decode_image_real(
     df: DataFrame, id_col: str = "doc_id", content_col: str = "content"
 ) -> DataFrame:
-    """Real image decode — requires Pillow, which this environment
-    does not ship. The fake-path ``decode_image_meta`` exercises the
-    identical Spark plumbing; swap its parse body for this one where
-    Pillow exists."""
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover
-        raise NotImplementedError(
-            "decode_image_real requires Pillow (PIL); unavailable here. "
-            "Use decode_image_meta (deterministic fake container) — the "
-            "mapInPandas plumbing is identical."
-        ) from exc
-    raise NotImplementedError("wire PIL.Image.open over the batch here")
+    """REAL image decode over the same mapInPandas plumbing as the
+    fake-container path. PPM (P6) and uncompressed 24-bit BMP decode
+    with numpy alone (both are public fixed-layout formats, no codec
+    library needed); any other format falls through to Pillow when
+    importable. Per-row failures land as ``ok=false`` quarantine rows
+    with the error message, never a failed task — at 100 TB one
+    corrupt image must not kill the job, and the quarantine partition
+    is the re-ingest worklist."""
+    src = df.select(F.col(id_col).cast("long"), F.col(content_col))
+
+    def decode_one(raw: bytes) -> tuple[str, int, int, float]:
+        if raw[:2] == b"P6":
+            return _decode_ppm(raw)
+        if raw[:2] == b"BM":
+            return _decode_bmp(raw)
+        try:
+            import io
+
+            import numpy as np
+            from PIL import Image
+        except ImportError:
+            raise ValueError(
+                f"unsupported magic {raw[:2]!r} and Pillow unavailable"
+            ) from None
+        img = Image.open(io.BytesIO(raw)).convert("RGB")
+        px = np.asarray(img, dtype=np.float64)
+        luma = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+        return (img.format or "unknown").lower(), img.width, img.height, float(
+            luma.mean()
+        )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, raw in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    fmt, w, h, luma = decode_one(bytes(raw))
+                    rows.append((doc_id, fmt, w, h, luma, True, None))
+                except Exception as exc:
+                    rows.append(
+                        (doc_id, None, None, None, None, False, str(exc)[:200])
+                    )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "format", "width", "height",
+                    "mean_luma", "ok", "err",
+                ],
+            )
+            out["doc_id"] = out["doc_id"].astype("int64")
+            out["width"] = out["width"].astype("Int32")
+            out["height"] = out["height"].astype("Int32")
+            yield out
+
+    return src.mapInPandas(parse, IMAGE_REAL_SCHEMA)
 
 
 def decode_audio_real(
     df: DataFrame, id_col: str = "doc_id", content_col: str = "content"
 ) -> DataFrame:
-    """Real audio decode — requires soundfile/librosa (absent here).
-    See ``decode_image_real`` for the substitution contract."""
-    raise NotImplementedError(
-        "decode_audio_real requires an audio codec library (soundfile/"
-        "librosa); unavailable here. Use decode_audio_meta."
-    )
+    """REAL audio decode: PCM WAV through the stdlib ``wave`` module
+    (no codec library required) + numpy for the amplitude scan. Emits
+    rate/channels/frames/duration plus normalized peak amplitude; the
+    same ``ok=false`` quarantine contract as ``decode_image_real``.
+    Compressed formats (mp3/flac/ogg) need soundfile/librosa — absent
+    here, they quarantine with the reason instead of raising."""
+    src = df.select(F.col(id_col).cast("long"), F.col(content_col))
+
+    def decode_one(raw: bytes) -> tuple[int, int, int, int, float]:
+        import io
+        import wave
+
+        import numpy as np
+
+        with wave.open(io.BytesIO(raw)) as wf:
+            rate = wf.getframerate()
+            ch = wf.getnchannels()
+            n = wf.getnframes()
+            width = wf.getsampwidth()
+            frames = wf.readframes(n)
+        if width == 2:
+            samples = np.frombuffer(frames, dtype="<i2")
+            peak = float(np.abs(samples).max()) / 32768.0 if len(samples) else 0.0
+        elif width == 1:  # unsigned 8-bit
+            samples = np.frombuffer(frames, dtype=np.uint8).astype(np.int16) - 128
+            peak = float(np.abs(samples).max()) / 128.0 if len(samples) else 0.0
+        else:
+            raise ValueError(f"unsupported sample width {width}")
+        return rate, ch, n, n * 1000 // rate, peak
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, raw in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    rate, ch, n, dur, peak = decode_one(bytes(raw))
+                    rows.append((doc_id, rate, ch, n, dur, peak, True, None))
+                except Exception as exc:
+                    rows.append(
+                        (doc_id, None, None, None, None, None, False,
+                         str(exc)[:200])
+                    )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_channels", "n_samples",
+                    "duration_ms", "peak", "ok", "err",
+                ],
+            )
+            out["doc_id"] = out["doc_id"].astype("int64")
+            out["sample_rate"] = out["sample_rate"].astype("Int32")
+            out["n_channels"] = out["n_channels"].astype("Int32")
+            out["n_samples"] = out["n_samples"].astype("Int64")
+            out["duration_ms"] = out["duration_ms"].astype("Int64")
+            yield out
+
+    return src.mapInPandas(parse, AUDIO_REAL_SCHEMA)

@@ -58,9 +58,83 @@ def test_frame_fanout(spark):
         assert sizes[3] <= sizes[0]
 
 
-def test_real_decoders_are_marked_stubs(spark):
+def test_real_decoders_quarantine_fake_containers(spark):
+    """The fake ASCII container is not a real format: the REAL
+    decoders must quarantine it (ok=false, reason recorded), not
+    raise — formerly these were NotImplementedError stubs."""
     df = M.attach_fake_image(_docs(spark))
-    with pytest.raises(NotImplementedError, match="Pillow"):
-        M.decode_image_real(df)
-    with pytest.raises(NotImplementedError, match="codec"):
-        M.decode_audio_real(df)
+    img = M.decode_image_real(df)
+    assert img.filter("ok").count() == 0
+    assert img.filter("err IS NULL").count() == 0
+    aud = M.decode_audio_real(df)
+    assert aud.filter("ok").count() == 0
+
+
+def _wav_bytes(rate=16000, n=1600, amp=12000, width=2, channels=1):
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(width)
+        wf.setframerate(rate)
+        frames = b"".join(
+            struct.pack("<h", int(amp * math.sin(2 * math.pi * 440 * i / rate)))
+            for i in range(n)
+        )
+        wf.writeframes(frames)
+    return buf.getvalue()
+
+
+def _bmp_bytes(w=4, h=3, rgb=(10, 200, 30)):
+    import struct
+
+    stride = ((w * 3 + 3) // 4) * 4
+    img_size = stride * h
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + img_size, 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 0, 0, 0, 0)
+    row = (bytes([rgb[2], rgb[1], rgb[0]]) * w).ljust(stride, b"\x00")
+    return header + info + row * h
+
+
+def _ppm_bytes(w=5, h=2, rgb=(100, 50, 250)):
+    return (f"P6\n# c\n{w} {h}\n255\n").encode() + bytes(rgb) * (w * h)
+
+
+def test_decode_audio_real_wav(spark):
+    from mpg_data_warehouse_spark.operators.multimodal import decode_audio_real
+
+    df = spark.createDataFrame(
+        [(1, _wav_bytes()), (2, b"not audio at all")],
+        "doc_id long, content binary",
+    )
+    rows = {r.doc_id: r for r in decode_audio_real(df).collect()}
+    good = rows[1]
+    assert good.ok and good.sample_rate == 16000 and good.n_channels == 1
+    assert good.n_samples == 1600 and good.duration_ms == 100
+    assert 0.3 < good.peak < 0.4  # 12000/32768 ≈ 0.366
+    assert rows[2].ok is False and rows[2].err
+
+
+def test_decode_image_real_bmp_and_ppm(spark):
+    from mpg_data_warehouse_spark.operators.multimodal import decode_image_real
+
+    df = spark.createDataFrame(
+        [(1, _bmp_bytes()), (2, _ppm_bytes()), (3, b"\x89PNG fake")],
+        "doc_id long, content binary",
+    )
+    rows = {r.doc_id: r for r in decode_image_real(df).collect()}
+    bmp = rows[1]
+    assert bmp.ok and bmp.format == "bmp" and (bmp.width, bmp.height) == (4, 3)
+    want_luma = 0.299 * 10 + 0.587 * 200 + 0.114 * 30
+    assert abs(bmp.mean_luma - want_luma) < 1e-9
+    ppm = rows[2]
+    assert ppm.ok and ppm.format == "ppm" and (ppm.width, ppm.height) == (5, 2)
+    want_luma2 = 0.299 * 100 + 0.587 * 50 + 0.114 * 250
+    assert abs(ppm.mean_luma - want_luma2) < 1e-9
+    # png needs Pillow (absent here): quarantined, not a failed task
+    assert rows[3].ok is False and "unsupported magic" in rows[3].err
