@@ -62,6 +62,45 @@ def read_csv(
     return df
 
 
+def read_csv_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    encoding: str = "UTF-8",
+    header: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Schema-checked CSV read that splits rows into (good, bad)
+    instead of silently nulling malformed ones: PERMISSIVE mode with a
+    ``_corrupt_record`` capture column, so every row that failed the
+    declared schema lands in the quarantine frame with its RAW line
+    intact (the re-ingest worklist — the reference triages these by
+    hand; fix sites notebooks/fix_gridVeg_*_na_rows.ipynb).
+
+    The returned ``good`` frame has exactly ``schema``'s columns;
+    ``bad`` is (raw_line). The scan is cached before splitting —
+    Spark cannot lazily filter on only the corrupt-record column (a
+    documented restriction: the column exists only while parse state
+    is live), and the cache also makes good/bad one physical pass."""
+    capture = "_corrupt_record"
+    schema_plus = T.StructType(
+        list(schema.fields) + [T.StructField(capture, T.StringType())]
+    )
+    df = (
+        spark.read.option("header", str(header).lower())
+        .option("encoding", encoding)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", capture)
+        .schema(schema_plus)
+        .csv(path)
+        .cache()
+    )
+    good = df.filter(F.col(capture).isNull()).drop(capture)
+    bad = df.filter(F.col(capture).isNotNull()).select(
+        F.col(capture).alias("raw_line")
+    )
+    return good, bad
+
+
 def read_csv_with_fallback(
     spark: SparkSession,
     path: str,

@@ -260,3 +260,40 @@ def test_write_zordered_tightens_both_columns(spark, tmp_path):
     out = spark.read.parquet(path)
     assert out.count() == li.count()
     assert set(out.columns) == {"l_orderkey", "l_partkey", "l_quantity"}
+
+
+def test_read_csv_with_quarantine_splits_bad_rows(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from mpg_data_warehouse_spark.sources.readers import read_csv_with_quarantine
+
+    p = str(tmp_path / "dirty.csv")
+    with open(p, "w") as f:
+        f.write("k,v\n1,10\n2,not_a_number\n3,30\nbroken_line_only\n4,40\n")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    good, bad = read_csv_with_quarantine(spark, p, schema)
+    assert good.columns == ["k", "v"]
+    assert {(r.k, r.v) for r in good.collect()} == {(1, 10), (3, 30), (4, 40)}
+    raw = {r.raw_line for r in bad.collect()}
+    assert raw == {"2,not_a_number", "broken_line_only"}
+
+
+def test_read_csv_with_quarantine_clean_file_empty_quarantine(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from mpg_data_warehouse_spark.sources.readers import read_csv_with_quarantine
+
+    p = str(tmp_path / "clean.csv")
+    with open(p, "w") as f:
+        f.write("k,v\n1,10\n2,20\n")
+    schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    good, bad = read_csv_with_quarantine(spark, p, schema)
+    assert good.count() == 2
+    assert bad.count() == 0
