@@ -26,6 +26,8 @@ __all__ = [
     "deterministic_sample",
     "stratified_sample",
     "split_train_holdout",
+    "budget_rebalance_sample",
+    "temperature_mixture_sample",
 ]
 
 
@@ -118,4 +120,53 @@ def budget_rebalance_sample(
         weighted.join(F.broadcast(totals), strata)
         .filter(hash_bucket(key, buckets) < cut)
         .drop("_total")
+    )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    strata: str,
+    key: str,
+    weight: Column | str,
+    temperature: float,
+    target_total: float,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Temperature-flattened mixture sampling (the T5/PaLM recipe for
+    multi-source corpora): stratum *i* is sampled toward a share
+    ``p_i ∝ total_i^T`` of ``target_total`` weight, so ``T=1``
+    reproduces the natural mix, ``T→0`` approaches uniform-per-stratum,
+    and intermediate T up-weights small sources without starving large
+    ones. Keep-rate per stratum = min(1, target_total·p_i / total_i),
+    applied with the deterministic hash-bucket filter.
+
+    Plan shape is ``budget_rebalance_sample``'s: one |strata|-row
+    aggregate, the flattened shares computed INSIDE that tiny relation
+    (a window-free sum over it — it is broadcast-sized by definition),
+    then a broadcast join + map-side filter. The corpus is scanned
+    once and never shuffled. floor() on the bucket cutoff keeps the
+    decision engine-replayable despite the double-precision pow."""
+    w = F.col(weight) if isinstance(weight, str) else weight
+    weighted = df.withColumn("_w", w)
+    totals = weighted.groupBy(strata).agg(F.sum("_w").alias("_total"))
+    flattened = totals.withColumn(
+        "_pt", F.pow(F.col("_total"), F.lit(float(temperature)))
+    )
+    denom = flattened.agg(F.sum("_pt").alias("_z"))
+    rates = flattened.crossJoin(F.broadcast(denom)).select(
+        F.col(strata),
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(target_total))
+                * (F.col("_pt") / F.col("_z"))
+                / F.col("_total"),
+            )
+            * buckets
+        ).alias("_cut"),
+    )
+    return (
+        weighted.join(F.broadcast(rates), strata)
+        .filter(hash_bucket(key, buckets) < F.col("_cut"))
+        .drop("_cut")
     )

@@ -606,6 +606,101 @@ def embedding_near_dup_pairs(
     )
 
 
+def semantic_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    refine_iters: int = 1,
+    max_cell: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al.
+    2023, arXiv:2303.09540): cluster the corpus into ``n_centroids``
+    k-means cells, then compare pairs ONLY within a cell — the cluster
+    assignment replaces the O(n²) pair space exactly the way the paper
+    prescribes, and unlike the LSH path the partition is semantic, so
+    paraphrase-level duplicates that differ in sign pattern still land
+    together.
+
+    Composition, not new machinery: centroids come from
+    ``kmeans_refine_centroids`` (driver-side few-KB table), assignment
+    is the map-only broadcast argmax (``with_nearest_cell`` — the
+    corpus is scanned once, never shuffled for assignment), and the
+    in-cell self-join shuffles on ``cell`` — at 100 TB that is ONE
+    corpus shuffle keyed by cell, then per-cell local pair math. Cells
+    above ``max_cell`` members are dropped from the pairwise pass
+    (window over the same key the join shuffles on — no extra
+    exchange; same degenerate-bucket policy as
+    ``embedding_near_dup_pairs``), because a B-member cell emits B²/2
+    candidate pairs; at real scale you raise ``n_centroids`` so cells
+    stay ~√corpus sized."""
+    centroids = kmeans_refine_centroids(
+        df, n_centroids, refine_iters, id_col=id_col, vec_col=vec_col
+    )
+    cells = with_nearest_cell(
+        df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            l2_norm(F.col(vec_col)).alias("_norm"),
+        ),
+        _collect_centroid_rows(centroids),
+        vec_col,
+        "_norm",
+    ).withColumn(
+        "_n", F.count(F.lit(1)).over(W.partitionBy("cell"))
+    ).filter(F.col("_n") <= max_cell).drop("_n")
+    a = cells.select(
+        F.col("cell"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        F.col("_norm").alias("na"),
+    )
+    b = cells.select(
+        F.col("cell"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("_norm").alias("nb"),
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def semantic_dedup_keep(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    refine_iters: int = 1,
+    max_cell: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic-dedup survivors: drop every vector that has a
+    sufficiently-similar neighbor with a LOWER id in the same cell
+    (the deterministic stand-in for SemDeDup's keep-one-per-group —
+    greedy min-id retention, the same policy the MinHash retention
+    path uses, so mixed pipelines agree on who survives). The drop set
+    is just the distinct ``id_b`` side of ``semantic_dedup_pairs``;
+    survivors are a left-anti join against it — the corpus shuffles
+    once on the join key, the drop set is pair-output sized (small)."""
+    pairs = semantic_dedup_pairs(
+        df, threshold, n_centroids, refine_iters, max_cell, id_col, vec_col
+    )
+    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drops, id_col, "left_anti")
+
+
 def embedding_centroids(
     df: DataFrame,
     group_col: str = "label",

@@ -428,3 +428,83 @@ def repetition_signals(
     return base.join(per_doc, id_col, "left").fillna(
         {"top_bigram_frac": 0.0}
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM quality scoring — the CCNet-style perplexity proxy.
+# ---------------------------------------------------------------------------
+
+
+def unigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 50_000,
+    alpha: float = 0.5,
+) -> tuple[DataFrame, float]:
+    """Lidstone-smoothed unigram language model over the corpus: the
+    top-``vocab_size`` terms by frequency (ties broken by term, so the
+    vocabulary is a pure function of the corpus) with
+    ``logp = ln((n + α) / (N + α·(V+1)))``; every out-of-vocabulary
+    term shares the returned scalar ``oov_logp = ln(α / (N + α·(V+1)))``
+    (the "+1" is the single OOV event class).
+
+    Returns ``(model, oov_logp)`` where ``model`` is a ``(term, logp)``
+    DataFrame of at most ``vocab_size`` rows. The two scalars (total
+    token count, kept-vocab size) are one tiny aggregate collect; the
+    model itself is vocabulary-sized — broadcastable by construction,
+    which is the point of the cap: scoring 100 TB of text against the
+    model must be a map-side join, so the model must fit an executor.
+    """
+    counts = term_counts(df, text_col)
+    # orderBy().limit() compiles to TakeOrderedAndProject — per-partition
+    # partial top-K then a driver merge of K-row heads — never a global
+    # single-partition sort of the vocabulary.
+    vocab = counts.orderBy(F.col("n").desc(), F.col("term")).limit(vocab_size)
+    totals = counts.agg(F.sum("n").alias("total")).collect()[0]
+    n_total = int(totals["total"] or 0)
+    v = vocab.count()
+    denom = float(n_total) + alpha * (v + 1)
+    model = vocab.select(
+        "term",
+        F.round(F.log((F.col("n") + F.lit(alpha)) / F.lit(denom)), 6).alias(
+            "logp"
+        ),
+    )
+    import math
+
+    return model, round(math.log(alpha / denom), 6)
+
+
+def doc_logprob_score(
+    df: DataFrame,
+    model: DataFrame,
+    oov_logp: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean negative token log-probability under a
+    unigram model — low scores ≈ fluent in-distribution text, high
+    scores ≈ noise/garble (the quality gate CCNet applies with a
+    KenLM 5-gram; the unigram variant keeps it engine-portable and
+    oracle-replayable).
+
+    Output: ``(id, n_tokens, nll_per_token)``. Plan shape: one
+    (doc, term, tf) hash-agg over the corpus, then a term-keyed join
+    against the BROADCAST model (vocab-capped — see ``unigram_lm``),
+    then a doc-keyed agg. The corpus never shuffles raw tokens: the
+    join input is distinct (doc, term) pairs, already collapsed by
+    partial aggregation. Zero-token documents don't appear (nothing to
+    score); callers gate on ``n_tokens`` anyway.
+    """
+    dtc = doc_term_counts(df, id_col, text_col)
+    scored = dtc.join(F.broadcast(model), "term", "left").select(
+        F.col(id_col),
+        F.col("tf"),
+        (F.col("tf") * F.coalesce(F.col("logp"), F.lit(oov_logp))).alias(
+            "_nll"
+        ),
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("tf").alias("n_tokens"),
+        F.round(-F.sum("_nll") / F.sum("tf"), 6).alias("nll_per_token"),
+    )

@@ -1,0 +1,193 @@
+"""Unigram-LM quality scoring (CCNet-style perplexity proxy),
+SemDeDup-style cell-scoped semantic dedup, and temperature-flattened
+mixture sampling — the round-3 corpus-curation additions."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from mpg_data_warehouse_spark.operators.sampling import (
+    hash_bucket,
+    temperature_mixture_sample,
+)
+from mpg_data_warehouse_spark.operators.similarity import (
+    semantic_dedup_keep,
+    semantic_dedup_pairs,
+)
+from mpg_data_warehouse_spark.operators.text import (
+    doc_logprob_score,
+    unigram_lm,
+)
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM
+# ---------------------------------------------------------------------------
+
+
+def _lm_docs(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat sat on the mat"),
+            Row(doc_id=2, text="the dog sat"),
+            Row(doc_id=3, text="zyx qwv"),  # all-OOV garble
+        ]
+    )
+
+
+def test_unigram_lm_probabilities_match_hand_computation(spark):
+    model, oov = unigram_lm(_lm_docs(spark), alpha=0.5)
+    logp = {r.term: r.logp for r in model.collect()}
+    # 11 tokens total, 8 distinct terms, denom = 11 + 0.5 * 9 = 15.5
+    assert logp["the"] == round(math.log(3.5 / 15.5), 6)
+    assert logp["sat"] == round(math.log(2.5 / 15.5), 6)
+    assert logp["cat"] == round(math.log(1.5 / 15.5), 6)
+    assert oov == round(math.log(0.5 / 15.5), 6)
+
+
+def test_unigram_lm_vocab_cap_keeps_most_frequent(spark):
+    model, _ = unigram_lm(_lm_docs(spark), vocab_size=2, alpha=0.5)
+    kept = {r.term for r in model.collect()}
+    # top-2 by count desc, term asc: the(3), sat(2)
+    assert kept == {"the", "sat"}
+
+
+def test_doc_logprob_score_ranks_garble_worst(spark):
+    # Train on the fluent docs only; score a held-out garble doc so
+    # its terms are genuinely OOV.
+    train = _lm_docs(spark).filter(F.col("doc_id") < 3)
+    model, oov = unigram_lm(train, alpha=0.5)
+    scores = {
+        r.doc_id: r
+        for r in doc_logprob_score(_lm_docs(spark), model, oov).collect()
+    }
+    assert scores[1].n_tokens == 6
+    # doc 3 is pure OOV — exactly -oov nats per token, and the worst.
+    assert scores[3].nll_per_token == round(-oov, 6)
+    assert scores[3].nll_per_token > scores[1].nll_per_token
+    assert scores[3].nll_per_token > scores[2].nll_per_token
+
+
+def test_doc_logprob_score_oov_scoring_against_truncated_vocab(spark):
+    docs = _lm_docs(spark)
+    model, oov = unigram_lm(docs, vocab_size=2, alpha=0.5)
+    scores = {
+        r.doc_id: r.nll_per_token
+        for r in doc_logprob_score(docs, model, oov).collect()
+    }
+    # doc 2 = "the dog sat": the + sat in vocab, dog OOV.
+    denom = 11 + 0.5 * 3  # N + alpha * (V+1), V=2
+    expect = -(math.log(3.5 / denom) + math.log(0.5 / denom) + math.log(2.5 / denom)) / 3
+    assert abs(scores[2] - expect) < 2e-6
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup
+# ---------------------------------------------------------------------------
+
+
+def _vecs(spark):
+    # Two tight groups far apart plus a loner; ids ordered so the
+    # min-id retention rule is easy to assert.
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.999, 0.01, 0.0]),
+        Row(vec_id=2, embedding=[0.998, 0.02, 0.0]),
+        Row(vec_id=3, embedding=[0.0, 1.0, 0.0]),
+        Row(vec_id=4, embedding=[0.01, 0.999, 0.0]),
+        Row(vec_id=5, embedding=[0.0, 0.0, 1.0]),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_semantic_dedup_pairs_finds_within_group_dups_only(spark):
+    pairs = semantic_dedup_pairs(
+        _vecs(spark), threshold=0.99, n_centroids=3, refine_iters=1
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in got and (1, 2) in got and (0, 2) in got
+    assert (3, 4) in got
+    # Cross-group and loner pairs never appear.
+    assert all(a < b for a, b in got)
+    assert not any(5 in p for p in got)
+    assert not any((a < 3) != (b < 3) for a, b in got)
+
+
+def test_semantic_dedup_keep_retains_min_id_per_group(spark):
+    kept = semantic_dedup_keep(
+        _vecs(spark), threshold=0.99, n_centroids=3, refine_iters=1
+    )
+    assert {r.vec_id for r in kept.collect()} == {0, 3, 5}
+
+
+def test_semantic_dedup_cell_cap_drops_degenerate_cells(spark):
+    # max_cell=2 excludes the 3-member group from the pairwise pass;
+    # the 2-member group survives it.
+    pairs = semantic_dedup_pairs(
+        _vecs(spark), threshold=0.99, n_centroids=3, refine_iters=1,
+        max_cell=2,
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(3, 4)}
+
+
+# ---------------------------------------------------------------------------
+# Temperature mixture sampling
+# ---------------------------------------------------------------------------
+
+
+def _corpus(spark):
+    rows = [
+        Row(doc_id=f"big-{i}", source="big", n_tokens=10) for i in range(400)
+    ] + [
+        Row(doc_id=f"small-{i}", source="small", n_tokens=10) for i in range(40)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_temperature_one_reproduces_natural_mix_rates(spark):
+    df = _corpus(spark)
+    out = temperature_mixture_sample(
+        df, "source", "doc_id", "n_tokens", temperature=1.0,
+        target_total=2200.0,
+    )
+    # T=1: p_big=4000/4400, p_small=400/4400 → target_i/total_i = 0.5
+    # for BOTH strata — identical cutoff, so the kept sets are exactly
+    # the deterministic 50% hash-bucket sample of each stratum.
+    cut = int(0.5 * 10_000)
+    expect = df.filter(hash_bucket("doc_id") < F.lit(cut))
+    assert (
+        sorted(r.doc_id for r in out.collect())
+        == sorted(r.doc_id for r in expect.collect())
+    )
+
+
+def test_temperature_zero_gives_uniform_per_stratum_budget(spark):
+    out = temperature_mixture_sample(
+        _corpus(spark), "source", "doc_id", "n_tokens", temperature=0.0,
+        target_total=800.0,
+    )
+    counts = {
+        r.source: r.n
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # T=0: each stratum targets 400 tokens = 40 docs. The small source
+    # keeps everything (rate capped at 1); the big one keeps ~10%.
+    assert counts["small"] == 40
+    assert 25 <= counts["big"] <= 55
+
+
+def test_temperature_sampling_is_deterministic(spark):
+    df = _corpus(spark)
+    a = temperature_mixture_sample(
+        df, "source", "doc_id", "n_tokens", 0.5, 1000.0
+    )
+    b = temperature_mixture_sample(
+        df, "source", "doc_id", "n_tokens", 0.5, 1000.0
+    )
+    assert sorted(r.doc_id for r in a.collect()) == sorted(
+        r.doc_id for r in b.collect()
+    )
