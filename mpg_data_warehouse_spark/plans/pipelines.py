@@ -292,15 +292,20 @@ def curate_corpus_pipeline(
     overlap: int = 8,
     target_tokens_per_source: float | None = None,
     max_line_df: int | None = None,
+    lm_model: tuple[DataFrame, float] | None = None,
+    max_nll_per_token: float | None = None,
+    mixture_temperature: float | None = None,
+    mixture_target_total: float | None = None,
 ) -> DataFrame:
     """End-to-end training-corpus curation, composing the engine's
     LLM-pipeline operators into one lazy plan:
 
         [optional line-level boilerplate strip] → quality filter →
-        exact dedup (keep canonical) → near-dup retention
-        (MinHash+LSH → verify → connected components, keep one per
-        cluster) → [optional per-source token-budget rebalance] →
-        sequence packing
+        [optional unigram-LM perplexity gate] → exact dedup (keep
+        canonical) → near-dup retention (MinHash+LSH → verify →
+        connected components, keep one per cluster) → [optional
+        per-source token-budget rebalance OR temperature-flattened
+        mixture sample] → sequence packing
 
     Output: packed chunks (doc_id, chunk_id, chunk_text, n_tokens)
     plus the surviving doc's source. Every stage is individually
@@ -311,6 +316,18 @@ def curate_corpus_pipeline(
     ``max_line_df`` enables the C4-style boilerplate pass FIRST:
     shared nav/footer lines would otherwise both depress quality
     scores and create spurious near-dup pairs downstream.
+
+    ``lm_model`` + ``max_nll_per_token`` enable the CCNet-style
+    perplexity gate: pass a pre-trained ``text.unigram_lm`` (the model
+    is trained OFFLINE on a reference corpus, exactly as CCNet uses a
+    pre-trained KenLM — keeping it an input keeps this plan fully
+    lazy) and docs scoring above the nats-per-token cap are dropped.
+    The model join is broadcast (vocab-capped by construction).
+
+    ``mixture_temperature`` + ``mixture_target_total`` select the
+    temperature-flattened mixture (T5/PaLM recipe) instead of the
+    fixed per-source budget; the two rebalance modes are mutually
+    exclusive.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import Window
@@ -321,12 +338,22 @@ def curate_corpus_pipeline(
         minhash_dedup_pairs,
         retain_representatives,
     )
-    from mpg_data_warehouse_spark.operators.sampling import budget_rebalance_sample
+    from mpg_data_warehouse_spark.operators.sampling import (
+        budget_rebalance_sample,
+        temperature_mixture_sample,
+    )
     from mpg_data_warehouse_spark.operators.text import (
+        doc_logprob_score,
         quality_score,
         strip_boilerplate_lines,
         tokens,
     )
+
+    if target_tokens_per_source is not None and mixture_temperature is not None:
+        raise ValueError(
+            "target_tokens_per_source and mixture_temperature are "
+            "mutually exclusive rebalance modes"
+        )
 
     if max_line_df is not None:
         docs = strip_boilerplate_lines(docs, max_line_df).drop(
@@ -334,6 +361,13 @@ def curate_corpus_pipeline(
         )
     scored = docs.withColumn("_q", quality_score("text"))
     kept = scored.filter(F.col("_q") >= min_quality).drop("_q")
+
+    if lm_model is not None and max_nll_per_token is not None:
+        model, oov_logp = lm_model
+        fluent = doc_logprob_score(kept, model, oov_logp).filter(
+            F.col("nll_per_token") <= max_nll_per_token
+        )
+        kept = kept.join(fluent.select("doc_id"), "doc_id", "left_semi")
 
     # exact dedup: canonical = min doc_id per content hash
     canon = (
@@ -366,6 +400,20 @@ def curate_corpus_pipeline(
             key="doc_id",
             weight="_n_tok",
             target_per_stratum=target_tokens_per_source,
+        ).drop("_w", "_n_tok")
+    elif mixture_temperature is not None:
+        if mixture_target_total is None:
+            raise ValueError(
+                "mixture_temperature requires mixture_target_total"
+            )
+        toks = F.filter(tokens("text"), lambda t: t != F.lit(""))
+        survivors = temperature_mixture_sample(
+            survivors.withColumn("_n_tok", F.size(toks).cast("long")),
+            strata="source",
+            key="doc_id",
+            weight="_n_tok",
+            temperature=mixture_temperature,
+            target_total=mixture_target_total,
         ).drop("_w", "_n_tok")
 
     chunks = pack_sequences(

@@ -350,3 +350,61 @@ def test_curate_corpus_pipeline_boilerplate_stage(spark):
     kept_docs = {r.doc_id for r in out.select("doc_id").distinct().collect()}
     assert kept_docs == {1, 2, 3, 4}  # bodies are distinct -> all survive
     assert out.filter(F.col("chunk_text").contains("sitemap")).count() == 0
+
+
+def test_curate_corpus_pipeline_lm_gate(spark):
+    """With a pre-trained unigram model, the perplexity gate drops the
+    OOV-garble doc that the surface-quality heuristics would pass."""
+    from mpg_data_warehouse_spark.plans.pipelines import curate_corpus_pipeline
+    from mpg_data_warehouse_spark.operators.text import unigram_lm
+
+    fluent = "the quick brown fox jumps over the lazy dog near the river bank"
+    reference = spark.createDataFrame(
+        [(i, fluent, "ref") for i in range(3)], ["doc_id", "text", "source"]
+    )
+    model, oov = unigram_lm(reference)
+    garble = " ".join(f"zq{j}xv wblort" for j in range(8))
+    docs = spark.createDataFrame(
+        [(1, fluent + " today", "web"), (2, garble, "web")],
+        ["doc_id", "text", "source"],
+    )
+    gated = curate_corpus_pipeline(
+        docs, min_quality=0.0, max_tokens=64,
+        lm_model=(model, oov), max_nll_per_token=-oov - 0.5,
+    )
+    assert {r.doc_id for r in gated.select("doc_id").distinct().collect()} == {1}
+    # Without the gate both docs survive — the drop is the LM's doing.
+    open_ = curate_corpus_pipeline(docs, min_quality=0.0, max_tokens=64)
+    assert open_.select("doc_id").distinct().count() == 2
+
+
+def test_curate_corpus_pipeline_temperature_mixture_stage(spark):
+    from pyspark.sql import functions as F
+
+    from mpg_data_warehouse_spark.plans.pipelines import curate_corpus_pipeline
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(i, f"{words} " + " ".join(f"doc{i}w{j}" for j in range(20)), "big")
+         for i in range(40)]
+        + [(100, "unrelated tiny corpus entry about nothing shared", "small")],
+        ["doc_id", "text", "source"],
+    )
+    out = curate_corpus_pipeline(
+        docs, min_quality=0.0, max_tokens=64,
+        mixture_temperature=0.0, mixture_target_total=200.0,
+    )
+    per_src = {
+        r.source: r.t
+        for r in out.groupBy("source").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    # T=0 splits the budget evenly: small keeps everything (capped at
+    # 1), big is down-sampled toward ~100 tokens.
+    assert per_src.get("small", 0) > 0
+    assert per_src["big"] < 40 * 21 / 2
+    import pytest
+
+    with pytest.raises(ValueError):
+        curate_corpus_pipeline(
+            docs, target_tokens_per_source=10.0, mixture_temperature=0.5
+        )
