@@ -158,6 +158,38 @@ def row_count(spark: SparkSession, path: str) -> int:
     return spark.read.parquet(path).count()
 
 
+def analyze_table(
+    spark: SparkSession, table: str, columns: tuple[str, ...] = ()
+) -> dict[str, str]:
+    """Collect cost-based-optimizer statistics for a catalog table —
+    ``ANALYZE TABLE ... COMPUTE STATISTICS`` (row count + size), plus
+    per-column NDV/null/min/max when ``columns`` are named. Returns
+    the recorded table-level statistics parsed out of ``DESCRIBE
+    EXTENDED`` (e.g. ``{"rowCount": "60000", "sizeInBytes": ...}``).
+
+    This is what makes `spark.sql.cbo.enabled` join reordering and
+    accurate broadcast decisions WORK at 100 TB: without stats the
+    planner falls back to file-size guesses, which miss badly on
+    filtered or highly-compressed inputs. Run it at write time (the
+    table was just scanned anyway); stats persist in the metastore
+    with the table."""
+    spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
+    if columns:
+        cols = ", ".join(columns)
+        spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS {cols}")
+    stats: dict[str, str] = {}
+    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+        if r["col_name"] == "Statistics":
+            # "N bytes, M rows" → structured dict
+            for part in r["data_type"].split(","):
+                words = part.strip().split()
+                if len(words) == 2 and words[1] == "bytes":
+                    stats["sizeInBytes"] = words[0]
+                elif len(words) == 2 and words[1] == "rows":
+                    stats["rowCount"] = words[0]
+    return stats
+
+
 def schema_matches(df: DataFrame, expected) -> bool:
     """Reference §1.3 schema verification: exact StructType equality
     (names, types, order). The engine's pre-append gate."""

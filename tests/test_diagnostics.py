@@ -1,0 +1,63 @@
+"""Skew/cardinality diagnostics and CBO table statistics — the
+pre-flight tooling for picking physical join strategies at scale."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from mpg_data_warehouse_spark.operators.diagnostics import (
+    key_skew_report,
+    suggest_salts,
+)
+from mpg_data_warehouse_spark.sources.catalog import analyze_table, save_as_table
+
+
+def _skewed(spark):
+    rows = (
+        [Row(k="hot", v=i) for i in range(900)]
+        + [Row(k="warm", v=i) for i in range(90)]
+        + [Row(k=f"cold{i}", v=i) for i in range(10)]
+    )
+    return spark.createDataFrame(rows)
+
+
+def test_key_skew_report_ranks_and_quantifies(spark):
+    rep = key_skew_report(_skewed(spark), ["k"], top_n=3).collect()
+    assert [r.k for r in rep] == ["hot", "warm", "cold0"]
+    hot = rep[0]
+    assert hot.n_rows == 900
+    assert hot.row_share == 0.9
+    # 12 distinct keys, 1000 rows → mean group 83.33; 900/83.33 = 10.8
+    assert abs(hot.skew_ratio - 10.8) < 0.01
+
+
+def test_suggest_salts_scales_with_hottest_key(spark):
+    df = _skewed(spark)
+    # hottest key = 900 rows; 100-row tasks → ceil(900/100) = 9 salts
+    assert suggest_salts(df, ["k"], target_rows_per_task=100) == 9
+    # nothing over the target → no salting
+    assert suggest_salts(df, ["k"], target_rows_per_task=1000) == 1
+
+
+def test_suggest_salts_empty_input(spark):
+    empty = spark.createDataFrame([], "k string, v long")
+    assert suggest_salts(empty, ["k"], target_rows_per_task=10) == 1
+
+
+def test_analyze_table_records_cbo_stats(spark):
+    df = spark.createDataFrame([Row(a=i, b=f"x{i}") for i in range(100)])
+    save_as_table(df, "diag_stats_t")
+    try:
+        stats = analyze_table(spark, "diag_stats_t", columns=("a",))
+        assert stats["rowCount"] == "100"
+        assert int(stats["sizeInBytes"]) > 0
+        # column-level NDV recorded in metadata
+        desc = {
+            r.info_name: r.info_value
+            for r in spark.sql(
+                "DESCRIBE EXTENDED diag_stats_t a"
+            ).collect()
+        }
+        assert desc.get("distinct_count") == "100"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS diag_stats_t")
