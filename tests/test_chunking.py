@@ -54,3 +54,68 @@ def test_packing_is_map_side_only(spark):
         pack_sequences(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# pack_paragraphs — boundary-aware greedy packing
+# ---------------------------------------------------------------------------
+
+
+def _para_doc(spark):
+    paras = [
+        " ".join(f"p1w{i}" for i in range(10)),   # 10 tokens
+        " ".join(f"p2w{i}" for i in range(20)),   # 20 tokens
+        " ".join(f"p3w{i}" for i in range(15)),   # 15 tokens
+        " ".join(f"p4w{i}" for i in range(40)),   # 40 tokens (oversized)
+        " ".join(f"p5w{i}" for i in range(5)),    # 5 tokens
+    ]
+    return spark.createDataFrame(
+        [(1, "\n\n".join(paras))], ["doc_id", "text"]
+    )
+
+
+def test_pack_paragraphs_greedy_fill(spark):
+    from mpg_data_warehouse_spark.operators.chunking import pack_paragraphs
+
+    rows = sorted(
+        pack_paragraphs(_para_doc(spark), max_tokens=32).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    # Greedy: [p1+p2]=30, [p3]=15 (p4 doesn't fit), [p4]=40 alone, [p5]=5
+    assert [r.n_tokens for r in rows] == [30, 15, 40, 5]
+    assert rows[0].chunk_text.startswith("p1w0") and "p2w19" in rows[0].chunk_text
+    # paragraph boundary preserved as a blank line inside the chunk
+    assert "\n\n" in rows[0].chunk_text
+    # chunks never split a paragraph
+    assert rows[2].chunk_text.split() == [f"p4w{i}" for i in range(40)]
+
+
+def test_pack_paragraphs_oversized_paragraph_isolated(spark):
+    from mpg_data_warehouse_spark.operators.chunking import pack_paragraphs
+
+    rows = pack_paragraphs(_para_doc(spark), max_tokens=32).collect()
+    over = [r for r in rows if r.n_tokens > 32]
+    assert len(over) == 1 and over[0].n_tokens == 40
+
+
+def test_pack_paragraphs_blank_doc_emits_nothing(spark):
+    from mpg_data_warehouse_spark.operators.chunking import pack_paragraphs
+
+    df = spark.createDataFrame(
+        [(1, "  \n\n   \n\n"), (2, "one two three")], ["doc_id", "text"]
+    )
+    rows = pack_paragraphs(df, max_tokens=8).collect()
+    assert {r.doc_id for r in rows} == {2}
+    assert rows[0].chunk_text == "one two three"
+
+
+def test_pack_paragraphs_is_map_side_only(spark):
+    from mpg_data_warehouse_spark.operators.chunking import pack_paragraphs
+
+    plan = (
+        pack_paragraphs(_para_doc(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
