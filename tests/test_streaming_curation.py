@@ -1,0 +1,107 @@
+"""Continual-curation stream: micro-batch quality gate + exact dedup
++ incremental near-dup against the persisted signature table, with
+checkpoint-resume and full-replay idempotency."""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from mpg_data_warehouse_spark.streaming.curation import curated_append_stream
+
+DOCS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("source", StringType()),
+    ]
+)
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+OTHER = "completely different long form content about databases " * 3
+THIRD = "a third entirely unrelated document concerning orbital mechanics " * 3
+
+
+def _stream(spark, src):
+    return spark.readStream.schema(DOCS_SCHEMA).parquet(src)
+
+
+def _run(spark, src, paths):
+    q = curated_append_stream(
+        _stream(spark, src), paths["sink"], paths["sigs"], paths["ckpt"]
+    )
+    q.awaitTermination(180)
+
+
+def test_curated_stream_dedups_across_batches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    paths = {
+        "sink": str(tmp_path / "sink"),
+        "sigs": str(tmp_path / "sigs"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+    batch_a = spark.createDataFrame(
+        [
+            (1, BASE * 3, "web"),
+            (2, BASE * 3, "web"),     # exact dup of 1 (in-batch)
+            (3, "shrt", "web"),       # fails the quality gate
+            (4, OTHER, "books"),
+        ],
+        DOCS_SCHEMA,
+    )
+    batch_a.write.parquet(src)
+    _run(spark, src, paths)
+
+    sink_ids = {r.doc_id for r in spark.read.parquet(paths["sink"]).collect()}
+    assert sink_ids == {1, 4}
+
+    # Batch B arrives: token-identical near-dup of 1 (same shingle
+    # set, different raw hash), a fresh doc, and a cross-batch exact
+    # dup of 4.
+    batch_b = spark.createDataFrame(
+        [
+            (5, BASE * 3 + " ", "web"),   # near-dup of 1
+            (6, THIRD, "papers"),
+            (7, OTHER, "books"),          # exact dup of 4, new id
+        ],
+        DOCS_SCHEMA,
+    )
+    batch_b.write.mode("append").parquet(src)
+    _run(spark, src, paths)
+
+    sink = spark.read.parquet(paths["sink"])
+    assert {r.doc_id for r in sink.collect()} == {1, 4, 6}
+    # signature table tracks exactly the surviving docs
+    sig_ids = {r.doc_id for r in spark.read.parquet(paths["sigs"]).collect()}
+    assert sig_ids == {1, 4, 6}
+
+
+def test_curated_stream_full_replay_is_idempotent(spark, tmp_path):
+    src = str(tmp_path / "src")
+    paths = {
+        "sink": str(tmp_path / "sink"),
+        "sigs": str(tmp_path / "sigs"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+    spark.createDataFrame(
+        [(1, BASE * 3, "web"), (2, OTHER, "books")], DOCS_SCHEMA
+    ).write.parquet(src)
+    _run(spark, src, paths)
+    first = sorted(
+        tuple(r) for r in spark.read.parquet(paths["sink"]).collect()
+    )
+
+    # Lose the checkpoint (the at-least-once disaster case): the whole
+    # source replays, and the sink/signature guards absorb it.
+    paths_replay = dict(paths, ckpt=str(tmp_path / "ckpt2"))
+    _run(spark, src, paths_replay)
+    again = sorted(
+        tuple(r) for r in spark.read.parquet(paths["sink"]).collect()
+    )
+    assert again == first
+    sigs = spark.read.parquet(paths["sigs"])
+    assert sigs.count() == sigs.select("doc_id").distinct().count() == 2
