@@ -301,3 +301,41 @@ def write_clustered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    rows_per_shard: int,
+    fmt: str = "parquet",
+) -> None:
+    """Export training data as size-bounded, DETERMINISTICALLY
+    assigned shard files — the contract a downstream dataloader wants:
+    re-running the export on the same data produces the same
+    row→shard mapping (resumable/verifiable exports), and no shard
+    materially exceeds ``rows_per_shard``.
+
+    Shard id = content-hash bucket of ``key_col`` (the sampling
+    family's md5 primitive — engine-replayable), sized from a
+    metadata-only count; one hash repartition on the shard id plus
+    ``maxRecordsPerFile`` as the hard per-file ceiling (hash buckets
+    are approximately, not exactly, uniform — Spark rolls a second
+    file for an over-full bucket rather than failing the contract).
+    Writes land partitioned by ``shard=N`` so a loader can list, split
+    and resume by directory. ``fmt`` is any DataFrameWriter format
+    ("parquet", "orc", "json" for JSONL shards)."""
+    from mpg_data_warehouse_spark.operators.sampling import hash_bucket
+
+    n_rows = df.count()
+    n_shards = max(1, -(-n_rows // rows_per_shard))
+    sharded = df.withColumn(
+        "shard", hash_bucket(key_col, n_shards)
+    ).repartition("shard")
+    (
+        sharded.write.mode("overwrite")
+        .option("maxRecordsPerFile", rows_per_shard)
+        .partitionBy("shard")
+        .format(fmt)
+        .save(path)
+    )

@@ -61,3 +61,41 @@ def test_analyze_table_records_cbo_stats(spark):
         assert desc.get("distinct_count") == "100"
     finally:
         spark.sql("DROP TABLE IF EXISTS diag_stats_t")
+
+
+def test_write_training_shards_bounded_and_deterministic(spark, tmp_path):
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    from mpg_data_warehouse_spark.sources.writers import write_training_shards
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=f"doc number {i}") for i in range(1000)]
+    )
+    out1 = str(tmp_path / "shards1")
+    write_training_shards(df, out1, "doc_id", rows_per_shard=200)
+
+    back = spark.read.parquet(out1)
+    assert back.count() == 1000
+    assert back.select("doc_id").distinct().count() == 1000
+    # every FILE respects the hard per-file ceiling
+    import glob
+    import os
+
+    for f in glob.glob(os.path.join(out1, "shard=*", "*.parquet")):
+        assert pq.ParquetFile(f).metadata.num_rows <= 200
+    # ~5 shard directories (hash buckets of ceil(1000/200))
+    shard_dirs = glob.glob(os.path.join(out1, "shard=*"))
+    assert len(shard_dirs) == 5
+
+    # deterministic row→shard mapping across re-exports
+    out2 = str(tmp_path / "shards2")
+    write_training_shards(df, out2, "doc_id", rows_per_shard=200)
+    m1 = {r.doc_id: r.shard for r in spark.read.parquet(out1).collect()}
+    m2 = {r.doc_id: r.shard for r in spark.read.parquet(out2).collect()}
+    assert m1 == m2
+    by_shard = defaultdict(int)
+    for s in m1.values():
+        by_shard[s] += 1
+    assert sum(by_shard.values()) == 1000
