@@ -100,3 +100,37 @@ def test_scd2_apply_empty_changes(spark):
     )
     rows = out.collect()
     assert len(rows) == 1 and rows[0].is_current
+
+
+def test_semantic_dedup_single_vector(spark):
+    from mpg_data_warehouse_spark.operators.similarity import (
+        semantic_dedup_keep,
+        semantic_dedup_pairs,
+    )
+
+    one = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[1.0, 0.0])]
+    )
+    assert semantic_dedup_pairs(one, n_centroids=2).count() == 0
+    assert semantic_dedup_keep(one, n_centroids=2).count() == 1
+
+
+def test_doc_logprob_score_empty_corpus(spark):
+    from mpg_data_warehouse_spark.operators.text import (
+        doc_logprob_score,
+        unigram_lm,
+    )
+
+    train = spark.createDataFrame([Row(doc_id=1, text="a b c")])
+    model, oov = unigram_lm(train)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert doc_logprob_score(empty, model, oov).count() == 0
+
+
+def test_key_skew_report_uniform_keys(spark):
+    from mpg_data_warehouse_spark.operators.diagnostics import key_skew_report
+
+    df = spark.createDataFrame([Row(k=f"k{i}", v=i) for i in range(10)])
+    rep = key_skew_report(df, ["k"], top_n=5).collect()
+    assert len(rep) == 5
+    assert all(r.skew_ratio == 1.0 for r in rep)

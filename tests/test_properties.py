@@ -215,3 +215,115 @@ def test_zorder_value_is_deterministic_and_bounded(spark, pts):
     b = [r.z for r in df.select(z.alias("z")).orderBy("x", "y").collect()]
     assert a == b
     assert all(0 <= v < (1 << 16) for v in a)
+
+
+texts = st.lists(
+    st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "zz9"]),
+        min_size=1,
+        max_size=12,
+    ).map(" ".join),
+    min_size=1,
+    max_size=12,
+)
+
+
+@_slow
+@given(docs=texts)
+def test_unigram_scores_match_python_reference(spark, docs):
+    """For any corpus: engine (term, logp) and per-doc NLL equal a
+    pure-Python reference of the same smoothing formula."""
+    import math
+    from collections import Counter
+
+    from mpg_data_warehouse_spark.operators.text import (
+        doc_logprob_score,
+        unigram_lm,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(docs)]
+    )
+    model, oov = unigram_lm(df, alpha=0.5)
+
+    counts = Counter(t for d in docs for t in d.split())
+    total = sum(counts.values())
+    denom = total + 0.5 * (len(counts) + 1)
+    ref_logp = {t: round(math.log((n + 0.5) / denom), 6) for t, n in counts.items()}
+    assert {r.term: r.logp for r in model.collect()} == ref_logp
+    assert oov == round(math.log(0.5 / denom), 6)
+
+    got = {r.doc_id: r.nll_per_token for r in doc_logprob_score(df, model, oov).collect()}
+    for i, d in enumerate(docs):
+        toks = d.split()
+        want = -sum(ref_logp[t] for t in toks) / len(toks)
+        assert abs(got[i] - want) < 1e-5
+
+
+para_docs = st.lists(
+    st.lists(
+        st.lists(st.sampled_from(["w1", "w2", "w3", "w4"]), min_size=1, max_size=9)
+        .map(" ".join),
+        min_size=1,
+        max_size=6,
+    ).map("\n\n".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+@_slow
+@given(docs=para_docs)
+def test_pack_paragraphs_covers_exactly_in_order(spark, docs):
+    """For any corpus: concatenating a doc's chunks in chunk order
+    reproduces the doc's token stream exactly (no loss, no dup, no
+    reorder), and only lone-oversized-paragraph chunks exceed the
+    budget."""
+    from mpg_data_warehouse_spark.operators.chunking import pack_paragraphs
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(docs)]
+    )
+    rows = pack_paragraphs(df, max_tokens=8).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, t in enumerate(docs):
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_id)
+        rebuilt = [tok for c in chunks for tok in c.chunk_text.split()]
+        assert rebuilt == t.split()
+        for c in chunks:
+            # oversized ⇒ the chunk is a single paragraph
+            if c.n_tokens > 8:
+                assert "\n\n" not in c.chunk_text
+
+
+@_slow
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 500),
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(1, 30),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    temp=st.sampled_from([0.0, 0.3, 0.7, 1.0]),
+)
+def test_temperature_sample_is_subset_and_deterministic(spark, rows, temp):
+    """For any corpus and temperature: output ⊆ input, and two runs
+    agree row for row."""
+    from mpg_data_warehouse_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=k, source=s, w=w) for k, s, w in rows]
+    ).dropDuplicates(["doc_id"])
+    out1 = temperature_mixture_sample(df, "source", "doc_id", "w", temp, 50.0)
+    out2 = temperature_mixture_sample(df, "source", "doc_id", "w", temp, 50.0)
+    ids_all = {r.doc_id for r in df.collect()}
+    ids1 = {r.doc_id for r in out1.collect()}
+    assert ids1 <= ids_all
+    assert ids1 == {r.doc_id for r in out2.collect()}
