@@ -297,3 +297,49 @@ def test_read_csv_with_quarantine_clean_file_empty_quarantine(spark, tmp_path):
     good, bad = read_csv_with_quarantine(spark, p, schema)
     assert good.count() == 2
     assert bad.count() == 0
+
+
+def test_convert_table_roundtrip_and_swap(spark, tmp_path):
+    """tools/convert_table.py: parquet→orc conversion verifies and
+    atomically replaces an existing destination; a re-read matches the
+    source row for row."""
+    import sys
+
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, "/root/repo")
+    from tools.convert_table import convert_table
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    df = spark.range(500).withColumn("s", F.concat(F.lit("row"), F.col("id")))
+    df.write.parquet(src)
+    # pre-existing destination gets swapped, not clobbered mid-write
+    spark.range(3).write.orc(dst)
+
+    n = convert_table(spark, src, dst, "parquet", "orc")
+    assert n == 500
+    back = spark.read.orc(dst)
+    assert back.count() == 500
+    assert sorted(r.s for r in back.collect()) == sorted(
+        r.s for r in df.collect()
+    )
+    import os
+
+    assert not os.path.exists(dst + "__staging")
+    assert not os.path.exists(dst + "__old")
+
+
+def test_convert_table_to_jsonl_counts(spark, tmp_path):
+    import sys
+
+    from pyspark.sql import functions as F
+
+    sys.path.insert(0, "/root/repo")
+    from tools.convert_table import convert_table
+
+    src = str(tmp_path / "psrc")
+    dst = str(tmp_path / "jdst")
+    spark.range(100).withColumn("s", F.lit("x")).write.parquet(src)
+    assert convert_table(spark, src, dst, "parquet", "jsonl") == 100
+    assert spark.read.json(dst).count() == 100
