@@ -519,6 +519,54 @@ def ivf_write_index(
     centroids.write.mode("overwrite").parquet(f"{path}/_centroids")
 
 
+def ivf_append_index(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incrementally maintain a persisted IVF index: assign a NEW
+    batch of vectors to the index's FROZEN centroids and append them
+    to the matching cell partitions — the continual-ingest shape
+    (like ``dedup.incremental_minhash_pairs`` for signatures): daily
+    vector arrivals cost O(|batch|), never an O(|corpus|) rebuild.
+
+    Centroids are deliberately not updated — the real-world IVF
+    maintenance policy (FAISS-style): assignment must stay consistent
+    with the lists already on disk, so centroids only move on an
+    explicit offline re-build (``ivf_write_index``), typically when
+    drift degrades recall. Probes see appended vectors immediately:
+    ``ivf_probe_index`` reads the cell partitions, and dynamic
+    partition append only touches the cells the batch lands in.
+
+    Replay guard: batch ids already present in the index are dropped
+    (anti-join on the bounded probe side), so at-least-once upstream
+    delivery cannot double-insert a vector. Returns the number of
+    vectors appended."""
+    centroids = spark.read.parquet(f"{path}/_centroids")
+    cent_rows = _collect_centroid_rows(centroids)
+    fresh = new_vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("c_norm"),
+    ).join(
+        spark.read.parquet(path).select("neighbor_id"),
+        "neighbor_id",
+        "left_anti",
+    )
+    # Materialize BEFORE writing: the anti-join plan reads `path`, and
+    # appending to a path an in-flight plan is scanning is a
+    # read-own-write race. The checkpoint is |batch|-sized.
+    cells = with_nearest_cell(
+        fresh, cent_rows, "c_vec", "c_norm"
+    ).localCheckpoint()
+    n = cells.count()
+    if n:
+        cells.write.mode("append").partitionBy("cell").parquet(path)
+    return n
+
+
 def ivf_probe_index(
     spark,
     path: str,

@@ -259,3 +259,49 @@ def test_ivf_index_rebuild_is_idempotent(spark, tmp_path):
     ivf_write_index(emb, path, n_centroids=8)  # rebuild over same corpus
     r2 = {tuple(r) for r in ivf_probe_index(spark, path, q, k=5).collect()}
     assert r1 == r2
+
+
+def test_ivf_append_index_incremental_ingest(spark, tmp_path):
+    """ivf_append_index: new vectors join the frozen-centroid index
+    in O(|batch|), become immediately probe-visible, and replays are
+    no-ops."""
+    from pyspark.sql import functions as F
+
+    from mpg_data_warehouse_spark.operators.similarity import (
+        ivf_append_index,
+        ivf_probe_index,
+        ivf_write_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    n_total = emb.count()
+    first = emb.filter(F.col("vec_id") < n_total // 2)
+    rest = emb.filter(F.col("vec_id") >= n_total // 2)
+
+    path = str(tmp_path / "ivf_incr")
+    ivf_write_index(first, path, n_centroids=8)
+    appended = ivf_append_index(spark, path, rest)
+    assert appended == rest.count()
+
+    stored = spark.read.parquet(path)
+    assert stored.count() == n_total
+    assert stored.select("neighbor_id").distinct().count() == n_total
+
+    # a query whose vector equals an appended one (fresh id, so the
+    # self-exclusion in scoring doesn't apply) finds it at rank 1
+    target = rest.limit(1).collect()[0]
+    probe_q = spark.createDataFrame(
+        [(-1, target.embedding)], "vec_id long, embedding array<double>"
+    )
+    top = ivf_probe_index(spark, path, probe_q, k=3, nprobe=2).filter(
+        F.col("rank") == 1
+    ).collect()[0]
+    assert top.neighbor_id == target.vec_id
+    assert abs(top.cos_sim - 1.0) < 1e-6
+
+    # replay of the same batch double-inserts nothing
+    assert ivf_append_index(spark, path, rest) == 0
+    assert spark.read.parquet(path).count() == n_total
