@@ -127,7 +127,14 @@ def curated_append_stream(
         # Monotonic-id contract: the drop side of every candidate pair
         # is the higher id == the newer doc.
         drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
-        survivors = canon.join(drops, id_col, "left_anti").localCheckpoint()
+        # Pin the sink column order (joins reorder columns; an append
+        # whose file schema-order differs — even a zero-row replay
+        # part — makes later reads order-unstable).
+        survivors = (
+            canon.join(drops, id_col, "left_anti")
+            .select(*batch_df.columns, "_h")
+            .localCheckpoint()
+        )
         surviving_sigs = new_sigs.join(
             survivors.select(id_col), id_col, "left_semi"
         ).join(corpus_sigs.select(id_col), id_col, "left_anti")
