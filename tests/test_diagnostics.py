@@ -99,3 +99,34 @@ def test_write_training_shards_bounded_and_deterministic(spark, tmp_path):
     for s in m1.values():
         by_shard[s] += 1
     assert sum(by_shard.values()) == 1000
+
+
+def test_observe_stage_counts_without_extra_actions(spark):
+    """Stage counters ride the single action: one write-style action
+    populates every attached observation — no per-stage count() jobs."""
+    from pyspark.sql import functions as F
+
+    from mpg_data_warehouse_spark.operators.observability import (
+        observe_stage,
+        stage_metrics,
+    )
+
+    obs = stage_metrics(["raw", "filtered"])
+    df = spark.createDataFrame(
+        [Row(doc_id=i, n_tokens=10 * (i % 3 + 1)) for i in range(100)]
+    )
+    staged = observe_stage(df, obs["raw"], weight_col="n_tokens")
+    kept = observe_stage(
+        staged.filter(F.col("n_tokens") > 10), obs["filtered"],
+        weight_col="n_tokens",
+    )
+    kept.write.format("noop").mode("overwrite").save()
+
+    raw = obs["raw"].get
+    filt = obs["filtered"].get
+    assert raw["rows"] == 100
+    assert raw["weight"] == sum(10 * (i % 3 + 1) for i in range(100))
+    assert filt["rows"] == sum(1 for i in range(100) if 10 * (i % 3 + 1) > 10)
+    assert filt["weight"] == sum(
+        10 * (i % 3 + 1) for i in range(100) if 10 * (i % 3 + 1) > 10
+    )
