@@ -2,17 +2,25 @@
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+     "spread": {...}, "reps": 3, "sf": ...}
 
-Each query is executed with a count-style action (no driver-side
+Each query is executed with a noop sink (no driver-side
 materialization of result rows) so we measure the distributed plan,
 not toPandas transfer. A warmup pass on sf0.001 JIT-warms the JVM.
+
+Each query is timed ``$SPARK_GRAFT_BENCH_REPS`` times (default 3) and
+the per-query *median* is reported; ``spread`` carries [min, max] so a
+reader can judge measurement noise. Single-shot timings on a loaded
+box showed up to 6-13x noise on plans whose digests were unchanged —
+the median of three is stable to well under 2x.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -75,14 +83,24 @@ def main() -> None:
                 "overwrite"
             ).save()
 
-    timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.time()
-        # noop sink: full execution of every operator, zero sink cost.
-        QUERIES[name](spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        timings[name] = round(time.time() - t0, 3)
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # Interleave repetitions (full sweep x reps, not query x reps
+    # back-to-back) so a transient load spike on the box degrades one
+    # rep of many queries instead of all reps of one query.
+    samples: dict[str, list[float]] = {name: [] for name in names}
+    for _ in range(reps):
+        for name in names:
+            t0 = time.time()
+            # noop sink: full execution of every operator, zero sink cost.
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            samples[name].append(time.time() - t0)
+
+    timings = {n: round(statistics.median(ts), 3) for n, ts in samples.items()}
+    spread = {
+        n: [round(min(ts), 3), round(max(ts), 3)] for n, ts in samples.items()
+    }
 
     total = round(sum(timings.values()), 3)
     print(
@@ -92,6 +110,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "reps": reps,
                 "sf": sf,
             }
         )
