@@ -88,7 +88,13 @@ def main() -> None:
     # back-to-back) so a transient load spike on the box degrades one
     # rep of many queries instead of all reps of one query.
     samples: dict[str, list[float]] = {name: [] for name in names}
-    for _ in range(reps):
+    for rep in range(reps):
+        # Operators that .cache() intermediates would otherwise be
+        # served from the previous rep's cached relation (Spark's
+        # CacheManager matches identical analyzed plans), making
+        # repeat reps measure cache reads instead of the plan.
+        if rep:
+            spark.catalog.clearCache()
         for name in names:
             t0 = time.time()
             # noop sink: full execution of every operator, zero sink cost.

@@ -214,3 +214,35 @@ def test_incremental_minhash_matches_batch_rerun(spark):
     # returned signatures keep the incremental invariant
     assert set(new_sigs.columns) == set(corpus_sigs.columns)
     assert new_sigs.count() == 2
+
+
+def test_ngram_jaccard_collapse_exact_parity(spark):
+    """Exact-dedup-first (default) must emit exactly the pair set of
+    the corpus-as-given complete pipeline, including replica pairs at
+    Jaccard 1.0 and high-id / interleaved-id replica groups (the
+    expansion re-normalizes id_a < id_b)."""
+    rows = [Row(doc_id=i, text=DOC) for i in (1, 2, 900001)]  # 3 replicas
+    rows += [
+        Row(doc_id=5, text=DOC.replace("quick", "swift")),
+        Row(doc_id=6, text=DOC.replace("quick", "swift")),  # replica of 5
+        Row(doc_id=7, text="completely different content about spark "
+                           "query engines and distributed shuffles at scale"),
+    ]
+    df = spark.createDataFrame(rows)
+    fast = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.ngram_jaccard_pairs(df, threshold=0.3).collect()
+    }
+    slow = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.ngram_jaccard_pairs(
+            df, threshold=0.3, collapse_exact=False
+        ).collect()
+    }
+    assert fast == slow
+    assert (1, 2, 1.0) in fast and (2, 900001, 1.0) in fast
+    assert (5, 6, 1.0) in fast
+    # cross-group: every replica of DOC pairs with every replica of the
+    # perturbed doc at the same jaccard
+    cross = {(a, b) for a, b, _ in fast if {a, b} & {5, 6} and {a, b} & {1, 2, 900001}}
+    assert len(cross) == 6
