@@ -16,14 +16,22 @@ order (ingest sequence numbers). That is what makes the keep-first
 policy deterministic — in any candidate pair the lower id is the
 earlier doc, so the new side is always the drop side.
 
-Exactly-once-ish: the sink anti-join makes replays harmless for
-DOCUMENTS; signatures are guarded the same way (anti-join on id), so
-a retried micro-batch converges to the same sink + signature state.
+Exactly-once: both sink and signature table are laid out as
+``batch=<id>`` partitions and each micro-batch OVERWRITES its own
+partition (the standard idempotent ``foreachBatch`` sink pattern —
+Structured Streaming replays a failed batch under the same batch id,
+so the retry converges byte-for-byte instead of appending twice).
+Cross-batch guards anti-join against the signature table EXCLUDING
+the current batch's partition, so a half-written previous attempt can
+never shadow its own retry. Even the disaster replay (checkpoint
+lost, all source files re-delivered as batch 0) converges: rows that
+survived under a later batch id are dropped by the hash guard, and
+batch 0's partition is rewritten to the same curated content.
 
 Scale notes: the quality/LM/exact stages are map-side over the
-micro-batch; the two corpus-sized inputs touched per batch are the
-sink KEY+HASH columns (column-pruned scan) and the signature table
-(~100 B/doc — not the text). That keeps per-batch cost
+micro-batch; the ONE corpus-sized input touched per batch is the
+signature table (~100 B/doc — id + MinHash signature + content hash,
+never the text). The sink is write-only. That keeps per-batch cost
 O(|batch| text + |corpus| signatures), the viable shape for a corpus
 that no longer fits a nightly full re-dedup. The candidate-level drop
 for new-vs-corpus pairs is signature-only (no Jaccard verify — the
@@ -41,6 +49,7 @@ from pyspark.sql import Window
 from mpg_data_warehouse_spark.operators.dedup import (
     content_hash,
     incremental_minhash_pairs,
+    minhash_signatures,
 )
 from mpg_data_warehouse_spark.operators.text import (
     doc_logprob_score,
@@ -70,10 +79,14 @@ def curated_append_stream(
 
     ``jaccard_threshold_bands`` is (num_hashes, bands) for the MinHash
     signatures — must match the values the signature table was built
-    with (the table is created on first batch if absent)."""
-    num_hashes, bands = jaccard_threshold_bands
+    with (validated against the table's actual signature width).
 
-    def curate_batch(batch_df: DataFrame, _batch_id: int) -> None:
+    Input ``docs`` must not already carry a ``batch`` column — both
+    output tables are partitioned by it."""
+    num_hashes, bands = jaccard_threshold_bands
+    sig_cols = [f"sig_{i}" for i in range(num_hashes)]
+
+    def curate_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         kept = (
             batch_df.withColumn("_q", quality_score(text_col))
@@ -99,24 +112,42 @@ def curated_append_stream(
             .filter(F.col("_rk") == 1)
             .drop("_rk")
         )
-        if _sink_exists(spark, sink_path):
-            existing = spark.read.parquet(sink_path).select(
-                F.col(id_col), F.col("_h")
-            )
-            # replay guard (same id) + exact dedup vs corpus (same hash)
-            canon = canon.join(
-                existing.select(id_col), id_col, "left_anti"
-            ).join(existing.select("_h"), "_h", "left_anti")
         if _sink_exists(spark, sig_path):
-            corpus_sigs = spark.read.parquet(sig_path)
-        else:
-            schema = ", ".join(
-                [f"{id_col} long"]
-                + [f"sig_{i} long" for i in range(num_hashes)]
+            # The ONE corpus-sized side input. Excluding the current
+            # batch id is a partition filter (pruned scan), and it is
+            # what makes retries safe: a half-written previous attempt
+            # of THIS batch can never shadow its own rows.
+            corpus_sigs = spark.read.parquet(sig_path).filter(
+                F.col("batch") != batch_id
             )
-            corpus_sigs = spark.createDataFrame([], schema)
+            found = [c for c in corpus_sigs.columns if c.startswith("sig_")]
+            if len(found) != num_hashes or "_h" not in corpus_sigs.columns:
+                raise ValueError(
+                    f"signature table at {sig_path} has columns "
+                    f"{corpus_sigs.columns}; expected {num_hashes} sig_i "
+                    "columns plus _h — jaccard_threshold_bands must match "
+                    "the values the table was built with"
+                )
+            # Replay guard (same id re-delivered under a new batch id)
+            # + exact dedup vs corpus (same content hash) — both served
+            # from the signature table; the sink is never read.
+            canon = canon.join(
+                corpus_sigs.select(id_col), id_col, "left_anti"
+            ).join(corpus_sigs.select("_h"), "_h", "left_anti")
+        else:
+            # Bootstrap: empty frame whose schema (including the actual
+            # id dtype — long, string, ...) derives from the batch
+            # itself, never from a hardcoded DDL string.
+            corpus_sigs = None
+        band_input = (
+            corpus_sigs.select(id_col, *sig_cols)
+            if corpus_sigs is not None
+            else minhash_signatures(
+                canon.limit(0), id_col, text_col, num_hashes, shingle_n
+            )
+        )
         new_sigs, pairs = incremental_minhash_pairs(
-            corpus_sigs,
+            band_input,
             canon,
             id_col=id_col,
             text_col=text_col,
@@ -127,25 +158,30 @@ def curated_append_stream(
         # Monotonic-id contract: the drop side of every candidate pair
         # is the higher id == the newer doc.
         drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
-        # Pin the sink column order (joins reorder columns; an append
-        # whose file schema-order differs — even a zero-row replay
-        # part — makes later reads order-unstable).
+        # Pin the sink column order (joins reorder columns; a write
+        # whose file schema-order differs makes later reads
+        # order-unstable).
         survivors = (
             canon.join(drops, id_col, "left_anti")
             .select(*batch_df.columns, "_h")
             .localCheckpoint()
         )
         surviving_sigs = new_sigs.join(
-            survivors.select(id_col), id_col, "left_semi"
-        ).join(corpus_sigs.select(id_col), id_col, "left_anti")
-        # Signatures BEFORE documents: if the batch dies between the
-        # two writes, the retry sees its own sigs as corpus rows —
-        # self-pairs are excluded by the id_a < id_b filter, the
-        # anti-join above skips re-appending them, and the documents
-        # land on the retry. The reverse order would strand sink docs
-        # without signatures (invisible to future dedup) forever.
-        surviving_sigs.write.mode("append").parquet(sig_path)
-        survivors.write.mode("append").parquet(sink_path)
+            survivors.select(id_col, "_h"), id_col
+        ).select(id_col, *sig_cols, "_h")
+        # Idempotent per-batch partition overwrite: a retried batch
+        # (same batch id) rewrites exactly its own partition of both
+        # tables, so there is no append-twice window and no write
+        # ordering hazard. Signatures still go first so an abandoned
+        # half batch errs dedup-conservative (sigs without docs block
+        # re-ingest of the same content; the reverse would leave sink
+        # docs invisible to future dedup).
+        surviving_sigs.write.mode("overwrite").parquet(
+            f"{sig_path}/batch={batch_id}"
+        )
+        survivors.write.mode("overwrite").parquet(
+            f"{sink_path}/batch={batch_id}"
+        )
 
     return (
         docs.writeStream.foreachBatch(curate_batch)

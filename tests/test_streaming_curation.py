@@ -105,3 +105,71 @@ def test_curated_stream_full_replay_is_idempotent(spark, tmp_path):
     assert again == first
     sigs = spark.read.parquet(paths["sigs"])
     assert sigs.count() == sigs.select("doc_id").distinct().count() == 2
+
+
+def test_curated_stream_never_reads_sink(spark, tmp_path):
+    """Cross-batch exact + near dedup must be served entirely from the
+    signature table: delete the sink between batches and the second
+    batch still drops corpus duplicates."""
+    import shutil
+
+    src = str(tmp_path / "src")
+    paths = {
+        "sink": str(tmp_path / "sink"),
+        "sigs": str(tmp_path / "sigs"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+    spark.createDataFrame(
+        [(1, BASE * 3, "web"), (2, OTHER, "books")], DOCS_SCHEMA
+    ).write.parquet(src)
+    _run(spark, src, paths)
+    shutil.rmtree(paths["sink"])
+
+    spark.createDataFrame(
+        [
+            (5, BASE * 3 + " ", "web"),  # near-dup of 1 (sig match)
+            (6, THIRD, "papers"),
+            (7, OTHER, "books"),         # exact dup of 2 (_h match)
+        ],
+        DOCS_SCHEMA,
+    ).write.mode("append").parquet(src)
+    _run(spark, src, paths)
+
+    sink_ids = {r.doc_id for r in spark.read.parquet(paths["sink"]).collect()}
+    assert sink_ids == {6}
+    sig_ids = {r.doc_id for r in spark.read.parquet(paths["sigs"]).collect()}
+    assert sig_ids == {1, 2, 6}
+
+
+def test_curated_stream_rejects_band_mismatch(spark, tmp_path):
+    """A signature table built with a different num_hashes must raise,
+    not silently degrade dedup."""
+    import pytest
+
+    src = str(tmp_path / "src")
+    paths = {
+        "sink": str(tmp_path / "sink"),
+        "sigs": str(tmp_path / "sigs"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+    spark.createDataFrame(
+        [(1, BASE * 3, "web")], DOCS_SCHEMA
+    ).write.parquet(src)
+    _run(spark, src, paths)  # builds the table with (8, 4)
+
+    spark.createDataFrame(
+        [(2, OTHER, "books")], DOCS_SCHEMA
+    ).write.mode("append").parquet(src)
+    from mpg_data_warehouse_spark.streaming.curation import (
+        curated_append_stream,
+    )
+    q = curated_append_stream(
+        _stream(spark, src),
+        paths["sink"],
+        paths["sigs"],
+        str(tmp_path / "ckpt2"),
+        jaccard_threshold_bands=(16, 8),
+    )
+    with pytest.raises(Exception, match="sig_i columns"):
+        q.awaitTermination(180)
+        q.stop()
