@@ -287,6 +287,26 @@ def with_nearest_cell(
     )
 
 
+def seed_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic centroid seeds: the ``n_centroids`` LOWEST-id
+    corpus rows — by rank (``orderBy(id).limit(n)``), never by value.
+    A value filter (``id < n``) silently yields an EMPTY seed set on
+    corpora whose ids don't start at 0 (ingest sequence numbers,
+    string ids), which downstream turns into null cells and a
+    do-nothing dedup. Rank seeding is a TakeOrdered (top-n per
+    partition + driver merge of n rows — no global sort shuffle) and
+    works for any orderable id type. SQL mirror:
+    ``ORDER BY id LIMIT n``."""
+    return corpus.orderBy(id_col).limit(n_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+    )
+
+
 def kmeans_refine_centroids(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -297,7 +317,7 @@ def kmeans_refine_centroids(
 ) -> DataFrame:
     """Deterministic Lloyd refinement of the IVF centroids.
 
-    Seeds are the first ``n_centroids`` corpus rows by id (stateless,
+    Seeds are the ``n_centroids`` lowest-id corpus rows (stateless,
     any engine recomputes them); each iteration assigns every vector
     to its nearest centroid by cosine and replaces each centroid with
     the member mean, component-wise, rounded to ``decimals`` —
@@ -317,9 +337,7 @@ def kmeans_refine_centroids(
     join-then-``groupBy(id)`` shape shuffled every corpus VECTOR once
     per iteration; this shuffles only per-partition partial sums."""
     rows = _collect_centroid_rows(
-        corpus.filter(F.col(id_col) < n_centroids).select(
-            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
-        )
+        seed_centroids(corpus, n_centroids, id_col, vec_col)
     )
     base = corpus.select(
         F.col(vec_col), l2_norm(F.col(vec_col)).alias("_vn")
@@ -354,11 +372,23 @@ def _collect_centroid_rows(
     cent_vec_col: str = "cent_vec",
 ) -> list[tuple[int, list[float]]]:
     """Centroid table → driver-side [(cell, vector), …] sorted by
-    cell. Bounded: centroid sets are |cells| × dim by construction."""
-    return sorted(
+    cell. Bounded: centroid sets are |cells| × dim by construction.
+
+    Raises on an empty centroid table: every caller broadcasts these
+    rows as the argmax candidate set, and an empty set makes
+    ``with_nearest_cell`` emit null cells — which cell-keyed joins
+    silently DROP, turning dedup/ANN into a do-nothing pass. Loudly
+    failing here is the difference between a crashed job and
+    duplicates leaking into training data."""
+    rows = sorted(
         (r[cent_id_col], [float(x) for x in r[cent_vec_col]])
         for r in centroids.collect()
     )
+    if not rows:
+        raise ValueError(
+            "empty centroid set — the corpus has no rows to seed from"
+        )
+    return rows
 
 
 def ivf_topk(
@@ -375,7 +405,7 @@ def ivf_topk(
     cells by nearest centroid; each query probes its ``nprobe``
     nearest cells and scores only their members.
 
-    Centroids are the first ``n_centroids`` corpus rows by id,
+    Centroids are the ``n_centroids`` lowest-id corpus rows,
     improved by ``refine_iters`` deterministic Lloyd iterations
     (``kmeans_refine_centroids``) — seed rows need not span the space
     for recall to hold. Everything stays mirrorable in plain SQL.
@@ -387,12 +417,7 @@ def ivf_topk(
             corpus, n_centroids, refine_iters, id_col=id_col, vec_col=vec_col
         )
     else:
-        centroids = (
-            corpus.filter(F.col(id_col) < n_centroids)
-            .select(
-                F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
-            )
-        )
+        centroids = seed_centroids(corpus, n_centroids, id_col, vec_col)
     # Cell assignment as a map-only literal expression (the centroid
     # table is a few KB by construction): the corpus is scanned once
     # and never shuffled — the 100 TB shape, where the index-build
@@ -501,9 +526,7 @@ def ivf_write_index(
             corpus, n_centroids, refine_iters, id_col=id_col, vec_col=vec_col
         )
     else:
-        centroids = corpus.filter(F.col(id_col) < n_centroids).select(
-            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
-        )
+        centroids = seed_centroids(corpus, n_centroids, id_col, vec_col)
     cent_rows = _collect_centroid_rows(centroids)
     cells = with_nearest_cell(
         corpus.select(

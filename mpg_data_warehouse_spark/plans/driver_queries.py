@@ -1888,7 +1888,7 @@ def text_tokens_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # IVF ANN (extension): corpus partitioned by nearest-centroid cell;
 # queries probe their nprobe nearest cells. Centroids seed from the
-# first 16 corpus rows, then one deterministic Lloyd iteration
+# 16 lowest-id corpus rows, then one deterministic Lloyd iteration
 # (member-mean per cell, rounded — kmeans_refine_centroids); the
 # oracle replays seeding, refinement, cell assignment, probe
 # selection, and scoring exactly.
@@ -1908,8 +1908,10 @@ _COS = (
     "ivf_ann_topk",
     f"""
     WITH cent0 AS (
+      -- rank-based seeding (mirrors operators.similarity.seed_centroids):
+      -- the 16 lowest-id rows, robust to ids that don't start at 0
       SELECT vec_id AS cell, embedding AS cv FROM embeddings
-      WHERE vec_id < 16
+      ORDER BY vec_id LIMIT 16
     ),
     assign0 AS (
       SELECT vec_id, embedding, cell FROM (

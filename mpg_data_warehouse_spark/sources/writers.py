@@ -309,6 +309,7 @@ def write_training_shards(
     key_col: str,
     rows_per_shard: int,
     fmt: str = "parquet",
+    total_rows: int | None = None,
 ) -> None:
     """Export training data as size-bounded, DETERMINISTICALLY
     assigned shard files — the contract a downstream dataloader wants:
@@ -317,25 +318,47 @@ def write_training_shards(
     materially exceeds ``rows_per_shard``.
 
     Shard id = content-hash bucket of ``key_col`` (the sampling
-    family's md5 primitive — engine-replayable), sized from a
-    metadata-only count; one hash repartition on the shard id plus
-    ``maxRecordsPerFile`` as the hard per-file ceiling (hash buckets
-    are approximately, not exactly, uniform — Spark rolls a second
-    file for an over-full bucket rather than failing the contract).
-    Writes land partitioned by ``shard=N`` so a loader can list, split
-    and resume by directory. ``fmt`` is any DataFrameWriter format
-    ("parquet", "orc", "json" for JSONL shards)."""
+    family's md5 primitive — engine-replayable); one hash repartition
+    on the shard id plus ``maxRecordsPerFile`` as the hard per-file
+    ceiling (hash buckets are approximately, not exactly, uniform —
+    Spark rolls a second file for an over-full bucket rather than
+    failing the contract). Writes land partitioned by ``shard=N`` so a
+    loader can list, split and resume by directory. ``fmt`` is any
+    DataFrameWriter format ("parquet", "orc", "json" for JSONL
+    shards).
+
+    Sizing the shard grid needs the row count, but the input plan must
+    only be computed ONCE — at 100 TB a pre-count is a full extra pass
+    over the pipeline. Callers that know the cardinality (a table
+    export, an upstream Observation) pass ``total_rows``; otherwise
+    the input is persisted (memory, spilling to local disk), counted
+    from the materialization, and the write re-reads that same
+    materialization — one computation of the input plan either way.
+    ``total_rows`` only sizes the grid: a stale estimate shifts shard
+    COUNT, never the per-file ceiling (``maxRecordsPerFile`` holds),
+    but changing it changes the row→shard mapping, so pass the same
+    value when reproducing an export."""
+    from pyspark import StorageLevel
+
     from mpg_data_warehouse_spark.operators.sampling import hash_bucket
 
-    n_rows = df.count()
-    n_shards = max(1, -(-n_rows // rows_per_shard))
-    sharded = df.withColumn(
-        "shard", hash_bucket(key_col, n_shards)
-    ).repartition("shard")
-    (
-        sharded.write.mode("overwrite")
-        .option("maxRecordsPerFile", rows_per_shard)
-        .partitionBy("shard")
-        .format(fmt)
-        .save(path)
-    )
+    persisted = False
+    if total_rows is None:
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted = True
+        total_rows = df.count()
+    try:
+        n_shards = max(1, -(-total_rows // rows_per_shard))
+        sharded = df.withColumn(
+            "shard", hash_bucket(key_col, n_shards)
+        ).repartition("shard")
+        (
+            sharded.write.mode("overwrite")
+            .option("maxRecordsPerFile", rows_per_shard)
+            .partitionBy("shard")
+            .format(fmt)
+            .save(path)
+        )
+    finally:
+        if persisted:
+            df.unpersist()

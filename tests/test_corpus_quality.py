@@ -191,3 +191,24 @@ def test_temperature_sampling_is_deterministic(spark):
     assert sorted(r.doc_id for r in a.collect()) == sorted(
         r.doc_id for r in b.collect()
     )
+
+
+def test_semantic_dedup_high_offset_ids(spark):
+    """Ids that don't start at 0 (ingest sequence numbers) must seed
+    centroids by RANK — a value-based seed filter (id < n_centroids)
+    silently selected nothing and dedup became a no-op."""
+    from pyspark.sql import functions as F
+
+    shifted = _vecs(spark).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(5_000_000)
+    )
+    pairs = semantic_dedup_pairs(
+        shifted, threshold=0.99, n_centroids=3, refine_iters=1
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    base = 5_000_000
+    assert (base + 0, base + 1) in got and (base + 3, base + 4) in got
+    kept = semantic_dedup_keep(
+        shifted, threshold=0.99, n_centroids=3, refine_iters=1
+    )
+    assert {r.vec_id for r in kept.collect()} == {base, base + 3, base + 5}

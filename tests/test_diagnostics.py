@@ -130,3 +130,34 @@ def test_observe_stage_counts_without_extra_actions(spark):
     assert filt["weight"] == sum(
         10 * (i % 3 + 1) for i in range(100) if 10 * (i % 3 + 1) > 10
     )
+def test_write_training_shards_caller_supplied_count(spark, tmp_path):
+    """total_rows sizes the grid without any pre-count pass; supplying
+    the true count reproduces the default mapping exactly."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from mpg_data_warehouse_spark.sources.writers import write_training_shards
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=f"doc number {i}") for i in range(1000)]
+    )
+    out1 = str(tmp_path / "s_default")
+    out2 = str(tmp_path / "s_supplied")
+    write_training_shards(df, out1, "doc_id", rows_per_shard=200)
+    write_training_shards(
+        df, out2, "doc_id", rows_per_shard=200, total_rows=1000
+    )
+    m1 = {r.doc_id: r.shard for r in spark.read.parquet(out1).collect()}
+    m2 = {r.doc_id: r.shard for r in spark.read.parquet(out2).collect()}
+    assert m1 == m2
+
+    # a stale estimate changes shard count, never the per-file ceiling
+    out3 = str(tmp_path / "s_stale")
+    write_training_shards(
+        df, out3, "doc_id", rows_per_shard=200, total_rows=400
+    )
+    assert spark.read.parquet(out3).count() == 1000
+    for f in glob.glob(os.path.join(out3, "shard=*", "*.parquet")):
+        assert pq.ParquetFile(f).metadata.num_rows <= 200
