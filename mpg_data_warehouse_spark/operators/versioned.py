@@ -15,12 +15,14 @@ paid for its extract-job backups.
 
 from __future__ import annotations
 
+import json
 import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
 
 _VER_RE = re.compile(r"^v(\d{4})$")
+_MANIFEST = "_manifest.json"  # underscore: invisible to parquet reads
 
 
 def list_versions(versions_dir: str) -> list[str]:
@@ -94,3 +96,165 @@ def mutate_with_backup(
         rollback(spark, table_path, versions_dir, vid)
         raise
     return vid
+
+
+def _next_version_slot(versions_dir: str) -> str:
+    existing = list_versions(versions_dir)
+    nxt = 1 + (int(_VER_RE.match(existing[-1]).group(1)) if existing else 0)
+    return f"v{nxt:04d}"
+
+
+def _partition_dir(table_path: str, part_row: dict) -> str:
+    """Filesystem path of one partition directory, matching Spark's
+    ``col=value`` layout (values taken from a collected Row dict)."""
+    from urllib.parse import quote
+
+    segs = [f"{c}={quote(str(v), safe='')}" for c, v in part_row.items()]
+    return os.path.join(table_path, *segs)
+
+
+def snapshot_partitions(
+    spark: SparkSession,
+    table_path: str,
+    versions_dir: str,
+    partition_cols: tuple[str, ...],
+    touched: list[dict],
+) -> str:
+    """Partition-SCOPED snapshot: copy only the named partitions (a
+    partition-pruned read — never the 100 TB table) into the next
+    version slot, partitioned with the table's own layout, plus a
+    manifest recording which of the touched partitions existed. The
+    manifest is what makes rollback exact: partitions a failed
+    mutation CREATED (absent pre-mutation) must be deleted on restore,
+    not merely not-overwritten."""
+    from pyspark.sql import functions as F
+
+    vid = _next_version_slot(versions_dir)
+    dest = os.path.join(versions_dir, vid)
+    existing_parts = [
+        p for p in touched if os.path.isdir(_partition_dir(table_path, p))
+    ]
+    if existing_parts:
+        pred = None
+        for row in existing_parts:
+            clause = None
+            for c in partition_cols:
+                eq = F.col(c) == F.lit(row[c])
+                clause = eq if clause is None else (clause & eq)
+            pred = clause if pred is None else (pred | clause)
+        (
+            spark.read.parquet(table_path)
+            .filter(pred)
+            .write.partitionBy(*partition_cols)
+            .parquet(dest)
+        )
+    else:
+        os.makedirs(dest, exist_ok=True)
+    with open(os.path.join(dest, _MANIFEST), "w") as f:
+        json.dump(
+            {
+                "partition_cols": list(partition_cols),
+                "touched": touched,
+                "existed": existing_parts,
+            },
+            f,
+        )
+    return vid
+
+
+def rollback_partitions(
+    spark: SparkSession,
+    table_path: str,
+    versions_dir: str,
+    version: str,
+) -> None:
+    """Restore a partition-scoped snapshot: dynamic-overwrite the
+    partitions it captured back into the table, and DELETE touched
+    partitions that did not exist pre-mutation (the failed mutation
+    created them). Untouched partitions' files are never rewritten."""
+    import shutil
+
+    from mpg_data_warehouse_spark.operators.append import (
+        overwrite_partitions,
+    )
+
+    vdir = os.path.join(versions_dir, version)
+    with open(os.path.join(vdir, _MANIFEST)) as f:
+        manifest = json.load(f)
+    part_cols = tuple(manifest["partition_cols"])
+    existed = manifest["existed"]
+    if existed:
+        overwrite_partitions(
+            spark, spark.read.parquet(vdir), table_path, part_cols
+        )
+    existed_dirs = {_partition_dir(table_path, p) for p in existed}
+    for p in manifest["touched"]:
+        d = _partition_dir(table_path, p)
+        if d not in existed_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def merge_upsert_with_backup(
+    spark: SparkSession,
+    updates: DataFrame,
+    table_path: str,
+    versions_dir: str,
+    keys: list[str],
+) -> tuple[str, DataFrame]:
+    """``append.merge_upsert`` wrapped in snapshot-before / rollback-
+    on-failure (the reference's documented recipe for its UPDATE-class
+    mutations, notebooks/update_gridVeg_survey_metadata.ipynb:
+    1392-1402). Returns ``(snapshot_id, merged_frame)``."""
+    from mpg_data_warehouse_spark.operators.append import merge_upsert
+
+    result: list[DataFrame] = []
+    vid = mutate_with_backup(
+        spark,
+        table_path,
+        versions_dir,
+        lambda: result.append(merge_upsert(spark, updates, table_path, keys)),
+    )
+    return vid, result[0]
+
+
+def merge_upsert_partitioned_with_backup(
+    spark: SparkSession,
+    updates: DataFrame,
+    table_path: str,
+    versions_dir: str,
+    keys: list[str],
+    partition_cols: tuple[str, ...] = ("year",),
+    check_partition_stable: bool = True,
+) -> tuple[str, DataFrame]:
+    """Partition-scoped MERGE with partition-scoped backup: snapshot
+    ONLY the partitions the batch touches (the same pruned set the
+    merge itself rewrites), run the merge, and on any failure restore
+    exactly those partitions — including deleting ones the failed
+    merge created. Backup cost scales with the batch's partition
+    footprint, never the table: this is what keeps
+    backup-before-mutation viable when the table is 100 TB and the
+    repair touches three seasons. Returns ``(snapshot_id, merged)``."""
+    from mpg_data_warehouse_spark.operators.append import (
+        merge_upsert_partitioned,
+    )
+
+    touched = [
+        r.asDict()
+        for r in updates.select(*partition_cols).distinct().collect()
+    ]
+    vid = snapshot_partitions(
+        spark, table_path, versions_dir, partition_cols, touched
+    )
+    try:
+        merged = merge_upsert_partitioned(
+            spark,
+            updates,
+            table_path,
+            keys,
+            partition_cols,
+            check_partition_stable,
+        )
+    except Exception:
+        rollback_partitions(spark, table_path, versions_dir, vid)
+        raise
+    return vid, merged

@@ -92,3 +92,88 @@ def test_prune_versions_retention(spark, tmp_path):
     assert V.snapshot(spark, table, vdir) == "v0005"
     with pytest.raises(ValueError):
         V.prune_versions(vdir, keep_last=0)
+
+
+def _poison(updates):
+    """An updates frame whose VALUE column raises at materialization
+    time — partition/key columns stay prunable, so the failure fires
+    mid-merge (during the staged write), after the backup is taken."""
+    from pyspark.sql import functions as F
+
+    return updates.withColumn(
+        "v",
+        F.when(F.col("k") < 0, F.col("v")).otherwise(
+            F.raise_error("injected merge failure")
+        ),
+    )
+
+
+def test_merge_upsert_with_backup_rolls_back(spark, tmp_path):
+    table = _table(spark, tmp_path)
+    vers = str(tmp_path / "versions")
+    before = sorted(tuple(r) for r in spark.read.parquet(table).collect())
+
+    updates = spark.createDataFrame([Row(k=3, v="fixed3"), Row(k=42, v="new42")])
+    with pytest.raises(Exception, match="injected merge failure"):
+        V.merge_upsert_with_backup(
+            spark, _poison(updates), table, vers, keys=["k"]
+        )
+    after = sorted(tuple(r) for r in spark.read.parquet(table).collect())
+    assert after == before
+
+    # the same call without poison succeeds and returns the merge
+    vid, merged = V.merge_upsert_with_backup(
+        spark, updates, table, vers, keys=["k"]
+    )
+    got = {r.k: r.v for r in spark.read.parquet(table).collect()}
+    assert got[3] == "fixed3" and got[42] == "new42" and len(got) == 11
+    assert vid in V.list_versions(vers)
+
+
+def _part_table(spark, tmp_path):
+    p = str(tmp_path / "pt")
+    spark.createDataFrame(
+        [Row(k=i, v=f"row{i}", year=2019 + (i % 2)) for i in range(10)]
+    ).write.partitionBy("year").parquet(p)
+    return p
+
+
+def test_merge_partitioned_with_backup_rolls_back_exactly(spark, tmp_path):
+    import glob
+    import os
+
+    table = _part_table(spark, tmp_path)
+    vers = str(tmp_path / "versions")
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(table).select("k", "v", "year").collect()
+    )
+    untouched_files = sorted(glob.glob(os.path.join(table, "year=2019", "*")))
+
+    # batch touches year=2020 (existing) and year=2021 (created by the
+    # failed merge — rollback must delete it, not leave it behind)
+    updates = spark.createDataFrame(
+        [Row(k=1, v="fix1", year=2020), Row(k=100, v="new", year=2021)]
+    )
+    with pytest.raises(Exception, match="injected merge failure"):
+        V.merge_upsert_partitioned_with_backup(
+            spark, _poison(updates), table, vers, keys=["k"],
+            partition_cols=("year",),
+        )
+    after = sorted(
+        tuple(r) for r in spark.read.parquet(table).select("k", "v", "year").collect()
+    )
+    assert after == before
+    assert not os.path.isdir(os.path.join(table, "year=2021"))
+    # partition-scoped: the untouched partition's files were never rewritten
+    assert sorted(glob.glob(os.path.join(table, "year=2019", "*"))) == untouched_files
+    # and the snapshot captured only the touched, pre-existing partition
+    vdir = os.path.join(vers, V.list_versions(vers)[-1])
+    assert os.path.isdir(os.path.join(vdir, "year=2020"))
+    assert not os.path.isdir(os.path.join(vdir, "year=2019"))
+
+    vid, merged = V.merge_upsert_partitioned_with_backup(
+        spark, updates, table, vers, keys=["k"], partition_cols=("year",),
+    )
+    got = {r.k: (r.v, r.year) for r in spark.read.parquet(table).collect()}
+    assert got[1] == ("fix1", 2020) and got[100] == ("new", 2021)
+    assert len(got) == 11
