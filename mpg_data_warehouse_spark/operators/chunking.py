@@ -87,10 +87,15 @@ def pack_paragraphs(
     per-row work is O(paragraphs × chunks), both small for real
     documents.
     """
+    # Paragraph boundary = a blank line, where "blank" tolerates CRLF
+    # line endings and whitespace-only lines — '\n{2,}' alone would
+    # treat a CRLF document as ONE paragraph and emit it as a single
+    # oversized chunk, silently defeating the token budget.
     base = df.select(
         F.col(id_col),
         F.expr(
-            f"filter(split({text_col}, '\\n{{2,}}'), p -> trim(p) != '')"
+            f"filter(split({text_col}, '(\\r?\\n[ \\t]*){{2,}}'),"
+            " p -> trim(p) != '')"
         ).alias("_paras"),
     ).filter(F.size("_paras") > 0)
     counted = base.withColumn(

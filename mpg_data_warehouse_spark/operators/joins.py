@@ -9,8 +9,14 @@ same semantics viable at warehouse scale:
   of rows (a hot survey, a hot user_id), a plain shuffle join lands
   the whole hot key in one task. Salting splits the big side's hot
   keys across ``n_salts`` shuffle partitions and replicates the small
-  side once per salt. AQE's skew-join handles moderate skew
-  automatically; explicit salting is for the pathological tail.
+  side once per salt. NOTE: this is the FALLBACK, not the default —
+  the engine session enables ``spark.sql.adaptive.skewJoin`` and AQE
+  splits skewed sort-merge partitions at runtime with no code change
+  (proven by ``test_plans.py::
+  test_aqe_skew_join_splits_on_session_config``). Reach for explicit
+  salting only for the pathological tail AQE can't fix: skew on the
+  BUILD side of a non-splittable join type, or a single key too hot
+  for advisory-size splitting.
 * ``write_bucketed`` / shuffle-free bucketed joins — facts repeatedly
   joined on the same key are written bucketed by it; Spark then
   sort-merge-joins bucket-to-bucket with NO exchange on either side.

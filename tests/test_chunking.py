@@ -119,3 +119,29 @@ def test_pack_paragraphs_is_map_side_only(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_pack_paragraphs_crlf_and_whitespace_blank_lines(spark):
+    """CRLF documents and blank lines containing spaces/tabs must
+    still delimit paragraphs — '\\n{2,}' alone collapsed such docs
+    into one oversized chunk, defeating the token budget."""
+    from pyspark.sql import Row
+
+    from mpg_data_warehouse_spark.operators.chunking import pack_paragraphs
+
+    p1 = "one two three four"
+    p2 = "five six seven eight"
+    p3 = "nine ten eleven twelve"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"{p1}\r\n\r\n{p2}\r\n\r\n{p3}"),
+            Row(doc_id=2, text=f"{p1}\n  \n{p2}\n\t\n{p3}"),
+            Row(doc_id=3, text=f"{p1}\n\n{p2}\n\n{p3}"),  # plain LF control
+        ]
+    )
+    out = pack_paragraphs(docs, max_tokens=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r.n_tokens)
+    # 3 paragraphs of 4 tokens, budget 8 → two chunks (4+4, 4) per doc
+    assert by_doc[1] == by_doc[2] == by_doc[3] == [8, 4]

@@ -125,3 +125,57 @@ def test_snowflake_dims_broadcast(spark):
     )
     assert plan.count("BroadcastHashJoin") >= 4
     assert plan.count("SortMergeJoin") <= 1
+
+
+def test_aqe_skew_join_splits_on_session_config(spark):
+    """The engine's session config (session.get_spark) enables AQE
+    skew-join splitting: a sort-merge join with one dominant key must
+    come out of adaptive planning with the skewed partition SPLIT
+    (``skew=true`` in the final plan). ``joins.salted_join`` is the
+    documented FALLBACK for the pathological tail, not the default
+    path — moderate skew is the optimizer's job.
+
+    Thresholds are lowered to test-data scale (the defaults trigger at
+    256 MB partitions); skewJoin.enabled itself comes from the session
+    defaults, which is the behavior under test."""
+    from pyspark.sql import functions as F
+
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+    tuned = {
+        # force a sort-merge join (skew splitting only applies there)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        # recognize/split skew at kilobyte scale for the tiny fixture
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16k",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1k",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        big = spark.range(0, 100_000).select(
+            F.when(F.col("id") % 20 < 19, F.lit(0))
+            .otherwise(F.col("id") % 20)
+            .alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("pay"),
+        )
+        dim = spark.range(0, 20).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("dim-"), F.col("id")).alias("d"),
+        )
+        joined = big.join(dim, "k")
+        # collect() executes THIS DataFrame's own query execution, so
+        # its adaptive plan is finalized (count() would plan separately)
+        assert len(joined.collect()) == 100_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

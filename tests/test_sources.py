@@ -343,3 +343,52 @@ def test_convert_table_to_jsonl_counts(spark, tmp_path):
     spark.range(100).withColumn("s", F.lit("x")).write.parquet(src)
     assert convert_table(spark, src, dst, "parquet", "jsonl") == 100
     assert spark.read.json(dst).count() == 100
+
+
+def test_convert_table_csv_with_embedded_newlines(spark, tmp_path):
+    """A string value containing a newline is valid quoted CSV output;
+    verification must read the staged copy multiLine or the count
+    check fails a correct conversion."""
+    import os
+    import sys
+
+    from pyspark.sql import Row
+
+    sys.path.insert(0, "/root/repo")
+    from tools.convert_table import convert_table
+
+    src = str(tmp_path / "nlsrc")
+    dst = str(tmp_path / "nldst")
+    spark.createDataFrame(
+        [Row(id=i, s=f"line one {i}\nline two \"quoted\" {i}") for i in range(50)]
+    ).write.parquet(src)
+    assert convert_table(spark, src, dst, "parquet", "csv") == 50
+    assert not os.path.exists(dst + "__staging")
+
+
+def test_convert_table_cleans_staging_on_failed_verification(
+    spark, tmp_path, monkeypatch
+):
+    import os
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import tools.convert_table as ct
+
+    src = str(tmp_path / "fsrc")
+    dst = str(tmp_path / "fdst")
+    spark.range(10).write.parquet(src)
+
+    import pytest
+    from pyspark.sql import Observation
+
+    # Force the count-mismatch path by lying about the written count.
+    class FakeObs(Observation):
+        @property
+        def get(self):
+            return {"n": -1}
+
+    monkeypatch.setattr("pyspark.sql.Observation", FakeObs)
+    with pytest.raises(RuntimeError, match="verification failed"):
+        ct.convert_table(spark, src, dst, "parquet", "orc")
+    assert not os.path.exists(dst + "__staging")

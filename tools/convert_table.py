@@ -60,31 +60,65 @@ def convert_table(
         "jsonl": lambda p: spark.read.json(p),
         "csv": lambda p: spark.read.option("header", True).csv(p),
     }
+    # Staged-copy readers: CSV must be read back with multiLine (and
+    # the writer's own quote/escape defaults) — a quoted value holding
+    # a newline is VALID output, but a non-multiLine read splits it
+    # into extra records and flunks the count check spuriously.
+    verify_readers = dict(
+        readers,
+        csv=lambda p: (
+            spark.read.option("header", True)
+            .option("multiLine", True)
+            .option("escape", "\\")
+            .csv(p)
+        ),
+    )
+
     df = readers[src_fmt](src)
     if partitions is not None:
         df = df.repartition(partitions)
 
+    # The row count rides the conversion job itself (Observation on
+    # the written frame): one source scan total, and the verified
+    # number is what was WRITTEN — a source modified mid-conversion
+    # can neither spuriously fail nor wrongly pass the check.
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation("convert_rows")
+    observed = df.observe(obs, F.count(F.lit(1)).alias("n"))
+
     staged = dst.rstrip("/") + "__staging"
-    writer = df.write.mode("overwrite")
+    writer = observed.write.mode("overwrite")
     if dst_fmt == "jsonl":
         writer.json(staged)
     elif dst_fmt == "csv":
         writer.option("header", True).csv(staged)
     else:
         writer.format(dst_fmt).save(staged)
+    n_src = obs.get["n"]
 
-    n_src = df.count()
-    back = readers["jsonl" if dst_fmt == "jsonl" else dst_fmt](staged)
-    n_dst = back.count()
-    if n_dst != n_src:
-        raise RuntimeError(
-            f"verification failed: source {n_src} rows, staged {n_dst}"
+    try:
+        back = verify_readers["jsonl" if dst_fmt == "jsonl" else dst_fmt](
+            staged
         )
-    if dst_fmt in ("parquet", "orc") and src_fmt in ("parquet", "orc"):
-        if back.schema != df.schema:
+        n_dst = back.count()
+        if n_dst != n_src:
             raise RuntimeError(
-                "verification failed: staged schema differs from source"
+                f"verification failed: wrote {n_src} rows, staged read "
+                f"back {n_dst}"
             )
+        if dst_fmt in ("parquet", "orc") and src_fmt in ("parquet", "orc"):
+            if back.schema != df.schema:
+                raise RuntimeError(
+                    "verification failed: staged schema differs from source"
+                )
+    except BaseException:
+        # a failed verification must not leave the staging copy behind
+        import shutil
+
+        shutil.rmtree(staged, ignore_errors=True)
+        raise
     swap_into_place(staged, dst)
     return n_src
 
