@@ -401,19 +401,23 @@ def ngram_jaccard_pairs(
     hashed = df.select(
         F.col(id_col), F.col(text_col), content_hash(text_col).alias("_ch")
     )
-    # One row per distinct content: canonical id + one (identical) text.
+    # One row per distinct content: canonical id + one (identical)
+    # text. Lazily checkpointed (lineage-cut, materialized at first
+    # action) rather than cached: it feeds rep_docs AND the member
+    # map, and a cached plan still re-prints its full upstream tree
+    # per use — the same discipline as connected_components.
     groups = hashed.groupBy("_ch").agg(
         F.min(id_col).alias("_rep"), F.any_value(text_col).alias(text_col)
-    )
+    ).localCheckpoint(eager=False)
     rep_docs = groups.select(F.col("_rep").alias(id_col), text_col)
-    # Member → representative map; cached: feeds the within-group
-    # self-join and both sides of the cross-group expansion. Narrow
-    # (id + 32-char hash id) — at 100 TB this persists to disk fine.
+    # Member → representative map; feeds the within-group self-join
+    # and both sides of the cross-group expansion. Narrow (id + group
+    # id) — at 100 TB this materializes to executor-local disk fine.
     members = (
         hashed.select(F.col(id_col), "_ch")
         .join(groups.select("_ch", "_rep"), "_ch")
         .select(F.col(id_col), "_rep")
-        .cache()
+        .localCheckpoint(eager=False)
     )
     rep_pairs = _ngram_jaccard_pairs_complete(
         rep_docs, id_col, text_col, shingle_n, threshold
