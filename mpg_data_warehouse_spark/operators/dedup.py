@@ -233,30 +233,46 @@ def jaccard_pairs(
     shingle_n: int = 3,
     shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact shingle-set Jaccard for candidate pairs: |A∩B| / |A∪B|,
-    computed distributed via shingle explode + pair join."""
+    """Exact shingle-set Jaccard for candidate pairs: |A∩B| / |A∪B|.
+
+    Shape: one groupBy folds the (id, shingle) rows into a per-doc
+    shingle ARRAY, then the candidate pairs make exactly two id-keyed
+    joins against that table and the intersection is JVM-side
+    ``array_intersect`` per pair. The previous shape joined the pairs
+    through the EXPLODED table twice — the intermediate was
+    |pairs| × |shingles-per-doc| shuffled rows plus a pair-keyed
+    re-aggregation (5 joins + groupBy total); the array form moves the
+    same bytes in |docs| rows, and per-pair set intersection is linear
+    in the two arrays. Same output to the digit (rounding unchanged)."""
     sh = (
         shingles
         if shingles is not None
         else exploded_shingles(df, id_col, text_col, shingle_n)
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-
-    # Count matching shingles per pair via two keyed joins on
-    # (doc, shingle) — shuffle-friendly, never a cross product.
-    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        pairs.join(sh_a, "id_a")
-        .join(sh_b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    # Shingles are distinct per doc (array_distinct upstream), so the
+    # set size rides the same aggregation as the array. Lineage-cut:
+    # both join sides consume this table, and the checkpoint makes the
+    # fold run once instead of once per side.
+    sets = sh.groupBy(id_col).agg(
+        F.collect_set("shingle").alias("_shs"),
+        F.count(F.lit(1)).alias("n_sh"),
+    ).localCheckpoint(eager=False)
+    a = sets.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_shs").alias("_shs_a"),
+        F.col("n_sh").alias("n_a"),
     )
-    out = (
-        pairs.join(inter, ["id_a", "id_b"], "left")
-        .na.fill({"n_inter": 0})
-        .join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
-        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+    b = sets.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_shs").alias("_shs_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "n_inter", F.size(F.array_intersect("_shs_a", "_shs_b"))
+        )
         .withColumn(
             "jaccard",
             F.round(
@@ -267,7 +283,6 @@ def jaccard_pairs(
         )
         .select("id_a", "id_b", "jaccard")
     )
-    return out
 
 
 def shared_shingle_pairs(
@@ -487,6 +502,7 @@ def connected_components(
     ids: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 25,
+    small_graph_edges: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph by iterative
     min-label propagation: every node repeatedly adopts the smallest
@@ -494,23 +510,41 @@ def connected_components(
     O(graph diameter) rounds — near-dup clusters are shallow (dup
     families, not long chains), so a handful of keyed-join rounds.
 
-    Output: (id, component) where component = min id in the cluster.
-    Each round is one join + one aggregate (both on the id key); the
-    driver only evaluates a scalar convergence count per round —
-    no data ever collects to the driver.
+    Output: (id, component) where component = min id in the cluster;
+    every id in ``ids`` appears (isolated nodes label themselves).
 
-    Lineage discipline: iterative algorithms must TRUNCATE lineage,
-    not just cache — a cached plan still carries its full upstream
-    tree, so feeding (say) a MinHash banding pipeline in as ``pairs``
-    restacked the whole shingle→band→verify lineage once per round
-    and the analyzed plan grew to thousands of exchanges (the
-    optimizer/driver, not the data, became the bottleneck). The edge
-    list and every round's labels are therefore ``localCheckpoint``ed
-    (eager, lineage-cutting); each round's plan is one join + one agg
-    over two checkpointed tables, O(1) in round count. On a real
-    cluster set a reliable ``spark.sparkContext.setCheckpointDir`` and
-    swap for ``checkpoint()`` to survive executor loss.
+    The iteration runs ONLY over edge-incident nodes: isolated nodes
+    can never change label, so dragging the whole corpus through every
+    round is pure waste — at 100 TB the corpus is billions of docs but
+    the dup-pair graph is orders of magnitude smaller, and per-round
+    cost should scale with the latter. Isolated nodes are joined back
+    once at the end.
+
+    Adaptive strategy (the AQE spirit, applied to an iterative
+    algorithm): the edge count is known before iterating — it is the
+    same action that materializes the edge checkpoint — and when the
+    graph fits comfortably on the driver (``small_graph_edges``, ~tens
+    of MB) a union-find over the collected edges replaces the join
+    rounds entirely. Each distributed round costs a fixed multi-job
+    overhead regardless of data size; for the common case of a small
+    verified-pair set that overhead IS the runtime. Set
+    ``small_graph_edges=0`` to force the distributed path.
+
+    Lineage discipline (distributed path): iterative algorithms must
+    TRUNCATE lineage, not just cache — a cached plan still carries its
+    full upstream tree, so feeding (say) a MinHash banding pipeline in
+    as ``pairs`` restacked the whole shingle→band→verify lineage once
+    per round and the analyzed plan grew to thousands of exchanges
+    (the optimizer/driver, not the data, became the bottleneck). The
+    edge list and every round's labels are therefore
+    ``localCheckpoint``ed (lineage-cutting); each round's plan is one
+    join + one agg over two checkpointed tables, O(1) in round count.
+    On a real cluster set a reliable
+    ``spark.sparkContext.setCheckpointDir`` and swap for
+    ``checkpoint()`` to survive executor loss.
     """
+    from pyspark.sql.types import StructField, StructType
+
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
@@ -519,42 +553,100 @@ def connected_components(
             )
         )
         .distinct()
-        .localCheckpoint(eager=False)  # materialized by round 1's count
+        .localCheckpoint(eager=False)
     )
-    labels = ids.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("component")
-    ).localCheckpoint(eager=False)
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(
-                labels.select(
-                    F.col("node").alias("dst"),
-                    F.col("component").alias("n_comp"),
-                ),
-                "dst",
-            )
-            .groupBy("src")
-            .agg(F.min("n_comp").alias("n_min"))
+    # Materializes the edge checkpoint AND yields the strategy input.
+    n_edges = edges.count()
+
+    spark = ids.sparkSession
+    id_type = ids.schema[id_col].dataType
+    all_ids = ids.select(F.col(id_col).alias("node"))
+
+    if n_edges == 0:
+        return all_ids.select(
+            F.col("node").alias(id_col), F.col("node").alias("component")
         )
-        updated = (
-            labels.join(
-                neighbor_min, labels.node == neighbor_min.src, "left"
-            )
+
+    if small_graph_edges and n_edges <= small_graph_edges:
+        # Driver-side union-find with path compression; union roots
+        # toward the smaller id so every root IS its component's min.
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edges.collect():  # bounded by small_graph_edges
+            ra, rb = find(row.src), find(row.dst)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+                parent.setdefault(lo, lo)
+        rows = [(n, find(n)) for n in parent]
+        labels = spark.createDataFrame(
+            rows,
+            StructType(
+                [
+                    StructField("node", id_type),
+                    StructField("component", id_type),
+                ]
+            ),
+        )
+    else:
+        labels = (
+            edges.select("src")
+            .distinct()
             .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("n_min"), F.col("component"))
-                ).alias("component"),
-                (F.col("n_min") < F.col("component")).alias("_changed"),
+                F.col("src").alias("node"), F.col("src").alias("component")
             )
-        ).localCheckpoint(eager=False)
-        # The convergence count doubles as the checkpoint materializer:
-        # one job per round, lineage truncated, no second pass.
-        n_changed = updated.filter(F.col("_changed")).count()
-        labels = updated.drop("_changed")
-        if n_changed == 0:
-            break
-    return labels.select(F.col("node").alias(id_col), "component")
+            .localCheckpoint(eager=False)
+        )
+        for _ in range(max_iter):
+            neighbor_min = (
+                edges.join(
+                    labels.select(
+                        F.col("node").alias("dst"),
+                        F.col("component").alias("n_comp"),
+                    ),
+                    "dst",
+                )
+                .groupBy("src")
+                .agg(F.min("n_comp").alias("n_min"))
+            )
+            updated = (
+                labels.join(
+                    neighbor_min, labels.node == neighbor_min.src, "left"
+                )
+                .select(
+                    "node",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("n_min"), F.col("component")),
+                    ).alias("component"),
+                    (F.col("n_min") < F.col("component")).alias("_changed"),
+                )
+            ).localCheckpoint(eager=False)
+            # The convergence count doubles as the checkpoint
+            # materializer: one job per round, no second pass.
+            n_changed = updated.filter(F.col("_changed")).count()
+            labels = updated.drop("_changed")
+            if n_changed == 0:
+                break
+
+    # Isolated nodes never entered the iteration; they label
+    # themselves. One broadcast-friendly join at the end, not a
+    # corpus-wide pass per round.
+    return (
+        all_ids.join(labels, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce(F.col("component"), F.col("node")).alias("component"),
+        )
+    )
 
 
 def retain_representatives(

@@ -246,3 +246,27 @@ def test_ngram_jaccard_collapse_exact_parity(spark):
     # perturbed doc at the same jaccard
     cross = {(a, b) for a, b, _ in fast if {a, b} & {5, 6} and {a, b} & {1, 2, 900001}}
     assert len(cross) == 6
+
+
+def test_connected_components_small_and_distributed_paths_agree(spark):
+    """The driver union-find fast path and the distributed label
+    propagation must produce identical components, including isolated
+    nodes and a multi-hop chain."""
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=3, id_b=4),
+         Row(id_a=10, id_b=11)]
+    )
+    ids = spark.createDataFrame([Row(doc_id=i) for i in [1, 2, 3, 4, 7, 10, 11]])
+    fast = {
+        (r.doc_id, r.component)
+        for r in D.connected_components(pairs, ids).collect()
+    }
+    dist = {
+        (r.doc_id, r.component)
+        for r in D.connected_components(
+            pairs, ids, small_graph_edges=0
+        ).collect()
+    }
+    expect = {(1, 1), (2, 1), (3, 1), (4, 1), (7, 7), (10, 10), (11, 10)}
+    assert fast == expect
+    assert dist == expect
