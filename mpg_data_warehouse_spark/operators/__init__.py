@@ -19,6 +19,9 @@ from mpg_data_warehouse_spark.operators.dedup import (
     incremental_minhash_pairs,
     minhash_dedup_pairs,
     ngram_jaccard_pairs,
+    duplicate_spans,
+    span_duplication_stats,
+    strip_duplicate_spans,
     retain_representatives,
     simhash_near_pairs,
 )
@@ -66,6 +69,9 @@ __all__ = [
     "merge_upsert_partitioned",
     "minhash_dedup_pairs",
     "ngram_jaccard_pairs",
+    "duplicate_spans",
+    "span_duplication_stats",
+    "strip_duplicate_spans",
     "overwrite_partitions",
     "pack_sequences",
     "range_join_binned",

@@ -413,27 +413,50 @@ def ngram_jaccard_pairs(
         return _ngram_jaccard_pairs_complete(
             df, id_col, text_col, shingle_n, threshold
         )
-    hashed = df.select(
-        F.col(id_col), F.col(text_col), content_hash(text_col).alias("_ch")
+    # Adaptive: one narrow pre-aggregate (text scan + md5, map-side
+    # combined) decides whether the corpus has exact replicas at all.
+    # Replica-free corpora — the common case for already-curated
+    # inputs — skip the collapse machinery (window shuffle +
+    # checkpoint + expansion joins) entirely; the check costs a
+    # fraction of what it avoids, and replica-heavy corpora pay it
+    # once before the collapse that saves them from quadratic output.
+    stats = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(content_hash(text_col)).alias("d"),
+    ).first()
+    if stats.d == stats.n:
+        return _ngram_jaccard_pairs_complete(
+            df, id_col, text_col, shingle_n, threshold
+        )
+    from pyspark.sql import Window
+
+    # ONE corpus shuffle builds both the representative set and the
+    # member→rep map: rows shuffle by content hash once, the window
+    # min tags every row with its group's canonical id, and the cache
+    # feeds rep_docs plus all three member-map consumers without
+    # recomputing the shuffle. Cache, NOT localCheckpoint, on purpose:
+    # a checkpointed RDD hides size stats from AQE, which demotes the
+    # small expansion-join sides from broadcast to sort-merge
+    # (measured ~2x slower at sf0.1); the consumer fan-out here is
+    # shallow and fixed, so the cached-lineage plan-tree blowup that
+    # forced checkpoints in connected_components cannot occur. (The
+    # static digest prints the cached subtree once per consumer —
+    # cosmetic; see EXPLAINS.md note.)
+    tagged = (
+        df.select(
+            F.col(id_col),
+            F.col(text_col),
+            content_hash(text_col).alias("_ch"),
+        )
+        .withColumn(
+            "_rep", F.min(id_col).over(Window.partitionBy("_ch"))
+        )
+        .cache()
     )
-    # One row per distinct content: canonical id + one (identical)
-    # text. Lazily checkpointed (lineage-cut, materialized at first
-    # action) rather than cached: it feeds rep_docs AND the member
-    # map, and a cached plan still re-prints its full upstream tree
-    # per use — the same discipline as connected_components.
-    groups = hashed.groupBy("_ch").agg(
-        F.min(id_col).alias("_rep"), F.any_value(text_col).alias(text_col)
-    ).localCheckpoint(eager=False)
-    rep_docs = groups.select(F.col("_rep").alias(id_col), text_col)
-    # Member → representative map; feeds the within-group self-join
-    # and both sides of the cross-group expansion. Narrow (id + group
-    # id) — at 100 TB this materializes to executor-local disk fine.
-    members = (
-        hashed.select(F.col(id_col), "_ch")
-        .join(groups.select("_ch", "_rep"), "_ch")
-        .select(F.col(id_col), "_rep")
-        .localCheckpoint(eager=False)
+    rep_docs = tagged.filter(F.col(id_col) == F.col("_rep")).select(
+        F.col(id_col), F.col(text_col)
     )
+    members = tagged.select(F.col(id_col), "_rep")
     rep_pairs = _ngram_jaccard_pairs_complete(
         rep_docs, id_col, text_col, shingle_n, threshold
     )
@@ -856,3 +879,185 @@ def incremental_minhash_pairs(
         .distinct()
     )
     return new_sigs, pairs
+
+
+# ---------------------------------------------------------------------------
+# Passage-level (sub-document) dedup: exact duplicate SPANS across the
+# corpus, the window-granular form of exact-substring dedup (Lee et
+# al. 2021, "Deduplicating Training Data Makes Language Models
+# Better", arXiv:2107.06499 — public). Doc-level dedup misses the
+# license header pasted into a million otherwise-distinct files;
+# span-level dedup is what removes it.
+# ---------------------------------------------------------------------------
+
+
+def _span_windows(toks: Column, span_tokens: int, stride: int) -> Column:
+    """Token windows of ``span_tokens`` starting every ``stride``
+    tokens, as an array of space-joined span strings. The final
+    (possibly short) tail window is included so every token is covered
+    when ``stride == span_tokens``. ``toks`` must be a bound column
+    (see ``shingles_from_tokens`` for why)."""
+    n_starts = F.greatest(
+        F.ceil((F.size(toks) - F.lit(span_tokens)) / F.lit(stride)) + 1,
+        F.lit(1),
+    ).cast("int")
+    idx = F.sequence(F.lit(0), n_starts - 1)
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * stride + 1, span_tokens)
+        ),
+    )
+
+
+def doc_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 50,
+    stride: int = 50,
+) -> DataFrame:
+    """(id, span_idx, span_hash) rows: md5 of each token window.
+    Narrow map + posexplode — no shuffle; the hash (not the text)
+    is what travels into the corpus-wide aggregation, so shuffle
+    bytes per span are fixed at ~32 B regardless of span length."""
+    toked = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    return toked.select(
+        F.col(id_col),
+        F.posexplode(
+            _span_windows(F.col("_toks"), span_tokens, stride)
+        ).alias("span_idx", "_span"),
+    ).select(
+        F.col(id_col),
+        "span_idx",
+        F.md5(F.col("_span").cast("binary")).alias("span_hash"),
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 50,
+    stride: int = 50,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Every span occurrence whose exact token window appears at least
+    ``min_occurrences`` times corpus-wide (across OR within docs —
+    in-doc repetition of a 50-token block is as much training-data
+    rot as the cross-doc kind).
+
+    Output: (id, span_idx, span_hash, n_occurrences).
+
+    Scale shape: one hash-keyed aggregate over ~32 B span hashes
+    (map-side combine collapses the hot boilerplate head), then a
+    keyed semi-join-style re-join of the span table against the
+    over-threshold hashes. Never touches span text after the map
+    stage. ``stride < span_tokens`` raises detection overlap
+    (substrings crossing window boundaries) at proportional cost."""
+    spans = doc_spans(df, id_col, text_col, span_tokens, stride)
+    counts = (
+        spans.groupBy("span_hash")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= min_occurrences)
+    )
+    return spans.join(counts, "span_hash").select(
+        id_col, "span_idx", "span_hash", "n_occurrences"
+    )
+
+
+def span_duplication_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 50,
+    stride: int = 50,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Per-doc duplication profile: (id, n_spans, n_dup_spans,
+    dup_span_frac). The curation signal form of ``duplicate_spans`` —
+    rank/filter docs by how much of them is corpus-duplicated text
+    without materializing per-span rows downstream."""
+    spans = doc_spans(df, id_col, text_col, span_tokens, stride)
+    counts = spans.groupBy("span_hash").agg(
+        F.count(F.lit(1)).alias("_n_occ")
+    )
+    return (
+        spans.join(counts, "span_hash")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(
+                (F.col("_n_occ") >= min_occurrences).cast("long")
+            ).alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_span_frac",
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 4),
+        )
+    )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 50,
+    min_occurrences: int = 2,
+    keep_first: bool = False,
+) -> DataFrame:
+    """Rewrite each document with its corpus-duplicated spans REMOVED
+    (Lee et al.'s ExactSubstr deletion, at non-overlapping window
+    granularity). Windows tile the token stream (stride ==
+    span_tokens, so removal is unambiguous); surviving windows rejoin
+    with single spaces. ``keep_first=True`` spares the occurrence
+    with the smallest (id, span_idx) so one copy of shared content
+    survives corpus-wide instead of none.
+
+    Output: (id, text) with the same column names as the input.
+
+    Scale shape: the span table (narrow, hashes) aggregates once;
+    flagged (id, span_idx) pairs groupBy back to per-doc index arrays
+    (dup spans per doc — small); the rewrite is a map-side
+    array-filter over the SAME deterministic window grid the hashes
+    came from, so text bytes shuffle only on the doc-keyed flag join."""
+    spans = doc_spans(df, id_col, text_col, span_tokens, span_tokens)
+    counts = spans.groupBy("span_hash").agg(
+        F.count(F.lit(1)).alias("_n_occ"),
+        F.min(
+            F.struct(F.col(id_col).alias("_i"), F.col("span_idx").alias("_s"))
+        ).alias("_first"),
+    )
+    flagged = spans.join(
+        counts.filter(F.col("_n_occ") >= min_occurrences), "span_hash"
+    )
+    if keep_first:
+        flagged = flagged.filter(
+            ~(
+                (F.col(id_col) == F.col("_first._i"))
+                & (F.col("span_idx") == F.col("_first._s"))
+            )
+        )
+    bad_per_doc = flagged.groupBy(id_col).agg(
+        F.collect_set("span_idx").alias("_bad")
+    )
+    toked = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    windows = _span_windows(F.col("_toks"), span_tokens, span_tokens)
+    return (
+        toked.join(bad_per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.concat_ws(
+                " ",
+                F.filter(
+                    windows,
+                    lambda w, i: ~F.coalesce(
+                        F.array_contains(
+                            F.col("_bad"), i.cast("int")
+                        ),
+                        F.lit(False),
+                    ),
+                ),
+            ).alias(text_col),
+        )
+    )

@@ -270,3 +270,77 @@ def test_connected_components_small_and_distributed_paths_agree(spark):
     expect = {(1, 1), (2, 1), (3, 1), (4, 1), (7, 7), (10, 10), (11, 10)}
     assert fast == expect
     assert dist == expect
+
+
+# ---------------------------------------------------------------------------
+# Passage-level span dedup (Lee et al. 2021 ExactSubstr, window form)
+# ---------------------------------------------------------------------------
+
+BOILER = "this content is licensed under the creative commons attribution share alike four point zero license"
+
+
+def _span_corpus(spark):
+    # 8-token boilerplate block shared by docs 1 and 2 (and repeated
+    # twice inside doc 3); unique prose around it.
+    u1 = "alpha bravo charlie delta echo foxtrot golf hotel"
+    u2 = "india juliett kilo lima mike november oscar papa"
+    u3 = "quebec romeo sierra tango uniform victor whiskey xray"
+    b = "one two three four five six seven eight"
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"{u1} {b}"),
+            Row(doc_id=2, text=f"{b} {u2}"),
+            Row(doc_id=3, text=f"{b} {b}"),
+            Row(doc_id=4, text=u3),
+        ]
+    )
+
+
+def test_duplicate_spans_flags_shared_and_repeated_blocks(spark):
+    out = D.duplicate_spans(
+        _span_corpus(spark), span_tokens=8, stride=8, min_occurrences=2
+    ).collect()
+    got = {(r.doc_id, r.span_idx): r.n_occurrences for r in out}
+    # doc 1 window 1 == doc 2 window 0 == doc 3 windows 0 and 1
+    assert got == {(1, 1): 4, (2, 0): 4, (3, 0): 4, (3, 1): 4}
+
+
+def test_span_duplication_stats_fraction(spark):
+    stats = {
+        r.doc_id: (r.n_spans, r.n_dup_spans, r.dup_span_frac)
+        for r in D.span_duplication_stats(
+            _span_corpus(spark), span_tokens=8, stride=8
+        ).collect()
+    }
+    assert stats[3] == (2, 2, 1.0)
+    assert stats[1] == (2, 1, 0.5)
+    assert stats[4] == (1, 0, 0.0)
+
+
+def test_strip_duplicate_spans_removes_block_everywhere(spark):
+    out = {
+        r.doc_id: r.text
+        for r in D.strip_duplicate_spans(
+            _span_corpus(spark), span_tokens=8
+        ).collect()
+    }
+    assert out[1] == "alpha bravo charlie delta echo foxtrot golf hotel"
+    assert out[2] == "india juliett kilo lima mike november oscar papa"
+    assert out[3] == ""
+    assert out[4] == "quebec romeo sierra tango uniform victor whiskey xray"
+
+
+def test_strip_duplicate_spans_keep_first_spares_one_copy(spark):
+    out = {
+        r.doc_id: r.text
+        for r in D.strip_duplicate_spans(
+            _span_corpus(spark), span_tokens=8, keep_first=True
+        ).collect()
+    }
+    # smallest (id, span_idx) occurrence is doc 1 window 1 — it stays
+    assert out[1] == (
+        "alpha bravo charlie delta echo foxtrot golf hotel "
+        "one two three four five six seven eight"
+    )
+    assert out[2] == "india juliett kilo lima mike november oscar papa"
+    assert out[3] == ""

@@ -37,6 +37,7 @@ OPS = [
     "ArrowEvalPython",
     "BatchEvalPython",
     "Generate",
+    "InMemoryTableScan",
 ]
 
 _VOLATILE = [
@@ -77,6 +78,12 @@ def main() -> None:
         "these queries; AQE may re-split at runtime). `hash` is a sha256",
         "prefix of the normalized executed plan — a changed hash with an",
         "unchanged operator row means expression-level drift only.",
+        "NOTE: operator counts are STATIC-plan counts — a `.cache()`d",
+        "subtree is printed once per consumer, so plans that fan a",
+        "cached intermediate into several joins (e.g.",
+        "`ngram_jaccard_pairs`'s replica-collapse map) count its",
+        "exchanges per reference; at runtime the cached stage executes",
+        "once. Cross-check `imts` (InMemoryTableScan) for reuse.",
         "Regenerate: `python tools/explain_digest.py`.",
         "",
         "| query | " + " | ".join(
@@ -86,7 +93,8 @@ def main() -> None:
              "ObjectHashAggregate": "ohagg", "SortAggregate": "sagg",
              "Window": "win", "WindowGroupLimit": "wgl",
              "MapInPandas": "mip", "ArrowEvalPython": "arrow",
-             "BatchEvalPython": "pyudf", "Generate": "gen"}[op]
+             "BatchEvalPython": "pyudf", "Generate": "gen",
+             "InMemoryTableScan": "imts"}[op]
             for op in shown
         ) + " | hash |",
         "|---|" + "---|" * (len(shown) + 1),
