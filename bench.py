@@ -43,6 +43,7 @@ HEADLINE = [
     "near_dup_retention",
     "minhash_near_dup_pairs",
     "ngram_jaccard_pairs",
+    "span_duplication_stats",
     "simhash_near_dup_pairs",
     "embedding_cosine_near_dup",
     "text_profile",

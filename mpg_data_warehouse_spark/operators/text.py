@@ -508,3 +508,65 @@ def doc_logprob_score(
         F.sum("tf").alias("n_tokens"),
         F.round(-F.sum("_nll") / F.sum("tf"), 6).alias("nll_per_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode / whitespace normalization — the canonicalization pass every
+# web-scraped training corpus needs BEFORE dedup and quality scoring
+# (curly quotes vs straight, NBSP vs space, and zero-width characters
+# otherwise defeat exact- and span-hash dedup on visually identical
+# text). All pure JVM regexp/translate column math: a narrow map
+# stage, no shuffle, whole-stage codegen at 100 TB.
+# ---------------------------------------------------------------------------
+
+# Translate table: visually-equivalent unicode punctuation → ASCII.
+_UNICODE_PUNCT_SRC = "‘’‚‛“”„‟–—―−    　"
+_UNICODE_PUNCT_DST = "''''\"\"\"\"----     "
+
+# Control chars (C0 except \t\n\r, DEL, C1) and zero-width/bidi marks.
+_CONTROL_CHARS_RE = (
+    "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f\\u0080-\\u009f"
+    "\\u200b\\u200c\\u200d\\u2060\\ufeff\\u00ad]"
+)
+
+
+def normalize_punct(col: Column | str) -> Column:
+    """Map curly quotes / long dashes / exotic spaces to their ASCII
+    equivalents via a single ``translate`` (one pass, no regex)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.translate(c, _UNICODE_PUNCT_SRC, _UNICODE_PUNCT_DST)
+
+
+def strip_control_chars(col: Column | str) -> Column:
+    """Delete C0/C1 control characters (keeping tab/newline/CR) and
+    zero-width / soft-hyphen / BOM marks."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, _CONTROL_CHARS_RE, "")
+
+
+def collapse_whitespace(col: Column | str) -> Column:
+    """Collapse horizontal whitespace runs to one space and runs of 3+
+    newlines to exactly two (paragraph break), then trim. Preserves
+    the paragraph structure ``pack_paragraphs`` splits on."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"[ \t\x0b\f]+", " ")
+    c = F.regexp_replace(c, r" ?(\r?\n) ?", "$1")
+    c = F.regexp_replace(c, r"(\r?\n){3,}", "\n\n")
+    return F.trim(c)
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    lowercase: bool = False,
+) -> DataFrame:
+    """Canonicalize ``text_col`` in place: unicode punctuation → ASCII,
+    control/zero-width chars stripped, whitespace collapsed, optional
+    lowercasing. Column order and all other columns preserved, so the
+    result drops into any downstream dedup/quality stage unchanged."""
+    c = collapse_whitespace(
+        strip_control_chars(normalize_punct(F.col(text_col)))
+    )
+    if lowercase:
+        c = F.lower(c)
+    return df.withColumn(text_col, c)

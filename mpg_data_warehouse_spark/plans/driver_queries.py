@@ -423,13 +423,76 @@ def string_agg_top3_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- A7: distinct projection dedup ---
 
 
+# Passage-level duplicate-span stats (extension; Lee et al. 2021
+# arXiv:2107.06499 ExactSubstr at window granularity). The synthetic
+# corpus has no organic 10-token duplicate passages across docs, so the
+# query injects them deterministically: every 10th doc donates its
+# first 10-token window to a new doc (id + 1,000,000) whose remaining
+# text is uppercased (so ONLY the donated window can collide). The
+# operator must then report, per doc, how many of its fixed token
+# windows are corpus-duplicated — including the organic short-tail
+# collisions the tiny synthetic vocabulary produces. Registry slot
+# freed by distinct_dedup (A7 ``.distinct()`` stays externally verified
+# through species_richness_union_dedup's union-dedup stage).
 @_q(
-    "distinct_dedup",
-    "SELECT DISTINCT l_returnflag, l_linestatus, l_suppkey FROM lineitem",
+    "span_duplication_stats",
+    r"""
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id,
+             array_to_string(
+               (regexp_split_to_array(trim(text), '\s+'))[1:10], ' ')
+               || ' ' || upper(text) AS text
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    toked AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM aug
+    ),
+    spans AS (
+      SELECT doc_id, CAST(i AS INT) AS span_idx,
+             md5(array_to_string(toks[(i*10+1):(i*10+10)], ' '))
+               AS span_hash
+      FROM toked,
+           UNNEST(range(greatest(
+             CAST(ceil((len(toks)-10)/10.0) AS BIGINT)+1, 1))) AS u(i)
+    ),
+    counts AS (
+      SELECT span_hash, count(*) AS n_occ FROM spans GROUP BY span_hash
+    )
+    SELECT s.doc_id,
+           count(*) AS n_spans,
+           CAST(sum(CASE WHEN c.n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_spans,
+           round(sum(CASE WHEN c.n_occ >= 2 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS dup_span_frac
+    FROM spans s JOIN counts c USING (span_hash)
+    GROUP BY s.doc_id
+    """,
 )
-def distinct_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    lineitem = _t(spark, sf_dir, "lineitem")
-    return lineitem.select("l_returnflag", "l_linestatus", "l_suppkey").distinct()
+def span_duplication_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-passage fraction over a deterministic
+    injected-duplicate corpus (operators.dedup.span_duplication_stats:
+    tile → 32-byte window hashes → one hash-keyed aggregate → per-doc
+    rollup; span text never shuffles past the map stage)."""
+    from mpg_data_warehouse_spark.operators import dedup as D
+    from mpg_data_warehouse_spark.operators import text as X
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    donated = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.concat_ws(" ", F.slice(X.tokens("text"), 1, 10)),
+            F.upper(F.col("text")),
+        ).alias("text"),
+    )
+    aug = docs.unionByName(donated)
+    return D.span_duplication_stats(
+        aug, id_col="doc_id", text_col="text", span_tokens=10, stride=10
+    )
 
 
 # --- W1: analytic partition count over a CASE category ---

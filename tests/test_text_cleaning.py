@@ -116,3 +116,62 @@ def test_orc_predicate_pushdown_reaches_scan(spark, tmp_path):
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan
     assert "struct<o_orderkey:bigint,o_totalprice:double>" in plan
+
+
+# --- unicode / whitespace normalization ---
+
+
+def test_normalize_punct_maps_unicode_to_ascii(spark):
+    from mpg_data_warehouse_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="“quoted” — em’s here")]
+    )
+    got = normalize_text(df).collect()[0].text
+    assert got == '"quoted" - em\'s here'
+
+
+def test_normalize_strips_control_and_zero_width(spark):
+    from mpg_data_warehouse_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a​b\x00c­d ﻿e")]
+    )
+    got = normalize_text(df).collect()[0].text
+    assert got == "abcd e"
+
+
+def test_normalize_collapses_whitespace_keeps_paragraphs(spark):
+    from mpg_data_warehouse_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="  a \t b\n\n\n\nc  d\ne  ")]
+    )
+    got = normalize_text(df).collect()[0].text
+    assert got == "a b\n\nc d\ne"
+
+
+def test_normalize_text_preserves_columns_and_lowercases(spark):
+    from mpg_data_warehouse_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame([Row(doc_id=7, text="A’B", lang="en")])
+    out = normalize_text(df, lowercase=True)
+    assert out.columns == ["doc_id", "text", "lang"]
+    row = out.collect()[0]
+    assert (row.doc_id, row.text, row.lang) == (7, "a'b", "en")
+
+
+def test_normalize_makes_visually_identical_dupes_exact(spark):
+    """The reason this pass exists: curly-quote / NBSP variants of the
+    same text must hash identically after normalization."""
+    from mpg_data_warehouse_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="it’s “fine” now"),
+            Row(doc_id=2, text="it's \"fine\" now"),
+        ]
+    )
+    norm = normalize_text(df)
+    texts = {r.text for r in norm.collect()}
+    assert len(texts) == 1
