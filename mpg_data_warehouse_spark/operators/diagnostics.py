@@ -79,3 +79,75 @@ def suggest_salts(
     if hottest is None or hottest <= target_rows_per_task:
         return 1
     return min(1024, -(-int(hottest) // target_rows_per_task))
+
+
+def approx_profile(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    percentiles: tuple[float, ...] = (0.5, 0.95, 0.99),
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Sketch-based column profiling for tables too big to profile
+    exactly: one row per column with ``(column, n, n_null,
+    approx_distinct, min, max, p50/p95/p99)``.
+
+    The 100 TB form of the reference's univariate profiling habit
+    (A9 — src/analyze_gridveg_dates_pattern.py's summary passes):
+    exact ``count_distinct`` is a full shuffle of the distinct pairs
+    per column, and exact percentiles a global sort; HyperLogLog++
+    (``approx_count_distinct``, relative error ``rsd``) and the
+    KLL-style ``percentile_approx`` sketch both merge map-side, so
+    the WHOLE profile over every column is a single scan + one
+    fixed-width reduce, no matter how wide the table.
+
+    Numeric min/max/percentiles are cast to double; non-numeric
+    columns report nulls for those fields but still count/distinct.
+    """
+    num_types = {"int", "bigint", "smallint", "tinyint", "double",
+                 "float", "decimal", "date", "timestamp"}
+
+    def is_num(dt: str) -> bool:
+        return dt.split("(")[0] in num_types
+
+    dtypes = dict(df.dtypes)
+    cols = cols or list(df.columns)
+    aggs = []
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"{c}__n"))
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nn"))
+        aggs.append(
+            F.approx_count_distinct(c, rsd=rsd).alias(f"{c}__ad")
+        )
+        if is_num(dtypes[c]):
+            v = F.col(c).cast("double")
+            aggs.append(F.min(v).alias(f"{c}__mn"))
+            aggs.append(F.max(v).alias(f"{c}__mx"))
+            aggs.append(
+                F.percentile_approx(
+                    v, list(percentiles), 10_000
+                ).alias(f"{c}__pc")
+            )
+        else:
+            aggs.append(F.lit(None).cast("double").alias(f"{c}__mn"))
+            aggs.append(F.lit(None).cast("double").alias(f"{c}__mx"))
+            aggs.append(
+                F.lit(None)
+                .cast("array<double>")
+                .alias(f"{c}__pc")
+            )
+    wide = df.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"{c}__n").alias("n"),
+            F.col(f"{c}__nn").alias("n_null"),
+            F.col(f"{c}__ad").alias("approx_distinct"),
+            F.col(f"{c}__mn").alias("min"),
+            F.col(f"{c}__mx").alias("max"),
+            F.col(f"{c}__pc").alias("percentiles"),
+        )
+        for c in cols
+    ]
+    return wide.select(
+        F.explode(F.array(*per_col)).alias("p")
+    ).select("p.*")

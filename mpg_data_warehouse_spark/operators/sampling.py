@@ -170,3 +170,31 @@ def temperature_mixture_sample(
         .filter(hash_bucket(key, buckets) < F.col("_cut"))
         .drop("_cut")
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key: Column | str,
+    seed: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Reproducible global permutation of a corpus — the "shuffle the
+    training data" step, made deterministic so a re-run (or a resumed
+    job) yields the SAME example order.
+
+    Orders by ``xxhash64(key, seed)``: a keyed pseudo-random total
+    order. ``orderBy`` range-partitions on sampled hash quantiles then
+    sorts per partition — the standard scalable total-order plan (no
+    single reducer). Changing ``seed`` gives an independent
+    permutation (new epoch order) without touching the data.
+
+    At 100 TB pair this with ``write_training_shards``: the hash order
+    also decorrelates adjacent source documents, so each shard is an
+    unbiased sample of the corpus.
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    h = F.xxhash64(k, F.lit(seed))
+    out = df.orderBy(h)
+    if num_partitions is not None:
+        out = df.repartitionByRange(num_partitions, h).sortWithinPartitions(h)
+    return out

@@ -258,3 +258,77 @@ def merge_upsert_partitioned_with_backup(
         rollback_partitions(spark, table_path, versions_dir, vid)
         raise
     return vid, merged
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff — "what changed between v0007 and now?" The reference
+# answered this by eyeballing row counts before/after each mutation
+# (notebooks/update_gridVeg_survey_metadata.ipynb:1392-1402's manual
+# verify step); table_diff makes it a first-class distributed op and
+# the building block for audit trails over merge_upsert batches.
+# ---------------------------------------------------------------------------
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Key-level change-data-capture between two table states.
+
+    Output: ``(keys..., change)`` with ``change`` ∈ ``added`` (key only
+    in ``new``), ``removed`` (only in ``old``), ``changed`` (both, but
+    any compared column differs). Unchanged keys are not emitted.
+    Keys must identify rows uniquely (the same primary-key contract
+    MERGE itself requires).
+
+    Scale shape: each side collapses map-side to ``(keys, xxhash64 of
+    compared columns)`` BEFORE the join, so the only shuffle moves
+    fixed-width key+hash rows — payload bytes never travel. The join
+    is a key-partitioned full outer; null-safe hashing (distinct null
+    vs empty-string) comes free from hashing the struct, not a
+    string concat.
+    """
+    from pyspark.sql import functions as F
+
+    cand = compare_cols or [c for c in old.columns if c not in keys]
+    cmp_cols = [c for c in cand if c in new.columns]
+    o = old.select(*keys, F.xxhash64(F.struct(*cmp_cols)).alias("_oh"))
+    n = new.select(*keys, F.xxhash64(F.struct(*cmp_cols)).alias("_nh"))
+    joined = o.join(n, keys, "full_outer")
+    return joined.filter(
+        F.col("_oh").isNull()
+        | F.col("_nh").isNull()
+        | (F.col("_oh") != F.col("_nh"))
+    ).select(
+        *keys,
+        F.when(F.col("_oh").isNull(), F.lit("added"))
+        .when(F.col("_nh").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+        .alias("change"),
+    )
+
+
+def diff_versions(
+    spark: SparkSession,
+    versions_dir: str,
+    old_version: str,
+    new_version: str | None = None,
+    keys: list[str] | None = None,
+    table_path: str | None = None,
+) -> DataFrame:
+    """``table_diff`` between two snapshot versions (or a snapshot and
+    the live table when ``new_version`` is None and ``table_path`` is
+    given). ``keys`` is required; kept explicit because only the
+    caller knows the table's primary key."""
+    if keys is None:
+        raise ValueError("keys is required")
+    old = read_version(spark, versions_dir, old_version)
+    if new_version is not None:
+        new = read_version(spark, versions_dir, new_version)
+    elif table_path is not None:
+        new = spark.read.parquet(table_path)
+    else:
+        raise ValueError("need new_version or table_path")
+    return table_diff(old, new, keys)

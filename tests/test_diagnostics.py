@@ -161,3 +161,38 @@ def test_write_training_shards_caller_supplied_count(spark, tmp_path):
     assert spark.read.parquet(out3).count() == 1000
     for f in glob.glob(os.path.join(out3, "shard=*", "*.parquet")):
         assert pq.ParquetFile(f).metadata.num_rows <= 200
+
+
+def test_approx_profile_shapes_and_bounds(spark):
+    from pyspark.sql import Row
+
+    from mpg_data_warehouse_spark.operators.diagnostics import approx_profile
+
+    df = spark.createDataFrame(
+        [Row(i=n, s=f"s{n % 7}", x=float(n) if n % 10 else None)
+         for n in range(1000)]
+    )
+    prof = {r.column: r for r in approx_profile(df).collect()}
+    assert set(prof) == {"i", "s", "x"}
+    assert prof["i"].n == 1000 and prof["i"].n_null == 0
+    assert prof["x"].n_null == 100 and prof["x"].n == 900
+    # HLL at rsd=0.05: distinct(i)=1000 within ~3 sigma
+    assert abs(prof["i"].approx_distinct - 1000) <= 150
+    assert abs(prof["s"].approx_distinct - 7) <= 1
+    assert prof["i"].min == 0.0 and prof["i"].max == 999.0
+    # string column: numeric stats null but counts real
+    assert prof["s"].min is None and prof["s"].percentiles is None
+    # median of 0..999 within sketch accuracy
+    assert abs(prof["i"].percentiles[0] - 499.5) <= 10
+
+
+def test_approx_profile_single_scan(spark):
+    """The whole profile is ONE aggregate over one scan — no per-column
+    jobs (plan has a single Aggregate over the relation)."""
+    from pyspark.sql import Row
+
+    from mpg_data_warehouse_spark.operators.diagnostics import approx_profile
+
+    df = spark.createDataFrame([Row(a=1, b="x")])
+    plan = approx_profile(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Aggregate") <= 2  # partial+final, not per column

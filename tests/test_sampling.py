@@ -113,3 +113,33 @@ def test_budget_rebalance_reproducible(spark):
     a = budget_rebalance_sample(df, "source", "doc_id", "n_tok", 200.0)
     b = budget_rebalance_sample(df.repartition(11), "source", "doc_id", "n_tok", 200.0)
     assert {r.doc_id for r in a.collect()} == {r.doc_id for r in b.collect()}
+
+
+def test_deterministic_shuffle_reproducible_and_seeded(spark):
+    from pyspark.sql import Row
+
+    from mpg_data_warehouse_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+
+    df = spark.createDataFrame([Row(doc_id=i) for i in range(500)])
+    o1 = [r.doc_id for r in deterministic_shuffle(df, "doc_id", 1).collect()]
+    o2 = [r.doc_id for r in deterministic_shuffle(df, "doc_id", 1).collect()]
+    o3 = [r.doc_id for r in deterministic_shuffle(df, "doc_id", 2).collect()]
+    assert o1 == o2                       # same seed -> same order
+    assert o1 != o3                       # new seed -> new permutation
+    assert sorted(o1) == list(range(500)) # a permutation, nothing lost
+    assert o1 != list(range(500))         # actually shuffled
+
+
+def test_deterministic_shuffle_partitioned_form(spark):
+    from pyspark.sql import Row
+
+    from mpg_data_warehouse_spark.operators.sampling import (
+        deterministic_shuffle,
+    )
+
+    df = spark.createDataFrame([Row(doc_id=i) for i in range(500)])
+    out = deterministic_shuffle(df, "doc_id", 3, num_partitions=4)
+    assert out.rdd.getNumPartitions() == 4
+    assert sorted(r.doc_id for r in out.collect()) == list(range(500))

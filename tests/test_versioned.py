@@ -177,3 +177,69 @@ def test_merge_partitioned_with_backup_rolls_back_exactly(spark, tmp_path):
     got = {r.k: (r.v, r.year) for r in spark.read.parquet(table).collect()}
     assert got[1] == ("fix1", 2020) and got[100] == ("new", 2021)
     assert len(got) == 11
+
+
+# --- table_diff / diff_versions (CDC between snapshots) ---
+
+
+def test_table_diff_classifies_changes(spark):
+    from pyspark.sql import Row
+
+    from mpg_data_warehouse_spark.operators.versioned import table_diff
+
+    old = spark.createDataFrame(
+        [
+            Row(k=1, a="x", b=10),
+            Row(k=2, a="y", b=20),
+            Row(k=3, a="z", b=30),
+            Row(k=4, a=None, b=40),
+        ]
+    )
+    new = spark.createDataFrame(
+        [
+            Row(k=1, a="x", b=10),      # unchanged -> not emitted
+            Row(k=2, a="y2", b=20),     # changed
+            Row(k=4, a=None, b=40),     # unchanged (null-safe)
+            Row(k=5, a="new", b=50),    # added
+        ]
+    )
+    got = {r.k: r.change for r in table_diff(old, new, ["k"]).collect()}
+    assert got == {2: "changed", 3: "removed", 5: "added"}
+
+
+def test_table_diff_respects_compare_cols(spark):
+    from pyspark.sql import Row
+
+    from mpg_data_warehouse_spark.operators.versioned import table_diff
+
+    old = spark.createDataFrame([Row(k=1, a="x", audit="t1")])
+    new = spark.createDataFrame([Row(k=1, a="x", audit="t2")])
+    assert table_diff(old, new, ["k"], compare_cols=["a"]).count() == 0
+    assert (
+        table_diff(old, new, ["k"]).collect()[0].change == "changed"
+    )
+
+
+def test_diff_versions_snapshot_to_live(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from mpg_data_warehouse_spark.operators.versioned import (
+        diff_versions,
+        snapshot,
+    )
+
+    table = str(tmp_path / "t")
+    versions = str(tmp_path / "versions")
+    spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")]).write.parquet(
+        table
+    )
+    vid = snapshot(spark, table, versions)
+    spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="B"), Row(k=3, v="c")]) \
+        .write.mode("overwrite").parquet(table)
+    got = {
+        r.k: r.change
+        for r in diff_versions(
+            spark, versions, vid, keys=["k"], table_path=table
+        ).collect()
+    }
+    assert got == {2: "changed", 3: "added"}
