@@ -6,9 +6,12 @@ temporal joins, join-strategy helpers."""
 from mpg_data_warehouse_spark.operators.append import (
     anti_join_append,
     merge_upsert,
+    merge_upsert_bucketed,
     merge_upsert_partitioned,
     overwrite_partitions,
+    read_keybucket_table,
     truncate_replace,
+    write_keybucket_table,
 )
 from mpg_data_warehouse_spark.operators.chunking import pack_sequences
 from mpg_data_warehouse_spark.operators.complete import complete
@@ -30,6 +33,7 @@ from mpg_data_warehouse_spark.operators.ranking import topk_per_group
 from mpg_data_warehouse_spark.operators.sampling import (
     budget_rebalance_sample,
     deterministic_sample,
+    deterministic_shuffle,
     split_train_holdout,
     stratified_sample,
 )
@@ -46,7 +50,13 @@ from mpg_data_warehouse_spark.operators.temporal import (
     funnel_conversion,
     range_join_binned,
 )
-from mpg_data_warehouse_spark.operators.text import redact, term_counts, text_profile, tfidf
+from mpg_data_warehouse_spark.operators.text import (
+    normalize_text,
+    redact,
+    term_counts,
+    text_profile,
+    tfidf,
+)
 from mpg_data_warehouse_spark.operators.validate import validate
 
 __all__ = [
@@ -58,6 +68,8 @@ __all__ = [
     "contamination_report",
     "cosine_topk",
     "deterministic_sample",
+    "deterministic_shuffle",
+    "duplicate_spans",
     "embedding_centroids",
     "embedding_near_dup_pairs",
     "exact_dedup",
@@ -66,23 +78,25 @@ __all__ = [
     "ivf_topk",
     "lsh_topk",
     "merge_upsert",
+    "merge_upsert_bucketed",
     "merge_upsert_partitioned",
     "minhash_dedup_pairs",
     "ngram_jaccard_pairs",
-    "duplicate_spans",
-    "span_duplication_stats",
-    "strip_duplicate_spans",
+    "normalize_text",
     "overwrite_partitions",
     "pack_sequences",
     "range_join_binned",
+    "read_keybucket_table",
     "redact",
     "retain_representatives",
     "salted_join",
     "scd2_apply",
     "scd2_init",
     "simhash_near_pairs",
+    "span_duplication_stats",
     "split_train_holdout",
     "stratified_sample",
+    "strip_duplicate_spans",
     "term_counts",
     "text_profile",
     "tfidf",
@@ -90,4 +104,5 @@ __all__ = [
     "truncate_replace",
     "validate",
     "write_bucketed",
+    "write_keybucket_table",
 ]

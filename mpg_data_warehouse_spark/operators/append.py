@@ -252,3 +252,103 @@ def truncate_replace(
     rows = spark.read.parquet(tmp).count()
     swap_into_place(tmp, table_path)
     return rows
+
+
+# ---------------------------------------------------------------------------
+# Hash-bucketed MERGE — selective rewrite for tables with NO natural
+# partition column. VERDICT r3 left this as the one open MERGE-scale
+# gap: merge_upsert on an unpartitioned table rewrites everything.
+# Laying the table out partitioned by a synthetic key-hash bucket
+# makes every key partition-stable BY CONSTRUCTION (the bucket is a
+# pure function of the key), so a batch rewrites only the buckets its
+# keys hash into: ~min(1, |batch keys| / n_buckets) of the table
+# instead of all of it. This is exactly the file-pruning a Delta/
+# Iceberg MERGE gets from data skipping, expressed as plain-parquet
+# partition pruning.
+# ---------------------------------------------------------------------------
+
+BUCKET_COL = "_kb"
+_BUCKET_META = "_bucket_meta.json"  # underscore: invisible to parquet reads
+
+
+def with_key_bucket(
+    df: DataFrame, keys: list[str], n_buckets: int
+) -> DataFrame:
+    """Add the deterministic key-hash bucket column ``_kb`` ∈
+    [0, n_buckets)."""
+    return df.withColumn(
+        BUCKET_COL,
+        F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast(
+            "int"
+        ),
+    )
+
+
+def write_keybucket_table(
+    df: DataFrame,
+    table_path: str,
+    keys: list[str],
+    n_buckets: int = 256,
+) -> None:
+    """Materialize ``df`` partitioned by the key-hash bucket and record
+    ``(keys, n_buckets)`` in a manifest, so later merges can't silently
+    use a different bucketing (which would orphan stale rows)."""
+    import json
+    import os
+
+    with_key_bucket(df, keys, n_buckets).write.mode("overwrite").partitionBy(
+        BUCKET_COL
+    ).parquet(table_path)
+    with open(os.path.join(table_path, _BUCKET_META), "w") as f:
+        json.dump({"keys": keys, "n_buckets": n_buckets}, f)
+
+
+def read_keybucket_table(spark: SparkSession, table_path: str) -> DataFrame:
+    """Read a bucketed table without the synthetic bucket column."""
+    return spark.read.parquet(table_path).drop(BUCKET_COL)
+
+
+def _bucket_meta(table_path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(table_path, _BUCKET_META)) as f:
+        return json.load(f)
+
+
+def merge_upsert_bucketed(
+    spark: SparkSession,
+    updates: DataFrame,
+    table_path: str,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """MERGE into a hash-bucketed table, rewriting only the buckets the
+    batch's keys hash into. ``keys`` defaults to (and is validated
+    against) the manifest written by ``write_keybucket_table`` — a
+    mismatched key set would bucket updates differently from the
+    existing rows and strand stale versions in untouched buckets.
+
+    Plan shape: derive ``_kb`` on the batch (narrow map), then
+    delegate to ``merge_upsert_partitioned`` with ``_kb`` as the
+    partition column — partition-pruned read of just the touched
+    buckets, merged_view on that slice, dynamic partition overwrite of
+    the same buckets. The stability check is skipped: bucket = f(key)
+    makes moves impossible. Returns the merged slice (bucket column
+    dropped)."""
+    meta = _bucket_meta(table_path)
+    if keys is None:
+        keys = list(meta["keys"])
+    elif list(keys) != list(meta["keys"]):
+        raise ValueError(
+            f"keys {keys} != table's bucketing keys {meta['keys']}"
+        )
+    bucketed = with_key_bucket(updates, keys, int(meta["n_buckets"]))
+    merged = merge_upsert_partitioned(
+        spark,
+        bucketed,
+        table_path,
+        keys,
+        partition_cols=(BUCKET_COL,),
+        check_partition_stable=False,
+    )
+    return merged.drop(BUCKET_COL)

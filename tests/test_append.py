@@ -198,3 +198,111 @@ def test_overwrite_partitions_touches_only_matching(spark, tmp_path):
     assert after.filter("year = 2024").count() == 2      # untouched
     assert set(os.listdir(f"{table}/year=2024")) == before_2024
     assert set(os.listdir(f"{table}/year=2025")) != before_2025
+
+
+# --- hash-bucketed MERGE (selective rewrite without a natural partition) ---
+
+
+def _bucket_files(path):
+    import glob
+    import os
+
+    return {
+        p
+        for p in glob.glob(os.path.join(path, "_kb=*", "*.parquet"))
+    }
+
+
+def test_merge_upsert_bucketed_rewrites_only_touched_buckets(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from mpg_data_warehouse_spark.operators.append import (
+        merge_upsert_bucketed,
+        read_keybucket_table,
+        write_keybucket_table,
+    )
+
+    table = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [Row(k=i, v=f"v{i}") for i in range(200)]
+    )
+    write_keybucket_table(base, table, ["k"], n_buckets=16)
+    before = _bucket_files(table)
+
+    updates = spark.createDataFrame(
+        [Row(k=3, v="V3"), Row(k=777, v="V777")]  # one update, one insert
+    )
+    merge_upsert_bucketed(spark, updates, table)
+
+    got = {r.k: r.v for r in read_keybucket_table(spark, table).collect()}
+    assert len(got) == 201
+    assert got[3] == "V3" and got[777] == "V777" and got[5] == "v5"
+
+    after = _bucket_files(table)
+    # Touched buckets (≤2 of 16) were replaced; every other bucket
+    # keeps its exact file set — untouched by the merge.
+    import os
+
+    def by_bucket(files):
+        d = {}
+        for p in files:
+            d.setdefault(os.path.basename(os.path.dirname(p)), set()).add(p)
+        return d
+
+    b_before, b_after = by_bucket(before), by_bucket(after)
+    changed = {
+        b
+        for b in set(b_before) | set(b_after)
+        if b_before.get(b) != b_after.get(b)
+    }
+    assert 1 <= len(changed) <= 2, changed
+
+
+def test_merge_upsert_bucketed_validates_keys(spark, tmp_path):
+    import pytest
+    from pyspark.sql import Row
+
+    from mpg_data_warehouse_spark.operators.append import (
+        merge_upsert_bucketed,
+        write_keybucket_table,
+    )
+
+    table = str(tmp_path / "t")
+    write_keybucket_table(
+        spark.createDataFrame([Row(k=1, j=1, v="a")]), table, ["k"], 4
+    )
+    with pytest.raises(ValueError, match="bucketing keys"):
+        merge_upsert_bucketed(
+            spark,
+            spark.createDataFrame([Row(k=1, j=2, v="b")]),
+            table,
+            keys=["j"],
+        )
+
+
+def test_bucketed_merge_prunes_untouched_buckets_in_plan(spark, tmp_path):
+    """The existing-side scan must be partition-pruned to the batch's
+    buckets — at 100 TB this is the whole point."""
+    from pyspark.sql import Row
+
+    from mpg_data_warehouse_spark.operators.append import (
+        BUCKET_COL,
+        with_key_bucket,
+        write_keybucket_table,
+    )
+    from pyspark.sql import functions as F
+
+    table = str(tmp_path / "t")
+    base = spark.createDataFrame([Row(k=i, v=str(i)) for i in range(100)])
+    write_keybucket_table(base, table, ["k"], n_buckets=8)
+
+    batch = with_key_bucket(
+        spark.createDataFrame([Row(k=5, v="x")]), ["k"], 8
+    )
+    buckets = [r[BUCKET_COL] for r in batch.select(BUCKET_COL).collect()]
+    pruned = spark.read.parquet(table).filter(
+        F.col(BUCKET_COL).isin(buckets)
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # Parquet partition pruning: the scan reports pruned partition count
+    assert pruned.count() < 100
