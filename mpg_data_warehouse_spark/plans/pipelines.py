@@ -286,6 +286,7 @@ def date_repair_pipeline(
 
 def curate_corpus_pipeline(
     docs: DataFrame,
+    normalize: bool = True,
     min_quality: float = 0.5,
     jaccard_threshold: float = 0.5,
     max_tokens: int = 64,
@@ -300,6 +301,9 @@ def curate_corpus_pipeline(
     """End-to-end training-corpus curation, composing the engine's
     LLM-pipeline operators into one lazy plan:
 
+        unicode/whitespace normalization (default on — curly-quote /
+        NBSP / zero-width variants of identical text must hash
+        identically or every downstream dedup stage misses them) →
         [optional line-level boilerplate strip] → quality filter →
         [optional unigram-LM perplexity gate] → exact dedup (keep
         canonical) → near-dup retention (MinHash+LSH → verify →
@@ -355,6 +359,10 @@ def curate_corpus_pipeline(
             "mutually exclusive rebalance modes"
         )
 
+    if normalize:
+        from mpg_data_warehouse_spark.operators.text import normalize_text
+
+        docs = normalize_text(docs)
     if max_line_df is not None:
         docs = strip_boilerplate_lines(docs, max_line_df).drop(
             "n_lines_removed"

@@ -53,6 +53,7 @@ from mpg_data_warehouse_spark.operators.dedup import (
 )
 from mpg_data_warehouse_spark.operators.text import (
     doc_logprob_score,
+    normalize_text,
     quality_score,
 )
 from mpg_data_warehouse_spark.streaming.events import _sink_exists
@@ -67,6 +68,7 @@ def curated_append_stream(
     checkpoint_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    normalize: bool = True,
     min_quality: float = 0.5,
     jaccard_threshold_bands: tuple[int, int] = (8, 4),
     shingle_n: int = 3,
@@ -88,6 +90,10 @@ def curated_append_stream(
 
     def curate_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if normalize:
+            # Canonicalize BEFORE hashing/signatures: unicode variants
+            # of identical text must collide in every dedup guard.
+            batch_df = normalize_text(batch_df, text_col)
         kept = (
             batch_df.withColumn("_q", quality_score(text_col))
             .filter(F.col("_q") >= min_quality)

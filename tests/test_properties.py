@@ -327,3 +327,67 @@ def test_temperature_sample_is_subset_and_deterministic(spark, rows, temp):
     ids1 = {r.doc_id for r in out1.collect()}
     assert ids1 <= ids_all
     assert ids1 == {r.doc_id for r in out2.collect()}
+
+
+# --- round-4 operators ---
+
+texts = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_categories=("Cs",)
+    ),
+    max_size=80,
+)
+
+
+@_slow
+@given(data=st.lists(texts, min_size=1, max_size=12))
+def test_normalize_text_idempotent_property(spark, data):
+    """normalize(normalize(x)) == normalize(x) for arbitrary unicode —
+    a second pass must never change the output (stability under
+    re-ingest)."""
+    from mpg_data_warehouse_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(data)]
+    )
+    once = normalize_text(df)
+    twice = normalize_text(once)
+    a = {r.doc_id: r.text for r in once.collect()}
+    b = {r.doc_id: r.text for r in twice.collect()}
+    assert a == b
+
+
+@_slow
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 5)),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_table_diff_properties(spark, data):
+    """diff(x, x) is empty; diff(x, y) key-partitions into the exact
+    set differences and value mismatches for arbitrary tables."""
+    from mpg_data_warehouse_spark.operators.versioned import table_diff
+
+    old = spark.createDataFrame([Row(k=k, v=v) for k, v in data])
+    assert table_diff(old, old, ["k"]).count() == 0
+
+    # mutate: drop even keys, bump values on k % 3 == 0, add new key
+    new_rows = [
+        Row(k=k, v=v + (1 if k % 3 == 0 else 0))
+        for k, v in data
+        if k % 2 == 1
+    ] + [Row(k=999, v=0)]
+    new = spark.createDataFrame(new_rows)
+    got = {r.k: r.change for r in table_diff(old, new, ["k"]).collect()}
+    old_keys = {k for k, _ in data}
+    assert got.get(999) == "added"
+    for k, v in data:
+        if k % 2 == 0:
+            assert got[k] == "removed"
+        elif k % 3 == 0:
+            assert got[k] == "changed"
+        else:
+            assert k not in got
