@@ -194,3 +194,37 @@ def assert_suite(df: DataFrame, rules: list[Rule]) -> DataFrame:
         )
         raise AssertionError(f"expectation suite failed — {detail}")
     return res
+
+
+def split_by_rules(
+    df: DataFrame, rules: list[Rule]
+) -> tuple[DataFrame, DataFrame]:
+    """Row-routing form of a suite: ``(good, quarantined)`` where a
+    row is quarantined if it violates ANY row-level rule; the
+    quarantine side carries a ``_violated`` array naming the rules it
+    failed (the same shape as the CSV quarantine-splitting reader, so
+    bad rows land in a reviewable side table instead of dying or
+    passing silently). Relational rules (unique / foreign_key) are
+    table-level facts, not row routings — they raise here.
+
+    One narrow map over the data, evaluated lazily twice (once per
+    side); persist upstream or write both sides from one pass via
+    ``partitionBy`` on a derived ok-flag when the input is expensive.
+    """
+    bad = [r for r in rules if r.kind in ("unique", "foreign_key")]
+    if bad:
+        raise ValueError(
+            f"row-level rules only; got {[r.kind for r in bad]}"
+        )
+    flags = F.array_compact(
+        F.array(
+            *[
+                F.when(_violation_expr(r), F.lit(r.label()))
+                for r in rules
+            ]
+        )
+    )
+    tagged = df.withColumn("_violated", flags)
+    good = tagged.filter(F.size("_violated") == 0).drop("_violated")
+    quarantined = tagged.filter(F.size("_violated") > 0)
+    return good, quarantined

@@ -297,6 +297,7 @@ def curate_corpus_pipeline(
     max_nll_per_token: float | None = None,
     mixture_temperature: float | None = None,
     mixture_target_total: float | None = None,
+    strip_spans_tokens: int | None = None,
 ) -> DataFrame:
     """End-to-end training-corpus curation, composing the engine's
     LLM-pipeline operators into one lazy plan:
@@ -308,8 +309,9 @@ def curate_corpus_pipeline(
         [optional unigram-LM perplexity gate] → exact dedup (keep
         canonical) → near-dup retention (MinHash+LSH → verify →
         connected components, keep one per cluster) → [optional
-        per-source token-budget rebalance OR temperature-flattened
-        mixture sample] → sequence packing
+        passage-level duplicate-span strip (``strip_spans_tokens``)] →
+        [optional per-source token-budget rebalance OR
+        temperature-flattened mixture sample] → sequence packing
 
     Output: packed chunks (doc_id, chunk_id, chunk_text, n_tokens)
     plus the surviving doc's source. Every stage is individually
@@ -399,6 +401,23 @@ def curate_corpus_pipeline(
         canon.select("doc_id", "text"), threshold=jaccard_threshold
     ).select("id_a", "id_b").localCheckpoint()
     survivors = retain_representatives(canon, pairs)
+
+    if strip_spans_tokens is not None:
+        # Passage-level pass AFTER doc-level dedup: whole-document
+        # duplicates are already gone, so what remains is shared
+        # boilerplate passages inside otherwise-distinct docs (Lee et
+        # al. 2021's ExactSubstr finding). keep_first spares one
+        # corpus-wide copy of each passage.
+        from mpg_data_warehouse_spark.operators.dedup import (
+            strip_duplicate_spans,
+        )
+
+        stripped = strip_duplicate_spans(
+            survivors.select("doc_id", "text"),
+            span_tokens=strip_spans_tokens,
+            keep_first=True,
+        )
+        survivors = survivors.drop("text").join(stripped, "doc_id")
 
     if target_tokens_per_source is not None:
         toks = F.filter(tokens("text"), lambda t: t != F.lit(""))

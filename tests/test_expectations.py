@@ -97,3 +97,29 @@ def test_suite_is_single_job_for_row_rules(spark):
     )
     plan = agg._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Aggregate") <= 2  # partial+final, not per rule
+
+
+def test_split_by_rules_routes_rows(spark):
+    from mpg_data_warehouse_spark.operators.expectations import (
+        split_by_rules,
+    )
+
+    good, bad = split_by_rules(
+        _df(spark),
+        [not_null("grade"), in_range("score", lo=0.0, hi=1.0)],
+    )
+    good_ids = sorted(r.id for r in good.collect())
+    assert good_ids == [1, 2, 4]  # ids 3 (range) and 4-null row out
+    q = {(r.id, r.grade): r._violated for r in bad.collect()}
+    assert q[(3, "Z")] == ["in_range(score)"]
+    assert set(q[(4, None)]) == {"not_null(grade)", "in_range(score)"}
+    assert good.columns == _df(spark).columns
+
+
+def test_split_by_rules_rejects_relational(spark):
+    from mpg_data_warehouse_spark.operators.expectations import (
+        split_by_rules,
+    )
+
+    with pytest.raises(ValueError, match="row-level"):
+        split_by_rules(_df(spark), [unique("id")])

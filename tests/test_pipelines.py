@@ -408,3 +408,41 @@ def test_curate_corpus_pipeline_temperature_mixture_stage(spark):
         curate_corpus_pipeline(
             docs, target_tokens_per_source=10.0, mixture_temperature=0.5
         )
+
+
+def test_curate_corpus_pipeline_span_strip_stage(spark):
+    """strip_spans_tokens removes a passage shared between two
+    otherwise-distinct surviving docs (keep_first spares one copy),
+    before packing."""
+    from mpg_data_warehouse_spark.plans.pipelines import curate_corpus_pipeline
+
+    shared = " ".join(f"boiler{i}" for i in range(8))
+    a_body = " ".join(f"alpha{i}" for i in range(24))
+    b_body = " ".join(f"beta{i}" for i in range(24))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} {a_body}", "web"),
+            (2, f"{shared} {b_body}", "web"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = curate_corpus_pipeline(
+        docs,
+        min_quality=0.0,
+        jaccard_threshold=0.9,
+        max_tokens=64,
+        overlap=0,
+        strip_spans_tokens=8,
+    )
+    texts = {
+        r.doc_id: " ".join(
+            c.chunk_text for c in out.filter(out.doc_id == r.doc_id)
+            .orderBy("chunk_id").collect()
+        )
+        for r in out.select("doc_id").distinct().collect()
+    }
+    assert set(texts) == {1, 2}
+    # exactly one copy of the shared passage survives corpus-wide
+    n_with_shared = sum("boiler0" in t for t in texts.values())
+    assert n_with_shared == 1
+    assert "alpha0" in texts[1] and "beta0" in texts[2]
