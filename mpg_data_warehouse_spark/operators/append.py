@@ -352,3 +352,40 @@ def merge_upsert_bucketed(
         check_partition_stable=False,
     )
     return merged.drop(BUCKET_COL)
+
+
+def lookup_keybucket(
+    spark: SparkSession,
+    table_path: str,
+    key_values: list,
+) -> DataFrame:
+    """Point-lookup read path for a keybucket table: hash the
+    requested key tuples to their buckets and scan ONLY those
+    partitions (PartitionFilters pruning), then filter to the exact
+    keys inside them. A lookup of a handful of keys against a 100 TB
+    table reads a handful of buckets — the plain-parquet analog of an
+    indexed point query.
+
+    ``key_values``: list of scalars (single-key tables) or tuples in
+    manifest key order. Bounded by construction — this is a LOOKUP
+    API; bulk probes should join against the table instead."""
+    meta = _bucket_meta(table_path)
+    keys, n_buckets = list(meta["keys"]), int(meta["n_buckets"])
+    tuples = [
+        (v,) if not isinstance(v, (tuple, list)) else tuple(v)
+        for v in key_values
+    ]
+    probe = spark.createDataFrame(tuples, keys)
+    buckets = sorted(
+        r[BUCKET_COL]
+        for r in with_key_bucket(probe, keys, n_buckets)
+        .select(BUCKET_COL)
+        .distinct()
+        .collect()
+    )
+    pruned = spark.read.parquet(table_path).filter(
+        F.col(BUCKET_COL).isin(buckets)
+    )
+    return pruned.join(
+        F.broadcast(probe), keys, "left_semi"
+    ).drop(BUCKET_COL)

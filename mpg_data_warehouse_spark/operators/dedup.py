@@ -1061,3 +1061,47 @@ def strip_duplicate_spans(
             ).alias(text_col),
         )
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 13,
+    keep_report: bool = False,
+) -> DataFrame:
+    """Remove from ``corpus`` every document sharing ANY word
+    ``shingle_n``-gram with the eval set — the train-side action form
+    of ``contamination_report`` (the GPT-3 appendix-C recipe, Brown et
+    al. 2020 arXiv:2005.14165, used 13-grams; later pipelines kept the
+    shape). ``contamination_report`` tells you who leaked; this drops
+    them before training.
+
+    Output: the surviving corpus rows (all columns). With
+    ``keep_report=True``, instead returns the DROPPED ids as
+    ``(id, n_matched_shingles)`` for audit — run it first, log it,
+    then drop.
+
+    Scale shape: the eval side's distinct shingles broadcast
+    (benchmarks are thousands of docs); the corpus shingle-explodes
+    map-side and joins against the broadcast — the 100 TB corpus never
+    shuffles its text. Flagged ids collapse via hash-agg; the final
+    pass is an id-keyed anti-join (flagged set is small — broadcast
+    again)."""
+    ev = F.broadcast(
+        exploded_shingles(eval_set, id_col, text_col, shingle_n)
+        .select("shingle")
+        .distinct()
+    )
+    flagged = (
+        exploded_shingles(corpus, id_col, text_col, shingle_n)
+        .join(ev, "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_matched_shingles"))
+    )
+    if keep_report:
+        return flagged
+    return corpus.join(
+        F.broadcast(flagged.select(id_col)), id_col, "left_anti"
+    )

@@ -306,3 +306,26 @@ def test_bucketed_merge_prunes_untouched_buckets_in_plan(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     # Parquet partition pruning: the scan reports pruned partition count
     assert pruned.count() < 100
+
+
+def test_lookup_keybucket_prunes_and_finds(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from mpg_data_warehouse_spark.operators.append import (
+        lookup_keybucket,
+        write_keybucket_table,
+    )
+
+    table = str(tmp_path / "t")
+    write_keybucket_table(
+        spark.createDataFrame([Row(k=i, v=f"v{i}") for i in range(300)]),
+        table,
+        ["k"],
+        n_buckets=32,
+    )
+    out = lookup_keybucket(spark, table, [7, 123, 9999])
+    got = {r.k: r.v for r in out.collect()}
+    assert got == {7: "v7", 123: "v123"}      # missing key -> absent
+    # partition pruning reaches the scan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan

@@ -344,3 +344,27 @@ def test_strip_duplicate_spans_keep_first_spares_one_copy(spark):
     )
     assert out[2] == "india juliett kilo lima mike november oscar papa"
     assert out[3] == ""
+
+
+def test_decontaminate_drops_ngram_leaks(spark):
+    from pyspark.sql import Row
+
+    from mpg_data_warehouse_spark.operators.dedup import decontaminate
+
+    bench_q = "what is the capital of atlantis under the sea today"
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"intro words {bench_q} outro words"),
+            Row(doc_id=2, text="completely unrelated training text " * 3),
+            Row(doc_id=3, text="the capital of atlantis is mentioned "
+                               "but not the full question span here"),
+        ]
+    )
+    eval_set = spark.createDataFrame([Row(doc_id=100, text=bench_q)])
+
+    kept = decontaminate(corpus, eval_set, shingle_n=10)
+    assert {r.doc_id for r in kept.collect()} == {2, 3}
+
+    report = decontaminate(corpus, eval_set, shingle_n=10, keep_report=True)
+    rep = {r.doc_id: r.n_matched_shingles for r in report.collect()}
+    assert set(rep) == {1} and rep[1] >= 1
