@@ -389,3 +389,61 @@ def lookup_keybucket(
     return pruned.join(
         F.broadcast(probe), keys, "left_semi"
     ).drop(BUCKET_COL)
+
+
+def assign_dense_ids(
+    df: DataFrame,
+    order_by: list[str],
+    id_col: str = "doc_id",
+    start: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic dense ids ``start..start+n-1`` in ``order_by``
+    order — the monotone ingest-sequence contract
+    ``curated_append_stream`` requires, without the single-reducer
+    global window a naive ``row_number() OVER (ORDER BY ...)`` plans.
+
+    ``order_by`` must be a total order (include a unique tiebreaker) —
+    determinism comes from the sort, not from luck.
+
+    Plan shape: range-repartition + in-partition sort (ONE shuffle,
+    the same plan a global orderBy uses), then
+    ``monotonically_increasing_id`` — whose layout is
+    ``(partition_id << 33) | local_row`` with local rows dense from 0
+    — splits back into (pid, local). Per-partition counts aggregate
+    map-side to |partitions| rows (bounded driver collect), cumulate
+    into offsets on the driver, and rejoin as a broadcast map. Total:
+    one shuffle + one counting pass, never a global sort to one task.
+    The sorted frame is cached between the two passes so both see the
+    same physical row order."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_by]
+    ordered = (
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", (F.col("_mid") / F.lit(1 << 33)).cast("long"))
+        .withColumn("_local", F.col("_mid") % F.lit(1 << 33))
+        .drop("_mid")
+        .localCheckpoint(eager=False)
+    )
+    counts = {
+        r["_pid"]: r["n"]
+        for r in ordered.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    offsets, acc = {}, start
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(p, o) for p, o in offsets.items()], "_pid long, _off long"
+        )
+    )
+    return (
+        ordered.join(off_df, "_pid")
+        .withColumn(id_col, (F.col("_off") + F.col("_local")).cast("long"))
+        .drop("_pid", "_local", "_off")
+    )

@@ -298,6 +298,8 @@ def curate_corpus_pipeline(
     mixture_temperature: float | None = None,
     mixture_target_total: float | None = None,
     strip_spans_tokens: int | None = None,
+    eval_set: DataFrame | None = None,
+    decontaminate_shingle_n: int = 13,
 ) -> DataFrame:
     """End-to-end training-corpus curation, composing the engine's
     LLM-pipeline operators into one lazy plan:
@@ -306,8 +308,9 @@ def curate_corpus_pipeline(
         NBSP / zero-width variants of identical text must hash
         identically or every downstream dedup stage misses them) →
         [optional line-level boilerplate strip] → quality filter →
-        [optional unigram-LM perplexity gate] → exact dedup (keep
-        canonical) → near-dup retention (MinHash+LSH → verify →
+        [optional unigram-LM perplexity gate] → [optional eval-set
+        decontamination (``eval_set``, GPT-3 n-gram recipe)] → exact
+        dedup (keep canonical) → near-dup retention (MinHash+LSH → verify →
         connected components, keep one per cluster) → [optional
         passage-level duplicate-span strip (``strip_spans_tokens``)] →
         [optional per-source token-budget rebalance OR
@@ -378,6 +381,16 @@ def curate_corpus_pipeline(
             F.col("nll_per_token") <= max_nll_per_token
         )
         kept = kept.join(fluent.select("doc_id"), "doc_id", "left_semi")
+
+    if eval_set is not None:
+        # Benchmark decontamination FIRST among the dedup stages: an
+        # eval-tainted doc must not become a near-dup cluster's
+        # surviving representative.
+        from mpg_data_warehouse_spark.operators.dedup import decontaminate
+
+        kept = decontaminate(
+            kept, eval_set, shingle_n=decontaminate_shingle_n
+        )
 
     # exact dedup: canonical = min doc_id per content hash
     canon = (

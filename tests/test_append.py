@@ -329,3 +329,24 @@ def test_lookup_keybucket_prunes_and_finds(spark, tmp_path):
     # partition pruning reaches the scan
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_assign_dense_ids_contract(spark):
+    from pyspark.sql import functions as F
+
+    from mpg_data_warehouse_spark.operators.append import assign_dense_ids
+
+    df = spark.createDataFrame(
+        [(f"k{i:04d}", i * 2) for i in range(997)], ["key", "v"]
+    )
+    out = assign_dense_ids(df, ["key"], id_col="seq", start=100,
+                           num_partitions=8)
+    rows = sorted((r.key, r.seq) for r in out.collect())
+    # dense, starts at 100, ordered by key
+    assert [s for _, s in rows] == list(range(100, 100 + 997))
+    # deterministic across runs
+    out2 = assign_dense_ids(df, ["key"], id_col="seq", start=100,
+                            num_partitions=8)
+    assert sorted((r.key, r.seq) for r in out2.collect()) == rows
+    # original columns intact
+    assert set(out.columns) == {"key", "v", "seq"}

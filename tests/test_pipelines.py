@@ -446,3 +446,22 @@ def test_curate_corpus_pipeline_span_strip_stage(spark):
     n_with_shared = sum("boiler0" in t for t in texts.values())
     assert n_with_shared == 1
     assert "alpha0" in texts[1] and "beta0" in texts[2]
+
+
+def test_curate_corpus_pipeline_decontaminates(spark):
+    from mpg_data_warehouse_spark.plans.pipelines import curate_corpus_pipeline
+
+    bench = "which planet has the most moons in the solar system overall"
+    filler = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{filler} {bench}", "web"),      # leaked -> dropped
+            (2, f"{filler} clean tail content here", "web"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    eval_set = spark.createDataFrame([(9, bench)], ["doc_id", "text"])
+    out = curate_corpus_pipeline(
+        docs, min_quality=0.0, eval_set=eval_set, decontaminate_shingle_n=8
+    )
+    assert {r.doc_id for r in out.select("doc_id").distinct().collect()} == {2}
