@@ -284,6 +284,20 @@ def date_repair_pipeline(
     return fix_dates_from_dim(fact, survey_meta)
 
 
+def _obs(df: DataFrame, funnel: dict | None, stage: str) -> DataFrame:
+    """Attach the funnel's Observation for ``stage`` (if provided) —
+    per-stage attrition counters materialize as a side effect of the
+    caller's ONE action (operators.observability), never as extra
+    count() jobs."""
+    if funnel and stage in funnel:
+        from mpg_data_warehouse_spark.operators.observability import (
+            observe_stage,
+        )
+
+        return observe_stage(df, funnel[stage])
+    return df
+
+
 def curate_corpus_pipeline(
     docs: DataFrame,
     normalize: bool = True,
@@ -300,6 +314,7 @@ def curate_corpus_pipeline(
     strip_spans_tokens: int | None = None,
     eval_set: DataFrame | None = None,
     decontaminate_shingle_n: int = 13,
+    funnel: dict | None = None,
 ) -> DataFrame:
     """End-to-end training-corpus curation, composing the engine's
     LLM-pipeline operators into one lazy plan:
@@ -332,6 +347,13 @@ def curate_corpus_pipeline(
     pre-trained KenLM — keeping it an input keeps this plan fully
     lazy) and docs scoring above the nats-per-token cap are dropped.
     The model join is broadcast (vocab-capped by construction).
+
+    ``funnel``: optional ``{stage: Observation}`` map (build with
+    ``observability.stage_metrics([...])``; stages: ``quality``,
+    ``lm``, ``decontaminated``, ``exact_dedup``, ``near_dedup``) —
+    per-gate survivor counts arrive with the job's single action, so
+    the curation funnel ("how many docs survived each gate?") costs
+    zero extra passes.
 
     ``mixture_temperature`` + ``mixture_target_total`` select the
     temperature-flattened mixture (T5/PaLM recipe) instead of the
@@ -373,14 +395,22 @@ def curate_corpus_pipeline(
             "n_lines_removed"
         )
     scored = docs.withColumn("_q", quality_score("text"))
-    kept = scored.filter(F.col("_q") >= min_quality).drop("_q")
+    kept = _obs(
+        scored.filter(F.col("_q") >= min_quality).drop("_q"),
+        funnel,
+        "quality",
+    )
 
     if lm_model is not None and max_nll_per_token is not None:
         model, oov_logp = lm_model
         fluent = doc_logprob_score(kept, model, oov_logp).filter(
             F.col("nll_per_token") <= max_nll_per_token
         )
-        kept = kept.join(fluent.select("doc_id"), "doc_id", "left_semi")
+        kept = _obs(
+            kept.join(fluent.select("doc_id"), "doc_id", "left_semi"),
+            funnel,
+            "lm",
+        )
 
     if eval_set is not None:
         # Benchmark decontamination FIRST among the dedup stages: an
@@ -388,8 +418,10 @@ def curate_corpus_pipeline(
         # surviving representative.
         from mpg_data_warehouse_spark.operators.dedup import decontaminate
 
-        kept = decontaminate(
-            kept, eval_set, shingle_n=decontaminate_shingle_n
+        kept = _obs(
+            decontaminate(kept, eval_set, shingle_n=decontaminate_shingle_n),
+            funnel,
+            "decontaminated",
         )
 
     # exact dedup: canonical = min doc_id per content hash
@@ -402,6 +434,7 @@ def curate_corpus_pipeline(
         .filter(F.col("_rk") == 1)
         .drop("_h", "_rk")
     )
+    canon = _obs(canon, funnel, "exact_dedup")
 
     # Materialize the (tiny) pair set before the iterative
     # connected-components stage: CC re-references its edge input every
@@ -413,7 +446,9 @@ def curate_corpus_pipeline(
     pairs = minhash_dedup_pairs(
         canon.select("doc_id", "text"), threshold=jaccard_threshold
     ).select("id_a", "id_b").localCheckpoint()
-    survivors = retain_representatives(canon, pairs)
+    survivors = _obs(
+        retain_representatives(canon, pairs), funnel, "near_dedup"
+    )
 
     if strip_spans_tokens is not None:
         # Passage-level pass AFTER doc-level dedup: whole-document

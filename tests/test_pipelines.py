@@ -465,3 +465,30 @@ def test_curate_corpus_pipeline_decontaminates(spark):
         docs, min_quality=0.0, eval_set=eval_set, decontaminate_shingle_n=8
     )
     assert {r.doc_id for r in out.select("doc_id").distinct().collect()} == {2}
+
+
+def test_curate_corpus_pipeline_funnel_observations(spark):
+    """Per-gate survivor counts arrive from the pipeline's one action —
+    no extra count() jobs."""
+    from mpg_data_warehouse_spark.operators.observability import stage_metrics
+    from mpg_data_warehouse_spark.plans.pipelines import curate_corpus_pipeline
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [
+            (1, base * 3, "web"),
+            (2, base * 3, "web"),       # exact dup
+            (3, "shrt", "web"),         # quality-filtered
+            (4, "completely different long form content " * 5, "books"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    funnel = stage_metrics(["quality", "exact_dedup", "near_dedup"])
+    out = curate_corpus_pipeline(
+        docs, min_quality=0.5, max_tokens=16, overlap=4, funnel=funnel
+    )
+    out.count()  # the one action
+    got = {k: o.get["rows"] for k, o in funnel.items()}
+    assert got["quality"] == 3        # doc 3 dropped
+    assert got["exact_dedup"] == 2    # doc 2 collapsed into 1
+    assert got["near_dedup"] == 2     # no near dups beyond exact
