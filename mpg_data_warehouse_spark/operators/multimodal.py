@@ -241,9 +241,9 @@ AUDIO_REAL_SCHEMA = StructType(
 )
 
 
-def _decode_ppm(raw: bytes) -> tuple[str, int, int, float]:
-    """Binary PPM (P6): ASCII header (w, h, maxval; '#' comments) then
-    raw RGB bytes."""
+def _ppm_luma(raw: bytes):
+    """Binary PPM (P6) → ("ppm", w, h, 2-D float luma plane). ASCII
+    header (w, h, maxval; '#' comments) then raw RGB bytes."""
     import numpy as np
 
     if not raw.startswith(b"P6"):
@@ -265,10 +265,17 @@ def _decode_ppm(raw: bytes) -> tuple[str, int, int, float]:
     px = np.frombuffer(raw, dtype=np.uint8, count=w * h * 3, offset=pos)
     px = px.reshape(h, w, 3).astype(np.float64)
     luma = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
-    return "ppm", w, h, float(luma.mean() / maxval * 255.0 if maxval != 255 else luma.mean())
+    if maxval != 255:
+        luma = luma / maxval * 255.0
+    return "ppm", w, h, luma
 
 
-def _decode_bmp(raw: bytes) -> tuple[str, int, int, float]:
+def _decode_ppm(raw: bytes) -> tuple[str, int, int, float]:
+    fmt, w, h, luma = _ppm_luma(raw)
+    return fmt, w, h, float(luma.mean())
+
+
+def _bmp_luma(raw: bytes):
     """Uncompressed 24-bit BMP (BITMAPINFOHEADER): header offsets per
     the public format spec; rows padded to 4 bytes, bottom-up unless
     height is negative."""
@@ -292,7 +299,12 @@ def _decode_bmp(raw: bytes) -> tuple[str, int, int, float]:
         rows = rows[::-1]  # stored bottom-up
     px = rows.astype(np.float64)  # BGR order
     luma = 0.299 * px[..., 2] + 0.587 * px[..., 1] + 0.114 * px[..., 0]
-    return "bmp", w, abs_h, float(luma.mean())
+    return "bmp", w, abs_h, luma
+
+
+def _decode_bmp(raw: bytes) -> tuple[str, int, int, float]:
+    fmt, w, h, luma = _bmp_luma(raw)
+    return fmt, w, h, float(luma.mean())
 
 
 def decode_image_real(
@@ -415,3 +427,156 @@ def decode_audio_real(
             yield out
 
     return src.mapInPandas(parse, AUDIO_REAL_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing — media-level near-dup dedup. Exact byte
+# hashes miss re-encoded / brightness-shifted copies of the same
+# picture; the classic 64-bit DCT pHash (mean-pool to 32×32 luma →
+# 2-D DCT-II → top-left 8×8 AC coefficients thresholded at their
+# median) survives those edits. Pure numpy over the existing luma
+# decoders — no codec library, deterministic, oracle-friendly.
+# ---------------------------------------------------------------------------
+
+_PHASH_N = 32  # resize target; DCT keeps the top-left 8x8
+
+
+def _mean_pool(luma, n: int):
+    """Resize a 2-D plane to n×n by binned means (np.add.reduceat on
+    both axes) — deterministic, no interpolation library."""
+    import numpy as np
+
+    h, w = luma.shape
+    if h < n or w < n:  # tiny images: nearest-neighbor resample
+        rows = np.minimum((np.arange(n) * h) // n, h - 1)
+        cols = np.minimum((np.arange(n) * w) // n, w - 1)
+        return luma[rows][:, cols]
+    r_edges = (np.arange(n) * h) // n
+    c_edges = (np.arange(n) * w) // n
+    pooled = np.add.reduceat(luma, r_edges, axis=0)
+    pooled = np.add.reduceat(pooled, c_edges, axis=1)
+    r_sizes = np.diff(np.append(r_edges, h))[:, None]
+    c_sizes = np.diff(np.append(c_edges, w))[None, :]
+    return pooled / (r_sizes * c_sizes)
+
+
+def _dct_matrix(n: int):
+    import numpy as np
+
+    k = np.arange(n)[:, None]
+    m = np.arange(n)[None, :]
+    d = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * m + 1) * k / (2 * n))
+    d[0, :] = np.sqrt(1.0 / n)
+    return d
+
+
+def phash64(luma) -> int:
+    """64-bit DCT perceptual hash of a 2-D luma plane."""
+    import numpy as np
+
+    a = _mean_pool(np.asarray(luma, dtype=np.float64), _PHASH_N)
+    d = _dct_matrix(_PHASH_N)
+    coefs = d @ a @ d.T
+    block = coefs[:8, :8].flatten()[1:]  # drop the DC term
+    med = np.median(block)
+    bits = 0
+    for i, v in enumerate(block):
+        if v > med:
+            bits |= 1 << i
+    return bits
+
+
+def image_phash(
+    df: DataFrame, id_col: str = "doc_id", content_col: str = "content"
+) -> DataFrame:
+    """(id, ok, phash, err) over binary image content — same
+    mapInPandas/quarantine discipline as ``decode_image_real``:
+    undecodable rows land as ``ok=false``, never a failed task."""
+    src = df.select(F.col(id_col).cast("long"), F.col(content_col))
+
+    def hash_one(raw: bytes) -> int:
+        if raw[:2] == b"P6":
+            return phash64(_ppm_luma(raw)[3])
+        if raw[:2] == b"BM":
+            return phash64(_bmp_luma(raw)[3])
+        raise ValueError(f"unsupported magic {raw[:2]!r}")
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids, oks, hashes, errs = [], [], [], []
+            for _, row in pdf.iterrows():
+                ids.append(row[id_col])
+                try:
+                    hashes.append(hash_one(bytes(row[content_col])))
+                    oks.append(True)
+                    errs.append(None)
+                except Exception as e:  # noqa: BLE001 — quarantine row
+                    hashes.append(None)
+                    oks.append(False)
+                    errs.append(str(e)[:200])
+            yield pd.DataFrame(
+                {id_col: ids, "ok": oks, "phash": hashes, "err": errs}
+            )
+
+    return src.mapInPandas(
+        batches, f"{id_col} long, ok boolean, phash long, err string"
+    )
+
+
+def phash_near_dup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 8,
+    id_col: str = "doc_id",
+    hash_col: str = "phash",
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Image near-dup pairs by pHash Hamming distance, without the
+    O(n²) cross join: pigeonhole the 64-bit hash into
+    ``max_hamming + 1`` blocks (any pair within ``max_hamming`` must
+    agree on ≥ 1 whole block), candidate-join on (block_idx,
+    block_value), then verify with an exact popcount on the XOR.
+    Same blocking shape as ``dedup.simhash_near_pairs``.
+
+    Output: (id_a, id_b, hamming), id_a < id_b."""
+    nb = n_blocks or (max_hamming + 1)
+    width = 64 // nb
+    h = F.col(hash_col)
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("bi"),
+                h.bitwiseAND(
+                    F.lit(((1 << width) - 1) << (i * width))
+                ).alias("bv"),
+            )
+            for i in range(nb)
+        ]
+    )
+    keyed = (
+        hashes.select(F.col(id_col), h)
+        .withColumn("_b", F.explode(blocks))
+        .select(id_col, hash_col, F.col("_b.bi"), F.col("_b.bv"))
+    )
+    right = keyed.select(
+        F.col(id_col).alias("id_b"),
+        F.col(hash_col).alias("_hb"),
+        "bi",
+        "bv",
+    )
+    cand = (
+        keyed.select(F.col(id_col).alias("id_a"), F.col(hash_col).alias("_ha"), "bi", "bv")
+        .join(right, ["bi", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_ha", "_hb")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -138,3 +138,73 @@ def test_decode_image_real_bmp_and_ppm(spark):
     assert abs(ppm.mean_luma - want_luma2) < 1e-9
     # png needs Pillow (absent here): quarantined, not a failed task
     assert rows[3].ok is False and "unsupported magic" in rows[3].err
+
+
+# --- perceptual hashing (pHash) ---
+
+
+def _patterned_bmp(w=48, h=48, shift=0, flip_quadrant=False):
+    """Deterministic gradient+checker image; ``shift`` brightens
+    slightly (near-dup edit), ``flip_quadrant`` changes content."""
+    import struct
+
+    stride = ((w * 3 + 3) // 4) * 4
+    img_size = stride * h
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + img_size, 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 0, 0, 0, 0)
+    rows = b""
+    for y in range(h):
+        row = bytearray()
+        for x in range(w):
+            v = (x * 5 + y * 3) % 256
+            if ((x // 8) + (y // 8)) % 2:
+                v = (v + 128) % 256
+            if flip_quadrant and x < w // 2 and y < h // 2:
+                v = 255 - v
+            v = min(255, v + shift)  # saturating brightness edit
+            row += bytes([v, v, v])
+        rows += bytes(row).ljust(stride, b"\x00")
+    return header + info + rows
+
+
+def test_image_phash_and_near_dup_pairs(spark):
+    from mpg_data_warehouse_spark.operators.multimodal import (
+        image_phash,
+        phash_near_dup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, _patterned_bmp()),
+            (2, _patterned_bmp(shift=6)),          # slight edit -> near dup
+            (3, _patterned_bmp(flip_quadrant=True)),  # different content
+            (4, b"not an image"),
+        ],
+        "doc_id long, content binary",
+    )
+    hashes = image_phash(df)
+    rows = {r.doc_id: r for r in hashes.collect()}
+    assert rows[1].ok and rows[2].ok and rows[3].ok
+    assert not rows[4].ok and rows[4].phash is None
+    assert rows[1].phash == rows[1].phash  # deterministic across runs
+    rows2 = {r.doc_id: r.phash for r in image_phash(df).collect()}
+    assert rows2[1] == rows[1].phash
+
+    pairs = phash_near_dup_pairs(
+        hashes.filter("ok"), max_hamming=10
+    ).collect()
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    assert (1, 2) in got and got[(1, 2)] <= 10
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_phash_identical_zero_distance(spark):
+    from mpg_data_warehouse_spark.operators.multimodal import (
+        _bmp_luma,
+        phash64,
+    )
+
+    a = phash64(_bmp_luma(_patterned_bmp())[3])
+    b = phash64(_bmp_luma(_patterned_bmp())[3])
+    assert a == b and a > 0
