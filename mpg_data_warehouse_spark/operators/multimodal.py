@@ -580,3 +580,153 @@ def phash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprinting — the audio analog of pHash. Per-frame band-
+# energy-difference sub-fingerprints (the public Haitsma–Kalker
+# "robust audio hashing" construction: bit(b) = 1 iff the energy
+# delta across adjacent bands INCREASES vs the previous frame), so
+# re-encoded / volume-scaled copies of the same clip share most frame
+# hashes while different audio shares almost none.
+# ---------------------------------------------------------------------------
+
+_AF_FRAME = 1024
+_AF_HOP = 512
+_AF_BANDS = 17  # 16 delta bits per frame
+
+
+def _wav_mono(raw: bytes):
+    """PCM WAV bytes → mono float array (stdlib wave + numpy)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(raw)) as wf:
+        ch = wf.getnchannels()
+        width = wf.getsampwidth()
+        frames = wf.readframes(wf.getnframes())
+    if width == 2:
+        s = np.frombuffer(frames, dtype="<i2").astype(np.float64)
+    elif width == 1:
+        s = np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128
+    else:
+        raise ValueError(f"unsupported sample width {width}")
+    if ch > 1:
+        s = s[: len(s) - len(s) % ch].reshape(-1, ch).mean(axis=1)
+    return s
+
+
+def audio_frame_hashes(samples) -> list[int]:
+    """Per-frame 16-bit sub-fingerprints of a mono signal."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.float64)
+    n_frames = max(0, (len(s) - _AF_FRAME) // _AF_HOP + 1)
+    if n_frames < 2:
+        return []
+    win = np.hanning(_AF_FRAME)
+    # log-spaced band edges over the positive spectrum
+    edges = np.unique(
+        np.geomspace(2, _AF_FRAME // 2, _AF_BANDS + 1).astype(int)
+    )
+    energies = []
+    for i in range(n_frames):
+        frame = s[i * _AF_HOP : i * _AF_HOP + _AF_FRAME] * win
+        mag = np.abs(np.fft.rfft(frame)) ** 2
+        energies.append(np.add.reduceat(mag, edges[:-1]))
+    e = np.array(energies)
+    d = np.diff(e, axis=1)          # adjacent-band deltas per frame
+    dd = np.diff(d, axis=0) > 0     # vs previous frame
+    out = []
+    for row in dd:
+        bits = 0
+        for j, v in enumerate(row[:16]):
+            if v:
+                bits |= 1 << j
+        out.append(bits)
+    return out
+
+
+def audio_fingerprint(
+    df: DataFrame, id_col: str = "doc_id", content_col: str = "content"
+) -> DataFrame:
+    """(id, ok, n_frames, fp array<int>, err) over PCM WAV content —
+    quarantine contract as everywhere in this module."""
+    src = df.select(F.col(id_col).cast("long"), F.col(content_col))
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, raw in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    fp = audio_frame_hashes(_wav_mono(bytes(raw)))
+                    rows.append((doc_id, True, len(fp), fp, None))
+                except Exception as exc:  # noqa: BLE001 — quarantine
+                    rows.append((doc_id, False, None, None, str(exc)[:200]))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "ok", "n_frames", "fp", "err"]
+            )
+
+    return src.mapInPandas(
+        batches,
+        f"{id_col} long, ok boolean, n_frames int, fp array<int>, "
+        "err string",
+    )
+
+
+def audio_near_dup_pairs(
+    fps: DataFrame,
+    min_match_frac: float = 0.35,
+    max_bucket: int = 2000,
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Clip near-dup pairs: explode per-frame sub-fingerprints, join
+    on equal (hash) values, and keep pairs whose matched-frame count
+    clears ``min_match_frac`` of the shorter clip's DISTINCT
+    sub-fingerprint set (occurrence pairs would grow multiplicatively
+    on repeated hashes). ``max_bucket``
+    caps degenerate sub-fingerprints (silence frames hash alike) the
+    same way the text LSH caps hot bands. Output:
+    (id_a, id_b, n_matched, match_frac)."""
+    ex = fps.select(
+        F.col(id_col), F.explode(F.col(fp_col)).alias("_v")
+    ).distinct()  # count SHARED DISTINCT sub-fingerprints — repeated
+    # frame hashes (steady tones, silence) must not multiply matches
+    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+    hot = (
+        ex.groupBy("_v")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > max_bucket)
+        .select("_v")
+    )
+    ex = ex.join(F.broadcast(hot), "_v", "left_anti")
+    pairs = (
+        ex.select(F.col(id_col).alias("id_a"), "_v")
+        .join(ex.select(F.col(id_col).alias("id_b"), "_v"), "_v")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb")),
+            "id_b",
+        )
+        .withColumn(
+            "match_frac",
+            F.round(
+                F.col("n_matched") / F.least("_na", "_nb"), 4
+            ),
+        )
+        .filter(F.col("match_frac") >= min_match_frac)
+        .select("id_a", "id_b", "n_matched", "match_frac")
+    )

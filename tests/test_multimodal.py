@@ -208,3 +208,62 @@ def test_phash_identical_zero_distance(spark):
     a = phash64(_bmp_luma(_patterned_bmp())[3])
     b = phash64(_bmp_luma(_patterned_bmp())[3])
     assert a == b and a > 0
+
+
+# --- audio fingerprinting ---
+
+
+def _chirp_wav(rate=16000, n=16000, amp=12000, scale=1.0,
+               tones=(300, 700, 1500, 2500, 900, 400)):
+    """Tone ladder — piecewise-stable spectrum, so the band-delta
+    bits are robust (a continuous sweep keeps every delta near zero
+    and flips bits on any numeric jitter)."""
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        frames = bytearray()
+        seg = n // len(tones)
+        for i in range(n):
+            f = tones[min(i // seg, len(tones) - 1)]
+            v = int(amp * scale * math.sin(2 * math.pi * f * i / rate))
+            frames += struct.pack("<h", max(-32768, min(32767, v)))
+        wf.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+def test_audio_fingerprint_and_near_dup(spark):
+    from mpg_data_warehouse_spark.operators.multimodal import (
+        audio_fingerprint,
+        audio_near_dup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, _chirp_wav()),
+            (2, _chirp_wav(scale=0.5)),             # volume-scaled copy
+            (3, _chirp_wav(tones=(2500, 400, 1200, 300, 2000, 800))),
+            (4, b"junk"),
+        ],
+        "doc_id long, content binary",
+    )
+    fps = audio_fingerprint(df)
+    rows = {r.doc_id: r for r in fps.collect()}
+    assert rows[1].ok and rows[1].n_frames > 10
+    assert not rows[4].ok
+    # volume scaling leaves the band-delta fingerprint ~unchanged
+    same = sum(a == b for a, b in zip(rows[1].fp, rows[2].fp))
+    assert same / rows[1].n_frames > 0.5
+
+    pairs = audio_near_dup_pairs(
+        fps.filter("ok"), min_match_frac=0.35
+    ).collect()
+    got = {(r.id_a, r.id_b): r.match_frac for r in pairs}
+    assert (1, 2) in got and got[(1, 2)] >= 0.35
+    assert (1, 3) not in got
