@@ -730,3 +730,93 @@ def audio_near_dup_pairs(
         .filter(F.col("match_frac") >= min_match_frac)
         .select("id_a", "id_b", "n_matched", "match_frac")
     )
+
+
+def frame_phash_signature(
+    frames: DataFrame,
+    id_col: str = "doc_id",
+    frame_idx_col: str = "frame_idx",
+    frame_col: str = "frame",
+) -> DataFrame:
+    """Clip-level visual signature: per-frame 64-bit pHash collected
+    into a frame-ordered array — the video analog of
+    ``audio_fingerprint`` (keyframes in, signature out). Input is a
+    frames table as produced by ``sample_frames`` (or any keyframe
+    extractor): ``(id, frame_idx, frame binary)``.
+
+    Output: ``(id, n_frames, sig array<long>)`` — undecodable frames
+    are dropped from the signature (an all-bad clip yields an empty
+    one, never an error), and the array is frame-index ordered so
+    aligned comparison is possible downstream.
+
+    Scale shape: the per-frame pHash is the only Python stage (Arrow
+    batches, narrow); the rollup is one grouped ``sort_array`` over
+    (frame_idx, hash) structs, map-side combinable and bounded by
+    frames-per-clip. ``video_near_dup_pairs`` (= the audio pair logic
+    over this signature) completes clip-level dedup."""
+    src = frames.select(
+        F.col(id_col).cast("long"),
+        F.col(frame_idx_col).cast("int"),
+        F.col(frame_col),
+    )
+
+    def hash_one(raw: bytes) -> int:
+        if raw[:2] == b"P6":
+            return phash64(_ppm_luma(raw)[3])
+        if raw[:2] == b"BM":
+            return phash64(_bmp_luma(raw)[3])
+        raise ValueError(f"unsupported magic {raw[:2]!r}")
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids, idxs, hashes = [], [], []
+            for _, row in pdf.iterrows():
+                try:
+                    h = hash_one(bytes(row[frame_col]))
+                except Exception:  # noqa: BLE001 — skip bad frame
+                    continue
+                ids.append(row[id_col])
+                idxs.append(row[frame_idx_col])
+                hashes.append(h)
+            yield pd.DataFrame(
+                {id_col: ids, frame_idx_col: idxs, "phash": hashes}
+            )
+
+    hashed = src.mapInPandas(
+        batches, f"{id_col} long, {frame_idx_col} int, phash long"
+    )
+    return (
+        hashed.groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(frame_idx_col, "phash"))
+            ).alias("_fr")
+        )
+        .select(
+            F.col(id_col),
+            F.size("_fr").alias("n_frames"),
+            F.transform(F.col("_fr"), lambda x: x["phash"]).alias("sig"),
+        )
+    )
+
+
+def video_near_dup_pairs(
+    sigs: DataFrame,
+    min_match_frac: float = 0.5,
+    max_bucket: int = 2000,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+) -> DataFrame:
+    """Clip near-dup pairs over frame-pHash signatures — identical
+    set-overlap logic to ``audio_near_dup_pairs`` (shared DISTINCT
+    per-frame hashes, hot-value cap, matched fraction of the shorter
+    clip)."""
+    return audio_near_dup_pairs(
+        sigs,
+        min_match_frac=min_match_frac,
+        max_bucket=max_bucket,
+        id_col=id_col,
+        fp_col=sig_col,
+    )

@@ -267,3 +267,39 @@ def test_audio_fingerprint_and_near_dup(spark):
     got = {(r.id_a, r.id_b): r.match_frac for r in pairs}
     assert (1, 2) in got and got[(1, 2)] >= 0.35
     assert (1, 3) not in got
+
+
+# --- video: frame-pHash signatures + clip near-dup ---
+
+
+def test_frame_phash_signature_and_video_pairs(spark):
+    from mpg_data_warehouse_spark.operators.multimodal import (
+        frame_phash_signature,
+        video_near_dup_pairs,
+    )
+
+    def clip(vid, shifts, flip=False):
+        return [
+            (vid, i, _patterned_bmp(shift=s, flip_quadrant=flip))
+            for i, s in enumerate(shifts)
+        ]
+
+    rows = (
+        clip(1, [0, 10, 20, 30])
+        + clip(2, [2, 12, 22, 32])            # brightness-edited copy
+        + clip(3, [0, 10, 20, 30], flip=True)  # different content
+        + [(4, 0, b"junk"), (4, 1, _patterned_bmp())]  # partial decode
+    )
+    frames = spark.createDataFrame(
+        rows, "doc_id long, frame_idx int, frame binary"
+    )
+    sigs = frame_phash_signature(frames)
+    by_id = {r.doc_id: r for r in sigs.collect()}
+    assert by_id[1].n_frames == 4 and len(by_id[1].sig) == 4
+    assert by_id[4].n_frames == 1           # bad frame dropped, not fatal
+    assert by_id[1].sig == by_id[2].sig     # saturating edits hash-stable
+
+    pairs = video_near_dup_pairs(sigs, min_match_frac=0.5).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
