@@ -1,0 +1,642 @@
+"""Transaction-log table format: ACID tables over plain parquet.
+
+The reference's mutation surface (WRITE_TRUNCATE replaces,
+notebooks/fix_gridVeg_additional_species_na_rows.ipynb:913-926;
+backup-then-mutate with manual rollback recipes,
+notebooks/update_gridVeg_survey_metadata.ipynb:1392-1402) wants a
+transactional backend: Delta/Iceberg on a real deployment. Those jars
+are not in this environment, so this module implements the same
+design — the public Delta Lake architecture (Armbrust et al., "Delta
+Lake: High-Performance ACID Table Storage over Cloud Object Stores",
+VLDB 2020) — natively on Spark + parquet:
+
+- A table is a directory of immutable parquet data files plus an
+  ordered log of JSON commits under ``_txlog/``. Commit N's file is
+  ``_txlog/<N:08d>.json``; its actions are ``add`` / ``remove`` of
+  data files. The live snapshot at version N is (all adds) − (all
+  removes) with version ≤ N.
+- A commit is atomic: the JSON is staged then installed with an
+  exclusive create (``open(..., "x")``) — the local-filesystem
+  analogue of the object-store put-if-absent the Delta paper requires.
+  Writers that lose the race re-read the log and retry (appends) or
+  raise a conflict (overlapping rewrites) — optimistic concurrency.
+- Readers replay the log to a pinned version: snapshot isolation and
+  ``VERSION AS OF`` time travel for free. Data files are immutable, so
+  a reader never sees a half-written table.
+- Every ``CHECKPOINT_EVERY`` commits the live file list is also written
+  as one parquet checkpoint; replay then reads the newest checkpoint +
+  the JSON tail. At 100 TB with millions of commits, log replay stays
+  O(checkpoint + tail), not O(history) — the paper's key scale trick.
+- ``add`` actions carry per-file row counts and per-column min/max
+  taken from the parquet FOOTERS of the just-written files (metadata
+  only — no second data pass). MERGE/DELETE use them to prune
+  untouched files before any scan, then identify truly-hit files with
+  a key-column-only scan over the survivors; only hit files are
+  rewritten. File-level pruning is what keeps point-ish mutations on a
+  100 TB table proportional to the touched data, not the table.
+
+Row-group stats, not a data scan, bound every driver-side structure:
+the log holds one small dict per FILE (not per row), so driver memory
+scales with file count — at 100 TB / 1 GB files that is ~10^5 entries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LOG_DIR = "_txlog"
+CHECKPOINT_EVERY = 10
+_COMMIT_RE = re.compile(r"^(\d{8})\.json$")
+
+
+class TxConflict(Exception):
+    """Another writer committed a conflicting change first."""
+
+
+# ---------------------------------------------------------------------------
+# log primitives
+# ---------------------------------------------------------------------------
+
+
+def _log_path(table: str) -> str:
+    return os.path.join(table, LOG_DIR)
+
+
+def latest_version(table: str) -> int:
+    """Newest committed version, or -1 for a nonexistent/empty log."""
+    log = _log_path(table)
+    if not os.path.isdir(log):
+        return -1
+    versions = [
+        int(m.group(1))
+        for f in os.listdir(log)
+        if (m := _COMMIT_RE.match(f))
+    ]
+    return max(versions) if versions else -1
+
+
+def _read_commit(table: str, version: int) -> dict:
+    with open(os.path.join(_log_path(table), f"{version:08d}.json")) as fh:
+        return json.load(fh)
+
+
+def _checkpoint_path(table: str, version: int) -> str:
+    return os.path.join(_log_path(table), f"{version:08d}.checkpoint.json")
+
+
+def _newest_checkpoint_at_or_before(table: str, version: int) -> int | None:
+    log = _log_path(table)
+    if not os.path.isdir(log):
+        return None
+    cps = [
+        int(m.group(1))
+        for f in os.listdir(log)
+        if (m := re.match(r"^(\d{8})\.checkpoint\.json$", f))
+        and int(m.group(1)) <= version
+    ]
+    return max(cps) if cps else None
+
+
+def snapshot_state(table: str, version: int | None = None) -> dict:
+    """Replay the log to ``version`` (default: newest). Returns
+    ``{"version": int, "files": {relpath: add_action}, "schema": ddl,
+    "partition_by": [...]}``. Replay cost is one checkpoint + the JSON
+    tail after it, never the full history."""
+    head = latest_version(table)
+    if head < 0:
+        raise FileNotFoundError(f"no transaction log at {table}")
+    if version is None:
+        version = head
+    if version > head or version < 0:
+        raise ValueError(f"version {version} not in log (head={head})")
+
+    files: dict[str, dict] = {}
+    schema = None
+    partition_by: list[str] = []
+    start = 0
+    cp = _newest_checkpoint_at_or_before(table, version)
+    if cp is not None:
+        with open(_checkpoint_path(table, cp)) as fh:
+            state = json.load(fh)
+        files = dict(state["files"])
+        schema = state["schema"]
+        partition_by = state["partition_by"]
+        start = cp + 1
+
+    for v in range(start, version + 1):
+        commit = _read_commit(table, v)
+        schema = commit.get("schema", schema)
+        partition_by = commit.get("partition_by", partition_by)
+        for action in commit["actions"]:
+            if "add" in action:
+                files[action["add"]["path"]] = action["add"]
+            elif "remove" in action:
+                files.pop(action["remove"]["path"], None)
+    return {
+        "version": version,
+        "files": files,
+        "schema": schema,
+        "partition_by": partition_by,
+    }
+
+
+def _try_commit(table: str, version: int, commit: dict) -> bool:
+    """Install commit ``version`` with put-if-absent semantics.
+    Returns False if that version already exists (lost race)."""
+    log = _log_path(table)
+    os.makedirs(log, exist_ok=True)
+    target = os.path.join(log, f"{version:08d}.json")
+    try:
+        with open(target, "x") as fh:
+            json.dump(commit, fh)
+    except FileExistsError:
+        return False
+    if version % CHECKPOINT_EVERY == 0 and version > 0:
+        state = snapshot_state(table, version)
+        tmp = _checkpoint_path(table, version) + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {
+                    "files": state["files"],
+                    "schema": state["schema"],
+                    "partition_by": state["partition_by"],
+                },
+                fh,
+            )
+        os.replace(tmp, _checkpoint_path(table, version))
+    return True
+
+
+# ---------------------------------------------------------------------------
+# data-file writes + footer stats
+# ---------------------------------------------------------------------------
+
+
+def _write_data_files(
+    df: DataFrame, table: str, partition_by: list[str]
+) -> list[dict]:
+    """Write ``df`` as immutable parquet files under a fresh
+    ``files/<uuid>/`` subdir and return their ``add`` actions with
+    footer-derived stats. Files land OUTSIDE any live snapshot until a
+    commit references them, so a failed write leaves garbage, never a
+    corrupt table (vacuum collects it)."""
+    sub = os.path.join("files", uuid.uuid4().hex)
+    dest = os.path.join(table, sub)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(dest)
+    return _scan_add_actions(table, sub, partition_by)
+
+
+def _scan_add_actions(
+    table: str, sub: str, partition_by: list[str]
+) -> list[dict]:
+    """Footer-only stats pass over the files just written (pyarrow
+    metadata reads — no Spark job, no data pages)."""
+    import pyarrow.parquet as pq
+
+    adds = []
+    root = os.path.join(table, sub)
+    for dirpath, _dirs, names in os.walk(root):
+        for name in sorted(names):
+            if not name.endswith(".parquet"):
+                continue
+            full = os.path.join(dirpath, name)
+            rel = os.path.relpath(full, table)
+            meta = pq.ParquetFile(full).metadata
+            mins: dict[str, object] = {}
+            maxs: dict[str, object] = {}
+            for rg in range(meta.num_row_groups):
+                group = meta.row_group(rg)
+                for ci in range(group.num_columns):
+                    col = group.column(ci)
+                    stats = col.statistics
+                    if stats is None or not stats.has_min_max:
+                        continue
+                    cname = col.path_in_schema
+                    lo, hi = stats.min, stats.max
+                    if isinstance(lo, bytes):
+                        continue  # physical-binary stats: skip, stay conservative
+                    lo, hi = _jsonable(lo), _jsonable(hi)
+                    if cname not in mins or lo < mins[cname]:
+                        mins[cname] = lo
+                    if cname not in maxs or hi > maxs[cname]:
+                        maxs[cname] = hi
+            # hive-style partition values encoded in the path
+            parts: dict[str, str] = {}
+            for seg in os.path.relpath(dirpath, root).split(os.sep):
+                if "=" in seg:
+                    k, _, val = seg.partition("=")
+                    parts[k] = val
+            adds.append(
+                {
+                    "path": rel,
+                    "rows": meta.num_rows,
+                    "min": mins,
+                    "max": maxs,
+                    "partition": parts,
+                }
+            )
+    return adds
+
+
+def _uri_to_path(uri: str) -> str:
+    """``input_file_name()`` yields ``file:///abs/path`` (URI-encoded);
+    normalize to a plain absolute path for set membership."""
+    from urllib.parse import unquote, urlparse
+
+    if "://" in uri or uri.startswith("file:"):
+        return unquote(urlparse(uri).path)
+    return os.path.abspath(uri)
+
+
+def _jsonable(v):
+    import datetime
+    import decimal
+
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    return v
+
+
+def _read_files(
+    spark: SparkSession,
+    table: str,
+    state: dict,
+    rel_paths: list[str] | None = None,
+) -> DataFrame:
+    """Read an explicit live-file list as one DataFrame.
+
+    Unpartitioned tables are a single multi-path parquet read.
+    Partitioned tables write their hive ``col=value`` dirs under each
+    commit's ``files/<uuid>/`` group, so partition-column recovery
+    needs ``basePath`` per GROUP (a table-root basePath would make
+    Spark parse the uuid segment as a partition) — one read per live
+    commit group, unioned by name. ``compact()`` bounds the group
+    count, so plan width stays O(1) under maintenance, not O(appends).
+    """
+    rels = sorted(state["files"] if rel_paths is None else rel_paths)
+    if not rels:
+        return spark.createDataFrame([], state["schema"])
+    if not state["partition_by"]:
+        return spark.read.parquet(*[os.path.join(table, p) for p in rels])
+    groups: dict[str, list[str]] = {}
+    for rel in rels:
+        segs = rel.split(os.sep)
+        groups.setdefault(os.path.join(*segs[:2]), []).append(rel)
+    parts = [
+        spark.read.option("basePath", os.path.join(table, grp)).parquet(
+            *[os.path.join(table, p) for p in members]
+        )
+        for grp, members in sorted(groups.items())
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+
+def create(
+    spark: SparkSession,
+    table: str,
+    df: DataFrame,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Create the table at version 0."""
+    if latest_version(table) >= 0:
+        raise FileExistsError(f"transaction log already exists at {table}")
+    partition_by = list(partition_by or [])
+    adds = _write_data_files(df, table, partition_by)
+    committed = _try_commit(
+        table,
+        0,
+        {
+            "op": "create",
+            "schema": df.schema.simpleString(),
+            "partition_by": partition_by,
+            "actions": [{"add": a} for a in adds],
+        },
+    )
+    if not committed:
+        raise TxConflict(f"concurrent create at {table}")
+    return 0
+
+
+def read(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read; ``version`` pins time travel (VERSION AS OF)."""
+    return _read_files(spark, table, snapshot_state(table, version))
+
+
+def _commit_retry(table: str, build_commit) -> int:
+    """Optimistic-concurrency loop: ``build_commit(state)`` returns the
+    commit dict for the state it read; retried against a fresh state if
+    another writer takes the version slot first."""
+    for _ in range(64):
+        state = snapshot_state(table)
+        version = state["version"] + 1
+        if _try_commit(table, version, build_commit(state)):
+            return version
+    raise TxConflict(f"gave up after 64 commit races at {table}")
+
+
+def _check_schema(state: dict, df: DataFrame) -> None:
+    if state["schema"] and df.schema.simpleString() != state["schema"]:
+        raise ValueError(
+            "schema mismatch: table has "
+            f"{state['schema']}, write has {df.schema.simpleString()}"
+        )
+
+
+def append(spark: SparkSession, table: str, df: DataFrame) -> int:
+    """Blind append: new files + add-only commit. Appends never
+    conflict with appends — losing a version race just re-commits the
+    same adds at the next slot."""
+    state = snapshot_state(table)
+    _check_schema(state, df)
+    adds = _write_data_files(df, table, state["partition_by"])
+    return _commit_retry(
+        table,
+        lambda _s: {"op": "append", "actions": [{"add": a} for a in adds]},
+    )
+
+
+def overwrite(spark: SparkSession, table: str, df: DataFrame) -> int:
+    """Atomic truncate-replace: one commit removes every live file and
+    adds the replacement — readers see old or new, never both. The
+    reference's WRITE_TRUNCATE with none of its visible-empty window."""
+    state = snapshot_state(table)
+    _check_schema(state, df)
+    adds = _write_data_files(df, table, state["partition_by"])
+
+    def build(s: dict) -> dict:
+        return {
+            "op": "overwrite",
+            "actions": [{"remove": {"path": p}} for p in sorted(s["files"])]
+            + [{"add": a} for a in adds],
+        }
+
+    return _commit_retry(table, build)
+
+
+def _range_overlaps(action: dict, keys: list[str], bounds: dict) -> bool:
+    """Conservative footer-stats prune: keep the file unless some key
+    column's [min,max] is provably disjoint from the updates' range."""
+    for k in keys:
+        lo, hi = action["min"].get(k), action["max"].get(k)
+        ulo, uhi = bounds.get(k, (None, None))
+        if lo is None or hi is None or ulo is None or uhi is None:
+            continue  # no stats -> cannot prune
+        if hi < ulo or lo > uhi:
+            return False
+    return True
+
+
+def _touched_files(
+    spark: SparkSession,
+    table: str,
+    state: dict,
+    updates: DataFrame,
+    keys: list[str],
+) -> list[str]:
+    """Two-level pruning. Level 1: footer min/max vs the updates' key
+    bounds (driver-side, no scan). Level 2: key-column-only scan of the
+    survivors, semi-joined to the updates (broadcast when small), to
+    the exact file set via ``input_file_name`` — reads only the key
+    columns of candidate files, never the table."""
+    bounds_row = updates.select(
+        *[F.min(k).alias(f"lo_{k}") for k in keys],
+        *[F.max(k).alias(f"hi_{k}") for k in keys],
+    ).first()
+    bounds = {
+        k: (_jsonable(bounds_row[f"lo_{k}"]), _jsonable(bounds_row[f"hi_{k}"]))
+        for k in keys
+    }
+    candidates = [
+        p
+        for p, a in state["files"].items()
+        if _range_overlaps(a, keys, bounds)
+    ]
+    if not candidates:
+        return []
+    scan = _read_files(spark, table, state, candidates).select(
+        *keys, F.input_file_name().alias("_file")
+    )
+    hit = (
+        scan.join(F.broadcast(updates.select(*keys).distinct()), on=keys)
+        .select("_file")
+        .distinct()
+        .collect()
+    )
+    hit_set = {_uri_to_path(r["_file"]) for r in hit}
+    return [
+        p
+        for p in candidates
+        if os.path.abspath(os.path.join(table, p)) in hit_set
+    ]
+
+
+def merge(
+    spark: SparkSession,
+    table: str,
+    updates: DataFrame,
+    keys: list[str],
+) -> int:
+    """MERGE (upsert): rows matching on ``keys`` are replaced by their
+    update, unmatched updates are inserted. Only files that actually
+    contain a matching key are rewritten; the rest of the table is
+    untouched — commit cost is O(touched files + updates), not
+    O(table)."""
+    state = snapshot_state(table)
+    _check_schema(state, updates)
+    updates = updates.dropDuplicates(keys)
+    touched = _touched_files(spark, table, state, updates, keys)
+
+    if touched:
+        current = _read_files(spark, table, state, touched).select(
+            *[F.col(f.name) for f in updates.schema.fields]
+        )
+        merged = current.join(
+            F.broadcast(updates.select(*keys)), on=keys, how="left_anti"
+        ).unionByName(updates)
+    else:
+        merged = updates
+    adds = _write_data_files(merged, table, state["partition_by"])
+
+    removed = set(touched)
+
+    def build(s: dict) -> dict:
+        gone = removed - set(s["files"])
+        if gone:
+            raise TxConflict(
+                f"files rewritten by a concurrent commit: {sorted(gone)}"
+            )
+        return {
+            "op": "merge",
+            "actions": [{"remove": {"path": p}} for p in sorted(removed)]
+            + [{"add": a} for a in adds],
+        }
+
+    return _commit_retry(table, build)
+
+
+def delete(
+    spark: SparkSession, table: str, predicate: str
+) -> int:
+    """DELETE WHERE: files with no matching row survive untouched
+    (identified by a scan counting matches per file); matching files
+    are rewritten without the matching rows."""
+    state = snapshot_state(table)
+    if not state["files"]:
+        return state["version"]
+    scan = _read_files(spark, table, state)
+    hit = (
+        scan.where(predicate)
+        .select(F.input_file_name().alias("_file"))
+        .distinct()
+        .collect()
+    )
+    hit_set = {_uri_to_path(r["_file"]) for r in hit}
+    touched = [
+        p
+        for p in state["files"]
+        if os.path.abspath(os.path.join(table, p)) in hit_set
+    ]
+    if not touched:
+        return state["version"]
+    survivors = _read_files(spark, table, state, touched).where(
+        f"NOT ({predicate})"
+    )
+    adds = _write_data_files(survivors, table, state["partition_by"])
+    removed = set(touched)
+
+    def build(s: dict) -> dict:
+        gone = removed - set(s["files"])
+        if gone:
+            raise TxConflict(
+                f"files rewritten by a concurrent commit: {sorted(gone)}"
+            )
+        return {
+            "op": "delete",
+            "predicate": predicate,
+            "actions": [{"remove": {"path": p}} for p in sorted(removed)]
+            + [{"add": a} for a in adds],
+        }
+
+    return _commit_retry(table, build)
+
+
+def compact(
+    spark: SparkSession, table: str, target_partitions: int | None = None
+) -> int:
+    """OPTIMIZE: rewrite every live file into one fresh commit group.
+    Collapses small-file buildup from high-frequency appends AND (for
+    partitioned tables) bounds the per-snapshot union width that
+    ``_read_files`` pays per live commit group. Metadata-atomic like
+    every other op; time travel to pre-compaction versions still works
+    until vacuumed."""
+    state = snapshot_state(table)
+    df = _read_files(spark, table, state)
+    if target_partitions:
+        df = df.repartition(target_partitions)
+    adds = _write_data_files(df, table, state["partition_by"])
+    removed = set(state["files"])
+
+    def build(s: dict) -> dict:
+        gone = removed - set(s["files"])
+        if gone:
+            raise TxConflict(
+                f"files rewritten by a concurrent commit: {sorted(gone)}"
+            )
+        return {
+            "op": "compact",
+            "actions": [{"remove": {"path": p}} for p in sorted(removed)]
+            + [{"add": a} for a in adds],
+        }
+
+    return _commit_retry(table, build)
+
+
+def restore(spark: SparkSession, table: str, version: int) -> int:
+    """Roll the table back to ``version`` as a NEW commit (history is
+    append-only — the bad commits stay auditable, exactly Delta's
+    RESTORE). Data files are immutable and still present, so restore
+    moves no data: it is a metadata-only commit."""
+    old = snapshot_state(table, version)
+
+    def build(s: dict) -> dict:
+        return {
+            "op": "restore",
+            "restored_version": version,
+            "actions": [
+                {"remove": {"path": p}}
+                for p in sorted(set(s["files"]) - set(old["files"]))
+            ]
+            + [
+                {"add": a}
+                for p, a in sorted(old["files"].items())
+                if p not in s["files"]
+            ],
+        }
+
+    return _commit_retry(table, build)
+
+
+def history(table: str) -> list[dict]:
+    """Commit metadata, newest first (DESCRIBE HISTORY)."""
+    head = latest_version(table)
+    out = []
+    for v in range(head, -1, -1):
+        c = _read_commit(table, v)
+        out.append(
+            {
+                "version": v,
+                "op": c["op"],
+                "adds": sum(1 for a in c["actions"] if "add" in a),
+                "removes": sum(1 for a in c["actions"] if "remove" in a),
+            }
+        )
+    return out
+
+
+def vacuum(table: str, retain_versions: int = 1) -> list[str]:
+    """Delete data files unreferenced by the newest
+    ``retain_versions`` snapshots (plus any orphans from failed
+    writes). Time travel older than the retention horizon dies with
+    them — same trade Delta's VACUUM makes. Returns deleted paths."""
+    if retain_versions < 1:
+        raise ValueError("retain_versions must be >= 1")
+    head = latest_version(table)
+    keep: set[str] = set()
+    for v in range(max(0, head - retain_versions + 1), head + 1):
+        keep.update(snapshot_state(table, v)["files"])
+    doomed = []
+    files_root = os.path.join(table, "files")
+    for dirpath, _dirs, names in os.walk(files_root):
+        for name in names:
+            full = os.path.join(dirpath, name)
+            rel = os.path.relpath(full, table)
+            if rel not in keep and not name.startswith(("_", ".")):
+                os.remove(full)
+                doomed.append(rel)
+    # drop now-empty uuid dirs so ls stays proportional to live data
+    for dirpath, dirs, names in os.walk(files_root, topdown=False):
+        if not dirs and not names and dirpath != files_root:
+            shutil.rmtree(dirpath, ignore_errors=True)
+    return sorted(doomed)

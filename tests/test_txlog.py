@@ -1,0 +1,307 @@
+"""Transaction-log table format: ACID semantics, time travel,
+file-level mutation pruning, checkpointed replay, vacuum.
+
+Covers the reference's transactional wishlist (WRITE_TRUNCATE
+replaces, backup/rollback recipes) on the log-structured backend —
+see ``sources/txlog.py`` docstring for the design source.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from mpg_data_warehouse_spark.sources import txlog
+
+
+def _mk(spark, ids, seg="a"):
+    return spark.createDataFrame(
+        [Row(cust_id=i, segment=seg, balance=float(i) * 10) for i in ids]
+    )
+
+
+def test_create_read_roundtrip(spark, tmp_path):
+    t = str(tmp_path / "t")
+    v = txlog.create(spark, t, _mk(spark, range(10)))
+    assert v == 0
+    got = txlog.read(spark, t)
+    assert got.count() == 10
+    assert {r.cust_id for r in got.collect()} == set(range(10))
+
+
+def test_create_twice_raises(spark, tmp_path):
+    t = str(tmp_path / "t")
+    txlog.create(spark, t, _mk(spark, range(3)))
+    with pytest.raises(FileExistsError):
+        txlog.create(spark, t, _mk(spark, range(3)))
+
+
+def test_append_and_time_travel(spark, tmp_path):
+    t = str(tmp_path / "t")
+    txlog.create(spark, t, _mk(spark, range(5)))
+    v1 = txlog.append(spark, t, _mk(spark, range(5, 8)))
+    assert v1 == 1
+    assert txlog.read(spark, t).count() == 8
+    # VERSION AS OF 0 still sees the pre-append table
+    assert txlog.read(spark, t, version=0).count() == 5
+
+
+def test_append_schema_mismatch_raises(spark, tmp_path):
+    t = str(tmp_path / "t")
+    txlog.create(spark, t, _mk(spark, range(3)))
+    bad = spark.createDataFrame([Row(cust_id=1, other="x")])
+    with pytest.raises(ValueError, match="schema mismatch"):
+        txlog.append(spark, t, bad)
+
+
+def test_overwrite_is_atomic_snapshot(spark, tmp_path):
+    t = str(tmp_path / "t")
+    txlog.create(spark, t, _mk(spark, range(5)))
+    # pin the old snapshot BEFORE overwriting
+    old = txlog.read(spark, t, version=0)
+    txlog.overwrite(spark, t, _mk(spark, range(100, 103), seg="b"))
+    new = txlog.read(spark, t)
+    assert new.count() == 3
+    assert {r.segment for r in new.collect()} == {"b"}
+    # immutable data files: the pinned snapshot still reads cleanly
+    assert old.count() == 5
+
+
+def test_merge_upserts_and_inserts(spark, tmp_path):
+    t = str(tmp_path / "t")
+    txlog.create(spark, t, _mk(spark, range(10)))
+    updates = spark.createDataFrame(
+        [
+            Row(cust_id=3, segment="vip", balance=999.0),  # update
+            Row(cust_id=42, segment="new", balance=1.0),  # insert
+        ]
+    )
+    txlog.merge(spark, t, updates, keys=["cust_id"])
+    got = {r.cust_id: r for r in txlog.read(spark, t).collect()}
+    assert len(got) == 11
+    assert got[3].segment == "vip" and got[3].balance == 999.0
+    assert got[42].segment == "new"
+    assert got[7].balance == 70.0  # untouched row intact
+
+
+def test_merge_rewrites_only_touched_files(spark, tmp_path):
+    """File-level pruning proof: after a point merge, every data file
+    of the untouched appends is still listed (same path) in the new
+    snapshot — only files containing the merged key were rewritten."""
+    t = str(tmp_path / "t")
+    txlog.create(spark, t, _mk(spark, range(0, 10)).coalesce(1))
+    txlog.append(spark, t, _mk(spark, range(100, 110)).coalesce(1))
+    txlog.append(spark, t, _mk(spark, range(200, 210)).coalesce(1))
+    before = set(txlog.snapshot_state(t)["files"])
+    assert len(before) == 3
+
+    updates = spark.createDataFrame(
+        [Row(cust_id=105, segment="vip", balance=0.0)]
+    )
+    txlog.merge(spark, t, updates, keys=["cust_id"])
+    after = set(txlog.snapshot_state(t)["files"])
+    survivors = before & after
+    # exactly the two files without cust_id=105 survive by identity
+    assert len(survivors) == 2
+    assert txlog.read(spark, t).count() == 30
+
+
+def test_merge_footer_stats_prune_skips_scan(spark, tmp_path):
+    """Disjoint key ranges prune on footer min/max alone: the commit
+    touches zero existing files (pure insert) even though the exact
+    check never scanned them."""
+    t = str(tmp_path / "t")
+    txlog.create(spark, t, _mk(spark, range(0, 10)).coalesce(1))
+    state = txlog.snapshot_state(t)
+    updates = spark.createDataFrame(
+        [Row(cust_id=10_000, segment="x", balance=0.0)]
+    )
+    assert (
+        txlog._touched_files(spark, t, state, updates, ["cust_id"]) == []
+    )
+    txlog.merge(spark, t, updates, keys=["cust_id"])
+    hist = txlog.history(t)
+    assert hist[0]["op"] == "merge" and hist[0]["removes"] == 0
+    assert txlog.read(spark, t).count() == 11
+
+
+def test_delete_where(spark, tmp_path):
+    t = str(tmp_path / "t")
+    txlog.create(spark, t, _mk(spark, range(0, 10)).coalesce(1))
+    txlog.append(spark, t, _mk(spark, range(100, 110)).coalesce(1))
+    before = set(txlog.snapshot_state(t)["files"])
+    txlog.delete(spark, t, "cust_id >= 100 AND cust_id < 105")
+    after = txlog.snapshot_state(t)
+    got = txlog.read(spark, t)
+    assert got.count() == 15
+    assert got.where("cust_id >= 100 AND cust_id < 105").count() == 0
+    # the 0..9 file had no matching row: kept by identity, not rewritten
+    assert len(before & set(after["files"])) == 1
+
+
+def test_delete_no_match_is_noop_commit(spark, tmp_path):
+    t = str(tmp_path / "t")
+    txlog.create(spark, t, _mk(spark, range(5)))
+    v = txlog.delete(spark, t, "cust_id > 999")
+    assert v == 0  # no new commit
+    assert txlog.read(spark, t).count() == 5
+
+
+def test_restore_is_metadata_only(spark, tmp_path):
+    t = str(tmp_path / "t")
+    txlog.create(spark, t, _mk(spark, range(5)))
+    txlog.overwrite(spark, t, _mk(spark, range(100, 102)))
+    v = txlog.restore(spark, t, version=0)
+    assert v == 2  # history is append-only
+    restored = txlog.read(spark, t)
+    assert {r.cust_id for r in restored.collect()} == set(range(5))
+    # and the bad version is still auditable
+    assert txlog.read(spark, t, version=1).count() == 2
+    assert [h["op"] for h in txlog.history(t)] == [
+        "restore",
+        "overwrite",
+        "create",
+    ]
+
+
+def test_mutation_failure_never_corrupts(spark, tmp_path):
+    """A write that dies before commit leaves the table byte-identical:
+    data files are immutable and the log never references the orphans."""
+    t = str(tmp_path / "t")
+    txlog.create(spark, t, _mk(spark, range(5)))
+    # simulate a crashed writer: data files written, commit never lands
+    txlog._write_data_files(_mk(spark, range(900, 905)), t, [])
+    assert txlog.read(spark, t).count() == 5
+    assert txlog.latest_version(t) == 0
+    # vacuum collects the orphans
+    doomed = txlog.vacuum(t, retain_versions=1)
+    assert doomed  # the orphan files went
+    assert txlog.read(spark, t).count() == 5
+
+
+def test_concurrent_append_retries_past_race(spark, tmp_path):
+    """Losing the version race must NOT drop the append: pre-steal the
+    next commit slot and check the append lands at the slot after."""
+    t = str(tmp_path / "t")
+    txlog.create(spark, t, _mk(spark, range(5)))
+    # another writer takes version 1 first
+    stolen = os.path.join(t, txlog.LOG_DIR, "00000001.json")
+    with open(stolen, "x") as fh:
+        json.dump({"op": "append", "actions": []}, fh)
+    v = txlog.append(spark, t, _mk(spark, range(10, 13)))
+    assert v == 2
+    assert txlog.read(spark, t).count() == 8
+
+
+def test_merge_conflict_on_concurrently_removed_file(spark, tmp_path):
+    """A merge whose touched file was rewritten underneath it must
+    raise TxConflict, not silently resurrect stale rows."""
+    t = str(tmp_path / "t")
+    txlog.create(spark, t, _mk(spark, range(5)).coalesce(1))
+    state = txlog.snapshot_state(t)
+    # concurrent overwrite replaces every file after our state read
+    txlog.overwrite(spark, t, _mk(spark, range(50, 55)))
+    removed = set(state["files"])
+
+    def build(s):
+        gone = removed - set(s["files"])
+        if gone:
+            raise txlog.TxConflict(str(sorted(gone)))
+        return {"op": "merge", "actions": []}
+
+    with pytest.raises(txlog.TxConflict):
+        txlog._commit_retry(t, build)
+
+
+def test_checkpoint_bounds_replay(spark, tmp_path):
+    """After > CHECKPOINT_EVERY commits, replay serves from the newest
+    checkpoint + tail; state equals a full-log replay."""
+    t = str(tmp_path / "t")
+    txlog.create(spark, t, _mk(spark, [0]))
+    for i in range(1, txlog.CHECKPOINT_EVERY + 3):
+        txlog.append(spark, t, _mk(spark, [i]))
+    head = txlog.latest_version(t)
+    assert head == txlog.CHECKPOINT_EVERY + 2
+    cp = txlog._newest_checkpoint_at_or_before(t, head)
+    assert cp == txlog.CHECKPOINT_EVERY
+    assert os.path.exists(txlog._checkpoint_path(t, cp))
+    state = txlog.snapshot_state(t)
+    assert len(state["files"]) >= head + 1 - 0  # one+ file per commit
+    assert txlog.read(spark, t).count() == head + 1
+    # time travel BEFORE the checkpoint still replays from genesis
+    assert txlog.read(spark, t, version=2).count() == 3
+
+
+def test_partitioned_table_roundtrip_and_merge(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [
+            Row(cust_id=i, segment="a" if i % 2 else "b", balance=float(i))
+            for i in range(20)
+        ]
+    )
+    txlog.create(spark, t, df, partition_by=["segment"])
+    got = txlog.read(spark, t)
+    assert set(got.columns) == {"cust_id", "segment", "balance"}
+    assert got.count() == 20
+    assert got.where(F.col("segment") == "a").count() == 10
+    updates = spark.createDataFrame(
+        [Row(cust_id=3, segment="a", balance=-1.0)]
+    )
+    txlog.merge(spark, t, updates, keys=["cust_id"])
+    row = txlog.read(spark, t).where("cust_id = 3").first()
+    assert row.balance == -1.0 and row.segment == "a"
+    assert txlog.read(spark, t).count() == 20
+
+
+def test_compact_collapses_groups_keeps_rows(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df0 = spark.createDataFrame(
+        [Row(cust_id=i, segment="a" if i % 2 else "b", balance=1.0) for i in range(8)]
+    )
+    txlog.create(spark, t, df0, partition_by=["segment"])
+    for i in range(3):
+        txlog.append(
+            spark,
+            t,
+            spark.createDataFrame(
+                [Row(cust_id=100 + i, segment="a", balance=2.0)]
+            ),
+        )
+    assert len({p.split(os.sep)[1] for p in txlog.snapshot_state(t)["files"]}) == 4
+    txlog.compact(spark, t)
+    state = txlog.snapshot_state(t)
+    assert len({p.split(os.sep)[1] for p in state["files"]}) == 1
+    got = txlog.read(spark, t)
+    assert got.count() == 11
+    assert got.where("segment = 'a'").count() == 7
+    # pre-compaction snapshot still time-travels
+    assert txlog.read(spark, t, version=0).count() == 8
+
+
+def test_vacuum_respects_retention_and_time_travel(spark, tmp_path):
+    t = str(tmp_path / "t")
+    txlog.create(spark, t, _mk(spark, range(5)))
+    txlog.overwrite(spark, t, _mk(spark, range(10, 12)))
+    txlog.overwrite(spark, t, _mk(spark, range(20, 24)))
+    # retain last 2 snapshots: v2 (live) and v1
+    doomed = txlog.vacuum(t, retain_versions=2)
+    assert doomed  # v0's files are gone
+    assert txlog.read(spark, t).count() == 4
+    assert txlog.read(spark, t, version=1).count() == 2
+    with pytest.raises(Exception):
+        txlog.read(spark, t, version=0).collect()
+    with pytest.raises(ValueError):
+        txlog.vacuum(t, retain_versions=0)
+
+
+def test_add_actions_carry_footer_stats(spark, tmp_path):
+    t = str(tmp_path / "t")
+    txlog.create(spark, t, _mk(spark, range(7)).coalesce(1))
+    (action,) = txlog.snapshot_state(t)["files"].values()
+    assert action["rows"] == 7
+    assert action["min"]["cust_id"] == 0
+    assert action["max"]["cust_id"] == 6
+    assert action["min"]["balance"] == 0.0
+    assert action["max"]["balance"] == 60.0
