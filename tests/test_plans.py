@@ -84,22 +84,24 @@ def test_runtime_bloom_filter_on_selective_join(spark):
     input before the join."""
     from tests.conftest import SF_ORACLE
 
-    prev = spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
-    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-    spark.conf.set(
-        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
-    )
-    # local test data is far below the 10GB production default — the
-    # contract under test is the injection mechanics, not the sizing
-    spark.conf.set(
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-        "0",
-    )
-    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    # a broadcastable build side never needs a bloom filter — force the
-    # shuffle-join regime the rule targets
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    tuned = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        # local test data is far below the 10GB production default — the
+        # contract under test is the injection mechanics, not the sizing
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        # a broadcastable build side never needs a bloom filter — force
+        # the shuffle-join regime the rule targets
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    # conf.get(k, None) returns the EXPLICITLY-set value or None — it
+    # does not resolve SQL defaults, so unset-on-None restores the
+    # session default instead of pinning the fallback literal (which
+    # silently turned the rule off for every later test).
+    saved = {k: spark.conf.get(k, None) for k in tuned}
     try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
         lineitem = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
         orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet").filter(
             "o_orderpriority = '1-URGENT'"
@@ -108,8 +110,11 @@ def test_runtime_bloom_filter_on_selective_join(spark):
         plan = joined._jdf.queryExecution().optimizedPlan().toString()
         assert "might_contain" in plan and "bloom_filter_agg" in plan
     finally:
-        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", prev)
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def test_snowflake_dims_broadcast(spark):
@@ -173,6 +178,62 @@ def test_aqe_skew_join_splits_on_session_config(spark):
         plan = joined._jdf.queryExecution().executedPlan().toString()
         assert "isFinalPlan=true" in plan
         assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_large_probe_side(spark, tmp_path):
+    """Runtime row-level filtering: a selective dim filter on one side
+    of a shuffle join makes the optimizer build a bloom filter over the
+    dim's join keys and push ``might_contain`` into the FACT scan side,
+    so non-matching fact rows die before the shuffle. At 100 TB this is
+    the difference between shuffling the whole fact table and shuffling
+    only the keys that can match — and like AQE skew handling it comes
+    from the session's optimizer config, not hand-written pre-joins.
+
+    Thresholds are lowered to fixture scale (the application-side
+    default triggers at 10 GB scans); ``runtime.bloomFilter.enabled``
+    itself is the stock default under test."""
+    from pyspark.sql import functions as F
+
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    fact_path = str(tmp_path / "fact")
+    dim_path = str(tmp_path / "dim")
+    spark.range(0, 50_000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("p"), F.col("id")).alias("pay"),
+    ).write.parquet(fact_path)
+    spark.range(0, 2_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+    ).write.parquet(dim_path)
+
+    tuned = {
+        # force a shuffle join: bloom injection targets the shuffle path
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        # fixture-sized application-side threshold (default 10GB)
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    try:
+        for k, v in tuned.items():
+            spark.conf.set(k, v)
+        fact = spark.read.parquet(fact_path)
+        dim = spark.read.parquet(dim_path).where("grp = 3")
+        joined = fact.join(dim, "k")
+        optimized = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in optimized, optimized[:2000]
+        physical = joined._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in physical, physical[:2000]
+        # and the filtered join still answers correctly
+        assert joined.count() == dim.count()
     finally:
         for k, v in saved.items():
             if v is None:
