@@ -570,3 +570,116 @@ def normalize_text(
     if lowercase:
         c = F.lower(c)
     return df.withColumn(text_col, c)
+
+
+def nb_term_weights(
+    pos: DataFrame,
+    neg: DataFrame,
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> tuple[DataFrame, float]:
+    """Train a linear quality classifier in closed form: per-term
+    Naive-Bayes log-odds weights over binarized document frequencies
+    (the NBSVM feature weighting of Wang & Manning, ACL 2012 — public),
+    the same family as the LR "looks like curated text" filters used to
+    select LLM pretraining data (CCNet; GPT-3 appendix A).
+
+    ``pos`` is a sample of wanted text (curated corpus), ``neg`` a
+    sample of unwanted (raw crawl). Returns ``(weights, bias)`` where
+    ``weights`` is a ``(term, weight)`` DataFrame and
+    ``bias = log(|pos| / |neg|)`` the class prior.
+
+    One explode + one hash-agg per side and a full-outer join keyed by
+    term: at 100 TB the shuffle carries the (term, df) pairs only —
+    map-side combine absorbs the Zipf head, and the result is
+    vocabulary-sized, not corpus-sized. Training is a single pass with
+    no iteration, which is exactly why this form (and not SGD) is the
+    Spark-native classifier.
+    """
+
+    def docfreq(df: DataFrame) -> DataFrame:
+        # binarized: a term counts once per document (NBSVM's binarize)
+        return (
+            df.select(
+                F.explode(
+                    F.array_distinct(norm_tokens(text_col))
+                ).alias("term")
+            )
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
+
+    n_pos = pos.count()
+    n_neg = neg.count()
+    if n_pos == 0 or n_neg == 0:
+        raise ValueError("both classes need at least one document")
+    joined = (
+        docfreq(pos)
+        .withColumnsRenamed({"df": "df_pos"})
+        .join(
+            docfreq(neg).withColumnsRenamed({"df": "df_neg"}),
+            "term",
+            "full_outer",
+        )
+        .select(
+            "term",
+            F.coalesce("df_pos", F.lit(0)).alias("df_pos"),
+            F.coalesce("df_neg", F.lit(0)).alias("df_neg"),
+        )
+    )
+    # log ratio of smoothed per-class Bernoulli rates; the class-size
+    # normalization keeps weights centered when |pos| != |neg|
+    weights = joined.select(
+        "term",
+        (
+            F.log((F.col("df_pos") + alpha) / (n_pos + 2.0 * alpha))
+            - F.log((F.col("df_neg") + alpha) / (n_neg + 2.0 * alpha))
+        ).alias("weight"),
+    )
+    import math
+
+    return weights, math.log(n_pos / n_neg)
+
+
+def quality_classifier_scores(
+    df: DataFrame,
+    weights: DataFrame,
+    bias: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Score documents with a linear term-weight model: logit =
+    bias + Σ weight(term) over the document's DISTINCT terms (matching
+    ``nb_term_weights``' binarized features), probability via sigmoid,
+    ``quality_keep`` at ``threshold``. Out-of-vocabulary terms
+    contribute 0; empty documents keep the bias alone.
+
+    Plan shape: explode distinct tokens (narrow), join the
+    vocabulary-sized weight table (broadcast — weights are ~MBs even
+    for web-scale vocabularies), one hash-agg back to doc grain, and a
+    left join to re-attach docs with no in-vocabulary terms. No UDFs,
+    no iteration; scoring cost is one pass over the token stream.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(norm_tokens(text_col))).alias("term"),
+    )
+    logits = (
+        toks.join(F.broadcast(weights), "term", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.coalesce(F.col("weight"), F.lit(0.0))).alias("_w_sum")
+        )
+    )
+    scored = df.join(logits, id_col, "left").withColumn(
+        "quality_logit", F.coalesce(F.col("_w_sum"), F.lit(0.0)) + F.lit(bias)
+    )
+    return (
+        scored.withColumn(
+            "quality_p",
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("quality_logit"))),
+        )
+        .withColumn("quality_keep", F.col("quality_p") >= F.lit(threshold))
+        .drop("_w_sum")
+    )

@@ -155,3 +155,105 @@ def test_norm_tokens_drops_empties(spark):
     got = [r.t for r in df.select(norm_tokens("text").alias("t")).collect()]
     assert got[0] == ["hello", "world"]
     assert got[1] == []
+
+
+# ---------------------------------------------------------------------------
+# linear quality classifier (NB log-odds weights)
+# ---------------------------------------------------------------------------
+
+
+def _qc_corpora(spark):
+    from pyspark.sql import Row
+
+    pos = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=t)
+            for i, t in enumerate(
+                [
+                    "the committee published detailed findings today",
+                    "researchers measured consistent improvements in yield",
+                    "the study reports detailed methodology and findings",
+                    "analysis of the survey data shows clear trends",
+                ]
+            )
+        ]
+    )
+    neg = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=t)
+            for i, t in enumerate(
+                [
+                    "click here buy now free free free",
+                    "winner winner click subscribe buy cheap",
+                    "free prize click now buy buy",
+                    "subscribe now cheap prize winner click",
+                ]
+            )
+        ]
+    )
+    return pos, neg
+
+
+def test_nb_weights_separate_classes(spark):
+    from mpg_data_warehouse_spark.operators.text import nb_term_weights
+
+    pos, neg = _qc_corpora(spark)
+    weights, bias = nb_term_weights(pos, neg)
+    w = {r.term: r.weight for r in weights.collect()}
+    assert w["findings"] > 0 and w["detailed"] > 0
+    assert w["click"] < 0 and w["free"] < 0
+    # balanced classes -> zero prior
+    assert abs(bias) < 1e-9
+    # shared term ('the' never appears in neg here, so pick 'now'... absent
+    # from pos): strictly negative
+    assert w["now"] < 0
+
+
+def test_quality_classifier_scores_rank_docs(spark):
+    from pyspark.sql import Row
+
+    from mpg_data_warehouse_spark.operators.text import (
+        nb_term_weights,
+        quality_classifier_scores,
+    )
+
+    pos, neg = _qc_corpora(spark)
+    weights, bias = nb_term_weights(pos, neg)
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the findings show detailed improvements"),
+            Row(doc_id=2, text="click now free prize"),
+            Row(doc_id=3, text="zzz qqq unseen-vocab"),  # OOV only
+            Row(doc_id=4, text=""),  # empty
+        ]
+    )
+    got = {
+        r.doc_id: r
+        for r in quality_classifier_scores(
+            docs, weights, bias=bias
+        ).collect()
+    }
+    assert got[1].quality_keep and got[1].quality_p > 0.9
+    assert not got[2].quality_keep and got[2].quality_p < 0.1
+    # OOV and empty docs fall back to the prior: p = sigmoid(bias) = 0.5
+    assert abs(got[3].quality_p - 0.5) < 1e-9
+    assert abs(got[4].quality_p - 0.5) < 1e-9
+    # all four docs survive the scoring join
+    assert len(got) == 4
+
+
+def test_quality_classifier_is_jvm_only(spark):
+    from mpg_data_warehouse_spark.operators.text import (
+        nb_term_weights,
+        quality_classifier_scores,
+    )
+
+    pos, neg = _qc_corpora(spark)
+    weights, bias = nb_term_weights(pos, neg)
+    plan = (
+        quality_classifier_scores(pos, weights, bias=bias)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
