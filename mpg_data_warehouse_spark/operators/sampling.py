@@ -18,7 +18,7 @@ single ``CASE WHEN`` chain (broadcastable strata count), never a join.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -28,6 +28,7 @@ __all__ = [
     "split_train_holdout",
     "budget_rebalance_sample",
     "temperature_mixture_sample",
+    "cap_per_group",
 ]
 
 
@@ -198,3 +199,33 @@ def deterministic_shuffle(
     if num_partitions is not None:
         out = df.repartitionByRange(num_partitions, h).sortWithinPartitions(h)
     return out
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    order_by: list[Column | str] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source/domain document caps — the curation step that stops
+    one domain from dominating a crawl-derived corpus (C4 and refined-
+    web pipelines cap per-domain contributions for exactly this
+    reason). Keeps at most ``cap`` rows per ``group_col``, choosing
+    winners by ``order_by`` (e.g. a quality score, descending) with
+    ``id_col`` as the deterministic tiebreak; default order is lowest
+    id first (keep-earliest).
+
+    One rank-window shuffle keyed by the group. A pathological hot
+    group (one domain = half the corpus) makes that window's partition
+    hot: AQE skew handling splits the sort, and since only the top
+    ``cap`` survive, a pre-filter via a per-group COUNT would not
+    reduce the shuffle (every row still needs ranking); the window is
+    the minimal plan.
+    """
+    order = list(order_by) if order_by else []
+    order.append(F.col(id_col).asc())
+    rk = F.row_number().over(
+        Window.partitionBy(group_col).orderBy(*order)
+    )
+    return df.withColumn("_rk", rk).filter(F.col("_rk") <= cap).drop("_rk")

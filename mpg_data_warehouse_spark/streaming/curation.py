@@ -5,7 +5,8 @@ instead of re-curated from scratch per day.
 
 Per micro-batch (``foreachBatch``):
 
-    quality filter → [optional unigram-LM gate] → in-batch exact
+    quality filter → [optional trained-classifier gate] → [optional
+    unigram-LM gate] → in-batch exact
     dedup → replay/exact dedup vs the SINK (content-hash anti-join)
     → incremental MinHash near-dup vs the persisted SIGNATURE TABLE
     (``dedup.incremental_minhash_pairs`` — corpus text never re-read)
@@ -54,6 +55,7 @@ from mpg_data_warehouse_spark.operators.dedup import (
 from mpg_data_warehouse_spark.operators.text import (
     doc_logprob_score,
     normalize_text,
+    quality_classifier_scores,
     quality_score,
 )
 from mpg_data_warehouse_spark.streaming.events import _sink_exists
@@ -74,6 +76,8 @@ def curated_append_stream(
     shingle_n: int = 3,
     lm_model: tuple[DataFrame, float] | None = None,
     max_nll_per_token: float | None = None,
+    classifier: tuple[DataFrame, float] | None = None,
+    min_classifier_p: float | None = None,
 ):
     """Start the continual-curation stream over a streaming ``docs``
     DataFrame (availableNow trigger: drain, then stop — rerun per
@@ -99,6 +103,16 @@ def curated_append_stream(
             .filter(F.col("_q") >= min_quality)
             .drop("_q")
         )
+        if classifier is not None and min_classifier_p is not None:
+            # Trained quality gate (NB log-odds weights +
+            # quality_classifier_scores): the weight table broadcasts,
+            # so the stage stays map-side over the micro-batch.
+            weights, bias = classifier
+            liked = quality_classifier_scores(
+                kept, weights, bias=bias, id_col=id_col, text_col=text_col,
+                threshold=min_classifier_p,
+            ).filter(F.col("quality_keep"))
+            kept = kept.join(liked.select(id_col), id_col, "left_semi")
         if lm_model is not None and max_nll_per_token is not None:
             model, oov_logp = lm_model
             fluent = doc_logprob_score(

@@ -143,3 +143,35 @@ def test_deterministic_shuffle_partitioned_form(spark):
     out = deterministic_shuffle(df, "doc_id", 3, num_partitions=4)
     assert out.rdd.getNumPartitions() == 4
     assert sorted(r.doc_id for r in out.collect()) == list(range(500))
+
+
+def test_cap_per_group_keeps_best_by_order(spark):
+    from pyspark.sql import Row, functions as F
+
+    from mpg_data_warehouse_spark.operators.sampling import cap_per_group
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=i, source="big" if i < 10 else "small", q=float(i))
+            for i in range(13)
+        ]
+    )
+    capped = cap_per_group(
+        df, "source", cap=3, order_by=[F.col("q").desc()]
+    )
+    got = {r.source: sorted(r2.doc_id for r2 in capped.collect() if r2.source == r.source) for r in capped.collect()}
+    # big keeps its 3 highest-q docs; small (3 docs) survives whole
+    assert got["big"] == [7, 8, 9]
+    assert got["small"] == [10, 11, 12]
+
+
+def test_cap_per_group_default_keeps_earliest(spark):
+    from pyspark.sql import Row
+
+    from mpg_data_warehouse_spark.operators.sampling import cap_per_group
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source="s") for i in range(5)]
+    )
+    kept = sorted(r.doc_id for r in cap_per_group(df, "source", 2).collect())
+    assert kept == [0, 1]

@@ -173,3 +173,51 @@ def test_curated_stream_rejects_band_mismatch(spark, tmp_path):
     with pytest.raises(Exception, match="sig_i columns"):
         q.awaitTermination(180)
         q.stop()
+
+
+def test_curated_stream_classifier_gate(spark, tmp_path):
+    """The optional trained-classifier stage drops docs the weight
+    table scores below threshold, before any dedup state is written."""
+    from pyspark.sql import Row
+
+    from mpg_data_warehouse_spark.operators.text import nb_term_weights
+
+    pos = spark.createDataFrame(
+        [Row(doc_id=i, text=BASE + f" variant {i}") for i in range(3)]
+    )
+    neg = spark.createDataFrame(
+        [
+            Row(doc_id=i, text="spam spam buy buy click subscribe now " * 3)
+            for i in range(3)
+        ]
+    )
+    weights, bias = nb_term_weights(pos, neg)
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [
+            Row(doc_id=1, text=BASE + " fresh words", source="a"),
+            Row(
+                doc_id=2,
+                text="spam spam buy buy click subscribe now forever " * 2,
+                source="a",
+            ),
+        ],
+        DOCS_SCHEMA,
+    ).write.parquet(src)
+    paths = {
+        "sink": str(tmp_path / "sink"),
+        "sigs": str(tmp_path / "sigs"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+    q = curated_append_stream(
+        _stream(spark, src),
+        paths["sink"],
+        paths["sigs"],
+        paths["ckpt"],
+        classifier=(weights, bias),
+        min_classifier_p=0.5,
+    )
+    q.awaitTermination(180)
+    kept = {r.doc_id for r in spark.read.parquet(paths["sink"]).collect()}
+    assert kept == {1}
