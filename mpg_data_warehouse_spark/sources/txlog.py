@@ -640,3 +640,164 @@ def vacuum(table: str, retain_versions: int = 1) -> list[str]:
         if not dirs and not names and dirpath != files_root:
             shutil.rmtree(dirpath, ignore_errors=True)
     return sorted(doomed)
+
+
+# ---------------------------------------------------------------------------
+# incremental consumption: change feed + derived-table maintenance
+# ---------------------------------------------------------------------------
+
+
+def files_changed_between(
+    table: str, from_version: int, to_version: int | None = None
+) -> tuple[list[str], list[str]]:
+    """(added, removed) file lists across ``(from_version,
+    to_version]`` — net of churn: a file both added and removed inside
+    the window never surfaces. Pure log metadata; no data I/O."""
+    head = latest_version(table)
+    if to_version is None:
+        to_version = head
+    if not 0 <= from_version <= to_version <= head:
+        raise ValueError(
+            f"bad version window ({from_version}, {to_version}] with head={head}"
+        )
+    added: set[str] = set()
+    removed: set[str] = set()
+    for v in range(from_version + 1, to_version + 1):
+        for action in _read_commit(table, v)["actions"]:
+            if "add" in action:
+                added.add(action["add"]["path"])
+            elif "remove" in action:
+                p = action["remove"]["path"]
+                if p in added:
+                    added.discard(p)  # churned within the window
+                else:
+                    removed.add(p)
+    return sorted(added), sorted(removed)
+
+
+def read_changes(
+    spark: SparkSession,
+    table: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change data feed between two versions: every row with a
+    ``_change_type`` column (``insert`` / ``delete``). An UPDATE via
+    MERGE appears as delete-of-old + insert-of-new (keyed consumers
+    reconcile on their key — the Delta CDF contract without the
+    per-write change files).
+
+    Cost is the point of the design: reads ONLY the files added or
+    removed in the window (from log metadata), never the table. An
+    incremental consumer of an append-mostly 100 TB table does
+    per-cycle work proportional to the new data. Rows that moved
+    files without changing (rewritten neighbors in a touched file,
+    compaction churn) self-cancel ONLY if the consumer diffs; for
+    exact row-level semantics over compaction, diff the two snapshot
+    reads instead (``operators/versioned.table_diff``).
+    """
+    state = snapshot_state(table)  # schema/partitioning source
+    added, removed = files_changed_between(table, from_version, to_version)
+    ins = _read_files(spark, table, state, added).withColumn(
+        "_change_type", F.lit("insert")
+    )
+    dels = _read_files(spark, table, state, removed).withColumn(
+        "_change_type", F.lit("delete")
+    )
+    return ins.unionByName(dels)
+
+
+def incremental_rollup(
+    spark: SparkSession,
+    table: str,
+    rollup_path: str,
+    group_cols: list[str],
+    agg_exprs: dict[str, str],
+) -> int:
+    """Maintain a grouped SUM/COUNT rollup of a txlog table
+    incrementally: each call reads only the files added/removed since
+    the last processed version (recorded in the rollup table's own
+    commit metadata), computes partial aggregates with deletions as
+    NEGATED contributions, and MERGEs the delta into the rollup.
+
+    ``agg_exprs`` maps output column → input column summed into it
+    (``{"revenue": "amount", "n": "1"}`` — use "1" for row counts).
+    Only sum-decomposable aggregates qualify; that is what makes the
+    maintenance exact under inserts AND deletes without rescanning.
+
+    At 100 TB: nightly appends of X GB cost O(X) + a rollup merge whose
+    file rewrites are bounded by the rollup's own (group-sized, small)
+    table. The full-table groupBy never runs again after bootstrap.
+    Returns the source version the rollup now reflects.
+    """
+    src_head = latest_version(table)
+    last = None
+    if latest_version(rollup_path) >= 0:
+        for v in range(latest_version(rollup_path), -1, -1):
+            meta = _read_commit(rollup_path, v).get("rollup_src_version")
+            if meta is not None:
+                last = meta
+                break
+    state = snapshot_state(table)
+
+    def partials(df: DataFrame, sign: int) -> DataFrame:
+        return df.groupBy(*group_cols).agg(
+            *[
+                F.sum(F.expr(src) * F.lit(sign)).alias(out)
+                for out, src in agg_exprs.items()
+            ]
+        )
+
+    if last is None:
+        delta = partials(_read_files(spark, table, state), 1)
+    else:
+        added, removed = files_changed_between(table, last, src_head)
+        if not added and not removed:
+            return last
+        delta = partials(
+            _read_files(spark, table, state, added), 1
+        ).unionByName(partials(_read_files(spark, table, state, removed), -1))
+        # collapse the union so the merge sees one row per group
+        delta = delta.groupBy(*group_cols).agg(
+            *[F.sum(out).alias(out) for out in agg_exprs]
+        )
+
+    if latest_version(rollup_path) < 0:
+        create(spark, rollup_path, delta)
+        # rewrite commit 0's metadata is not possible (immutable), so
+        # stamp via an empty follow-up commit
+        _commit_retry(
+            rollup_path,
+            lambda _s: {
+                "op": "rollup-stamp",
+                "rollup_src_version": src_head,
+                "actions": [],
+            },
+        )
+        return src_head
+
+    current = read(spark, rollup_path)
+    merged = (
+        current.unionByName(delta)
+        .groupBy(*group_cols)
+        .agg(*[F.sum(out).alias(out) for out in agg_exprs])
+    )
+    rstate = snapshot_state(rollup_path)
+    adds = _write_data_files(merged, rollup_path, rstate["partition_by"])
+    removed_files = set(rstate["files"])
+
+    def build(s: dict) -> dict:
+        gone = removed_files - set(s["files"])
+        if gone:
+            raise TxConflict(
+                f"files rewritten by a concurrent commit: {sorted(gone)}"
+            )
+        return {
+            "op": "rollup-refresh",
+            "rollup_src_version": src_head,
+            "actions": [{"remove": {"path": p}} for p in sorted(removed_files)]
+            + [{"add": a} for a in adds],
+        }
+
+    _commit_retry(rollup_path, build)
+    return src_head

@@ -305,3 +305,105 @@ def test_add_actions_carry_footer_stats(spark, tmp_path):
     assert action["max"]["cust_id"] == 6
     assert action["min"]["balance"] == 0.0
     assert action["max"]["balance"] == 60.0
+
+
+def test_read_changes_insert_only_window(spark, tmp_path):
+    t = str(tmp_path / "t")
+    txlog.create(spark, t, _mk(spark, range(5)))
+    txlog.append(spark, t, _mk(spark, range(10, 13)))
+    ch = txlog.read_changes(spark, t, from_version=0)
+    rows = ch.collect()
+    assert {r._change_type for r in rows} == {"insert"}
+    assert {r.cust_id for r in rows} == {10, 11, 12}
+    # empty window -> empty feed, schema intact
+    empty = txlog.read_changes(spark, t, from_version=1)
+    assert empty.count() == 0
+    assert "_change_type" in empty.columns
+
+
+def test_read_changes_merge_emits_delete_and_insert(spark, tmp_path):
+    t = str(tmp_path / "t")
+    txlog.create(spark, t, _mk(spark, range(3)).coalesce(1))
+    updates = spark.createDataFrame(
+        [Row(cust_id=1, segment="vip", balance=0.0)]
+    )
+    txlog.merge(spark, t, updates, keys=["cust_id"])
+    ch = txlog.read_changes(spark, t, from_version=0)
+    by_type = {}
+    for r in ch.collect():
+        by_type.setdefault(r._change_type, []).append(r)
+    # old file (3 rows) deleted, merged file (3 rows) inserted
+    assert len(by_type["delete"]) == 3
+    assert len(by_type["insert"]) == 3
+    new = {r.cust_id: r.segment for r in by_type["insert"]}
+    assert new[1] == "vip"
+
+
+def test_read_changes_churn_cancels(spark, tmp_path):
+    """A file added and removed inside the window (append then
+    compact) must not appear in the feed at all."""
+    t = str(tmp_path / "t")
+    txlog.create(spark, t, _mk(spark, range(3)))
+    txlog.append(spark, t, _mk(spark, range(10, 12)))
+    txlog.compact(spark, t)
+    added, removed = txlog.files_changed_between(t, 0)
+    # the appended file churned away; net effect: create-files removed,
+    # compacted file added
+    ch = txlog.read_changes(spark, t, from_version=0)
+    ins = ch.where("_change_type = 'insert'")
+    dels = ch.where("_change_type = 'delete'")
+    assert ins.count() == 5  # compacted file: all 5 live rows
+    assert {r.cust_id for r in dels.collect()} == {0, 1, 2}
+
+
+def test_incremental_rollup_bootstrap_and_refresh(spark, tmp_path):
+    t = str(tmp_path / "t")
+    roll = str(tmp_path / "roll")
+    txlog.create(spark, t, _mk(spark, range(10)))  # seg 'a', bal i*10
+    v = txlog.incremental_rollup(
+        spark, t, roll, ["segment"], {"total": "balance", "n": "1"}
+    )
+    assert v == 0
+    got = {r.segment: (r.total, r.n) for r in txlog.read(spark, roll).collect()}
+    assert got == {"a": (450.0, 10)}
+
+    # append-only refresh: only the new files are read
+    txlog.append(spark, t, _mk(spark, range(100, 102), seg="b"))
+    v = txlog.incremental_rollup(
+        spark, t, roll, ["segment"], {"total": "balance", "n": "1"}
+    )
+    assert v == 1
+    got = {r.segment: (r.total, r.n) for r in txlog.read(spark, roll).collect()}
+    assert got == {"a": (450.0, 10), "b": (2010.0, 2)}
+
+    # no-op cycle: nothing changed since last refresh
+    assert (
+        txlog.incremental_rollup(
+            spark, t, roll, ["segment"], {"total": "balance", "n": "1"}
+        )
+        == 1
+    )
+
+
+def test_incremental_rollup_handles_deletes(spark, tmp_path):
+    t = str(tmp_path / "t")
+    roll = str(tmp_path / "roll")
+    txlog.create(spark, t, _mk(spark, range(4)).coalesce(1))
+    txlog.incremental_rollup(
+        spark, t, roll, ["segment"], {"total": "balance", "n": "1"}
+    )
+    txlog.delete(spark, t, "cust_id >= 2")
+    txlog.incremental_rollup(
+        spark, t, roll, ["segment"], {"total": "balance", "n": "1"}
+    )
+    got = {r.segment: (r.total, r.n) for r in txlog.read(spark, roll).collect()}
+    # rows 0,1 remain: total 0+10, n=2 — deletes applied as negated partials
+    assert got == {"a": (10.0, 2)}
+    # and it matches a from-scratch groupBy of the live table
+    fresh = (
+        txlog.read(spark, t)
+        .groupBy("segment")
+        .agg(F.sum("balance").alias("total"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert {r.segment: (r.total, r.n) for r in fresh} == {"a": (10.0, 2)}
