@@ -799,3 +799,244 @@ def embedding_centroids(
         .agg(F.round(F.avg("v"), decimals).alias("centroid"))
         .withColumn("pos", F.col("pos").cast("long"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ's compression half)
+# ---------------------------------------------------------------------------
+
+
+def _subvec(vec_col: str, j: int, sub_dim: int) -> Column:
+    """Subspace j's slice (1-based slice positions)."""
+    return F.slice(F.col(vec_col), j * sub_dim + 1, sub_dim)
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 3,
+    decimals: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple[int, list[float]]]]:
+    """Train product-quantization codebooks: split each d-dim vector
+    into ``m`` subvectors and k-means each subspace INDEPENDENTLY under
+    L2 (Jégou, Douze & Schmid, "Product Quantization for Nearest
+    Neighbor Search", TPAMI 2011 — public; the compression half of
+    Faiss-style IVF-PQ). Returns per-subspace ``[(code, centroid)]``
+    lists — ``m × k × (d/m)`` doubles, driver-bounded by construction
+    (a few KB), the PQ analog of the IVF centroid table.
+
+    Determinism matches ``kmeans_refine_centroids``: rank-based seeds
+    (lowest-id rows), member means rounded to ``decimals``, no RNG.
+    PQ quantizes under L2 (subvectors are not norm-1, so cosine would
+    discard magnitude); nearest-code assignment maximizes
+    ``2·v·c − |c|²``, which is argmin L2 without needing ``|v|²``.
+
+    Cost: per subspace per iteration, one map-only assignment pass
+    (one-row broadcast of the codebook) + a (code, pos)-keyed
+    partial-agg mean — the corpus is never shuffled. The m× pass
+    count is the price of independent subspaces; at 100 TB train on a
+    deterministic sample (``sampling.deterministic_sample``) exactly
+    as Faiss trains on a subset.
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub_dim = dim // m
+    books: list[list[tuple[int, list[float]]]] = []
+    for j in range(m):
+        sub = corpus.select(
+            F.col(id_col), _subvec(vec_col, j, sub_dim).alias("_sv")
+        )
+        rows = _collect_centroid_rows(
+            sub.orderBy(id_col)
+            .limit(k)
+            .select(
+                (F.row_number().over(W.orderBy(id_col)).cast("long") - 1).alias(
+                    "cent_id"
+                ),
+                F.col("_sv").alias("cent_vec"),
+            )
+        )
+        base = sub.select(F.col("_sv"))
+        for _ in range(iters):
+            assigned = _with_nearest_code_l2(base, rows, "_sv").select(
+                "code", "_sv"
+            )
+            per_pos = (
+                assigned.select(
+                    "code", F.posexplode(F.col("_sv")).alias("pos", "v")
+                )
+                .groupBy("code", "pos")
+                .agg(F.round(F.avg("v"), decimals).alias("cv"))
+            )
+            acc: dict[int, dict[int, float]] = {}
+            for r in per_pos.collect():  # ≤ k × sub_dim rows
+                acc.setdefault(r["code"], {})[r["pos"]] = r["cv"]
+            rows = [
+                (code, [pos_cv[p] for p in sorted(pos_cv)])
+                for code, pos_cv in sorted(acc.items())
+            ]
+        books.append(rows)
+    return books
+
+
+def _with_nearest_code_l2(
+    df: DataFrame, code_rows: list[tuple[int, list[float]]], sv_col: str
+) -> DataFrame:
+    """Append the L2-nearest code id, map-only: one-row broadcast of
+    the codebook matrix, argmax of ``2·v·c − |c|²`` structs (ties →
+    lowest code). Same shape as ``with_nearest_cell``, L2 metric."""
+    spark = df.sparkSession
+    mat = [[float(x) for x in vec] for _, vec in code_rows]
+    n2 = [sum(x * x for x in vec) for _, vec in code_rows]
+    negs = [-int(code) for code, _ in code_rows]
+    matrix = spark.createDataFrame(
+        [(mat, n2, negs)],
+        "_qmat array<array<double>>, _qn2 array<double>, _qnegs array<long>",
+    )
+    cands = F.transform(
+        F.col("_qmat"),
+        lambda cv, i: F.struct(
+            (
+                F.lit(2.0) * dot(F.col(sv_col), cv)
+                - F.element_at(F.col("_qn2"), i + 1)
+            ).alias("score"),
+            F.element_at(F.col("_qnegs"), i + 1).alias("neg_code"),
+        ),
+    )
+    return (
+        df.crossJoin(F.broadcast(matrix))
+        .withColumn("code", -F.array_max(cands)["neg_code"])
+        .drop("_qmat", "_qn2", "_qnegs")
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantize every vector to ``m`` small codes: (id, codes
+    array<long>). d float32 components become m byte-ish codes — the
+    32×-compression that makes a 100 TB embedding column scannable.
+
+    One projection over the corpus: the full m×k×(d/m) codebook rides
+    in as a single one-row broadcast, and each subspace's argmin is an
+    ``array_max`` fold over its k candidates. Map-only, no shuffle, no
+    UDFs; the corpus is read once."""
+    m = len(codebooks)
+    sub_dim = len(codebooks[0][0][1])
+    spark = df.sparkSession
+    mats = [[[float(x) for x in vec] for _, vec in book] for book in codebooks]
+    n2s = [[sum(x * x for x in vec) for _, vec in book] for book in codebooks]
+    negs = [[-int(code) for code, _ in book] for book in codebooks]
+    matrix = spark.createDataFrame(
+        [(mats, n2s, negs)],
+        "_pmat array<array<array<double>>>, _pn2 array<array<double>>, "
+        "_pnegs array<array<long>>",
+    )
+    codes = F.transform(
+        F.col("_pmat"),
+        lambda book, j: -F.array_max(
+            F.transform(
+                book,
+                lambda cv, i: F.struct(
+                    (
+                        F.lit(2.0)
+                        * dot(
+                            F.slice(
+                                F.col(vec_col),
+                                j * F.lit(sub_dim) + 1,
+                                sub_dim,
+                            ),
+                            cv,
+                        )
+                        - F.element_at(
+                            F.element_at(F.col("_pn2"), j + 1), i + 1
+                        )
+                    ).alias("score"),
+                    F.element_at(
+                        F.element_at(F.col("_pnegs"), j + 1), i + 1
+                    ).alias("neg_code"),
+                ),
+            )
+        )["neg_code"],
+    )
+    return (
+        df.crossJoin(F.broadcast(matrix))
+        .select(F.col(id_col), codes.alias("codes"))
+    )
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: per query, precompute
+    the ``m × k`` lookup table ``LUT[j][c] = |q_j − c_{j,c}|²``
+    (driver-side — |queries|·m·k doubles, the ADC table of the PQ
+    paper), broadcast it, and score each corpus row as
+    ``Σ_j LUT[j][codes_j]`` — an array fold over m SMALL ints per
+    (query, row) pair. The original vectors are never read: scan
+    volume is the codes column (m bytes/row), which is the entire
+    point at 100 TB. Output: (query_id, neighbor_id, adc_dist, rank),
+    ascending distance, id tiebreak.
+
+    Exactness: ADC is an approximation of true L2 (quantization
+    error); recall tests pin it on separated data. For higher recall
+    compose with IVF cells (probe then ADC-rerank) exactly as
+    Faiss IVF-PQ does."""
+    q_rows = queries.select(id_col, vec_col).collect()
+    sub_dim = len(codebooks[0][0][1])
+    luts = []
+    for r in q_rows:
+        qv = [float(x) for x in r[vec_col]]
+        lut = [
+            [
+                sum(
+                    (qv[j * sub_dim + t] - cvec[t]) ** 2
+                    for t in range(sub_dim)
+                )
+                for _, cvec in book
+            ]
+            for j, book in enumerate(codebooks)
+        ]
+        luts.append((r[id_col], lut))
+    spark = codes_df.sparkSession
+    lut_df = spark.createDataFrame(
+        luts, f"query_id long, _lut array<array<double>>"
+    )
+    scored = (
+        codes_df.crossJoin(F.broadcast(lut_df))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("codes"),
+                        F.col("_lut"),
+                        lambda c, l: F.element_at(l, c.cast("int") + 1),
+                    ),
+                    F.lit(0.0).cast("double"),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            ).alias("adc_dist"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id")
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= k)

@@ -305,3 +305,121 @@ def test_ivf_append_index_incremental_ingest(spark, tmp_path):
     # replay of the same batch double-inserts nothing
     assert ivf_append_index(spark, path, rest) == 0
     assert spark.read.parquet(path).count() == n_total
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+# ---------------------------------------------------------------------------
+
+
+def _pq_corpus(spark):
+    """Three well-separated clusters in 8-dim space, 5 members each."""
+    import itertools
+
+    from pyspark.sql import Row
+
+    anchors = [
+        [10.0, 0, 0, 0, 0, 0, 0, 0],
+        [0, 0, 10.0, 0, 0, 0, 10.0, 0],
+        [0, 5.0, 0, 5.0, 0, 5.0, 0, 5.0],
+    ]
+    rows = []
+    for ci, a in enumerate(anchors):
+        for k in range(5):
+            vec = [x + 0.01 * k for x in a]
+            rows.append(Row(vec_id=ci * 10 + k, embedding=vec))
+    return spark.createDataFrame(rows), anchors
+
+
+def test_pq_train_codebook_shape_and_determinism(spark):
+    from mpg_data_warehouse_spark.operators.similarity import (
+        pq_train_codebooks,
+    )
+
+    corpus, _ = _pq_corpus(spark)
+    books = pq_train_codebooks(corpus, m=4, k=3, iters=2)
+    assert len(books) == 4
+    for book in books:
+        assert len(book) == 3
+        for code, cvec in book:
+            assert 0 <= code < 3
+            assert len(cvec) == 2  # 8 dims / 4 subspaces
+    # pure function of the corpus: retrain gives identical books
+    assert books == pq_train_codebooks(corpus, m=4, k=3, iters=2)
+
+
+def test_pq_train_rejects_indivisible_dim(spark):
+    import pytest
+
+    from mpg_data_warehouse_spark.operators.similarity import (
+        pq_train_codebooks,
+    )
+
+    corpus, _ = _pq_corpus(spark)
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train_codebooks(corpus, m=3)
+
+
+def test_pq_encode_identical_vectors_share_codes(spark):
+    from pyspark.sql import Row
+
+    from mpg_data_warehouse_spark.operators.similarity import (
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    corpus, _ = _pq_corpus(spark)
+    books = pq_train_codebooks(corpus, m=4, k=3, iters=2)
+    dup = spark.createDataFrame(
+        [
+            Row(vec_id=100, embedding=[10.0] + [0.0] * 7),
+            Row(vec_id=200, embedding=[10.0] + [0.0] * 7),
+        ]
+    )
+    codes = {r.vec_id: list(r.codes) for r in pq_encode(dup, books).collect()}
+    assert codes[100] == codes[200]
+    assert len(codes[100]) == 4
+    assert all(0 <= c < 3 for c in codes[100])
+
+
+def test_pq_topk_recalls_cluster_neighbors(spark):
+    """ADC over codes must rank same-cluster members first on
+    separated clusters — recall@4 == 1 for every query."""
+    from mpg_data_warehouse_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train_codebooks,
+    )
+
+    corpus, _ = _pq_corpus(spark)
+    books = pq_train_codebooks(corpus, m=4, k=3, iters=2)
+    codes = pq_encode(corpus, books)
+    queries = corpus.where("vec_id in (0, 10, 20)")
+    got = pq_topk(codes, queries, books, k=4)
+    rows = got.collect()
+    for r in rows:
+        assert r.query_id // 10 == r.neighbor_id // 10, r
+    # every query found its 4 co-cluster members
+    from collections import Counter
+
+    per_q = Counter(r.query_id for r in rows)
+    assert per_q == {0: 4, 10: 4, 20: 4}
+
+
+def test_pq_plan_is_jvm_only(spark):
+    from mpg_data_warehouse_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train_codebooks,
+    )
+
+    corpus, _ = _pq_corpus(spark)
+    books = pq_train_codebooks(corpus, m=4, k=3, iters=1)
+    codes = pq_encode(corpus, books)
+    plan = (
+        pq_topk(codes, corpus.limit(2), books, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
