@@ -1040,3 +1040,111 @@ def pq_topk(
     return scored.withColumn(
         "rank", F.row_number().over(w).cast("long")
     ).filter(F.col("rank") <= k)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    k_codes: int = 16,
+    pq_iters: int = 2,
+    refine_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Full IVF-PQ: coarse cells bound WHICH rows each query scores,
+    PQ codes bound WHAT is read to score them — together the Faiss
+    IVF-PQ architecture (Jégou et al. 2011) on DataFrames.
+
+    Offline (index build): Lloyd-refined coarse centroids → map-only
+    cell assignment; PQ codebooks trained on RESIDUAL-free subvectors
+    (plain PQ — residual encoding would couple the codebooks to the
+    coarse step; this keeps both halves independently testable) →
+    map-only encoding. The corpus is scanned twice (assign, encode),
+    shuffled never; at rest the (id, cell, codes) index is m bytes +
+    a cell id per vector, the form ``ivf_write_index`` would persist
+    partitioned-by-cell.
+
+    Online: probe ``nprobe`` cells per query (broadcast centroid
+    ranking), then ADC-score ONLY probed members via the per-query
+    LUT over codes — neither the corpus vectors nor unprobed cells
+    are touched. Output: (query_id, neighbor_id, adc_dist, rank)."""
+    if refine_iters > 0:
+        centroids = kmeans_refine_centroids(
+            corpus, n_centroids, refine_iters, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        centroids = seed_centroids(corpus, n_centroids, id_col, vec_col)
+    cent_rows = _collect_centroid_rows(centroids)
+    books = pq_train_codebooks(
+        corpus, m=m, k=k_codes, iters=pq_iters, id_col=id_col, vec_col=vec_col
+    )
+    cells = with_nearest_cell(
+        corpus.select(
+            F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("_vn")
+        ),
+        cent_rows,
+        vec_col,
+        "_vn",
+    ).select(id_col, "cell", vec_col)
+    index = pq_encode(cells, books, id_col=id_col, vec_col=vec_col).join(
+        cells.select(id_col, "cell"), id_col
+    )
+
+    probes = _probe_cells(queries, centroids, nprobe, id_col, vec_col)
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    sub_dim = len(books[0][0][1])
+    luts = []
+    for r in q_rows:
+        qv = [float(x) for x in r[vec_col]]
+        lut = [
+            [
+                sum(
+                    (qv[j * sub_dim + t] - cvec[t]) ** 2
+                    for t in range(sub_dim)
+                )
+                for _, cvec in book
+            ]
+            for j, book in enumerate(books)
+        ]
+        luts.append((r[id_col], lut))
+    spark = corpus.sparkSession
+    lut_df = spark.createDataFrame(
+        luts, "query_id long, _lut array<array<double>>"
+    )
+    scored = (
+        index.join(
+            F.broadcast(
+                probes.select("query_id", "cell").join(lut_df, "query_id")
+            ),
+            "cell",
+        )
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("codes"),
+                        F.col("_lut"),
+                        lambda c, l: F.element_at(l, c.cast("int") + 1),
+                    ),
+                    F.lit(0.0).cast("double"),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            ).alias("adc_dist"),
+        )
+        .distinct()
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id")
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= k)

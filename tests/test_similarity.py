@@ -423,3 +423,29 @@ def test_pq_plan_is_jvm_only(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivfpq_topk_recalls_cluster_neighbors(spark):
+    """Probing + ADC together: co-cluster members rank first even when
+    a probed cell also holds a different cluster's members (rank-based
+    seeds all come from cluster 0 here, so the coarse cells are
+    imperfect by construction — ADC has to do the separating)."""
+    from mpg_data_warehouse_spark.operators.similarity import ivfpq_topk
+
+    corpus, _ = _pq_corpus(spark)
+    got = ivfpq_topk(
+        corpus,
+        corpus.where("vec_id in (0, 20)"),
+        k=4,
+        n_centroids=3,
+        nprobe=2,
+        m=4,
+        k_codes=3,
+    )
+    rows = got.collect()
+    assert rows, "no results"
+    for r in rows:
+        assert r.query_id // 10 == r.neighbor_id // 10, r
+    from collections import Counter
+
+    assert Counter(r.query_id for r in rows) == {0: 4, 20: 4}
