@@ -29,6 +29,8 @@ __all__ = [
     "budget_rebalance_sample",
     "temperature_mixture_sample",
     "cap_per_group",
+    "dsir_importance_weights",
+    "dsir_resample",
 ]
 
 
@@ -229,3 +231,153 @@ def cap_per_group(
         Window.partitionBy(group_col).orderBy(*order)
     )
     return df.withColumn("_rk", rk).filter(F.col("_rk") <= cap).drop("_rk")
+
+
+def _hashed_ngram_buckets(
+    text_col: str, n_buckets: int, max_n: int = 2
+) -> Column:
+    """Bag of hashed word n-grams (n = 1..max_n) as bucket ids in
+    [0, n_buckets): the DSIR feature space. Unigrams and bigrams come
+    from one tokenize pass (``sequence`` + ``slice`` windows — no
+    explode until the caller aggregates); hashing is ``xxhash64 %
+    n_buckets``, so the feature vocabulary is FIXED-width regardless
+    of corpus size — that is what keeps the importance table
+    broadcastable at any scale."""
+    from mpg_data_warehouse_spark.operators.text import norm_tokens
+
+    toks = norm_tokens(text_col)
+    grams = []
+    for n in range(1, max_n + 1):
+        # guard: sequence(1, 0) is DESCENDING [1, 0] in Spark, which
+        # would feed slice a zero start — short docs get no n-grams
+        positions = F.when(
+            F.size(toks) >= n,
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+        ).otherwise(F.array().cast("array<int>"))
+        grams.append(
+            F.transform(
+                positions,
+                lambda i, n=n: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        )
+    allgrams = grams[0] if len(grams) == 1 else F.concat(*grams)
+    return F.transform(
+        allgrams, lambda g: F.pmod(F.xxhash64(g), F.lit(n_buckets))
+    )
+
+
+def _bucket_distribution(
+    df: DataFrame, text_col: str, n_buckets: int, max_n: int
+) -> DataFrame:
+    """(bucket, cnt) over the corpus's hashed n-grams — one explode +
+    hash-agg; map-side combine collapses the Zipf head so the shuffle
+    carries ≤ n_buckets rows per partition."""
+    return (
+        df.select(
+            F.explode(
+                _hashed_ngram_buckets(text_col, n_buckets, max_n)
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dsir_importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10_000,
+    max_n: int = 2,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Per-document importance log-weights for Data Selection via
+    Importance Resampling (Xie et al., NeurIPS 2023 — public): score
+    each RAW doc by how much more likely its hashed-n-gram bag is
+    under the TARGET distribution than under the raw distribution,
+    ``log w(x) = Σ_features [log p̂_target(b) − log p̂_raw(b)]``
+    with add-α smoothed bucket probabilities.
+
+    Returns ``raw`` plus a ``dsir_logw`` column. Plan: two
+    fixed-width bucket aggregates (n_buckets rows each — the feature
+    hashing guarantee), a broadcast join of the log-ratio table onto
+    the exploded features, one hash-agg back to doc grain, and a
+    left join to keep featureless docs at weight 0. The corpora are
+    each scanned once; nothing corpus-sized shuffles."""
+    t = _bucket_distribution(target, text_col, n_buckets, max_n)
+    r = _bucket_distribution(raw, text_col, n_buckets, max_n)
+    t_total = t.agg(F.sum("cnt")).first()[0] or 0
+    r_total = r.agg(F.sum("cnt")).first()[0] or 0
+    a = float(smoothing)
+    ratio = (
+        t.withColumnsRenamed({"cnt": "t_cnt"})
+        .join(r.withColumnsRenamed({"cnt": "r_cnt"}), "bucket", "full_outer")
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce("t_cnt", F.lit(0)) + a)
+                    / (t_total + a * n_buckets)
+                )
+                - F.log(
+                    (F.coalesce("r_cnt", F.lit(0)) + a)
+                    / (r_total + a * n_buckets)
+                )
+            ).alias("lr"),
+        )
+    )
+    doc_feats = raw.select(
+        F.col(id_col),
+        F.explode(_hashed_ngram_buckets(text_col, n_buckets, max_n)).alias(
+            "bucket"
+        ),
+    )
+    logw = (
+        doc_feats.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum("lr").alias("dsir_logw"))
+    )
+    return raw.join(logw, id_col, "left").withColumn(
+        "dsir_logw", F.coalesce(F.col("dsir_logw"), F.lit(0.0))
+    )
+
+
+def dsir_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 10_000,
+    max_n: int = 2,
+    smoothing: float = 1.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Select ~``n`` raw docs matching the target distribution:
+    Gumbel-top-k over the importance weights (sampling WITHOUT
+    replacement ∝ w — the DSIR selection rule), with the Gumbel noise
+    derived from ``xxhash64(id, seed)`` so the draw is a pure
+    function of (corpus, seed): reruns and retries select the same
+    documents, and a new seed is an independent draw.
+
+    The top-k is a TakeOrdered (per-partition top-n + driver merge of
+    n keys), not a global sort — fine for selection budgets that fit
+    a driver merge. For larger budgets, cut at the (1 − n/N) quantile
+    of the key with ``percentile_approx`` and filter — fully
+    distributed, approximately n rows."""
+    weighted = dsir_importance_weights(
+        raw, target, id_col, text_col, n_buckets, max_n, smoothing
+    )
+    # uniform in (0,1) from the id hash; never exactly 0 or 1
+    u = (
+        (F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(2**40)) + 0.5)
+        / F.lit(float(2**40))
+    )
+    gumbel = -F.log(-F.log(u))
+    return (
+        weighted.withColumn("_gkey", F.col("dsir_logw") + gumbel)
+        .orderBy(F.col("_gkey").desc())
+        .limit(n)
+        .drop("_gkey")
+    )

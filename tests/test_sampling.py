@@ -175,3 +175,79 @@ def test_cap_per_group_default_keeps_earliest(spark):
     )
     kept = sorted(r.doc_id for r in cap_per_group(df, "source", 2).collect())
     assert kept == [0, 1]
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling
+# ---------------------------------------------------------------------------
+
+
+def _dsir_corpora(spark):
+    from pyspark.sql import Row
+
+    sci = [
+        "the experiment measured particle decay rates in the detector",
+        "quantum field theory predicts the observed particle spectrum",
+        "detector calibration improved measurement of decay channels",
+    ]
+    chat = [
+        "lol that movie was so great you have to see it",
+        "omg cant believe the game last night so wild",
+        "haha yeah totally agree see you at the party",
+    ]
+    target = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(sci)]
+    )
+    raw = spark.createDataFrame(
+        [Row(doc_id=100 + i, text=t) for i, t in enumerate(sci + chat)]
+    )
+    return raw, target
+
+
+def test_dsir_weights_rank_on_target_docs_higher(spark):
+    from mpg_data_warehouse_spark.operators.sampling import (
+        dsir_importance_weights,
+    )
+
+    raw, target = _dsir_corpora(spark)
+    got = {
+        r.doc_id: r.dsir_logw
+        for r in dsir_importance_weights(raw, target).collect()
+    }
+    assert len(got) == 6
+    sci_w = [got[i] for i in (100, 101, 102)]
+    chat_w = [got[i] for i in (103, 104, 105)]
+    assert min(sci_w) > max(chat_w)
+
+
+def test_dsir_resample_prefers_target_like_and_is_deterministic(spark):
+    from mpg_data_warehouse_spark.operators.sampling import dsir_resample
+
+    raw, target = _dsir_corpora(spark)
+    pick = lambda seed: sorted(
+        r.doc_id for r in dsir_resample(raw, target, n=3, seed=seed).collect()
+    )
+    sel = pick(0)
+    assert len(sel) == 3
+    # heavily separated weights: the science docs dominate the draw
+    assert set(sel) <= {100, 101, 102}
+    # same seed -> identical draw; the draw is a pure function of input
+    assert sel == pick(0)
+
+
+def test_dsir_featureless_docs_get_zero_weight(spark):
+    from pyspark.sql import Row
+
+    from mpg_data_warehouse_spark.operators.sampling import (
+        dsir_importance_weights,
+    )
+
+    raw, target = _dsir_corpora(spark)
+    raw2 = raw.unionByName(
+        spark.createDataFrame([Row(doc_id=999, text="")])
+    )
+    got = {
+        r.doc_id: r.dsir_logw
+        for r in dsir_importance_weights(raw2, target).collect()
+    }
+    assert got[999] == 0.0
