@@ -314,6 +314,11 @@ def curate_corpus_pipeline(
     strip_spans_tokens: int | None = None,
     eval_set: DataFrame | None = None,
     decontaminate_shingle_n: int = 13,
+    classifier: tuple[DataFrame, float] | None = None,
+    min_classifier_p: float | None = None,
+    max_docs_per_source: int | None = None,
+    dsir_target: DataFrame | None = None,
+    dsir_n: int | None = None,
     funnel: dict | None = None,
 ) -> DataFrame:
     """End-to-end training-corpus curation, composing the engine's
@@ -323,12 +328,16 @@ def curate_corpus_pipeline(
         NBSP / zero-width variants of identical text must hash
         identically or every downstream dedup stage misses them) →
         [optional line-level boilerplate strip] → quality filter →
-        [optional unigram-LM perplexity gate] → [optional eval-set
-        decontamination (``eval_set``, GPT-3 n-gram recipe)] → exact
-        dedup (keep canonical) → near-dup retention (MinHash+LSH → verify →
-        connected components, keep one per cluster) → [optional
-        passage-level duplicate-span strip (``strip_spans_tokens``)] →
-        [optional per-source token-budget rebalance OR
+        [optional trained-classifier gate (``classifier`` NB weights +
+        ``min_classifier_p``)] → [optional unigram-LM perplexity
+        gate] → [optional eval-set decontamination (``eval_set``,
+        GPT-3 n-gram recipe)] → exact dedup (keep canonical) →
+        near-dup retention (MinHash+LSH → verify → connected
+        components, keep one per cluster) → [optional passage-level
+        duplicate-span strip (``strip_spans_tokens``)] → [optional
+        per-source doc cap (``max_docs_per_source``)] → [optional
+        DSIR target-matched selection (``dsir_target`` +
+        ``dsir_n``)] → [optional per-source token-budget rebalance OR
         temperature-flattened mixture sample] → sequence packing
 
     Output: packed chunks (doc_id, chunk_id, chunk_text, n_tokens)
@@ -401,6 +410,24 @@ def curate_corpus_pipeline(
         "quality",
     )
 
+    if classifier is not None and min_classifier_p is not None:
+        # Trained quality gate (NB log-odds weights): broadcast weight
+        # join, map-side over the corpus — same stage the curation
+        # STREAM applies per micro-batch.
+        from mpg_data_warehouse_spark.operators.text import (
+            quality_classifier_scores,
+        )
+
+        weights, bias = classifier
+        liked = quality_classifier_scores(
+            kept, weights, bias=bias, threshold=min_classifier_p
+        ).filter(F.col("quality_keep"))
+        kept = _obs(
+            kept.join(liked.select("doc_id"), "doc_id", "left_semi"),
+            funnel,
+            "classifier",
+        )
+
     if lm_model is not None and max_nll_per_token is not None:
         model, oov_logp = lm_model
         fluent = doc_logprob_score(kept, model, oov_logp).filter(
@@ -466,6 +493,36 @@ def curate_corpus_pipeline(
             keep_first=True,
         )
         survivors = survivors.drop("text").join(stripped, "doc_id")
+
+    if max_docs_per_source is not None:
+        # Domain caps BEFORE the token-budget shaping: a runaway
+        # domain should lose docs to the cap (quality-blind here,
+        # keep-earliest deterministic), not distort the mix targets.
+        from mpg_data_warehouse_spark.operators.sampling import (
+            cap_per_group,
+        )
+
+        survivors = _obs(
+            cap_per_group(survivors, "source", max_docs_per_source),
+            funnel,
+            "source_cap",
+        )
+
+    if dsir_target is not None and dsir_n is not None:
+        # Target-distribution selection (DSIR) replaces heuristic mix
+        # shaping when a target corpus exists; it composes after the
+        # dedup stages so importance weights never favor duplicates.
+        from mpg_data_warehouse_spark.operators.sampling import (
+            dsir_resample,
+        )
+
+        survivors = _obs(
+            dsir_resample(survivors, dsir_target, n=dsir_n).drop(
+                "dsir_logw"
+            ),
+            funnel,
+            "dsir",
+        )
 
     if target_tokens_per_source is not None:
         toks = F.filter(tokens("text"), lambda t: t != F.lit(""))

@@ -492,3 +492,61 @@ def test_curate_corpus_pipeline_funnel_observations(spark):
     assert got["quality"] == 3        # doc 3 dropped
     assert got["exact_dedup"] == 2    # doc 2 collapsed into 1
     assert got["near_dedup"] == 2     # no near dups beyond exact
+
+
+def test_curate_corpus_pipeline_classifier_cap_and_dsir_stages(spark):
+    """Round-4 stages compose: the trained classifier gate drops
+    off-model docs, per-source caps bound a dominant source, and DSIR
+    selects target-like survivors."""
+    from pyspark.sql import Row
+
+    from mpg_data_warehouse_spark.operators.text import nb_term_weights
+    from mpg_data_warehouse_spark.plans.pipelines import (
+        curate_corpus_pipeline,
+    )
+
+    good = "the committee published detailed findings about the survey"
+    spam = "click here buy now free prize winner subscribe cheap deal"
+    docs = spark.createDataFrame(
+        [
+            (i, good + f" topic{i} " + " ".join(f"w{i}x{j}" for j in range(8)), "web")
+            for i in range(6)
+        ]
+        + [(50, spam + " " + " ".join(f"s{j}" for j in range(8)), "web")],
+        ["doc_id", "text", "source"],
+    )
+    pos = spark.createDataFrame(
+        [Row(doc_id=i, text=good + f" extra{i}") for i in range(3)]
+    )
+    neg = spark.createDataFrame(
+        [Row(doc_id=i, text=spam + f" extra{i}") for i in range(3)]
+    )
+    weights, bias = nb_term_weights(pos, neg)
+
+    out = curate_corpus_pipeline(
+        docs,
+        min_quality=0.0,
+        max_tokens=32,
+        overlap=0,
+        classifier=(weights, bias),
+        min_classifier_p=0.5,
+        max_docs_per_source=4,
+    )
+    kept = {r.doc_id for r in out.select("doc_id").distinct().collect()}
+    assert 50 not in kept          # classifier-gated
+    assert len(kept) == 4          # source cap holds
+    assert kept == {0, 1, 2, 3}    # keep-earliest determinism
+
+    # DSIR stage: target matching selects good-like docs
+    target = pos
+    out2 = curate_corpus_pipeline(
+        docs,
+        min_quality=0.0,
+        max_tokens=32,
+        overlap=0,
+        dsir_target=target,
+        dsir_n=3,
+    )
+    kept2 = {r.doc_id for r in out2.select("doc_id").distinct().collect()}
+    assert len(kept2) == 3
+    assert 50 not in kept2
