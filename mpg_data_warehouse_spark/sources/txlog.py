@@ -543,17 +543,38 @@ def delete(
 
 
 def compact(
-    spark: SparkSession, table: str, target_partitions: int | None = None
+    spark: SparkSession,
+    table: str,
+    target_partitions: int | None = None,
+    cluster_by: list[str] | None = None,
 ) -> int:
     """OPTIMIZE: rewrite every live file into one fresh commit group.
     Collapses small-file buildup from high-frequency appends AND (for
     partitioned tables) bounds the per-snapshot union width that
     ``_read_files`` pays per live commit group. Metadata-atomic like
     every other op; time travel to pre-compaction versions still works
-    until vacuumed."""
+    until vacuumed.
+
+    ``cluster_by`` is OPTIMIZE's clustering half: range-repartition +
+    in-file sort on the given columns, so each rewritten file owns a
+    narrow, near-disjoint slice of the key space and its footer
+    min/max becomes a sharp index. That turns the format's stats
+    pruning (MERGE/DELETE ``_touched_files``, ``read_pruned``) from
+    best-effort into decisive: a point mutation on a clustered 100 TB
+    table touches O(1) files, an unclustered one touches every file
+    whose random key range happens to straddle the key. Appends then
+    interleave fresh unclustered files — re-cluster on a cadence,
+    exactly like Delta's OPTIMIZE ZORDER."""
     state = snapshot_state(table)
     df = _read_files(spark, table, state)
-    if target_partitions:
+    if cluster_by:
+        cols = [F.col(c) for c in cluster_by]
+        if target_partitions:
+            df = df.repartitionByRange(target_partitions, *cols)
+        else:
+            df = df.repartitionByRange(*cols)
+        df = df.sortWithinPartitions(*cols)
+    elif target_partitions:
         df = df.repartition(target_partitions)
     adds = _write_data_files(df, table, state["partition_by"])
     removed = set(state["files"])
@@ -801,3 +822,42 @@ def incremental_rollup(
 
     _commit_retry(rollup_path, build)
     return src_head
+
+
+def read_pruned(
+    spark: SparkSession,
+    table: str,
+    col: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot read with FILE-level skipping on ``col``'s range
+    [lo, hi]: files whose footer min/max is provably disjoint never
+    enter the scan (driver-side, zero I/O), and the residual row
+    filter still applies inside survivors — same answers as
+    ``read().where()``, touching only the files that can match. On a
+    ``compact(cluster_by=[col])``-maintained table this is an index
+    scan over plain parquet. Unbounded sides (lo/hi None) prune on
+    the bounded side only; files without stats are always kept."""
+    if lo is None and hi is None:
+        raise ValueError("at least one of lo/hi is required")
+    state = snapshot_state(table, version)
+    keep = []
+    for p, a in state["files"].items():
+        fmin, fmax = a["min"].get(col), a["max"].get(col)
+        if fmin is None or fmax is None:
+            keep.append(p)  # no stats: cannot prune
+            continue
+        if lo is not None and fmax < lo:
+            continue
+        if hi is not None and fmin > hi:
+            continue
+        keep.append(p)
+    df = _read_files(spark, table, state, keep)
+    cond = F.lit(True)
+    if lo is not None:
+        cond = cond & (F.col(col) >= F.lit(lo))
+    if hi is not None:
+        cond = cond & (F.col(col) <= F.lit(hi))
+    return df.where(cond)

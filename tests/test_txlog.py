@@ -407,3 +407,63 @@ def test_incremental_rollup_handles_deletes(spark, tmp_path):
         .collect()
     )
     assert {r.segment: (r.total, r.n) for r in fresh} == {"a": (10.0, 2)}
+
+
+def test_cluster_by_compaction_sharpens_pruning(spark, tmp_path):
+    """After OPTIMIZE with cluster_by, files own disjoint key slices:
+    a point merge touches exactly one file, and read_pruned skips the
+    rest at the metadata level."""
+    t = str(tmp_path / "t")
+    # interleaved appends: every file spans most of the key range
+    txlog.create(spark, t, _mk(spark, range(0, 100, 2)).coalesce(1))
+    txlog.append(spark, t, _mk(spark, range(1, 100, 2)).coalesce(1))
+    state = txlog.snapshot_state(t)
+    # unclustered: both files overlap any point key's range
+    assert (
+        len(
+            txlog._touched_files(
+                spark,
+                t,
+                state,
+                spark.createDataFrame(
+                    [Row(cust_id=51, segment="a", balance=0.0)]
+                ),
+                ["cust_id"],
+            )
+        )
+        >= 1
+    )
+
+    txlog.compact(spark, t, target_partitions=4, cluster_by=["cust_id"])
+    state = txlog.snapshot_state(t)
+    ranges = sorted(
+        (a["min"]["cust_id"], a["max"]["cust_id"])
+        for a in state["files"].values()
+    )
+    assert len(ranges) == 4
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # disjoint slices
+
+    # point merge now touches exactly one file
+    updates = spark.createDataFrame(
+        [Row(cust_id=51, segment="vip", balance=0.0)]
+    )
+    touched = txlog._touched_files(spark, t, state, updates, ["cust_id"])
+    assert len(touched) == 1
+
+    # and read_pruned's file list shrinks to the matching slice
+    pruned = txlog.read_pruned(spark, t, "cust_id", lo=50, hi=55)
+    assert {r.cust_id for r in pruned.collect()} == set(range(50, 56))
+
+
+def test_read_pruned_matches_full_filter(spark, tmp_path):
+    t = str(tmp_path / "t")
+    txlog.create(spark, t, _mk(spark, range(50)).coalesce(2))
+    txlog.append(spark, t, _mk(spark, range(100, 150)).coalesce(2))
+    full = txlog.read(spark, t).where("cust_id >= 120").collect()
+    pruned = txlog.read_pruned(spark, t, "cust_id", lo=120).collect()
+    assert sorted(r.cust_id for r in pruned) == sorted(
+        r.cust_id for r in full
+    )
+    with pytest.raises(ValueError):
+        txlog.read_pruned(spark, t, "cust_id")
