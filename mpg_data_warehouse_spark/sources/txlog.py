@@ -288,21 +288,25 @@ def _read_files(
     rels = sorted(state["files"] if rel_paths is None else rel_paths)
     if not rels:
         return spark.createDataFrame([], state["schema"])
+    # mergeSchema: footer-level union so files written before an
+    # additive schema evolution read their missing columns as null
     if not state["partition_by"]:
-        return spark.read.parquet(*[os.path.join(table, p) for p in rels])
+        return spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(table, p) for p in rels]
+        )
     groups: dict[str, list[str]] = {}
     for rel in rels:
         segs = rel.split(os.sep)
         groups.setdefault(os.path.join(*segs[:2]), []).append(rel)
     parts = [
-        spark.read.option("basePath", os.path.join(table, grp)).parquet(
-            *[os.path.join(table, p) for p in members]
-        )
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", os.path.join(table, grp))
+        .parquet(*[os.path.join(table, p) for p in members])
         for grp, members in sorted(groups.items())
     ]
     out = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p)
+        out = out.unionByName(p, allowMissingColumns=True)
     return out
 
 
@@ -364,17 +368,63 @@ def _check_schema(state: dict, df: DataFrame) -> None:
         )
 
 
-def append(spark: SparkSession, table: str, df: DataFrame) -> int:
+def append(
+    spark: SparkSession,
+    table: str,
+    df: DataFrame,
+    merge_schema: bool = False,
+) -> int:
     """Blind append: new files + add-only commit. Appends never
     conflict with appends — losing a version race just re-commits the
-    same adds at the next slot."""
+    same adds at the next slot.
+
+    ``merge_schema=True`` is additive schema evolution (Delta's
+    ``mergeSchema``): new columns in ``df`` widen the table schema via
+    the commit's ``schema`` field (log metadata — zero data rewritten;
+    old files simply lack the column and read as null). Type CHANGES
+    on existing columns are still rejected — silent coercion corrupts;
+    rewrite via ``overwrite`` for that."""
     state = snapshot_state(table)
-    _check_schema(state, df)
+    if merge_schema:
+        evolved = _merge_schema_ddl(state["schema"], df)
+    else:
+        _check_schema(state, df)
+        evolved = None
     adds = _write_data_files(df, table, state["partition_by"])
-    return _commit_retry(
-        table,
-        lambda _s: {"op": "append", "actions": [{"add": a} for a in adds]},
-    )
+
+    def build(_s: dict) -> dict:
+        commit = {"op": "append", "actions": [{"add": a} for a in adds]}
+        if evolved is not None:
+            commit["schema"] = evolved
+        return commit
+
+    return _commit_retry(table, build)
+
+
+def _merge_schema_ddl(table_schema: str | None, df: DataFrame) -> str:
+    """Additive union of the table schema and ``df``'s: table fields
+    first (original order), then genuinely new fields. Raises on a
+    dtype conflict for any shared field name."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    if not table_schema:
+        return df.schema.simpleString()
+    current = _parse_datatype_string(table_schema)
+    incoming = {f.name: f for f in df.schema.fields}
+    out = []
+    for f in current.fields:
+        inc = incoming.pop(f.name, None)
+        if inc is not None and inc.dataType != f.dataType:
+            raise ValueError(
+                f"schema merge conflict on '{f.name}': table has "
+                f"{f.dataType.simpleString()}, append has "
+                f"{inc.dataType.simpleString()}"
+            )
+        out.append(f)
+    out.extend(incoming.values())
+    from pyspark.sql.types import StructType
+
+    return StructType(out).simpleString()
 
 
 def overwrite(spark: SparkSession, table: str, df: DataFrame) -> int:

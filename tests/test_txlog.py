@@ -467,3 +467,35 @@ def test_read_pruned_matches_full_filter(spark, tmp_path):
     )
     with pytest.raises(ValueError):
         txlog.read_pruned(spark, t, "cust_id")
+
+
+def test_append_merge_schema_evolves_additively(spark, tmp_path):
+    t = str(tmp_path / "t")
+    txlog.create(spark, t, _mk(spark, range(3)))
+    wider = spark.createDataFrame(
+        [
+            Row(cust_id=10, segment="a", balance=1.0, tier="gold"),
+        ]
+    )
+    # strict mode still refuses
+    with pytest.raises(ValueError, match="schema mismatch"):
+        txlog.append(spark, t, wider)
+    txlog.append(spark, t, wider, merge_schema=True)
+    got = txlog.read(spark, t)
+    assert set(got.columns) == {"cust_id", "segment", "balance", "tier"}
+    rows = {r.cust_id: r for r in got.collect()}
+    assert rows[10].tier == "gold"
+    assert rows[0].tier is None  # pre-evolution rows read as null
+    # subsequent strict appends must carry the evolved schema
+    with pytest.raises(ValueError, match="schema mismatch"):
+        txlog.append(spark, t, _mk(spark, range(100, 101)))
+
+
+def test_append_merge_schema_rejects_type_change(spark, tmp_path):
+    t = str(tmp_path / "t")
+    txlog.create(spark, t, _mk(spark, range(3)))
+    conflicted = spark.createDataFrame(
+        [Row(cust_id="not-a-number", segment="a", balance=1.0)]
+    )
+    with pytest.raises(ValueError, match="merge conflict on 'cust_id'"):
+        txlog.append(spark, t, conflicted, merge_schema=True)
