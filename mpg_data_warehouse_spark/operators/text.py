@@ -683,3 +683,43 @@ def quality_classifier_scores(
         .withColumn("quality_keep", F.col("quality_p") >= F.lit(threshold))
         .drop("_w_sum")
     )
+
+
+def with_compression_ratio(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Append ``compress_ratio`` = deflate(utf8(text)) bytes / raw
+    bytes — the compression-based repetition signal of the MassiveText
+    /Gopher filters (Rae et al. 2021, public): highly repetitive or
+    templated documents compress far below natural prose (~0.3–0.6),
+    so a low ratio flags machine-generated spam that token-level
+    heuristics (``repetition_signals``) can miss, and a ratio near 1
+    flags already-compressed/binary junk. Empty texts get null.
+
+    This is a deliberate Python boundary — DEFLATE has no JVM column
+    form — kept Arrow-vectorized (pandas UDF batches, zlib releases
+    the GIL) exactly like the multimodal byte decoders; it is the
+    only non-JVM stage in the text family and never appears in a
+    contract-query plan. Cost is one map pass; combine with cheap
+    JVM-side gates FIRST so only their survivors pay it."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _ratio_fn(texts):
+        import zlib
+
+        def one(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return None
+            return len(zlib.compress(raw, 6)) / len(raw)
+
+        return texts.map(one)
+
+    # real annotation objects: this module's `from __future__ import
+    # annotations` would otherwise hand pandas_udf unresolvable strings
+    _ratio_fn.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    _ratio = pandas_udf(_ratio_fn, "double")
+    return df.withColumn("compress_ratio", _ratio(F.col(text_col)))

@@ -257,3 +257,28 @@ def test_quality_classifier_is_jvm_only(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_compression_ratio_flags_repetitive_text(spark):
+    from pyspark.sql import Row
+
+    from mpg_data_warehouse_spark.operators.text import (
+        with_compression_ratio,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spam " * 400),
+            Row(
+                doc_id=2,
+                text="The committee reviewed seventeen distinct proposals "
+                "covering watershed restoration, pollinator habitat, and "
+                "long-term soil monitoring across the property. " * 4,
+            ),
+            Row(doc_id=3, text=""),
+        ]
+    )
+    got = {r.doc_id: r.compress_ratio for r in with_compression_ratio(docs).collect()}
+    assert got[1] < 0.05          # pure repetition collapses
+    assert got[2] > got[1]        # prose compresses less
+    assert got[3] is None         # empty -> null, never div-by-zero
