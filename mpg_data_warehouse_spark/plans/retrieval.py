@@ -1,0 +1,189 @@
+"""RAG-style retrieval pipeline: chunk → embed → IVF index → query.
+
+Composes the engine's chunking and persisted-IVF operators into the
+standard retrieval-augmented-generation data path. The embedding
+model is the ONLY external dependency of a real deployment; this
+module keeps that boundary explicit:
+
+- ``hashed_feature_embedding`` is a DETERMINISTIC STAND-IN encoder —
+  signed feature hashing of word n-grams into a dense unit vector
+  (the classic hashing-trick text representation, Weinberger et al.
+  2009 — public). It is a real lexical embedding (cosine-similar
+  texts share n-grams), not a neural one; swap in a model-served
+  embedding column for production. Everything downstream (chunk
+  grid, index layout, probe pruning, score ranking) is the real,
+  tested path and does not change when the encoder does.
+
+Scale: chunking is a narrow map; embedding is one explode + (chunk,
+bucket) hash-agg + dense assembly (shuffle carries one row per
+non-zero bucket per chunk, never text); the index build/probe story
+is ``ivf_write_index``'s — probes scan nprobe partitions only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mpg_data_warehouse_spark.operators.chunking import pack_sequences
+from mpg_data_warehouse_spark.operators.similarity import (
+    ivf_probe_index,
+    ivf_write_index,
+    l2_norm,
+)
+from mpg_data_warehouse_spark.operators.text import norm_tokens
+
+
+def hashed_feature_embedding(
+    df: DataFrame,
+    text_col: str,
+    dim: int = 64,
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Append a deterministic ``array<double>`` unit-norm embedding:
+    each token maps to bucket ``xxhash64(tok) % dim`` with sign from a
+    second hash bit; components are signed counts, L2-normalized.
+    Pure column math — explode, two-key hash-agg, sorted assembly via
+    ``array_agg`` over a (bucket, value) struct — so the encoder is
+    engine-replayable and needs no model runtime. Empty texts embed
+    as the zero-guard unit vector e_0 (retrieval still total)."""
+    toks = df.withColumn("_tok", F.explode(norm_tokens(text_col)))
+    comps = (
+        toks.withColumn("_b", F.pmod(F.xxhash64("_tok"), F.lit(dim)))
+        .withColumn(
+            "_s",
+            F.when(
+                F.pmod(F.xxhash64("_tok", F.lit(1)), F.lit(2)) == 0, 1.0
+            ).otherwise(-1.0),
+        )
+        .groupBy(*df.columns, "_b")
+        .agg(F.sum("_s").alias("_v"))
+        .groupBy(*df.columns)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_b"), F.col("_v")))
+            ).alias("_bv")
+        )
+    )
+    # dense vector: for each component, the matching sparse value or 0
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(
+            F.element_at(
+                F.map_from_entries(F.col("_bv")), i.cast("long")
+            ),
+            F.lit(0.0),
+        ),
+    )
+    with_vec = comps.withColumn("_dense", dense).drop("_bv")
+    norm = l2_norm(F.col("_dense"))
+    unit = F.when(
+        norm > 0, F.transform(F.col("_dense"), lambda x: x / norm)
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.when(i == 0, 1.0).otherwise(0.0),
+        )
+    )
+    out = with_vec.withColumn(out_col, unit).drop("_dense")
+    # docs with NO tokens never reach the explode: re-attach with e_0
+    missing = df.join(out.select(*df.columns), df.columns, "left_anti")
+    e0 = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.when(i == 0, 1.0).otherwise(0.0),
+    )
+    return out.unionByName(missing.withColumn(out_col, e0))
+
+
+def build_retrieval_index(
+    docs: DataFrame,
+    index_path: str,
+    chunks_path: str,
+    dim: int = 64,
+    max_tokens: int = 64,
+    overlap: int = 8,
+    n_centroids: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Offline half: chunk the corpus, embed each chunk, persist the
+    chunk store (id → text, for hydration) and the IVF index over the
+    chunk embeddings. Chunk ids are dense ``doc_id * 2^20 + chunk_id``
+    composites — deterministic, reversible, collision-free for docs
+    under 2^20 chunks."""
+    chunks = pack_sequences(
+        docs, id_col, text_col, max_tokens=max_tokens, overlap=overlap
+    ).withColumn(
+        "chunk_key",
+        (F.col(id_col).cast("long") * F.lit(1 << 20))
+        + F.col("chunk_id").cast("long"),
+    )
+    chunks.select(
+        "chunk_key", id_col, "chunk_id", "chunk_text"
+    ).write.mode("overwrite").parquet(chunks_path)
+    embedded = hashed_feature_embedding(
+        chunks.select("chunk_key", "chunk_text"), "chunk_text", dim
+    )
+    ivf_write_index(
+        embedded.select("chunk_key", "embedding"),
+        index_path,
+        n_centroids=n_centroids,
+        id_col="chunk_key",
+        vec_col="embedding",
+    )
+
+
+def retrieve(
+    spark: SparkSession,
+    index_path: str,
+    chunks_path: str,
+    query_texts: list[str],
+    k: int = 5,
+    dim: int = 64,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Online half: embed the query strings with the SAME encoder,
+    probe the persisted index (partition-pruned — only nprobe cells
+    open), and hydrate the winning chunks' text from the chunk store.
+    Output: (query_id, query_text, chunk_key, doc_id, chunk_id,
+    chunk_text, cos_sim, rank); ``query_id`` is the position in
+    ``query_texts``."""
+    if not query_texts:
+        raise ValueError("query_texts is empty")
+    queries = hashed_feature_embedding(
+        spark.createDataFrame(
+            list(enumerate(query_texts)), "chunk_key long, q_text string"
+        ),
+        "q_text",
+        dim,
+    )
+    hits = ivf_probe_index(
+        spark,
+        index_path,
+        queries.select("chunk_key", "embedding"),
+        k=k,
+        nprobe=nprobe,
+        id_col="chunk_key",
+        vec_col="embedding",
+    )
+    chunks = spark.read.parquet(chunks_path)
+    return (
+        hits.withColumnRenamed("neighbor_id", "chunk_key")
+        .join(chunks, "chunk_key")
+        .join(
+            spark.createDataFrame(
+                list(enumerate(query_texts)), "query_id long, query_text string"
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "query_text",
+            "chunk_key",
+            "doc_id",
+            "chunk_id",
+            "chunk_text",
+            "cos_sim",
+            "rank",
+        )
+    )
