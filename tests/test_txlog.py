@@ -499,3 +499,101 @@ def test_append_merge_schema_rejects_type_change(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="merge conflict on 'cust_id'"):
         txlog.append(spark, t, conflicted, merge_schema=True)
+
+
+def test_scripted_op_sequence_matches_model(spark, tmp_path):
+    """Model-based check: a fixed mixed sequence of appends, merges,
+    deletes, overwrites, restores, and compactions must leave the
+    table equal to a driver-side dict model applied step by step —
+    and every intermediate version must still time-travel to its
+    recorded state."""
+    t = str(tmp_path / "t")
+
+    def row(i, seg="a", bal=None):
+        return Row(
+            cust_id=i, segment=seg, balance=float(i) if bal is None else bal
+        )
+
+    def df(rows):
+        return spark.createDataFrame(rows)
+
+    model: dict[int, tuple] = {}
+    snapshots: dict[int, dict] = {}
+
+    def snap(version):
+        snapshots[version] = dict(model)
+
+    v = txlog.create(spark, t, df([row(i) for i in range(5)]))
+    model.update({i: ("a", float(i)) for i in range(5)})
+    snap(v)
+
+    v = txlog.append(spark, t, df([row(i, "b") for i in range(10, 13)]))
+    model.update({i: ("b", float(i)) for i in range(10, 13)})
+    snap(v)
+
+    v = txlog.merge(
+        spark, t, df([row(2, "vip", 99.0), row(50, "new", 1.0)]), ["cust_id"]
+    )
+    model[2] = ("vip", 99.0)
+    model[50] = ("new", 1.0)
+    snap(v)
+
+    v = txlog.delete(spark, t, "segment = 'b'")
+    model = {k: vv for k, vv in model.items() if vv[0] != "b"}
+    snap(v)
+
+    v = txlog.compact(spark, t, target_partitions=2)
+    snap(v)
+
+    v = txlog.overwrite(spark, t, df([row(100, "z", 0.0)]))
+    model = {100: ("z", 0.0)}
+    snap(v)
+
+    restore_to = 3  # the post-delete state
+    v = txlog.restore(spark, t, restore_to)
+    model = dict(snapshots[restore_to])
+    snap(v)
+
+    v = txlog.merge(spark, t, df([row(0, "a", -1.0)]), ["cust_id"])
+    model[0] = ("a", -1.0)
+    snap(v)
+
+    def table_state(version=None):
+        return {
+            r.cust_id: (r.segment, r.balance)
+            for r in txlog.read(spark, t, version).collect()
+        }
+
+    assert table_state() == model
+    for version, expected in snapshots.items():
+        assert table_state(version) == expected, f"version {version}"
+
+
+def test_two_threads_append_concurrently(spark, tmp_path):
+    """Two writers racing real commits: both appends must land (at
+    distinct versions) with no lost update and no duplicate rows."""
+    import threading
+
+    t = str(tmp_path / "t")
+    txlog.create(spark, t, _mk(spark, range(3)))
+    errors = []
+
+    def worker(lo):
+        try:
+            txlog.append(spark, t, _mk(spark, range(lo, lo + 5)))
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=worker, args=(lo,)) for lo in (100, 200)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    got = sorted(r.cust_id for r in txlog.read(spark, t).collect())
+    assert got == sorted(
+        list(range(3)) + list(range(100, 105)) + list(range(200, 205))
+    )
+    assert txlog.latest_version(t) == 2
