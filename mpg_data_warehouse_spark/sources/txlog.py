@@ -911,3 +911,27 @@ def read_pruned(
     if hi is not None:
         cond = cond & (F.col(col) <= F.lit(hi))
     return df.where(cond)
+
+
+def diff_versions(
+    spark: SparkSession,
+    table: str,
+    from_version: int,
+    to_version: int | None = None,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """EXACT row-level diff between two versions: keyed CDC via
+    ``versioned.table_diff`` over the two snapshot reads —
+    added/removed/changed per key, immune to file churn (compaction,
+    merge rewrites of unchanged neighbors) that the file-delta
+    ``read_changes`` feed surfaces as delete+insert pairs. Costs two
+    snapshot scans reduced map-side to (keys, payload-hash) rows; use
+    ``read_changes`` when the window is append-mostly and O(delta)
+    matters more than churn-exactness."""
+    from mpg_data_warehouse_spark.operators.versioned import table_diff
+
+    if not keys:
+        raise ValueError("keys are required for a row-level diff")
+    old = read(spark, table, from_version)
+    new = read(spark, table, to_version)
+    return table_diff(old, new, keys)

@@ -597,3 +597,30 @@ def test_two_threads_append_concurrently(spark, tmp_path):
         list(range(3)) + list(range(100, 105)) + list(range(200, 205))
     )
     assert txlog.latest_version(t) == 2
+
+
+def test_diff_versions_is_churn_exact(spark, tmp_path):
+    """Compaction churns every file, but the row-level diff between
+    the pre-churn and post-merge versions reports only the real
+    changes."""
+    t = str(tmp_path / "t")
+    txlog.create(spark, t, _mk(spark, range(5)))
+    v0 = 0
+    txlog.compact(spark, t)  # pure churn: no row changed
+    txlog.merge(
+        spark,
+        t,
+        spark.createDataFrame(
+            [Row(cust_id=2, segment="vip", balance=0.0),
+             Row(cust_id=77, segment="new", balance=1.0)]
+        ),
+        ["cust_id"],
+    )
+    txlog.delete(spark, t, "cust_id = 4")
+    got = {
+        (r.cust_id, r.change)
+        for r in txlog.diff_versions(
+            spark, t, v0, keys=["cust_id"]
+        ).collect()
+    }
+    assert got == {(2, "changed"), (77, "added"), (4, "removed")}
