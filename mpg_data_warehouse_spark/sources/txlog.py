@@ -212,6 +212,13 @@ def _scan_add_actions(
             full = os.path.join(dirpath, name)
             rel = os.path.relpath(full, table)
             meta = pq.ParquetFile(full).metadata
+            if meta.num_rows == 0:
+                # empty part files (idle write partitions) carry no
+                # stats and would defeat pruning AND conflict checks
+                # as perpetual "could contain anything" files — a
+                # zero-row file contributes nothing; never commit it
+                os.remove(full)
+                continue
             mins: dict[str, object] = {}
             maxs: dict[str, object] = {}
             for rg in range(meta.num_row_groups):
@@ -288,25 +295,36 @@ def _read_files(
     rels = sorted(state["files"] if rel_paths is None else rel_paths)
     if not rels:
         return spark.createDataFrame([], state["schema"])
-    # mergeSchema: footer-level union so files written before an
-    # additive schema evolution read their missing columns as null
+    # The LOG's schema is authoritative (Delta does the same): an
+    # explicit reader schema (a) serves pre-evolution files' missing
+    # columns as null without footer-merging costs, and (b) disables
+    # hive partition-value TYPE INFERENCE, which would otherwise read
+    # a string partition value like '007' back as int 7.
+    from pyspark.sql.types import _parse_datatype_string
+
+    schema = (
+        _parse_datatype_string(state["schema"]) if state["schema"] else None
+    )
+
+    def reader():
+        r = spark.read
+        return r.schema(schema) if schema is not None else r
+
     if not state["partition_by"]:
-        return spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(table, p) for p in rels]
-        )
+        return reader().parquet(*[os.path.join(table, p) for p in rels])
     groups: dict[str, list[str]] = {}
     for rel in rels:
         segs = rel.split(os.sep)
         groups.setdefault(os.path.join(*segs[:2]), []).append(rel)
     parts = [
-        spark.read.option("mergeSchema", "true")
+        reader()
         .option("basePath", os.path.join(table, grp))
         .parquet(*[os.path.join(table, p) for p in members])
         for grp, members in sorted(groups.items())
     ]
     out = parts[0]
     for p in parts[1:]:
-        out = out.unionByName(p, allowMissingColumns=True)
+        out = out.unionByName(p)
     return out
 
 
@@ -386,16 +404,18 @@ def append(
     rewrite via ``overwrite`` for that."""
     state = snapshot_state(table)
     if merge_schema:
-        evolved = _merge_schema_ddl(state["schema"], df)
+        _merge_schema_ddl(state["schema"], df)  # fail fast on conflicts
     else:
         _check_schema(state, df)
-        evolved = None
     adds = _write_data_files(df, table, state["partition_by"])
 
-    def build(_s: dict) -> dict:
+    def build(s: dict) -> dict:
         commit = {"op": "append", "actions": [{"add": a} for a in adds]}
-        if evolved is not None:
-            commit["schema"] = evolved
+        if merge_schema:
+            # merge against the RETRY-FRESH schema: a concurrent
+            # append may itself have evolved the table, and stamping a
+            # stale merge here would silently drop its columns
+            commit["schema"] = _merge_schema_ddl(s["schema"], df)
         return commit
 
     return _commit_retry(table, build)
@@ -458,26 +478,35 @@ def _range_overlaps(action: dict, keys: list[str], bounds: dict) -> bool:
     return True
 
 
+def _key_bounds(updates: DataFrame, keys: list[str]) -> dict:
+    """Per-key (min, max) of the update batch — drives footer pruning
+    and the write-skew conflict check."""
+    bounds_row = updates.select(
+        *[F.min(k).alias(f"lo_{k}") for k in keys],
+        *[F.max(k).alias(f"hi_{k}") for k in keys],
+    ).first()
+    return {
+        k: (_jsonable(bounds_row[f"lo_{k}"]), _jsonable(bounds_row[f"hi_{k}"]))
+        for k in keys
+    }
+
+
 def _touched_files(
     spark: SparkSession,
     table: str,
     state: dict,
     updates: DataFrame,
     keys: list[str],
+    bounds: dict | None = None,
+    broadcast_updates: bool = True,
 ) -> list[str]:
     """Two-level pruning. Level 1: footer min/max vs the updates' key
     bounds (driver-side, no scan). Level 2: key-column-only scan of the
-    survivors, semi-joined to the updates (broadcast when small), to
-    the exact file set via ``input_file_name`` — reads only the key
-    columns of candidate files, never the table."""
-    bounds_row = updates.select(
-        *[F.min(k).alias(f"lo_{k}") for k in keys],
-        *[F.max(k).alias(f"hi_{k}") for k in keys],
-    ).first()
-    bounds = {
-        k: (_jsonable(bounds_row[f"lo_{k}"]), _jsonable(bounds_row[f"hi_{k}"]))
-        for k in keys
-    }
+    survivors, semi-joined to the updates, to the exact file set via
+    ``input_file_name`` — reads only the key columns of candidate
+    files, never the table."""
+    if bounds is None:
+        bounds = _key_bounds(updates, keys)
     candidates = [
         p
         for p, a in state["files"].items()
@@ -488,12 +517,10 @@ def _touched_files(
     scan = _read_files(spark, table, state, candidates).select(
         *keys, F.input_file_name().alias("_file")
     )
-    hit = (
-        scan.join(F.broadcast(updates.select(*keys).distinct()), on=keys)
-        .select("_file")
-        .distinct()
-        .collect()
-    )
+    probe = updates.select(*keys).distinct()
+    if broadcast_updates:
+        probe = F.broadcast(probe)
+    hit = scan.join(probe, on=keys).select("_file").distinct().collect()
     hit_set = {_uri_to_path(r["_file"]) for r in hit}
     return [
         p
@@ -502,41 +529,92 @@ def _touched_files(
     ]
 
 
+def _plan_merge(
+    spark: SparkSession,
+    table: str,
+    state: dict,
+    updates: DataFrame,
+    keys: list[str],
+    broadcast_updates: bool = True,
+):
+    """Shared MERGE planning (batch merge + streaming sink): returns
+    ``(adds, removed, bounds)`` with the rewritten files already
+    written. The caller owns the commit (and its extra metadata)."""
+    _check_schema(state, updates)
+    updates = updates.dropDuplicates(keys)
+    bounds = _key_bounds(updates, keys)
+    touched = _touched_files(
+        spark, table, state, updates, keys, bounds, broadcast_updates
+    )
+    if touched:
+        current = _read_files(spark, table, state, touched).select(
+            *[F.col(f.name) for f in updates.schema.fields]
+        )
+        probe = updates.select(*keys)
+        if broadcast_updates:
+            probe = F.broadcast(probe)
+        merged = current.join(probe, on=keys, how="left_anti").unionByName(
+            updates
+        )
+    else:
+        merged = updates
+    adds = _write_data_files(merged, table, state["partition_by"])
+    return adds, set(touched), bounds
+
+
+def _merge_conflict_check(
+    s: dict, base_files: set[str], removed: set[str], keys: list[str], bounds: dict
+) -> None:
+    """Raise TxConflict if the fresh state ``s`` invalidates a planned
+    merge: (a) a file we rewrote was removed underneath us, or (b) a
+    file added concurrently may contain one of our keys (footer-range
+    overlap — conservative), which would leave DUPLICATE keys after
+    our upsert commits (write skew; Delta's ConcurrentAppendException)."""
+    gone = removed - set(s["files"])
+    if gone:
+        raise TxConflict(
+            f"files rewritten by a concurrent commit: {sorted(gone)}"
+        )
+    fresh = {
+        p: a for p, a in s["files"].items() if p not in base_files
+    }
+    overlapping = [
+        p for p, a in fresh.items() if _range_overlaps(a, keys, bounds)
+    ]
+    if overlapping:
+        raise TxConflict(
+            "concurrent commit added files possibly containing merge "
+            f"keys: {sorted(overlapping)} — retry the merge on the new "
+            "snapshot"
+        )
+
+
 def merge(
     spark: SparkSession,
     table: str,
     updates: DataFrame,
     keys: list[str],
+    broadcast_updates: bool = True,
 ) -> int:
     """MERGE (upsert): rows matching on ``keys`` are replaced by their
     update, unmatched updates are inserted. Only files that actually
     contain a matching key are rewritten; the rest of the table is
     untouched — commit cost is O(touched files + updates), not
-    O(table)."""
+    O(table). A concurrent commit that removed a touched file OR
+    appended files whose key range overlaps this batch raises
+    ``TxConflict`` instead of committing duplicate keys.
+
+    ``broadcast_updates=False`` switches the key probes to shuffle
+    joins for CDC-backfill-sized batches that would blow the
+    broadcast limit."""
     state = snapshot_state(table)
-    _check_schema(state, updates)
-    updates = updates.dropDuplicates(keys)
-    touched = _touched_files(spark, table, state, updates, keys)
-
-    if touched:
-        current = _read_files(spark, table, state, touched).select(
-            *[F.col(f.name) for f in updates.schema.fields]
-        )
-        merged = current.join(
-            F.broadcast(updates.select(*keys)), on=keys, how="left_anti"
-        ).unionByName(updates)
-    else:
-        merged = updates
-    adds = _write_data_files(merged, table, state["partition_by"])
-
-    removed = set(touched)
+    adds, removed, bounds = _plan_merge(
+        spark, table, state, updates, keys, broadcast_updates
+    )
+    base_files = set(state["files"])
 
     def build(s: dict) -> dict:
-        gone = removed - set(s["files"])
-        if gone:
-            raise TxConflict(
-                f"files rewritten by a concurrent commit: {sorted(gone)}"
-            )
+        _merge_conflict_check(s, base_files, removed, keys, bounds)
         return {
             "op": "merge",
             "actions": [{"remove": {"path": p}} for p in sorted(removed)]
@@ -551,7 +629,10 @@ def delete(
 ) -> int:
     """DELETE WHERE: files with no matching row survive untouched
     (identified by a scan counting matches per file); matching files
-    are rewritten without the matching rows."""
+    are rewritten without the matching rows. SQL DELETE semantics:
+    only rows where the predicate is TRUE are removed — rows where it
+    evaluates to NULL survive (a bare ``NOT (pred)`` would silently
+    drop them, since NOT(NULL) filters out too)."""
     state = snapshot_state(table)
     if not state["files"]:
         return state["version"]
@@ -571,7 +652,7 @@ def delete(
     if not touched:
         return state["version"]
     survivors = _read_files(spark, table, state, touched).where(
-        f"NOT ({predicate})"
+        f"NOT coalesce(({predicate}), false)"
     )
     adds = _write_data_files(survivors, table, state["partition_by"])
     removed = set(touched)
@@ -686,24 +767,43 @@ def history(table: str) -> list[dict]:
     return out
 
 
-def vacuum(table: str, retain_versions: int = 1) -> list[str]:
+def vacuum(
+    table: str,
+    retain_versions: int = 1,
+    min_age_seconds: float = 3600.0,
+) -> list[str]:
     """Delete data files unreferenced by the newest
     ``retain_versions`` snapshots (plus any orphans from failed
     writes). Time travel older than the retention horizon dies with
-    them — same trade Delta's VACUUM makes. Returns deleted paths."""
+    them — same trade Delta's VACUUM makes. Returns deleted paths.
+
+    ``min_age_seconds`` guards IN-FLIGHT writers: a concurrent
+    merge/append writes its data files BEFORE its commit references
+    them, so an unreferenced-but-recent file may belong to a write
+    about to land — deleting it would corrupt that commit. Only files
+    older than the threshold are collected (Delta's file-retention
+    window, default 7 days there; 1 h here — tune to the longest
+    write you expect). Tests pass 0 to collect immediately."""
+    import time
+
     if retain_versions < 1:
         raise ValueError("retain_versions must be >= 1")
     head = latest_version(table)
     keep: set[str] = set()
     for v in range(max(0, head - retain_versions + 1), head + 1):
         keep.update(snapshot_state(table, v)["files"])
+    cutoff = time.time() - min_age_seconds
     doomed = []
     files_root = os.path.join(table, "files")
     for dirpath, _dirs, names in os.walk(files_root):
         for name in names:
             full = os.path.join(dirpath, name)
             rel = os.path.relpath(full, table)
-            if rel not in keep and not name.startswith(("_", ".")):
+            if (
+                rel not in keep
+                and not name.startswith(("_", "."))
+                and os.path.getmtime(full) <= cutoff
+            ):
                 os.remove(full)
                 doomed.append(rel)
     # drop now-empty uuid dirs so ls stays proportional to live data
@@ -932,6 +1032,23 @@ def diff_versions(
 
     if not keys:
         raise ValueError("keys are required for a row-level diff")
+    head = latest_version(table)
+    if to_version is None:
+        to_version = head
+    if not 0 <= from_version <= to_version <= head:
+        raise ValueError(
+            f"bad version window [{from_version}, {to_version}] with "
+            f"head={head}"
+        )
     old = read(spark, table, from_version)
     new = read(spark, table, to_version)
+    # schema evolution between the versions: align both sides on the
+    # UNION of columns (missing side reads null) so a change confined
+    # to a later-added column is still detected
+    for c in new.columns:
+        if c not in old.columns:
+            old = old.withColumn(c, F.lit(None).cast(new.schema[c].dataType))
+    for c in old.columns:
+        if c not in new.columns:
+            new = new.withColumn(c, F.lit(None).cast(old.schema[c].dataType))
     return table_diff(old, new, keys)

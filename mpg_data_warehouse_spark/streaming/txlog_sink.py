@@ -44,20 +44,33 @@ def last_committed_batch(table: str, app_id: str) -> int | None:
     return None
 
 
+class _AlreadyCommitted(Exception):
+    """Signal: this batch id landed in the log while we were writing."""
+
+
 def _commit_batch(
     table: str,
     app_id: str,
     batch_id: int,
     op: str,
-    removed: set[str],
     adds: list[dict],
+    conflict_check=None,
 ) -> int:
+    """Commit with the replay guard INSIDE the build closure: the
+    check runs against the same fresh log state the commit's version
+    slot comes from, so two zombie drivers replaying one batch cannot
+    both land — the loser's retry re-reads the log, sees the winner's
+    txn, and skips. (Checking once before the write would leave a
+    window where both proceed and the loser blindly re-commits at the
+    next slot — a double write.)"""
+
     def build(s: dict) -> dict:
-        gone = removed - set(s["files"])
-        if gone:
-            raise txlog.TxConflict(
-                f"files rewritten by a concurrent commit: {sorted(gone)}"
-            )
+        last = last_committed_batch(table, app_id)
+        if last is not None and batch_id <= last:
+            raise _AlreadyCommitted()
+        removed: set[str] = set()
+        if conflict_check is not None:
+            removed = conflict_check(s)
         return {
             "op": op,
             "txn": {"app_id": app_id, "batch_id": batch_id},
@@ -88,38 +101,35 @@ def foreach_batch_writer(
         spark = batch_df.sparkSession
         last = last_committed_batch(table, app_id)
         if last is not None and batch_id <= last:
-            return  # replayed batch: already committed atomically
+            return  # fast path; the authoritative check re-runs in-commit
 
         state = txlog.snapshot_state(table)
-        txlog._check_schema(state, batch_df)
-        if keys:
-            updates = batch_df.dropDuplicates(keys)
-            touched = txlog._touched_files(
-                spark, table, state, updates, keys
-            )
-            if touched:
-                from pyspark.sql import functions as F
-
-                current = txlog._read_files(
-                    spark, table, state, touched
-                ).select(*[F.col(f.name) for f in updates.schema.fields])
-                merged = current.join(
-                    F.broadcast(updates.select(*keys)),
-                    on=keys,
-                    how="left_anti",
-                ).unionByName(updates)
+        try:
+            if keys:
+                adds, removed, bounds = txlog._plan_merge(
+                    spark, table, state, batch_df, keys
+                )
+                base_files = set(state["files"])
+                _commit_batch(
+                    table,
+                    app_id,
+                    batch_id,
+                    "stream-merge",
+                    adds,
+                    conflict_check=lambda s: (
+                        txlog._merge_conflict_check(
+                            s, base_files, removed, keys, bounds
+                        )
+                        or removed
+                    ),
+                )
             else:
-                merged = updates
-            adds = txlog._write_data_files(
-                merged, table, state["partition_by"]
-            )
-            _commit_batch(
-                table, app_id, batch_id, "stream-merge", set(touched), adds
-            )
-        else:
-            adds = txlog._write_data_files(
-                batch_df, table, state["partition_by"]
-            )
-            _commit_batch(table, app_id, batch_id, "stream-append", set(), adds)
+                txlog._check_schema(state, batch_df)
+                adds = txlog._write_data_files(
+                    batch_df, table, state["partition_by"]
+                )
+                _commit_batch(table, app_id, batch_id, "stream-append", adds)
+        except _AlreadyCommitted:
+            return  # replayed batch: the original commit already landed
 
     return write_batch

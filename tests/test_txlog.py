@@ -175,7 +175,7 @@ def test_mutation_failure_never_corrupts(spark, tmp_path):
     assert txlog.read(spark, t).count() == 5
     assert txlog.latest_version(t) == 0
     # vacuum collects the orphans
-    doomed = txlog.vacuum(t, retain_versions=1)
+    doomed = txlog.vacuum(t, retain_versions=1, min_age_seconds=0)
     assert doomed  # the orphan files went
     assert txlog.read(spark, t).count() == 5
 
@@ -286,14 +286,14 @@ def test_vacuum_respects_retention_and_time_travel(spark, tmp_path):
     txlog.overwrite(spark, t, _mk(spark, range(10, 12)))
     txlog.overwrite(spark, t, _mk(spark, range(20, 24)))
     # retain last 2 snapshots: v2 (live) and v1
-    doomed = txlog.vacuum(t, retain_versions=2)
+    doomed = txlog.vacuum(t, retain_versions=2, min_age_seconds=0)
     assert doomed  # v0's files are gone
     assert txlog.read(spark, t).count() == 4
     assert txlog.read(spark, t, version=1).count() == 2
     with pytest.raises(Exception):
         txlog.read(spark, t, version=0).collect()
     with pytest.raises(ValueError):
-        txlog.vacuum(t, retain_versions=0)
+        txlog.vacuum(t, retain_versions=0, min_age_seconds=0)
 
 
 def test_add_actions_carry_footer_stats(spark, tmp_path):
@@ -624,3 +624,129 @@ def test_diff_versions_is_churn_exact(spark, tmp_path):
         ).collect()
     }
     assert got == {(2, "changed"), (77, "added"), (4, "removed")}
+
+
+# ---------------------------------------------------------------------------
+# review-pass regressions
+# ---------------------------------------------------------------------------
+
+
+def test_delete_null_predicate_rows_survive(spark, tmp_path):
+    """SQL DELETE semantics: rows where the predicate is NULL are NOT
+    deleted (a bare NOT(pred) filter would drop them)."""
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [
+            Row(cust_id=1, segment="a", balance=10.0),
+            Row(cust_id=2, segment="a", balance=None),
+            Row(cust_id=3, segment="a", balance=99.0),
+        ]
+    ).coalesce(1)
+    txlog.create(spark, t, df)
+    txlog.delete(spark, t, "balance > 50")
+    got = {r.cust_id for r in txlog.read(spark, t).collect()}
+    assert got == {1, 2}  # the NULL-balance row survives
+
+
+def test_merge_conflicts_on_concurrent_overlapping_append(spark, tmp_path):
+    """Write-skew guard: an append landing between a merge's snapshot
+    and its commit, containing a possibly-matching key, must raise
+    TxConflict instead of committing duplicate keys."""
+    t = str(tmp_path / "t")
+    txlog.create(spark, t, _mk(spark, range(5)).coalesce(1))
+    state = txlog.snapshot_state(t)
+    updates = spark.createDataFrame(
+        [Row(cust_id=2, segment="vip", balance=0.0)]
+    )
+    adds, removed, bounds = txlog._plan_merge(
+        spark, t, state, updates, ["cust_id"]
+    )
+    # concurrent append of the same key range lands first
+    txlog.append(spark, t, _mk(spark, [2]))
+    base = set(state["files"])
+
+    def build(s):
+        txlog._merge_conflict_check(s, base, removed, ["cust_id"], bounds)
+        return {"op": "merge", "actions": []}
+
+    with pytest.raises(txlog.TxConflict, match="possibly containing"):
+        txlog._commit_retry(t, build)
+    # a disjoint-range append does NOT conflict
+    t2 = str(tmp_path / "t2")
+    txlog.create(spark, t2, _mk(spark, range(5)).coalesce(1))
+    state2 = txlog.snapshot_state(t2)
+    adds2, removed2, bounds2 = txlog._plan_merge(
+        spark, t2, state2, updates, ["cust_id"]
+    )
+    txlog.append(spark, t2, _mk(spark, [10_000]))
+    base2 = set(state2["files"])
+
+    def build2(s):
+        txlog._merge_conflict_check(s, base2, removed2, ["cust_id"], bounds2)
+        return {
+            "op": "merge",
+            "actions": [{"remove": {"path": p}} for p in sorted(removed2)]
+            + [{"add": a} for a in adds2],
+        }
+
+    txlog._commit_retry(t2, build2)  # commits fine
+    assert txlog.read(spark, t2).where("cust_id = 2").count() == 1
+
+
+def test_vacuum_age_threshold_spares_inflight_files(spark, tmp_path):
+    """Freshly written but not-yet-committed files must survive vacuum
+    (they may belong to a commit about to land)."""
+    t = str(tmp_path / "t")
+    txlog.create(spark, t, _mk(spark, range(3)))
+    txlog._write_data_files(_mk(spark, range(900, 903)), t, [])
+    assert txlog.vacuum(t, min_age_seconds=3600) == []
+    assert txlog.vacuum(t, min_age_seconds=0) != []
+
+
+def test_string_partition_values_roundtrip_exactly(spark, tmp_path):
+    """Partition-type inference must not mangle string partition
+    values ('007' staying '007', not int 7)."""
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [
+            Row(cust_id=1, segment="007", balance=1.0),
+            Row(cust_id=2, segment="ab", balance=2.0),
+        ]
+    )
+    txlog.create(spark, t, df, partition_by=["segment"])
+    got = {r.cust_id: r.segment for r in txlog.read(spark, t).collect()}
+    assert got == {1: "007", 2: "ab"}
+    assert dict(txlog.read(spark, t).dtypes)["segment"] == "string"
+
+
+def test_diff_versions_rejects_inverted_window(spark, tmp_path):
+    t = str(tmp_path / "t")
+    txlog.create(spark, t, _mk(spark, range(3)))
+    txlog.append(spark, t, _mk(spark, range(10, 12)))
+    with pytest.raises(ValueError, match="bad version window"):
+        txlog.diff_versions(spark, t, 1, 0, keys=["cust_id"])
+
+
+def test_diff_versions_sees_changes_in_evolved_columns(spark, tmp_path):
+    """A change confined to a column added after from_version is still
+    reported (columns aligned on the union, not old's set)."""
+    t = str(tmp_path / "t")
+    txlog.create(spark, t, _mk(spark, range(3)).coalesce(1))
+    wider = spark.createDataFrame(
+        [Row(cust_id=1, segment="a", balance=10.0, tier="gold")]
+    )
+    txlog.append(spark, t, wider, merge_schema=True)
+    # merge changes ONLY the evolved column for cust_id=1
+    txlog.merge(
+        spark,
+        t,
+        spark.createDataFrame(
+            [Row(cust_id=1, segment="a", balance=10.0, tier="silver")]
+        ),
+        ["cust_id"],
+    )
+    got = {
+        (r.cust_id, r.change)
+        for r in txlog.diff_versions(spark, t, 1, keys=["cust_id"]).collect()
+    }
+    assert (1, "changed") in got

@@ -99,3 +99,31 @@ def test_real_stream_commits_per_batch(spark, tmp_path):
     assert {r.doc_id for r in got.collect()} == set(range(6))
     hist = txlog.history(t)
     assert sum(1 for h in hist if h["op"] == "stream-append") >= 2
+
+
+def test_zombie_replay_racing_the_commit_cannot_double_write(spark, tmp_path):
+    """The replay guard lives INSIDE the commit closure: even when a
+    zombie driver passes the fast pre-check (simulated by committing
+    the same batch AFTER the zombie's data files are written), its
+    commit attempt re-checks the fresh log and skips."""
+    from pyspark.sql import Row
+
+    from mpg_data_warehouse_spark.streaming import txlog_sink
+
+    t = str(tmp_path / "t")
+    txlog.create(spark, t, _empty(spark))
+    state = txlog.snapshot_state(t)
+    # zombie driver: writes batch 0's files, pre-check passed (log empty)
+    zombie_adds = txlog._write_data_files(
+        spark.createDataFrame([Row(doc_id=1, text="a")]), t, []
+    )
+    # the healthy driver lands batch 0 first
+    foreach_batch_writer(t, "app")(
+        spark.createDataFrame([Row(doc_id=1, text="a")]), 0
+    )
+    # zombie now tries to commit its copy of batch 0
+    import pytest
+
+    with pytest.raises(txlog_sink._AlreadyCommitted):
+        txlog_sink._commit_batch(t, "app", 0, "stream-append", zombie_adds)
+    assert txlog.read(spark, t).count() == 1  # no double write
