@@ -28,6 +28,7 @@ __all__ = [
     "split_train_holdout",
     "budget_rebalance_sample",
     "temperature_mixture_sample",
+    "deterministic_shuffle",
     "cap_per_group",
     "dsir_importance_weights",
     "dsir_resample",
@@ -46,14 +47,24 @@ def hash_bucket(key: Column | str, buckets: int = 10_000) -> Column:
     return (h.cast("long") % F.lit(buckets)).alias("bucket")
 
 
+def _null_safe_bucket(key, buckets: int):
+    """Null keys hash to null, which every bucket comparison rejects —
+    silently VANISHING the row from both sides of a split. Pin them to
+    bucket 0 instead: deterministic, documented, and exhaustive.
+    (Non-null keys hash identically to before, so oracle SQL that
+    mirrors ``hash_bucket`` on non-null key columns is unaffected.)"""
+    return F.coalesce(hash_bucket(key, buckets), F.lit(0))
+
+
 def deterministic_sample(
     df: DataFrame, key: str, fraction: float, buckets: int = 10_000
 ) -> DataFrame:
     """Keep rows whose hash bucket falls below ``fraction`` of the
     bucket space. Reproducible across runs/partitionings; unbiased for
-    hash-uniform keys. Map-side only — no shuffle."""
+    hash-uniform keys. Map-side only — no shuffle. Null keys land in
+    bucket 0 (kept whenever fraction > 0) rather than vanishing."""
     cut = int(round(fraction * buckets))
-    return df.filter(hash_bucket(key, buckets) < F.lit(cut))
+    return df.filter(_null_safe_bucket(key, buckets) < F.lit(cut))
 
 
 def stratified_sample(
@@ -76,7 +87,7 @@ def stratified_sample(
         cut = F.when(
             F.col(strata) == F.lit(value), F.lit(int(round(rate * buckets)))
         ).otherwise(cut)
-    return df.filter(hash_bucket(key, buckets) < cut)
+    return df.filter(_null_safe_bucket(key, buckets) < cut)
 
 
 def split_train_holdout(
@@ -85,9 +96,11 @@ def split_train_holdout(
     """Disjoint, exhaustive, reproducible train/holdout split keyed on
     content hash — the standard eval-contamination guard: a key lands
     on the same side in every run and every pipeline that uses the
-    same key column."""
+    same key column. Null keys land deterministically in bucket 0
+    (the holdout side whenever the fraction is positive) — previously
+    they vanished from BOTH splits."""
     cut = int(round(holdout_fraction * buckets))
-    b = hash_bucket(key, buckets)
+    b = _null_safe_bucket(key, buckets)
     return df.filter(b >= F.lit(cut)), df.filter(b < F.lit(cut))
 
 
@@ -113,8 +126,8 @@ def budget_rebalance_sample(
     are rarely worth it for mix shaping at 100 TB.
     """
     w = F.col(weight) if isinstance(weight, str) else weight
-    weighted = df.withColumn("_w", w)
-    totals = weighted.groupBy(strata).agg(F.sum("_w").alias("_total"))
+    weighted = df.withColumn("_rw", w)
+    totals = weighted.groupBy(strata).agg(F.sum("_rw").alias("_total"))
     cut = F.floor(
         F.least(F.lit(1.0), F.lit(float(target_per_stratum)) / F.col("_total"))
         * buckets
@@ -122,7 +135,7 @@ def budget_rebalance_sample(
     return (
         weighted.join(F.broadcast(totals), strata)
         .filter(hash_bucket(key, buckets) < cut)
-        .drop("_total")
+        .drop("_total", "_rw")
     )
 
 
@@ -150,8 +163,8 @@ def temperature_mixture_sample(
     once and never shuffled. floor() on the bucket cutoff keeps the
     decision engine-replayable despite the double-precision pow."""
     w = F.col(weight) if isinstance(weight, str) else weight
-    weighted = df.withColumn("_w", w)
-    totals = weighted.groupBy(strata).agg(F.sum("_w").alias("_total"))
+    weighted = df.withColumn("_rw", w)
+    totals = weighted.groupBy(strata).agg(F.sum("_rw").alias("_total"))
     flattened = totals.withColumn(
         "_pt", F.pow(F.col("_total"), F.lit(float(temperature)))
     )
@@ -171,7 +184,7 @@ def temperature_mixture_sample(
     return (
         weighted.join(F.broadcast(rates), strata)
         .filter(hash_bucket(key, buckets) < F.col("_cut"))
-        .drop("_cut")
+        .drop("_cut", "_rw")
     )
 
 
@@ -197,10 +210,9 @@ def deterministic_shuffle(
     """
     k = F.col(key) if isinstance(key, str) else key
     h = F.xxhash64(k, F.lit(seed))
-    out = df.orderBy(h)
     if num_partitions is not None:
-        out = df.repartitionByRange(num_partitions, h).sortWithinPartitions(h)
-    return out
+        return df.repartitionByRange(num_partitions, h).sortWithinPartitions(h)
+    return df.orderBy(h)
 
 
 def cap_per_group(
@@ -305,27 +317,39 @@ def dsir_importance_weights(
     the exploded features, one hash-agg back to doc grain, and a
     left join to keep featureless docs at weight 0. The corpora are
     each scanned once; nothing corpus-sized shuffles."""
-    t = _bucket_distribution(target, text_col, n_buckets, max_n)
-    r = _bucket_distribution(raw, text_col, n_buckets, max_n)
-    t_total = t.agg(F.sum("cnt")).first()[0] or 0
-    r_total = r.agg(F.sum("cnt")).first()[0] or 0
+    # The distributions are ≤ n_buckets rows (feature hashing's fixed
+    # width): collect them ONCE and build the log-ratio table driver-
+    # side — a lazy two-sided join would re-run each corpus-sized
+    # aggregate a second time for the totals.
+    import math
+
+    t_counts = {
+        row["bucket"]: row["cnt"]
+        for row in _bucket_distribution(
+            target, text_col, n_buckets, max_n
+        ).collect()
+    }
+    r_counts = {
+        row["bucket"]: row["cnt"]
+        for row in _bucket_distribution(
+            raw, text_col, n_buckets, max_n
+        ).collect()
+    }
+    t_total = sum(t_counts.values())
+    r_total = sum(r_counts.values())
     a = float(smoothing)
-    ratio = (
-        t.withColumnsRenamed({"cnt": "t_cnt"})
-        .join(r.withColumnsRenamed({"cnt": "r_cnt"}), "bucket", "full_outer")
-        .select(
-            "bucket",
+    ratio = raw.sparkSession.createDataFrame(
+        [
             (
-                F.log(
-                    (F.coalesce("t_cnt", F.lit(0)) + a)
-                    / (t_total + a * n_buckets)
-                )
-                - F.log(
-                    (F.coalesce("r_cnt", F.lit(0)) + a)
-                    / (r_total + a * n_buckets)
-                )
-            ).alias("lr"),
-        )
+                b,
+                math.log((t_counts.get(b, 0) + a) / (t_total + a * n_buckets))
+                - math.log(
+                    (r_counts.get(b, 0) + a) / (r_total + a * n_buckets)
+                ),
+            )
+            for b in sorted(set(t_counts) | set(r_counts))
+        ],
+        "bucket long, lr double",
     )
     doc_feats = raw.select(
         F.col(id_col),

@@ -50,11 +50,14 @@ def build_inverted_index(
         F.col(id_col), F.explode(norm_tokens(text_col)).alias("term")
     ).filter(F.length("term") >= min_term_len)
     postings = toks.distinct()
+    cached = None
     if max_df is not None:
-        dfreq = postings.groupBy("term").agg(
-            F.count(F.lit(1)).alias("_df")
-        )
-        postings = postings.join(
+        # persist the distinct postings: they feed both the df-count
+        # aggregate and the join — without it the corpus-sized
+        # explode+distinct shuffle would execute twice
+        cached = postings.persist()
+        dfreq = cached.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+        postings = cached.join(
             dfreq.filter(F.col("_df") <= max_df).select("term"), "term"
         )
     (
@@ -64,6 +67,8 @@ def build_inverted_index(
         .partitionBy("bucket")
         .parquet(path)
     )
+    if cached is not None:
+        cached.unpersist()
 
 
 def search_terms(
@@ -76,8 +81,11 @@ def search_terms(
 ) -> DataFrame:
     """Doc ids matching the query terms — ``mode='any'`` (OR) or
     ``'all'`` (AND, via a per-doc distinct-term count equal to the
-    query's). Terms are normalized with the INDEX's tokenizer so
-    query and postings agree on case.
+    query's). Query strings are run through the INDEX's tokenization
+    (lowercase + whitespace split), so a phrase like "machine
+    learning" becomes the two terms it was indexed as — a raw
+    whitespace-containing term could never match any posting, and in
+    'all' mode would poison the whole query empty.
 
     The bucket predicate is a literal IN-list over the partition
     column: the scan plans with PartitionFilters and never opens
@@ -87,7 +95,7 @@ def search_terms(
     if mode not in ("any", "all"):
         raise ValueError(f"mode must be 'any' or 'all', got {mode!r}")
     norm = sorted(
-        {t.strip().lower() for t in terms if t and t.strip()}
+        {w for t in terms if t for w in t.strip().lower().split()}
     )
     if not norm:
         raise ValueError("no non-empty query terms")

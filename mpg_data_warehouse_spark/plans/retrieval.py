@@ -46,7 +46,14 @@ def hashed_feature_embedding(
     Pure column math — explode, two-key hash-agg, sorted assembly via
     ``array_agg`` over a (bucket, value) struct — so the encoder is
     engine-replayable and needs no model runtime. Empty texts embed
-    as the zero-guard unit vector e_0 (retrieval still total)."""
+    as the zero-guard unit vector e_0 (retrieval still total).
+
+    Row multiplicity is preserved: the embedding is computed over the
+    DISTINCT rows (the groupBy requires it) and joined back, so
+    exact-duplicate input rows each keep their embedded copy instead
+    of collapsing to one."""
+    orig = df
+    df = df.distinct()
     toks = df.withColumn("_tok", F.explode(norm_tokens(text_col)))
     comps = (
         toks.withColumn("_b", F.pmod(F.xxhash64("_tok"), F.lit(dim)))
@@ -65,17 +72,17 @@ def hashed_feature_embedding(
             ).alias("_bv")
         )
     )
-    # dense vector: for each component, the matching sparse value or 0
+    # dense vector: for each component, the matching sparse value or 0.
+    # The sparse→map conversion is hoisted OUT of the per-component
+    # lambda (inline it and every row pays dim map constructions).
+    sparse_map = comps.withColumn("_map", F.map_from_entries(F.col("_bv")))
     dense = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda i: F.coalesce(
-            F.element_at(
-                F.map_from_entries(F.col("_bv")), i.cast("long")
-            ),
-            F.lit(0.0),
+            F.element_at(F.col("_map"), i.cast("long")), F.lit(0.0)
         ),
     )
-    with_vec = comps.withColumn("_dense", dense).drop("_bv")
+    with_vec = sparse_map.withColumn("_dense", dense).drop("_bv", "_map")
     norm = l2_norm(F.col("_dense"))
     unit = F.when(
         norm > 0, F.transform(F.col("_dense"), lambda x: x / norm)
@@ -92,7 +99,9 @@ def hashed_feature_embedding(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda i: F.when(i == 0, 1.0).otherwise(0.0),
     )
-    return out.unionByName(missing.withColumn(out_col, e0))
+    embedded = out.unionByName(missing.withColumn(out_col, e0))
+    # restore original row multiplicity (distinct() above)
+    return orig.join(embedded, list(orig.columns))
 
 
 def build_retrieval_index(
@@ -121,8 +130,12 @@ def build_retrieval_index(
     chunks.select(
         "chunk_key", id_col, "chunk_id", "chunk_text"
     ).write.mode("overwrite").parquet(chunks_path)
+    # embed from the just-written store: the corpus-wide chunking
+    # explode runs once, and the index is built from exactly the bytes
+    # the chunk store serves at query time
+    stored = chunks.sparkSession.read.parquet(chunks_path)
     embedded = hashed_feature_embedding(
-        chunks.select("chunk_key", "chunk_text"), "chunk_text", dim
+        stored.select("chunk_key", "chunk_text"), "chunk_text", dim
     )
     ivf_write_index(
         embedded.select("chunk_key", "embedding"),
@@ -147,13 +160,19 @@ def retrieve(
     open), and hydrate the winning chunks' text from the chunk store.
     Output: (query_id, query_text, chunk_key, doc_id, chunk_id,
     chunk_text, cos_sim, rank); ``query_id`` is the position in
-    ``query_texts``."""
+    ``query_texts``.
+
+    Query ids travel through the probe NEGATIVE (−1, −2, …):
+    ``_score_probes`` excludes ``neighbor_id == query_id`` (the
+    corpus-self-search guard), so a positional query id colliding
+    with a real chunk_key would silently drop that chunk from the
+    results — including the exact-match top hit for doc 0. Negative
+    ids can never collide with composite chunk keys (≥ 0)."""
     if not query_texts:
         raise ValueError("query_texts is empty")
+    neg_ids = [(-(i + 1), t) for i, t in enumerate(query_texts)]
     queries = hashed_feature_embedding(
-        spark.createDataFrame(
-            list(enumerate(query_texts)), "chunk_key long, q_text string"
-        ),
+        spark.createDataFrame(neg_ids, "chunk_key long, q_text string"),
         "q_text",
         dim,
     )
@@ -170,6 +189,7 @@ def retrieve(
     return (
         hits.withColumnRenamed("neighbor_id", "chunk_key")
         .join(chunks, "chunk_key")
+        .withColumn("query_id", -F.col("query_id") - 1)
         .join(
             spark.createDataFrame(
                 list(enumerate(query_texts)), "query_id long, query_text string"

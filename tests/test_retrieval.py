@@ -98,3 +98,31 @@ def test_end_to_end_retrieval_finds_on_topic_chunks(spark, tmp_path):
     # hydration attached real chunk text
     assert "solar" in top0.chunk_text
     assert "sourdough" in top1.chunk_text or "bread" in top1.chunk_text
+
+
+def test_exact_match_chunk_of_doc_zero_is_returned(spark, tmp_path):
+    """Regression: positional query ids used to collide with doc 0's
+    chunk keys and the self-match guard silently dropped the perfect
+    hit."""
+    idx = str(tmp_path / "idx")
+    chunks = str(tmp_path / "chunks")
+    corpus = _corpus(spark)
+    build_retrieval_index(
+        corpus, idx, chunks, dim=64, max_tokens=16, overlap=4, n_centroids=4
+    )
+    doc1_text = corpus.where("doc_id = 1").first().text
+    first_chunk = " ".join(doc1_text.split()[:16])
+    got = retrieve(spark, idx, chunks, [first_chunk], k=3, nprobe=4)
+    top = min(got.collect(), key=lambda r: r.rank)
+    assert top.doc_id == 1 and top.chunk_id == 0
+    assert top.cos_sim > 0.99  # the exact-match chunk itself
+
+
+def test_embedding_preserves_duplicate_rows(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta"), Row(doc_id=1, text="alpha beta")]
+    )
+    out = hashed_feature_embedding(df, "text", dim=16)
+    assert out.count() == 2

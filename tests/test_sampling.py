@@ -251,3 +251,38 @@ def test_dsir_featureless_docs_get_zero_weight(spark):
         for r in dsir_importance_weights(raw2, target).collect()
     }
     assert got[999] == 0.0
+
+
+def test_null_keys_land_in_exactly_one_split(spark):
+    from pyspark.sql import Row
+
+    from mpg_data_warehouse_spark.operators.sampling import (
+        split_train_holdout,
+    )
+
+    df = spark.createDataFrame(
+        [Row(k="a"), Row(k="b"), Row(k=None)]
+    )
+    train, hold = split_train_holdout(df, "k", holdout_fraction=0.5)
+    n_train, n_hold = train.count(), hold.count()
+    assert n_train + n_hold == 3  # null row vanished from neither side
+    # and the null row's side is deterministic (bucket 0 -> holdout)
+    assert hold.where("k is null").count() == 1
+
+
+def test_rebalance_outputs_carry_no_internal_columns(spark):
+    from pyspark.sql import Row
+
+    from mpg_data_warehouse_spark.operators.sampling import (
+        budget_rebalance_sample,
+        temperature_mixture_sample,
+    )
+
+    df = spark.createDataFrame(
+        [Row(src="a", doc_id=i, w=1.0) for i in range(10)]
+        + [Row(src="b", doc_id=100 + i, w=1.0) for i in range(10)]
+    )
+    out1 = budget_rebalance_sample(df, "src", "doc_id", "w", 5.0)
+    assert set(out1.columns) == {"src", "doc_id", "w"}
+    out2 = temperature_mixture_sample(df, "src", "doc_id", "w", 0.5, 10.0)
+    assert set(out2.columns) == {"src", "doc_id", "w"}

@@ -66,3 +66,26 @@ def test_search_scan_is_partition_pruned(spark, tmp_path):
     # non-matching bucket directories are never opened
     assert "PartitionFilters" in plan
     assert "bucket" in plan.split("PartitionFilters", 1)[1][:200], plan[:2000]
+
+
+def test_phrase_query_tokenizes_like_the_index(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="machine learning systems"),
+            Row(doc_id=2, text="machine tooling"),
+            Row(doc_id=3, text="deep learning"),
+        ]
+    )
+    build_inverted_index(docs, idx)
+    # a phrase splits into its indexed terms instead of never matching
+    assert {
+        r.doc_id
+        for r in search_terms(spark, idx, ["machine learning"]).collect()
+    } == {1, 2, 3}
+    assert {
+        r.doc_id
+        for r in search_terms(
+            spark, idx, ["machine learning"], mode="all"
+        ).collect()
+    } == {1}
