@@ -19,7 +19,7 @@ empirically, which lets the driver hash-match exact cosine scores.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
@@ -38,7 +38,11 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Null on zero-norm inputs (``try_divide``), never NaN: Spark
+    sorts NaN ABOVE every double and treats ``NaN >= t`` as true, so a
+    NaN cosine from a zero vector would win every top-k ranking and
+    pass every near-dup threshold. Null does neither."""
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def cosine_topk(
@@ -74,8 +78,10 @@ def cosine_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                dot(F.col("q_vec"), F.col("c_vec"))
-                / (F.col("q_norm") * F.col("c_norm")),
+                F.try_divide(
+                    dot(F.col("q_vec"), F.col("c_vec")),
+                    F.col("q_norm") * F.col("c_norm"),
+                ),
                 6,
             ).alias("cos_sim"),
         )
@@ -114,6 +120,20 @@ def _hyperplane(dim: int, plane: int) -> Column:
     return F.array(*[F.lit(v) for v in _hyperplane_values(dim, plane)])
 
 
+def _check_dim(df: DataFrame, vec_col: str, dim: int) -> None:
+    """Raise when ``dim`` disagrees with the actual vector length:
+    zip_with against a wrong-length hyperplane null-pads, the dot
+    aggregate goes NULL, and every LSH bucket becomes NULL — null
+    join keys never match, so bucketed dedup/search silently returns
+    NOTHING. The one-row probe is the price of failing loudly."""
+    first = df.select(vec_col).first()
+    if first is not None and first[0] is not None and len(first[0]) != dim:
+        raise ValueError(
+            f"dim={dim} but {vec_col!r} vectors have length "
+            f"{len(first[0])} — LSH buckets would all be null"
+        )
+
+
 def lsh_bucket(vec_col: Column, dim: int, n_planes: int = 8) -> Column:
     """Sign-pattern bucket id: bit p = 1 iff vec · plane_p ≥ 0."""
     bucket = F.lit(0).cast("long")
@@ -137,6 +157,7 @@ def lsh_topk(
     bucket (and, with ``multiprobe``≥1, buckets at Hamming distance 1
     — flipping each plane bit once — which sharply improves recall
     for near-boundary vectors)."""
+    _check_dim(corpus, vec_col, dim)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
@@ -167,8 +188,10 @@ def lsh_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                dot(F.col("q_vec"), F.col("c_vec"))
-                / (F.col("q_norm") * F.col("c_norm")),
+                F.try_divide(
+                    dot(F.col("q_vec"), F.col("c_vec")),
+                    F.col("q_norm") * F.col("c_norm"),
+                ),
                 6,
             ).alias("cos_sim"),
         )
@@ -217,8 +240,10 @@ def ivf_assign(
             vec_col,
             "cell",
             (
-                dot(F.col(vec_col), F.col("cv"))
-                / (F.col("vn") * F.col("cvn"))
+                F.try_divide(
+                    dot(F.col(vec_col), F.col("cv")),
+                    F.col("vn") * F.col("cvn"),
+                )
             ).alias("c_cos"),
         )
     )
@@ -273,9 +298,9 @@ def with_nearest_cell(
     cands = F.transform(
         F.col("_cmat"),
         lambda cv, i: F.struct(
-            (
-                dot(F.col(vec_col), cv)
-                / (F.col(norm_col) * F.element_at(F.col("_cnorms"), i + 1))
+            F.try_divide(
+                dot(F.col(vec_col), cv),
+                F.col(norm_col) * F.element_at(F.col("_cnorms"), i + 1),
             ).alias("c_cos"),
             F.element_at(F.col("_cnegs"), i + 1).alias("neg_cell"),
         ),
@@ -300,10 +325,20 @@ def seed_centroids(
     string ids), which downstream turns into null cells and a
     do-nothing dedup. Rank seeding is a TakeOrdered (top-n per
     partition + driver merge of n rows — no global sort shuffle) and
-    works for any orderable id type. SQL mirror:
-    ``ORDER BY id LIMIT n``."""
-    return corpus.orderBy(id_col).limit(n_centroids).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+    works for any orderable id type. Centroid ids are the DENSE RANKS
+    0..n-1 of the seed rows (not the id values): every downstream
+    consumer negates cell ids for struct-ordering tiebreaks and ships
+    them in long-typed one-row matrices, so id-value cent ids would
+    crash the advertised string-id support one call later. Rank ids
+    are order-isomorphic to the id values, so tiebreak results are
+    unchanged for integer ids. SQL mirror: ``ORDER BY id LIMIT n``
+    with ``ROW_NUMBER() - 1``."""
+    seeds = corpus.orderBy(id_col).limit(n_centroids)
+    return seeds.select(
+        (F.row_number().over(W.orderBy(id_col)) - 1)
+        .cast("long")
+        .alias("cent_id"),
+        F.col(vec_col).alias("cent_vec"),
     )
 
 
@@ -462,9 +497,9 @@ def _probe_cells(
         )
     )
     wq = W.partitionBy("query_id").orderBy(
-        (
-            dot(F.col("q_vec"), F.col("cent_vec"))
-            / (F.col("q_norm") * F.col("cent_norm"))
+        F.try_divide(
+            dot(F.col("q_vec"), F.col("cent_vec")),
+            F.col("q_norm") * F.col("cent_norm"),
         ).desc(),
         F.col("cell"),
     )
@@ -485,8 +520,10 @@ def _score_probes(cells: DataFrame, probes: DataFrame, k: int) -> DataFrame:
             "query_id",
             "neighbor_id",
             F.round(
-                dot(F.col("q_vec"), F.col("c_vec"))
-                / (F.col("q_norm") * F.col("c_norm")),
+                F.try_divide(
+                    dot(F.col("q_vec"), F.col("c_vec")),
+                    F.col("q_norm") * F.col("c_norm"),
+                ),
                 6,
             ).alias("cos_sim"),
         )
@@ -609,7 +646,12 @@ def ivf_probe_index(
     ranking are byte-identical to the in-flight ``ivf_topk``, so a
     persisted index returns exactly the same top-k."""
     centroids = spark.read.parquet(f"{path}/_centroids")
-    probes = _probe_cells(queries, centroids, nprobe, id_col, vec_col)
+    # lineage cut: the probe ranking (centroid read + cross join +
+    # window) feeds BOTH the driver-side cell collect and the scoring
+    # join — without it the plan executes twice per query batch
+    probes = _probe_cells(
+        queries, centroids, nprobe, id_col, vec_col
+    ).localCheckpoint(eager=False)
     probe_cells = sorted(
         r.cell for r in probes.select("cell").distinct().collect()
     )
@@ -641,6 +683,7 @@ def embedding_near_dup_pairs(
     exact dedup (hash of the vector bytes), not the pairwise path.
     The count uses a window over the SAME key the join shuffles on,
     so capping adds no extra exchange."""
+    _check_dim(df, vec_col, dim)
     b = df.select(
         F.col(id_col),
         F.col(vec_col),
@@ -668,11 +711,16 @@ def embedding_near_dup_pairs(
             "id_a",
             "id_b",
             F.round(
-                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                F.try_divide(
+                    dot(F.col("va"), F.col("vb")),
+                    F.col("na") * F.col("nb"),
+                ),
                 6,
             ).alias("cos_sim"),
         )
-        .distinct()
+        # no .distinct(): each row has exactly ONE bucket, so the
+        # self-join cannot emit a pair twice — a distinct here is a
+        # wasted pair-scale shuffle
         .filter(F.col("cos_sim") >= threshold)
     )
 
@@ -740,7 +788,10 @@ def semantic_dedup_pairs(
             "id_a",
             "id_b",
             F.round(
-                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                F.try_divide(
+                    dot(F.col("va"), F.col("vb")),
+                    F.col("na") * F.col("nb"),
+                ),
                 6,
             ).alias("cos_sim"),
         )
@@ -972,6 +1023,54 @@ def pq_encode(
     )
 
 
+def _adc_lut_df(
+    spark: SparkSession,
+    queries: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Per-query ADC lookup tables as a broadcastable relation:
+    ``LUT[j][c] = |q_j − centroid_{j,c}|²`` (|queries|·m·k doubles,
+    driver-built). Shared by ``pq_topk`` and ``ivfpq_topk`` so the
+    distance math lives in exactly one place."""
+    sub_dim = len(codebooks[0][0][1])
+    luts = []
+    for r in queries.select(id_col, vec_col).collect():
+        qv = [float(x) for x in r[vec_col]]
+        lut = [
+            [
+                sum(
+                    (qv[j * sub_dim + t] - cvec[t]) ** 2
+                    for t in range(sub_dim)
+                )
+                for _, cvec in book
+            ]
+            for j, book in enumerate(codebooks)
+        ]
+        luts.append((r[id_col], lut))
+    return spark.createDataFrame(
+        luts, "query_id long, _lut array<array<double>>"
+    )
+
+
+def _adc_distance() -> Column:
+    """Σ_j LUT[j][codes_j]: the asymmetric-distance fold over a row's
+    code array against the joined query LUT."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("codes"),
+                F.col("_lut"),
+                lambda c, l: F.element_at(l, c.cast("int") + 1),
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+
+
 def pq_topk(
     codes_df: DataFrame,
     queries: DataFrame,
@@ -994,25 +1093,8 @@ def pq_topk(
     error); recall tests pin it on separated data. For higher recall
     compose with IVF cells (probe then ADC-rerank) exactly as
     Faiss IVF-PQ does."""
-    q_rows = queries.select(id_col, vec_col).collect()
-    sub_dim = len(codebooks[0][0][1])
-    luts = []
-    for r in q_rows:
-        qv = [float(x) for x in r[vec_col]]
-        lut = [
-            [
-                sum(
-                    (qv[j * sub_dim + t] - cvec[t]) ** 2
-                    for t in range(sub_dim)
-                )
-                for _, cvec in book
-            ]
-            for j, book in enumerate(codebooks)
-        ]
-        luts.append((r[id_col], lut))
-    spark = codes_df.sparkSession
-    lut_df = spark.createDataFrame(
-        luts, f"query_id long, _lut array<array<double>>"
+    lut_df = _adc_lut_df(
+        codes_df.sparkSession, queries, codebooks, id_col, vec_col
     )
     scored = (
         codes_df.crossJoin(F.broadcast(lut_df))
@@ -1020,18 +1102,7 @@ def pq_topk(
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("codes"),
-                        F.col("_lut"),
-                        lambda c, l: F.element_at(l, c.cast("int") + 1),
-                    ),
-                    F.lit(0.0).cast("double"),
-                    lambda acc, v: acc + v,
-                ),
-                6,
-            ).alias("adc_dist"),
+            _adc_distance().alias("adc_dist"),
         )
     )
     w = W.partitionBy("query_id").orderBy(
@@ -1096,25 +1167,8 @@ def ivfpq_topk(
 
     probes = _probe_cells(queries, centroids, nprobe, id_col, vec_col)
 
-    q_rows = queries.select(id_col, vec_col).collect()
-    sub_dim = len(books[0][0][1])
-    luts = []
-    for r in q_rows:
-        qv = [float(x) for x in r[vec_col]]
-        lut = [
-            [
-                sum(
-                    (qv[j * sub_dim + t] - cvec[t]) ** 2
-                    for t in range(sub_dim)
-                )
-                for _, cvec in book
-            ]
-            for j, book in enumerate(books)
-        ]
-        luts.append((r[id_col], lut))
-    spark = corpus.sparkSession
-    lut_df = spark.createDataFrame(
-        luts, "query_id long, _lut array<array<double>>"
+    lut_df = _adc_lut_df(
+        corpus.sparkSession, queries, books, id_col, vec_col
     )
     scored = (
         index.join(
@@ -1127,18 +1181,7 @@ def ivfpq_topk(
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("codes"),
-                        F.col("_lut"),
-                        lambda c, l: F.element_at(l, c.cast("int") + 1),
-                    ),
-                    F.lit(0.0).cast("double"),
-                    lambda acc, v: acc + v,
-                ),
-                6,
-            ).alias("adc_dist"),
+            _adc_distance().alias("adc_dist"),
         )
         .distinct()
     )

@@ -350,8 +350,16 @@ def strip_boilerplate_lines(
         exploded["_line"] == F.col("_stop_line"),
         "left_anti",
     )
+    # Reassemble keyed by the doc id ALONE and re-attach metadata with
+    # a LEFT join from the original frame: grouping/joining on every
+    # metadata column would (a) drop any row whose metadata contains a
+    # NULL (equi-join keys never match null) and (b) silently lose
+    # docs whose every line was boilerplate (absent from the groupBy,
+    # dropped by an inner join). Those docs now survive with empty
+    # text — the caller's quality gate is the right place to drop
+    # empty docs, not a join artifact.
     rebuilt = (
-        kept.groupBy(*other_cols)
+        kept.groupBy(id_col)
         .agg(
             F.array_join(
                 F.transform(
@@ -366,16 +374,18 @@ def strip_boilerplate_lines(
         )
     )
     n_lines = F.size(F.split(F.col(text_col), r"\n"))
-    with_counts = df.select(
-        *other_cols, n_lines.alias("_n_total")
-    )
+    base = df.withColumn("_n_total", n_lines).drop(text_col)
     return (
-        rebuilt.join(with_counts, other_cols)
+        base.join(rebuilt, id_col, "left")
+        .withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
         .withColumn(
             "n_lines_removed",
-            (F.col("_n_total") - F.col("_n_kept")).cast("long"),
+            (
+                F.col("_n_total")
+                - F.coalesce(F.col("_n_kept"), F.lit(0))
+            ).cast("long"),
         )
-        .drop("_n_kept", "_n_total")
+        .select(*other_cols, text_col, "n_lines_removed")
     )
 
 
@@ -455,23 +465,43 @@ def unigram_lm(
     which is the point of the cap: scoring 100 TB of text against the
     model must be a map-side join, so the model must fit an executor.
     """
-    counts = term_counts(df, text_col)
-    # orderBy().limit() compiles to TakeOrderedAndProject — per-partition
-    # partial top-K then a driver merge of K-row heads — never a global
-    # single-partition sort of the vocabulary.
-    vocab = counts.orderBy(F.col("n").desc(), F.col("term")).limit(vocab_size)
-    totals = counts.agg(F.sum("n").alias("total")).collect()[0]
+    # ONE corpus aggregation: persist the (vocabulary-sized) counts so
+    # the top-K, the total, and the kept-vocab size don't each re-run
+    # the corpus-wide explode+agg — unpersisted, the model build cost
+    # three full scans.
+    counts = term_counts(df, text_col).persist()
+    try:
+        # orderBy().limit() compiles to TakeOrderedAndProject —
+        # per-partition partial top-K then a driver merge of K-row
+        # heads — never a global single-partition sort.
+        vocab_rows = (
+            counts.orderBy(F.col("n").desc(), F.col("term"))
+            .limit(vocab_size)
+            .collect()
+        )
+        totals = counts.agg(F.sum("n").alias("total")).collect()[0]
+    finally:
+        counts.unpersist()
     n_total = int(totals["total"] or 0)
-    v = vocab.count()
+    v = len(vocab_rows)
     denom = float(n_total) + alpha * (v + 1)
-    model = vocab.select(
+    import math
+
+    spark = df.sparkSession
+    # logp computed through the same engine expression as before
+    # (F.round is HALF_UP; Python round() is banker's) so model values
+    # stay bit-identical to the pre-refactor lazy plan
+    model = spark.createDataFrame(
+        [(r["term"], r["n"]) for r in vocab_rows] or [("", 0)],
+        "term string, n long",
+    ).select(
         "term",
         F.round(F.log((F.col("n") + F.lit(alpha)) / F.lit(denom)), 6).alias(
             "logp"
         ),
     )
-    import math
-
+    if not vocab_rows:
+        model = model.limit(0)
     return model, round(math.log(alpha / denom), 6)
 
 

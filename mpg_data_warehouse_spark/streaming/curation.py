@@ -89,6 +89,16 @@ def curated_append_stream(
 
     Input ``docs`` must not already carry a ``batch`` column — both
     output tables are partitioned by it."""
+    if (classifier is None) != (min_classifier_p is None):
+        raise ValueError(
+            "classifier and min_classifier_p must be passed together — "
+            "one without the other would silently skip the trained gate"
+        )
+    if (lm_model is None) != (max_nll_per_token is None):
+        raise ValueError(
+            "lm_model and max_nll_per_token must be passed together — "
+            "one without the other would silently skip the LM gate"
+        )
     num_hashes, bands = jaccard_threshold_bands
     sig_cols = [f"sig_{i}" for i in range(num_hashes)]
 
@@ -131,6 +141,11 @@ def curated_append_stream(
             )
             .filter(F.col("_rk") == 1)
             .drop("_rk")
+            # materialize the gate chain ONCE: canon feeds both the
+            # signature branch (via incremental_minhash_pairs) and the
+            # survivor branch — without the cut each branch re-runs
+            # normalize → quality → gates → exact dedup per batch
+            .localCheckpoint()
         )
         if _sink_exists(spark, sig_path):
             # The ONE corpus-sized side input. Excluding the current

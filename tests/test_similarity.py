@@ -449,3 +449,24 @@ def test_ivfpq_topk_recalls_cluster_neighbors(spark):
     from collections import Counter
 
     assert Counter(r.query_id for r in rows) == {0: 4, 20: 4}
+
+
+def test_zero_norm_vector_cannot_win_topk_or_dedup(spark):
+    from pyspark.sql import Row
+
+    zero = Row(vec_id=999, embedding=[0.0] * DIM)
+    df = _vectors(spark, n=20).unionByName(spark.createDataFrame([zero]))
+    top = S.cosine_topk(df, df.filter("vec_id = 0"), k=5).collect()
+    assert all(r.neighbor_id != 999 for r in top)  # NaN never ranks first
+    pairs = S.embedding_near_dup_pairs(df, threshold=0.9, dim=DIM).collect()
+    assert all(999 not in (r.id_a, r.id_b) for r in pairs)
+
+
+def test_lsh_dim_mismatch_raises_loudly(spark):
+    import pytest
+
+    df = _vectors(spark, n=10)  # DIM=16 vectors
+    with pytest.raises(ValueError, match="length"):
+        S.lsh_topk(df, df.limit(2), dim=64)
+    with pytest.raises(ValueError, match="length"):
+        S.embedding_near_dup_pairs(df, dim=64)

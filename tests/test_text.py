@@ -282,3 +282,25 @@ def test_compression_ratio_flags_repetitive_text(spark):
     assert got[1] < 0.05          # pure repetition collapses
     assert got[2] > got[1]        # prose compresses less
     assert got[3] is None         # empty -> null, never div-by-zero
+
+
+def test_strip_boilerplate_keeps_null_metadata_and_empty_docs(spark):
+    from pyspark.sql import Row
+
+    from mpg_data_warehouse_spark.operators.text import (
+        strip_boilerplate_lines,
+    )
+
+    boiler = "subscribe to our newsletter"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, url="a.com", text=f"real content\n{boiler}"),
+            Row(doc_id=2, url=None, text=f"other words\n{boiler}"),
+            Row(doc_id=3, url="c.com", text=boiler),  # all boilerplate
+        ]
+    )
+    out = {r.doc_id: r for r in strip_boilerplate_lines(docs, 2).collect()}
+    assert set(out) == {1, 2, 3}           # nobody vanishes
+    assert out[2].text == "other words"    # null-metadata row intact
+    assert out[3].text == ""               # fully-boilerplate -> empty
+    assert out[3].n_lines_removed == 1
