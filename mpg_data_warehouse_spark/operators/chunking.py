@@ -37,8 +37,10 @@ def pack_sequences(
     (``(len − max + stride − 1) div stride``) — the formula the oracle
     mirrors with ``//``.
     """
-    if overlap >= max_tokens:
-        raise ValueError("overlap must be smaller than max_tokens")
+    if not 0 <= overlap < max_tokens:
+        # negative overlap makes stride EXCEED max_tokens: the tokens
+        # between consecutive windows would appear in no chunk at all
+        raise ValueError("overlap must satisfy 0 <= overlap < max_tokens")
     stride = max_tokens - overlap
     toked = df.select(F.col(id_col), F.col(text_col), tokens(text_col).alias("_toks"))
     n = F.size("_toks")
@@ -91,10 +93,14 @@ def pack_paragraphs(
     # line endings and whitespace-only lines — '\n{2,}' alone would
     # treat a CRLF document as ONE paragraph and emit it as a single
     # oversized chunk, silently defeating the token budget.
+    # backtick-quote the column name in the expr string: a raw splice
+    # breaks (or worse, evaluates) names needing quoting, unlike the
+    # F.col() every other operator uses
+    _tc = "`" + text_col.replace("`", "``") + "`"
     base = df.select(
         F.col(id_col),
         F.expr(
-            f"filter(split({text_col}, '(\\r?\\n[ \\t]*){{2,}}'),"
+            f"filter(split({_tc}, '(\\r?\\n[ \\t]*){{2,}}'),"
             " p -> trim(p) != '')"
         ).alias("_paras"),
     ).filter(F.size("_paras") > 0)
@@ -128,6 +134,7 @@ def pack_paragraphs(
         F.col(id_col),
         "_paras",
         "_ids",
+        "_pcnt",
         F.explode(
             F.expr("sequence(cast(0 as int), element_at(_ids, -1))")
         ).alias("chunk_id"),
@@ -136,9 +143,19 @@ def pack_paragraphs(
         "array_join(transform(filter(arrays_zip(_paras, _ids), "
         "x -> x._ids = chunk_id), x -> trim(x._paras)), '\\n\\n')"
     )
+    # n_tokens from the already-computed per-paragraph counts, NOT
+    # tokens(chunk_text): lambda-bearing expressions are excluded from
+    # subexpression elimination, so re-deriving the count from the
+    # text would evaluate the whole zip/filter/join pipeline twice
+    # per output row. Paragraphs join on whitespace, so the sum equals
+    # the tokenized count exactly.
+    n_tokens = F.expr(
+        "aggregate(filter(arrays_zip(_pcnt, _ids), x -> x._ids = chunk_id), "
+        "cast(0 as int), (a, x) -> a + x._pcnt)"
+    )
     return exploded.select(
         F.col(id_col),
         F.col("chunk_id").cast("long"),
         chunk_text.alias("chunk_text"),
-        F.size(tokens(chunk_text)).cast("long").alias("n_tokens"),
+        n_tokens.cast("long").alias("n_tokens"),
     )

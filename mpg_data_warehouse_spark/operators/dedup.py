@@ -165,7 +165,18 @@ def band_signatures(
     bucket = md5 of the band's signature slice. The single banding
     implementation shared by the batch (``lsh_candidate_pairs``) and
     incremental (``incremental_minhash_pairs``) paths so cap/bucket
-    fixes can never drift between them."""
+    fixes can never drift between them.
+
+    ``bands`` must divide ``num_hashes``: a remainder would silently
+    ignore the trailing signature columns (recall quietly differs from
+    the configured width), and ``bands > num_hashes`` degenerates to
+    md5('') — one giant bucket that ``cap_buckets`` then drops
+    WHOLESALE, turning dedup into a no-op with no error."""
+    if bands < 1 or bands > num_hashes or num_hashes % bands:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes} "
+            "(and be in [1, num_hashes])"
+        )
     rows = num_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -420,6 +431,12 @@ def ngram_jaccard_pairs(
     # checkpoint + expansion joins) entirely; the check costs a
     # fraction of what it avoids, and replica-heavy corpora pay it
     # once before the collapse that saves them from quadratic output.
+    # count_distinct skips nulls, so ANY null-text row routes to the
+    # collapse path — intended: null text tokenizes like empty text
+    # (one "" shingle), making null/empty docs identical-content
+    # replicas of each other in BOTH modes; the collapse handles a
+    # mass of them arithmetically instead of through the "" shingle's
+    # quadratic self-join.
     stats = df.select(
         F.count(F.lit(1)).alias("n"),
         F.count_distinct(content_hash(text_col)).alias("d"),
@@ -449,6 +466,10 @@ def ngram_jaccard_pairs(
             content_hash(text_col).alias("_ch"),
         )
         .withColumn(
+            # null hashes group together BY DESIGN: null text shingles
+            # exactly like empty text, so null/empty docs are mutual
+            # exact replicas and the group form emits their pairs
+            # without the quadratic "" -shingle self-join
             "_rep", F.min(id_col).over(Window.partitionBy("_ch"))
         )
         .cache()
@@ -512,7 +533,14 @@ def minhash_dedup_pairs(
 
     The exploded shingle table feeds both the signature pass and the
     Jaccard verify — cached so the expensive tokenize+shingle map
-    runs once (at 100 TB this is a checkpoint-to-parquet instead)."""
+    runs once (at 100 TB this is a checkpoint-to-parquet instead).
+
+    Cache lifecycle: the returned DataFrame is lazy, so the cache
+    cannot be dropped here without recomputing on the caller's action.
+    One-shot jobs release it at session end; a LONG-LIVED application
+    calling this per corpus slice should ``spark.catalog.clearCache()``
+    between slices (the bench harness does exactly that between reps),
+    or cached shingle tables accumulate for the app's lifetime."""
     sh = exploded_shingles(df, id_col, text_col, shingle_n).cache()
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, shingles=sh)
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
@@ -659,6 +687,18 @@ def connected_components(
             labels = updated.drop("_changed")
             if n_changed == 0:
                 break
+        else:
+            # labels move one hop per round: exhausting max_iter with
+            # changes pending means some chain is longer than the
+            # budget and its component is SPLIT — returning silently
+            # would let retain_representatives keep several members
+            # of one dup family. Fail loudly; the caller raises
+            # max_iter (diameter bound), never trusts a split result.
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                f"rounds ({n_changed} labels still moving) — the pair "
+                "graph has a chain longer than max_iter; raise max_iter"
+            )
 
     # Isolated nodes never entered the iteration; they label
     # themselves. One broadcast-friendly join at the end, not a

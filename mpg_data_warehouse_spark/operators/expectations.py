@@ -102,8 +102,14 @@ def _violation_expr(rule: Rule) -> Column:
     if rule.kind == "in_set":
         return c.isNotNull() & ~c.isin(list(rule.values))
     if rule.kind == "in_range":
-        v = c.cast("double")
-        cond = F.lit(False)
+        # try_cast, not cast: under ANSI (Spark 4 default) a plain
+        # cast THROWS on 'N/A'-style strings, killing the whole
+        # suite/quarantine job — a malformed value is a VIOLATION to
+        # count, not a crash. The null result lands in v.isNull().
+        v = c.try_cast("double")
+        # NaN sorts above every double, so "v < lo" alone never flags
+        # it — treat NaN as out of range explicitly
+        cond = F.isnan(v)
         if rule.lo is not None:
             cond = cond | (v < rule.lo)
         if rule.hi is not None:
@@ -143,8 +149,15 @@ def run_suite(df: DataFrame, rules: list[Rule]) -> DataFrame:
     for r in rules:
         if r.kind == "unique":
             keys = list(r.values)
+            # SQL UNIQUE semantics: NULL keys are pairwise distinct
+            # (and the FK rule already exempts nulls) — grouping them
+            # together would report N null-keyed rows as N duplicates.
+            # not_null is the rule for nulls; this one ignores them.
+            non_null = df
+            for k in keys:
+                non_null = non_null.filter(F.col(k).isNotNull())
             dup = (
-                df.groupBy(*keys)
+                non_null.groupBy(*keys)
                 .agg(F.count(F.lit(1)).alias("n"))
                 .filter(F.col("n") > 1)
                 .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("d"))

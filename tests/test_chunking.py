@@ -145,3 +145,27 @@ def test_pack_paragraphs_crlf_and_whitespace_blank_lines(spark):
         by_doc.setdefault(r.doc_id, []).append(r.n_tokens)
     # 3 paragraphs of 4 tokens, budget 8 → two chunks (4+4, 4) per doc
     assert by_doc[1] == by_doc[2] == by_doc[3] == [8, 4]
+
+
+def test_pack_sequences_rejects_negative_overlap(spark):
+    import pytest
+    from pyspark.sql import Row
+
+    from mpg_data_warehouse_spark.operators.chunking import pack_sequences
+
+    df = spark.createDataFrame([Row(doc_id=1, text="a b c")])
+    with pytest.raises(ValueError, match="overlap"):
+        pack_sequences(df, max_tokens=4, overlap=-1)
+
+
+def test_pack_paragraphs_quoted_column_name(spark):
+    from pyspark.sql import Row
+
+    from mpg_data_warehouse_spark.operators.chunking import pack_paragraphs
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, **{"raw text": "one two\n\nthree four"})]
+    )
+    out = pack_paragraphs(df, text_col="raw text", max_tokens=10).collect()
+    assert out[0].chunk_text == "one two\n\nthree four"
+    assert out[0].n_tokens == 4

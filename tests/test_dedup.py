@@ -368,3 +368,80 @@ def test_decontaminate_drops_ngram_leaks(spark):
     report = decontaminate(corpus, eval_set, shingle_n=10, keep_report=True)
     rep = {r.doc_id: r.n_matched_shingles for r in report.collect()}
     assert set(rep) == {1} and rep[1] >= 1
+
+
+# ---------------------------------------------------------------------------
+# review-pass regressions (round 4)
+# ---------------------------------------------------------------------------
+
+
+def test_band_signatures_rejects_indivisible_bands(spark):
+    import pytest
+    from pyspark.sql import Row
+
+    from mpg_data_warehouse_spark.operators.dedup import (
+        band_signatures,
+        minhash_signatures,
+    )
+
+    df = spark.createDataFrame([Row(doc_id=1, text="a b c d e")])
+    sigs = minhash_signatures(df, num_hashes=10)
+    with pytest.raises(ValueError, match="divide"):
+        band_signatures(sigs, num_hashes=10, bands=4)
+    with pytest.raises(ValueError, match="divide"):
+        band_signatures(sigs, num_hashes=10, bands=20)
+
+
+def test_ngram_null_text_pairs_as_empty_content_in_both_modes(spark):
+    """Null text tokenizes like empty text (one "" shingle), so two
+    null-text docs are EXACT replicas of each other — the collapse
+    default and the complete mode must agree on emitting their pair,
+    and on nothing else."""
+    from pyspark.sql import Row
+
+    from mpg_data_warehouse_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps high today"),
+            Row(doc_id=2, text="the quick brown fox jumps high today"),
+            Row(doc_id=3, text=None),
+            Row(doc_id=4, text=None),
+        ]
+    )
+    collapsed = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    complete = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            df, threshold=0.5, collapse_exact=False
+        ).collect()
+    }
+    assert collapsed == complete == {(1, 2): 1.0, (3, 4): 1.0}
+
+
+def test_connected_components_raises_on_max_iter_exhaustion(spark):
+    import pytest
+    from pyspark.sql import Row
+
+    from mpg_data_warehouse_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # a 6-node chain needs ~5 rounds; cap at 2 and force the
+    # distributed path with small_graph_edges=0
+    pairs = spark.createDataFrame(
+        [Row(id_a=i, id_b=i + 1) for i in range(6)]
+    )
+    ids = spark.range(7).selectExpr("id AS doc_id")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(
+            pairs, ids, max_iter=2, small_graph_edges=0
+        )
+    # and with enough rounds the same graph labels as one component
+    out = connected_components(
+        pairs, ids, max_iter=10, small_graph_edges=0
+    )
+    assert {r.component for r in out.collect()} == {0}

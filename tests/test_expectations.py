@@ -123,3 +123,54 @@ def test_split_by_rules_rejects_relational(spark):
 
     with pytest.raises(ValueError, match="row-level"):
         split_by_rules(_df(spark), [unique("id")])
+
+
+def test_in_range_counts_malformed_strings_instead_of_crashing(spark):
+    from pyspark.sql import Row
+
+    from mpg_data_warehouse_spark.operators.expectations import (
+        in_range,
+        run_suite,
+    )
+
+    df = spark.createDataFrame(
+        [Row(price="10"), Row(price="N/A"), Row(price="200")]
+    )
+    res = {
+        r.rule: r
+        for r in run_suite(
+            df, [in_range("price", lo=0.0, hi=100.0)]
+        ).collect()
+    }
+    (only,) = res.values()
+    assert only.violations == 2  # 'N/A' counts, never crashes; 200 > hi
+
+
+def test_in_range_lower_bound_flags_nan(spark):
+    from pyspark.sql import Row
+
+    from mpg_data_warehouse_spark.operators.expectations import (
+        in_range,
+        run_suite,
+    )
+
+    df = spark.createDataFrame(
+        [Row(score=1.0), Row(score=float("nan"))]
+    )
+    (res,) = run_suite(df, [in_range("score", lo=0.0)]).collect()
+    assert res.violations == 1  # NaN is not in range
+
+
+def test_unique_ignores_null_keys(spark):
+    from pyspark.sql import Row
+
+    from mpg_data_warehouse_spark.operators.expectations import (
+        run_suite,
+        unique,
+    )
+
+    df = spark.createDataFrame(
+        [Row(email=None), Row(email=None), Row(email="a@x"), Row(email="a@x")]
+    )
+    (res,) = run_suite(df, [unique("email")]).collect()
+    assert res.violations == 2  # the two 'a@x' rows; nulls exempt
