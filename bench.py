@@ -110,19 +110,29 @@ def main() -> None:
     }
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread": spread,
-                "reps": reps,
-                "sf": sf,
-            }
-        )
+    record = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "spread": spread,
+        "reps": reps,
+        "sf": sf,
+    }
+    line = json.dumps(record)
+    print(line)
+    # Durable copy: the driver's stdout-tail capture is capped (r4's
+    # archived record lost the headline total to a 2,000-char tail),
+    # so the full JSON also lands in-repo keyed by scale factor.
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f"BENCH_sf{sf}.json" if sf >= 0 else "BENCH_custom.json",
     )
+    try:
+        with open(out_path, "w") as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout line is still the record
     spark.stop()
 
 
