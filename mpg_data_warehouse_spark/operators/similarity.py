@@ -158,6 +158,9 @@ def lsh_topk(
     — flipping each plane bit once — which sharply improves recall
     for near-boundary vectors)."""
     _check_dim(corpus, vec_col, dim)
+    # the query side fails just as silently on a dim mismatch (null
+    # buckets match nothing → empty result), so gate it too
+    _check_dim(queries, vec_col, dim)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),

@@ -48,13 +48,17 @@ def hashed_feature_embedding(
     engine-replayable and needs no model runtime. Empty texts embed
     as the zero-guard unit vector e_0 (retrieval still total).
 
-    Row multiplicity is preserved: the embedding is computed over the
-    DISTINCT rows (the groupBy requires it) and joined back, so
-    exact-duplicate input rows each keep their embedded copy instead
-    of collapsing to one."""
+    The embedding depends ONLY on the text, so it is computed once
+    per DISTINCT text value and re-attached to every input row with a
+    null-safe equi-join on the text column alone (``eqNullSafe``): a
+    plain name-join would silently drop any row whose join column is
+    NULL, and grouping by every input column would both shuffle the
+    payload and miss the dedup across rows that share text but differ
+    in metadata. Duplicate input rows each keep their embedded copy;
+    null/empty texts embed as the zero-guard unit vector e_0."""
     orig = df
-    df = df.distinct()
-    toks = df.withColumn("_tok", F.explode(norm_tokens(text_col)))
+    uniq = df.select(F.col(text_col).alias("_txt")).distinct()
+    toks = uniq.withColumn("_tok", F.explode(norm_tokens("_txt")))
     comps = (
         toks.withColumn("_b", F.pmod(F.xxhash64("_tok"), F.lit(dim)))
         .withColumn(
@@ -63,9 +67,9 @@ def hashed_feature_embedding(
                 F.pmod(F.xxhash64("_tok", F.lit(1)), F.lit(2)) == 0, 1.0
             ).otherwise(-1.0),
         )
-        .groupBy(*df.columns, "_b")
+        .groupBy("_txt", "_b")
         .agg(F.sum("_s").alias("_v"))
-        .groupBy(*df.columns)
+        .groupBy("_txt")
         .agg(
             F.array_sort(
                 F.collect_list(F.struct(F.col("_b"), F.col("_v")))
@@ -93,15 +97,23 @@ def hashed_feature_embedding(
         )
     )
     out = with_vec.withColumn(out_col, unit).drop("_dense")
-    # docs with NO tokens never reach the explode: re-attach with e_0
-    missing = df.join(out.select(*df.columns), df.columns, "left_anti")
+    # texts with NO tokens (empty or null) never reach the explode:
+    # re-attach with e_0. A null _txt never equi-matches in the
+    # left_anti either, so the null-text row correctly lands here.
+    missing = uniq.join(out.select("_txt"), ["_txt"], "left_anti")
     e0 = F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda i: F.when(i == 0, 1.0).otherwise(0.0),
     )
     embedded = out.unionByName(missing.withColumn(out_col, e0))
-    # restore original row multiplicity (distinct() above)
-    return orig.join(embedded, list(orig.columns))
+    # re-attach to every original row. eqNullSafe (<=>) keeps this a
+    # plannable equi-join (hash/sort-merge on the text key) while
+    # matching the null-text row to its e_0 — a bare name-join would
+    # silently drop it. The embedded side is distinct-text-sized, so
+    # no broadcast: at corpus scale it is nearly as big as the input.
+    return orig.join(
+        embedded, orig[text_col].eqNullSafe(embedded["_txt"])
+    ).drop("_txt")
 
 
 def build_retrieval_index(

@@ -539,9 +539,47 @@ def _plan_merge(
 ):
     """Shared MERGE planning (batch merge + streaming sink): returns
     ``(adds, removed, bounds)`` with the rewritten files already
-    written. The caller owns the commit (and its extra metadata)."""
+    written. The caller owns the commit (and its extra metadata).
+
+    The update batch must be a FUNCTION of the merge keys: multiple
+    rows per key would make the upsert pick one partition-order-
+    dependently (nondeterministic results — Delta raises
+    ``MultipleSourceRowMatches`` for the same reason), and NULL key
+    columns never match an equi-join, so every merge would re-insert
+    them and null-keyed duplicates would accumulate forever. Both are
+    detected in ONE aggregate over the (already key-grouped) batch
+    and raised loudly; callers with duplicate sources dedupe with an
+    explicit, deterministic rule first (e.g. max_by on an event
+    timestamp)."""
     _check_schema(state, updates)
-    updates = updates.dropDuplicates(keys)
+    chk = (
+        updates.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(
+            F.max("_c").alias("_max_per_key"),
+            F.max(
+                (
+                    F.greatest(*[F.col(k).isNull() for k in keys])
+                    if len(keys) > 1
+                    else F.col(keys[0]).isNull()
+                ).cast("int")
+            ).alias("_has_null_key"),
+        )
+        .first()
+    )
+    if chk is not None and chk["_max_per_key"] is not None:
+        if chk["_max_per_key"] > 1:
+            raise ValueError(
+                f"merge batch has up to {chk['_max_per_key']} rows per "
+                f"key {keys} — upsert result would be nondeterministic; "
+                "dedupe the batch with an explicit rule first"
+            )
+        if chk["_has_null_key"]:
+            raise ValueError(
+                f"merge batch contains NULL values in key columns "
+                f"{keys} — null keys never match and would duplicate "
+                "on every merge"
+            )
     bounds = _key_bounds(updates, keys)
     touched = _touched_files(
         spark, table, state, updates, keys, bounds, broadcast_updates
@@ -728,9 +766,29 @@ def compact(
 def restore(spark: SparkSession, table: str, version: int) -> int:
     """Roll the table back to ``version`` as a NEW commit (history is
     append-only — the bad commits stay auditable, exactly Delta's
-    RESTORE). Data files are immutable and still present, so restore
-    moves no data: it is a metadata-only commit."""
+    RESTORE). Data files are immutable, so restore normally moves no
+    data: it is a metadata-only commit.
+
+    "Immutable" holds only inside the VACUUM retention horizon: a
+    vacuum keeps files referenced by the newest ``retain_versions``
+    snapshots, so restoring PAST that horizon would commit a HEAD
+    referencing deleted files and make the live table unreadable.
+    Every file the restore re-adds is therefore existence-checked
+    before the commit installs; a vacuumed target raises instead of
+    bricking the table (Delta errors the same way)."""
     old = snapshot_state(table, version)
+    missing = sorted(
+        p
+        for p in old["files"]
+        if not os.path.exists(os.path.join(table, p))
+    )
+    if missing:
+        raise FileNotFoundError(
+            f"cannot restore {table!r} to version {version}: "
+            f"{len(missing)} data file(s) from that snapshot were "
+            f"vacuumed (first: {missing[0]}) — the target version is "
+            "past the VACUUM retention horizon"
+        )
 
     def build(s: dict) -> dict:
         return {

@@ -126,3 +126,26 @@ def test_embedding_preserves_duplicate_rows(spark):
     )
     out = hashed_feature_embedding(df, "text", dim=16)
     assert out.count() == 2
+
+
+def test_embedding_keeps_null_bearing_rows(spark):
+    """ADVICE r4: rows with NULL columns (null text or null metadata)
+    used to vanish in the multiplicity-restoring inner equi-join."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta", tag="t"),
+            Row(doc_id=2, text=None, tag="t"),
+            Row(doc_id=3, text="alpha beta", tag=None),
+        ],
+        "doc_id bigint, text string, tag string",
+    )
+    out = hashed_feature_embedding(df, "text", dim=16)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3}
+    # null text embeds as the zero-guard unit vector e_0
+    assert rows[2].embedding[0] == 1.0
+    assert sum(rows[2].embedding[1:]) == 0.0
+    # null-metadata row keeps the real embedding of its text
+    assert rows[3].embedding == rows[1].embedding

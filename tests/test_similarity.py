@@ -470,3 +470,21 @@ def test_lsh_dim_mismatch_raises_loudly(spark):
         S.lsh_topk(df, df.limit(2), dim=64)
     with pytest.raises(ValueError, match="length"):
         S.embedding_near_dup_pairs(df, dim=64)
+
+
+def test_lsh_topk_checks_query_dim(spark):
+    """ADVICE r4: a wrong-length QUERY vector silently bucketed to
+    null and returned zero results; now it raises like the corpus."""
+    import pytest
+    from pyspark.sql import Row
+
+    from mpg_data_warehouse_spark.operators.similarity import lsh_topk
+
+    corpus = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i), 1.0, 0.0, 1.0]) for i in range(4)]
+    )
+    bad_queries = spark.createDataFrame(
+        [Row(vec_id=100, embedding=[1.0, 2.0])]
+    )
+    with pytest.raises(ValueError, match="dim"):
+        lsh_topk(corpus, bad_queries, k=2, dim=4, n_planes=4)

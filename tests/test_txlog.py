@@ -750,3 +750,55 @@ def test_diff_versions_sees_changes_in_evolved_columns(spark, tmp_path):
         for r in txlog.diff_versions(spark, t, 1, keys=["cust_id"]).collect()
     }
     assert (1, "changed") in got
+
+
+def test_restore_past_vacuum_horizon_raises(spark, tmp_path):
+    """ADVICE r4: restoring to a version whose files were vacuumed
+    must raise BEFORE committing, not brick the live table."""
+    t = str(tmp_path / "t")
+    txlog.create(spark, t, _mk(spark, range(3)).coalesce(1))
+    txlog.overwrite(spark, t, _mk(spark, range(10, 13)).coalesce(1))
+    deleted = txlog.vacuum(t, retain_versions=1, min_age_seconds=0)
+    assert deleted, "v0 files should have been collected"
+    head_before = txlog.latest_version(t)
+    with pytest.raises(FileNotFoundError, match="vacuum"):
+        txlog.restore(spark, t, 0)
+    # no commit installed; table still reads fine
+    assert txlog.latest_version(t) == head_before
+    assert txlog.read(spark, t).count() == 3
+
+
+def test_restore_within_retention_still_works(spark, tmp_path):
+    t = str(tmp_path / "t")
+    txlog.create(spark, t, _mk(spark, range(3)).coalesce(1))
+    txlog.overwrite(spark, t, _mk(spark, range(10, 13)).coalesce(1))
+    txlog.restore(spark, t, 0)
+    assert {r.cust_id for r in txlog.read(spark, t).collect()} == {0, 1, 2}
+
+
+def test_merge_duplicate_key_batch_raises(spark, tmp_path):
+    """ADVICE r4: multiple update rows per key would make the upsert
+    nondeterministic (Delta raises MultipleSourceRowMatches)."""
+    t = str(tmp_path / "t")
+    txlog.create(spark, t, _mk(spark, range(3)))
+    dup = spark.createDataFrame(
+        [
+            Row(cust_id=1, segment="x", balance=1.0),
+            Row(cust_id=1, segment="y", balance=2.0),
+        ]
+    )
+    with pytest.raises(ValueError, match="rows per"):
+        txlog.merge(spark, t, dup, keys=["cust_id"])
+
+
+def test_merge_null_key_batch_raises(spark, tmp_path):
+    """ADVICE r4: null keys never equi-match, so every merge would
+    re-insert them — duplicates accumulate across merges."""
+    t = str(tmp_path / "t")
+    txlog.create(spark, t, _mk(spark, range(3)))
+    bad = spark.createDataFrame(
+        [Row(cust_id=None, segment="x", balance=1.0)],
+        "cust_id bigint, segment string, balance double",
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        txlog.merge(spark, t, bad, keys=["cust_id"])
