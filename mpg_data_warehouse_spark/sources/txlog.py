@@ -15,9 +15,12 @@ VLDB 2020) — natively on Spark + parquet:
   ``_txlog/<N:08d>.json``; its actions are ``add`` / ``remove`` of
   data files. The live snapshot at version N is (all adds) − (all
   removes) with version ≤ N.
-- A commit is atomic: the JSON is staged then installed with an
-  exclusive create (``open(..., "x")``) — the local-filesystem
-  analogue of the object-store put-if-absent the Delta paper requires.
+- A commit is atomic: the JSON is installed through a pluggable
+  ``CommitBackend`` whose one primitive is put-if-absent
+  (``set_commit_backend`` injects the store; the default
+  ``LocalFSCommitBackend`` stages + hard-links for local/HDFS-style
+  filesystems, an object-store deployment plugs in conditional put —
+  S3 ``If-None-Match: *`` / GCS generation-match-0).
   Writers that lose the race re-read the log and retry (appends) or
   raise a conflict (overlapping rewrites) — optimistic concurrency.
 - Readers replay the log to a pinned version: snapshot isolation and
@@ -147,16 +150,71 @@ def snapshot_state(table: str, version: int | None = None) -> dict:
     }
 
 
+class CommitBackend:
+    """Atomic put-if-absent installer for commit files — the ONE
+    primitive the whole ACID design rests on (Delta paper §3.2: the
+    log store must provide mutual exclusion on the commit object).
+
+    Implementations map directly onto real storage:
+
+    - local / HDFS / ABFS: atomic exclusive create (``open(.., "x")``
+      / ``FileSystem.create(overwrite=false)``) — the default below.
+    - S3 / GCS / R2: conditional put (``If-None-Match: *`` /
+      ``x-goog-if-generation-match: 0``); S3 has supported it natively
+      since 2024, so no DynamoDB coordinator is needed.
+
+    ``put_if_absent`` must be ALL-OR-NOTHING: either the full payload
+    is installed and True returns, or nothing is visible and False
+    returns (another writer owns the version). Readers must never see
+    a partial commit file.
+    """
+
+    def put_if_absent(self, path: str, payload: str) -> bool:
+        raise NotImplementedError
+
+
+class LocalFSCommitBackend(CommitBackend):
+    """Exclusive-create backend for POSIX-rename filesystems. The
+    payload is staged to a temp file and hard-linked into place:
+    ``link(2)`` fails with EEXIST if the target exists and is atomic,
+    so a reader never observes a partially-written commit even if the
+    writer dies mid-write (plain ``open(.., "x")`` + write exposes the
+    in-progress file under its final name)."""
+
+    def put_if_absent(self, path: str, payload: str) -> bool:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            fh.write(payload)
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+
+_COMMIT_BACKEND: CommitBackend = LocalFSCommitBackend()
+
+
+def set_commit_backend(backend: CommitBackend) -> CommitBackend:
+    """Install the commit backend (e.g. an object-store conditional-
+    put implementation) and return the previous one, so deployments
+    inject their store without modifying this module."""
+    global _COMMIT_BACKEND
+    prev = _COMMIT_BACKEND
+    _COMMIT_BACKEND = backend
+    return prev
+
+
 def _try_commit(table: str, version: int, commit: dict) -> bool:
     """Install commit ``version`` with put-if-absent semantics.
     Returns False if that version already exists (lost race)."""
     log = _log_path(table)
     os.makedirs(log, exist_ok=True)
     target = os.path.join(log, f"{version:08d}.json")
-    try:
-        with open(target, "x") as fh:
-            json.dump(commit, fh)
-    except FileExistsError:
+    if not _COMMIT_BACKEND.put_if_absent(target, json.dumps(commit)):
         return False
     if version % CHECKPOINT_EVERY == 0 and version > 0:
         state = snapshot_state(table, version)

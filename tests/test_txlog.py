@@ -802,3 +802,59 @@ def test_merge_null_key_batch_raises(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="NULL"):
         txlog.merge(spark, t, bad, keys=["cust_id"])
+
+
+def test_pluggable_commit_backend_contended(spark, tmp_path):
+    """A fake backend that loses the first N put races (a concurrent
+    writer installs the version slot first) — the optimistic retry
+    loop must re-read the fresh state and land at a later version,
+    observing the rival's rows. Proves the ACID claim is portable:
+    only CommitBackend.put_if_absent needs an object-store port."""
+    t = str(tmp_path / "t")
+    txlog.create(spark, t, _mk(spark, range(3)))
+
+    class ContendedBackend(txlog.CommitBackend):
+        """Simulates another writer winning the slot: before the
+        caller's first `races` attempts, install a rival commit at
+        the same path, forcing put_if_absent to return False."""
+
+        def __init__(self, races):
+            self.inner = txlog.LocalFSCommitBackend()
+            self.races = races
+            self.attempts = 0
+
+        def put_if_absent(self, path, payload):
+            self.attempts += 1
+            if self.attempts <= self.races:
+                rival = {
+                    "op": "append",
+                    "actions": [],
+                    "rival": self.attempts,
+                }
+                assert self.inner.put_if_absent(path, json.dumps(rival))
+                return False
+            return self.inner.put_if_absent(path, payload)
+
+    backend = ContendedBackend(races=3)
+    prev = txlog.set_commit_backend(backend)
+    try:
+        v = txlog.append(spark, t, _mk(spark, range(10, 12)))
+    finally:
+        txlog.set_commit_backend(prev)
+    # 3 lost races (versions 1..3 taken by the rival) + 1 win
+    assert backend.attempts == 4
+    assert v == 4
+    assert {r["version"] for r in txlog.history(t)} == {0, 1, 2, 3, 4}
+    assert txlog.read(spark, t).count() == 5
+
+
+def test_local_backend_never_exposes_partial_commit(tmp_path):
+    """put_if_absent is all-or-nothing: the losing writer leaves the
+    winner's payload untouched, and the installed file is complete."""
+    b = txlog.LocalFSCommitBackend()
+    target = str(tmp_path / "log" / "00000001.json")
+    assert b.put_if_absent(target, '{"op": "first"}')
+    assert not b.put_if_absent(target, '{"op": "second"}')
+    assert json.load(open(target)) == {"op": "first"}
+    # no temp-file litter from either attempt
+    assert os.listdir(os.path.dirname(target)) == ["00000001.json"]
