@@ -97,7 +97,115 @@ def complete(
         grid = codes
         join_keys = list(expand)
 
-    out = grid.join(df, on=join_keys, how="left")
+    # Null-safe key equality: tidyr keeps NULL as a category AND
+    # dplyr/tidyr joins match NA keys (na_matches="na"), so an
+    # existing (anchor, NULL-code) row must keep its measures. A bare
+    # equi-join never matches NULL, silently replacing that row's
+    # values with the fill (caught by test_complete_map_...; the map
+    # strategy's struct-keyed lookup was already null-safe).
+    data = df
+    renames = {k: f"__complete_{k}" for k in join_keys}
+    for k, rk in renames.items():
+        data = data.withColumnRenamed(k, rk)
+    cond = None
+    for k, rk in renames.items():
+        c = F.col(k).eqNullSafe(F.col(rk))
+        cond = c if cond is None else cond & c
+    out = grid.join(data, cond, "left").drop(*renames.values())
+    if fill:
+        out = out.na.fill(fill)
+    return out
+
+
+def complete_map(
+    df: DataFrame,
+    expand: list[str],
+    nesting: list[str],
+    fill: dict[str, object] | None = None,
+    expand_values: DataFrame | None = None,
+    nesting_values: DataFrame | None = None,
+    max_domain: int = 4096,
+) -> DataFrame:
+    """``complete()`` for POST-AGGREGATION frames with a SMALL expand
+    domain — same output contract, different physical shape.
+
+    The grid strategy above shuffles the |anchors| × |domain| grid
+    AND the data frame into a sort-merge join: at sf1.0 the
+    functional-groups wrangle's ~37 M-row grid join was the engine's
+    most memory-intense (GC-bimodal) plan. Here the grid is never
+    materialized pre-join: the frame collapses to one map per anchor
+    (``map_from_entries`` keyed by the expand combo — ONE shuffle of
+    |df| narrow rows on the nesting key), anchors outside the frame
+    left-join in, and the domain is exploded map-side from a literal
+    array with an ``element_at`` lookup per combo. Output rows are
+    produced inside the final stage, so peak shuffle volume drops
+    from O(grid + df) to O(df) and the plan references ``df`` ONCE
+    (the grid path reads it up to three times — no ``cache_input``
+    needed).
+
+    Requirements (both loud):
+    - (nesting + expand) must be UNIQUE in ``df`` (true for any
+      grouped aggregate — the reference's only complete() callers);
+      duplicates raise Spark's duplicate-map-key error.
+    - The expand domain must fit a literal array: ≤ ``max_domain``
+      combos (collected driver-side — bounded by construction: the
+      domain is a code table, 18 ground-cover codes / 23 functional
+      groups / 25 brands). Larger domains belong on the grid path.
+    """
+    fill = fill or {}
+    if not nesting:
+        raise ValueError("complete_map requires nesting columns")
+    others = [c for c in df.columns if c not in set(expand) | set(nesting)]
+
+    dom_src = expand_values if expand_values is not None else df
+    dom_df = dom_src.select(*expand).distinct()
+    dom_rows = dom_df.limit(max_domain + 1).collect()
+    if len(dom_rows) > max_domain:
+        raise ValueError(
+            f"expand domain exceeds max_domain={max_domain}; use the "
+            "grid-strategy complete() for large domains"
+        )
+    dom_types = {f.name: f.dataType for f in dom_df.schema.fields}
+    dom_lit = F.array(
+        *[
+            F.struct(
+                *[
+                    F.lit(r[c]).cast(dom_types[c]).alias(c)
+                    for c in expand
+                ]
+            )
+            for r in dom_rows
+        ]
+    )
+
+    per_anchor = df.groupBy(*nesting).agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.struct(*[F.col(c) for c in expand]).alias("key"),
+                    F.struct(*[F.col(c) for c in others]).alias("value"),
+                )
+            )
+        ).alias("_m")
+    )
+    anchors = (
+        nesting_values.select(*nesting).distinct()
+        if nesting_values is not None
+        else per_anchor.select(*nesting)
+    )
+    base = (
+        anchors.join(per_anchor, on=nesting, how="left")
+        if nesting_values is not None
+        else per_anchor
+    )
+    looked_up = F.element_at(F.col("_m"), F.col("_k"))
+    out = base.select(
+        *nesting, F.explode(dom_lit).alias("_k"), F.col("_m")
+    ).select(
+        *nesting,
+        *[F.col("_k")[c].alias(c) for c in expand],
+        *[looked_up[c].alias(c) for c in others],
+    )
     if fill:
         out = out.na.fill(fill)
     return out

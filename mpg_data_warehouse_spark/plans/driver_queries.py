@@ -28,7 +28,7 @@ from mpg_data_warehouse_spark.operators.aggregates import (
     group_quantiles,
     string_agg_ordered_limited,
 )
-from mpg_data_warehouse_spark.operators.complete import complete
+from mpg_data_warehouse_spark.operators.complete import complete, complete_map
 from mpg_data_warehouse_spark.operators.ranking import topk_per_group
 from mpg_data_warehouse_spark.operators.sampling import (
     split_train_holdout,
@@ -1308,7 +1308,12 @@ def functional_groups_detection_rate(spark: SparkSession, sf_dir: str) -> DataFr
         .groupBy("l_orderkey", "p_brand")
         .agg(F.round(F.sum("l_quantity") / F.lit(2.0), 2).alias("detection_rate"))
     )
-    filled = complete(
+    # map-strategy completion: the grid join here was the engine's
+    # most memory-intense plan at sf1.0 (~37 M grid rows shuffled into
+    # a sort-merge join, 1.9x GC spread across bench reps);
+    # complete_map shuffles only the aggregate (one narrow map per
+    # order key) and explodes the 25-brand domain map-side.
+    filled = complete_map(
         agg,
         expand=["p_brand"],
         nesting=["l_orderkey"],

@@ -83,3 +83,117 @@ def test_multi_column_expand(spark):
     )
     # 2 surveys × 2 OBSERVED (status,form) combos — not 2×2×2
     assert out.count() == 4
+
+
+def _rows_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_complete_map_matches_grid_strategy(spark):
+    """complete_map is a physical-shape change only: identical output
+    to the grid-strategy complete() on the same frame, including
+    explicit domains, multi-column expand, and missing anchors."""
+    from mpg_data_warehouse_spark.operators.complete import complete_map
+
+    df = spark.createDataFrame(
+        [
+            Row(survey="s1", status="native", form="forb", rate=1.0),
+            Row(survey="s1", status="nonnative", form="shrub", rate=2.0),
+            Row(survey="s2", status="native", form="forb", rate=3.0),
+        ]
+    )
+    kw = dict(
+        expand=["status", "form"], nesting=["survey"], fill={"rate": 0.0}
+    )
+    assert _rows_set(complete_map(df, **kw)) == _rows_set(complete(df, **kw))
+
+    # explicit expand domain with never-observed combos + an anchor
+    # set wider than the data (s3 gets an all-filled row per combo)
+    dom = spark.createDataFrame(
+        [
+            Row(status="native", form="forb"),
+            Row(status="nonnative", form="shrub"),
+            Row(status="native", form="grass"),
+        ]
+    )
+    anchors = spark.createDataFrame(
+        [Row(survey=s) for s in ("s1", "s2", "s3")]
+    )
+    kw2 = dict(
+        expand=["status", "form"],
+        nesting=["survey"],
+        fill={"rate": 0.0},
+        expand_values=dom,
+        nesting_values=anchors,
+    )
+    got = complete_map(df, **kw2)
+    assert _rows_set(got) == _rows_set(complete(df, **kw2))
+    assert got.count() == 9  # 3 anchors x 3 domain combos
+
+
+def test_complete_map_null_category_kept(spark):
+    from mpg_data_warehouse_spark.operators.complete import complete_map
+
+    df = spark.createDataFrame(
+        [
+            Row(survey="s1", code=None, pct=1.0),
+            Row(survey="s2", code="BG", pct=2.0),
+        ]
+    )
+    kw = dict(expand=["code"], nesting=["survey"], fill={"pct": 0.0})
+    assert _rows_set(complete_map(df, **kw)) == _rows_set(complete(df, **kw))
+
+
+def test_complete_map_rejects_oversized_domain(spark):
+    import pytest
+
+    from mpg_data_warehouse_spark.operators.complete import complete_map
+
+    df = spark.createDataFrame(
+        [Row(survey="s", code=str(i), pct=1.0) for i in range(10)]
+    )
+    with pytest.raises(ValueError, match="max_domain"):
+        complete_map(
+            df, expand=["code"], nesting=["survey"], max_domain=5
+        )
+
+
+def test_complete_map_duplicate_pairs_fail_loudly(spark):
+    """complete_map requires post-aggregation uniqueness; a duplicate
+    (nesting, expand) pair must raise, not silently pick one."""
+    import pytest
+
+    from mpg_data_warehouse_spark.operators.complete import complete_map
+
+    df = spark.createDataFrame(
+        [
+            Row(survey="s1", code="BG", pct=1.0),
+            Row(survey="s1", code="BG", pct=2.0),
+        ]
+    )
+    with pytest.raises(Exception, match="[Dd]uplicate"):
+        complete_map(
+            df, expand=["code"], nesting=["survey"]
+        ).collect()
+
+
+def test_null_category_row_keeps_its_value(spark):
+    """dplyr/tidyr joins match NA keys: an existing (anchor, NULL)
+    row keeps its measure instead of being silently filled (the bare
+    equi-join never matched NULL and overwrote pct=1.0 with 0.0)."""
+    df = spark.createDataFrame(
+        [
+            Row(survey="s1", code=None, pct=1.0),
+            Row(survey="s2", code="BG", pct=2.0),
+        ]
+    )
+    out = {
+        (r.survey, r.code): r.pct
+        for r in complete(
+            df, expand=["code"], nesting=["survey"], fill={"pct": 0.0}
+        ).collect()
+    }
+    assert out[("s1", None)] == 1.0
+    assert out[("s2", None)] == 0.0
+    assert out[("s1", "BG")] == 0.0
+    assert out[("s2", "BG")] == 2.0
