@@ -1,4 +1,5 @@
-"""Persisted inverted index + keyword search over the corpus.
+"""Persisted inverted index + keyword search (boolean and BM25) over
+the corpus.
 
 The retrieval complement to the dedup family's transient inverted
 indexes (``dedup.exploded_shingles``): a (term → doc ids) posting
@@ -18,7 +19,10 @@ engine, or the posting list for a stopword IS the corpus.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from mpg_data_warehouse_spark.operators.text import norm_tokens
@@ -120,3 +124,170 @@ def search_terms(
         .filter(F.col("_nt") == len(norm))
         .select(id_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# Ranked (BM25) search — the scoring half of the retrieval stack.
+# ---------------------------------------------------------------------------
+
+STATS_FILE = "_corpus_stats.json"
+
+
+def build_ranked_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+    min_term_len: int = 1,
+    max_df: int | None = None,
+) -> None:
+    """Posting table WITH term frequencies — the BM25 build.
+
+    Layout: ``(term, id, tf, dl)`` partitioned by term-hash bucket
+    (``dl`` denormalized into the postings so scoring needs no
+    doc-length join at query time), plus one ``_corpus_stats.json``
+    holding ``n_docs`` / ``avgdl``. ``dl`` is the count of tokens
+    surviving ``min_term_len`` and is derived as sum(tf) per doc —
+    computed BEFORE any ``max_df`` stopword cap, so capped terms
+    still count toward length (they were in the document).
+
+    Scale: one (id, term) hash-agg over the exploded tokens (the only
+    corpus-sized shuffle), one doc-grain sum over that agg, one
+    |docs|-grain join — all fixed-width rows after the first agg; the
+    stats are two scalars from a one-row collect.
+    """
+    import json
+
+    toks = docs.select(
+        F.col(id_col), F.explode(norm_tokens(text_col)).alias("term")
+    ).filter(F.length("term") >= min_term_len)
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    # tf feeds doc length, corpus stats, the optional df cap, AND the
+    # final write — persist or the explode+agg re-executes per use
+    tf = tf.persist()
+    try:
+        dl = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
+        stats_row = dl.agg(
+            F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+        ).first()
+        n_docs = int(stats_row["n"] or 0)
+        avgdl = float(stats_row["avgdl"] or 0.0)
+        postings = tf.join(dl, id_col)
+        if max_df is not None:
+            dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+            postings = postings.join(
+                dfreq.filter(F.col("_df") <= max_df).select("term"), "term"
+            )
+        (
+            postings.withColumn(
+                "bucket", term_bucket(F.col("term"), n_buckets)
+            )
+            .repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(path)
+        )
+    finally:
+        tf.unpersist()
+    with open(os.path.join(path, STATS_FILE), "w") as fh:
+        json.dump({"n_docs": n_docs, "avgdl": avgdl}, fh)
+
+
+def bm25_search_many(
+    spark: SparkSession,
+    index_path: str,
+    queries: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_buckets: int = N_BUCKETS,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25-ranked top-k per query over a ``build_ranked_index``
+    table. Output: ``(query_id, id_col, score, rank)``; ``query_id``
+    is the position in ``queries``; ``score`` is rounded to 6 dp and
+    ranking tie-breaks on doc id so the result is deterministic.
+
+    Scoring is the Lucene/Robertson variant:
+    ``idf = ln(1 + (N - df + 0.5)/(df + 0.5))``,
+    ``w = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``,
+    summed over the query's DISTINCT terms (query-side tf is 1 —
+    standard for short queries).
+
+    Scale: the scan touches only the query terms' hash-bucket
+    partitions (same PartitionFilters pushdown as ``search_terms``);
+    ``df`` comes from the probed posting lists themselves (count per
+    term — no corpus pass); per-query top-k is a WindowGroupLimit.
+    """
+    import json
+
+    if not queries:
+        raise ValueError("queries is empty")
+    qterms = [
+        (qi, t)
+        for qi, q in enumerate(queries)
+        for t in sorted({w for w in (q or "").strip().lower().split() if w})
+    ]
+    if not qterms:
+        raise ValueError("no non-empty query terms")
+    with open(os.path.join(index_path, STATS_FILE)) as fh:
+        stats = json.load(fh)
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+
+    qdf = spark.createDataFrame(qterms, "query_id long, term string")
+    bucket_rows = (
+        qdf.select(term_bucket(F.col("term"), n_buckets).alias("b"))
+        .distinct()
+        .collect()
+    )
+    buckets = sorted(r["b"] for r in bucket_rows)
+    postings = spark.read.parquet(index_path).filter(
+        F.col("bucket").isin(buckets)
+        & F.col("term").isin(sorted({t for _, t in qterms}))
+    )
+    # df per term from the probed lists (posting rows are one per
+    # (term, doc)); tiny — at most |query terms| rows
+    dfreq = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("_df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (
+        1.0 - b + b * F.col("dl") / F.lit(float(avgdl))
+    )
+    scored = (
+        postings.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qdf), "term")
+        .withColumn("_w", idf * F.col("tf") * (k1 + 1.0) / denom)
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("_w"), 6).alias("score"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )
+
+
+def bm25_search(
+    spark: SparkSession,
+    index_path: str,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_buckets: int = N_BUCKETS,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Single-query BM25: ``(id_col, score, rank)``."""
+    return bm25_search_many(
+        spark, index_path, [query], k, k1, b, n_buckets, id_col
+    ).drop("query_id")

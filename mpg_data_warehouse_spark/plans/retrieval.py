@@ -219,3 +219,126 @@ def retrieve(
             "rank",
         )
     )
+
+
+def build_hybrid_index(
+    docs: DataFrame,
+    index_path: str,
+    chunks_path: str,
+    bm25_path: str,
+    dim: int = 64,
+    max_tokens: int = 64,
+    overlap: int = 8,
+    n_centroids: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Offline half of hybrid retrieval: the dense chunk index (IVF
+    over hashed-feature embeddings) plus a BM25 ranked index over the
+    SAME chunk store, so both retrievers score identical chunk_keys
+    and fusion is a pure key join."""
+    from mpg_data_warehouse_spark.operators.search import (
+        build_ranked_index,
+    )
+
+    build_retrieval_index(
+        docs,
+        index_path,
+        chunks_path,
+        dim=dim,
+        max_tokens=max_tokens,
+        overlap=overlap,
+        n_centroids=n_centroids,
+        id_col=id_col,
+        text_col=text_col,
+    )
+    chunks = docs.sparkSession.read.parquet(chunks_path)
+    build_ranked_index(
+        chunks, bm25_path, id_col="chunk_key", text_col="chunk_text"
+    )
+
+
+def hybrid_retrieve(
+    spark: SparkSession,
+    index_path: str,
+    chunks_path: str,
+    bm25_path: str,
+    query_texts: list[str],
+    k: int = 5,
+    dim: int = 64,
+    nprobe: int = 4,
+    k_rrf: int = 60,
+    pool: int = 20,
+) -> DataFrame:
+    """Hybrid dense + lexical retrieval with reciprocal-rank fusion
+    (Cormack et al. 2009 — the standard zero-tuning fusion):
+    each retriever contributes ``1 / (k_rrf + rank)`` for its top
+    ``pool`` chunks, missing-side ranks contribute 0, and the fused
+    top-k per query hydrates from the chunk store. RRF works on RANKS
+    only, so the incomparable score scales (cosine vs BM25) never
+    need calibration.
+
+    Output: (query_id, query_text, chunk_key, doc_id, chunk_id,
+    chunk_text, rrf_score, rank).
+
+    Scale: both retrievers are already index-pruned (nprobe IVF cells
+    / query-term hash buckets); fusion joins two ≤|queries|·pool-row
+    frames on (query_id, chunk_key) — negligible next to either
+    probe."""
+    from mpg_data_warehouse_spark.operators.search import bm25_search_many
+
+    dense = retrieve(
+        spark,
+        index_path,
+        chunks_path,
+        query_texts,
+        k=pool,
+        dim=dim,
+        nprobe=nprobe,
+    ).select("query_id", "chunk_key", F.col("rank").alias("_rank_d"))
+    lex = bm25_search_many(
+        spark, bm25_path, query_texts, k=pool, id_col="chunk_key"
+    ).select("query_id", "chunk_key", F.col("rank").alias("_rank_l"))
+    contrib_d = F.lit(1.0) / (F.lit(float(k_rrf)) + F.col("_rank_d"))
+    contrib_l = F.lit(1.0) / (F.lit(float(k_rrf)) + F.col("_rank_l"))
+    fused = (
+        dense.join(lex, ["query_id", "chunk_key"], "full_outer")
+        .withColumn(
+            "rrf_score",
+            F.round(
+                F.coalesce(contrib_d, F.lit(0.0))
+                + F.coalesce(contrib_l, F.lit(0.0)),
+                6,
+            ),
+        )
+        .drop("_rank_d", "_rank_l")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("chunk_key")
+    )
+    top = fused.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= k)
+    chunks = spark.read.parquet(chunks_path)
+    return (
+        top.join(chunks, "chunk_key")
+        .join(
+            spark.createDataFrame(
+                list(enumerate(query_texts)),
+                "query_id long, query_text string",
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "query_text",
+            "chunk_key",
+            "doc_id",
+            "chunk_id",
+            "chunk_text",
+            "rrf_score",
+            "rank",
+        )
+    )

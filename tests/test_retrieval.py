@@ -149,3 +149,72 @@ def test_embedding_keeps_null_bearing_rows(spark):
     assert sum(rows[2].embedding[1:]) == 0.0
     # null-metadata row keeps the real embedding of its text
     assert rows[3].embedding == rows[1].embedding
+
+
+def test_hybrid_rrf_fuses_dense_and_lexical(spark, tmp_path):
+    """A rare exact keyword (lexical win) and a paraphrase-ish query
+    (dense win) both surface their target through RRF fusion; fused
+    ranks are deterministic and k-capped."""
+    from mpg_data_warehouse_spark.plans.retrieval import (
+        build_hybrid_index,
+        hybrid_retrieve,
+    )
+
+    corpus = _corpus(spark)
+    idx = str(tmp_path / "idx")
+    chunks = str(tmp_path / "chunks")
+    bm25 = str(tmp_path / "bm25")
+    build_hybrid_index(
+        corpus, idx, chunks, bm25,
+        dim=64, max_tokens=16, overlap=4, n_centroids=4,
+    )
+    got = hybrid_retrieve(
+        spark, idx, chunks, bm25,
+        ["solar panels sunlight", "bread baking flour"],
+        k=3, nprobe=4,
+    )
+    rows = got.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1}
+    for qid, qrows in by_q.items():
+        assert len(qrows) <= 3
+        assert sorted(r.rank for r in qrows) == list(
+            range(1, len(qrows) + 1)
+        )
+    top0 = min(by_q[0], key=lambda r: r.rank)
+    top1 = min(by_q[1], key=lambda r: r.rank)
+    assert top0.doc_id == 1  # the solar doc
+    assert top1.doc_id == 2  # the bread doc
+    assert all(r.rrf_score > 0 for r in rows)
+
+
+def test_hybrid_lexical_only_hit_still_surfaces(spark, tmp_path):
+    """A chunk the dense pool misses entirely must still appear via
+    its lexical rank (full-outer fusion, not an inner join)."""
+    from pyspark.sql import Row as R
+
+    from mpg_data_warehouse_spark.plans.retrieval import (
+        build_hybrid_index,
+        hybrid_retrieve,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            R(doc_id=1, text="qqzzxx unique token document"),
+            R(doc_id=2, text="common words about ordinary things"),
+            R(doc_id=3, text="more common ordinary filler text"),
+        ]
+    )
+    idx = str(tmp_path / "idx")
+    chunks = str(tmp_path / "chunks")
+    bm25 = str(tmp_path / "bm25")
+    build_hybrid_index(
+        docs, idx, chunks, bm25,
+        dim=32, max_tokens=8, overlap=0, n_centroids=2,
+    )
+    got = hybrid_retrieve(
+        spark, idx, chunks, bm25, ["qqzzxx"], k=2, nprobe=2, pool=2
+    ).collect()
+    assert min(got, key=lambda r: r.rank).doc_id == 1

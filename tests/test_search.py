@@ -89,3 +89,96 @@ def test_phrase_query_tokenizes_like_the_index(spark, tmp_path):
             spark, idx, ["machine learning"], mode="all"
         ).collect()
     } == {1}
+
+
+def _bm25_ref(corpus, query_terms, k1=1.2, b=0.75):
+    """Independent in-Python BM25 (Lucene/Robertson variant) for the
+    fixture corpus: {doc_id: score}."""
+    import math
+
+    toks = {d: t.lower().split() for d, t in corpus.items()}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    scores = {}
+    for term in sorted(set(query_terms)):
+        df = sum(1 for t in toks.values() if term in t)
+        if df == 0:
+            continue
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        for d, t in toks.items():
+            tf = t.count(term)
+            if not tf:
+                continue
+            w = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(t) / avgdl))
+            scores[d] = scores.get(d, 0.0) + w
+    return scores
+
+
+def test_bm25_matches_reference_formula(spark, tmp_path):
+    from mpg_data_warehouse_spark.operators.search import (
+        bm25_search,
+        build_ranked_index,
+    )
+
+    corpus = {
+        1: "alpha bravo charlie delta",
+        2: "alpha bravo echo",
+        3: "charlie delta foxtrot",
+        4: "Alpha ALPHA alpha",
+    }
+    docs = spark.createDataFrame(
+        [Row(doc_id=d, text=t) for d, t in corpus.items()]
+    )
+    idx = str(tmp_path / "ridx")
+    build_ranked_index(docs, idx)
+    got = {
+        r.doc_id: r.score
+        for r in bm25_search(spark, idx, "alpha charlie", k=10).collect()
+    }
+    ref = _bm25_ref(corpus, ["alpha", "charlie"])
+    assert set(got) == set(ref)
+    for d in ref:
+        assert abs(got[d] - ref[d]) < 1e-5, (d, got[d], ref[d])
+
+
+def test_bm25_rank_is_deterministic_and_k_capped(spark, tmp_path):
+    from mpg_data_warehouse_spark.operators.search import (
+        bm25_search_many,
+        build_ranked_index,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="tie tie tie") for i in range(5)]
+    )
+    idx = str(tmp_path / "ridx")
+    build_ranked_index(docs, idx)
+    rows = bm25_search_many(spark, idx, ["tie"], k=3).collect()
+    # equal scores -> rank ties broken by doc id, capped at k
+    assert [(r.doc_id, r.rank) for r in sorted(rows, key=lambda r: r.rank)] == [
+        (0, 1),
+        (1, 2),
+        (2, 3),
+    ]
+
+
+def test_bm25_repeated_term_saturates_not_linear(spark, tmp_path):
+    """tf saturation: 3x the term count must score higher but far
+    less than 3x (the k1 clamp) — the property that distinguishes
+    BM25 from raw tf."""
+    from mpg_data_warehouse_spark.operators.search import (
+        bm25_search,
+        build_ranked_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="zeta one two"),
+            Row(doc_id=2, text="zeta zeta zeta"),
+            Row(doc_id=3, text="other words here"),
+        ]
+    )
+    idx = str(tmp_path / "ridx")
+    build_ranked_index(docs, idx)
+    got = {r.doc_id: r.score for r in bm25_search(spark, idx, "zeta").collect()}
+    assert got[2] > got[1]
+    assert got[2] < 3 * got[1]
