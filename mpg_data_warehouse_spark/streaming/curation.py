@@ -58,7 +58,12 @@ from mpg_data_warehouse_spark.operators.text import (
     quality_classifier_scores,
     quality_score,
 )
+from mpg_data_warehouse_spark.sources import txlog
 from mpg_data_warehouse_spark.streaming.events import _sink_exists
+from mpg_data_warehouse_spark.streaming.txlog_sink import (
+    _AlreadyCommitted,
+    _commit_batch,
+)
 
 __all__ = ["curated_append_stream"]
 
@@ -78,6 +83,8 @@ def curated_append_stream(
     max_nll_per_token: float | None = None,
     classifier: tuple[DataFrame, float] | None = None,
     min_classifier_p: float | None = None,
+    sink_format: str = "parquet",
+    app_id: str = "curation",
 ):
     """Start the continual-curation stream over a streaming ``docs``
     DataFrame (availableNow trigger: drain, then stop — rerun per
@@ -88,7 +95,30 @@ def curated_append_stream(
     with (validated against the table's actual signature width).
 
     Input ``docs`` must not already carry a ``batch`` column — both
-    output tables are partitioned by it."""
+    output tables are partitioned by it (parquet mode).
+
+    ``sink_format="txlog"`` lands both the curated corpus and the
+    signature table in ACID transaction-log tables
+    (``sources/txlog``) with the Delta-style ``txn`` action
+    (``streaming/txlog_sink``): a replayed batch whose
+    ``(app_id, batch_id)`` is already in the log is skipped
+    atomically — no partition-overwrite layout needed — and
+    downstream incremental consumers get a change feed
+    (``txlog.read_changes``) over the curated corpus for free.
+    Signature rows carry ``(_app, _batch)`` so a RETRY of an
+    interrupted batch excludes its own half-landed signatures from
+    the dedup guards (the txlog analogue of parquet mode's
+    ``batch != batch_id`` partition filter) — commits are atomic, so
+    no other partial state can exist. Signatures still commit before
+    docs: an abandoned half batch errs dedup-conservative. On
+    checkpoint loss, restart with a FRESH ``app_id`` (standard Delta
+    streaming-sink semantics — batch ids restart at 0 and the txn
+    guard would skip them): already-curated content is then dropped
+    by the id/hash guards and nothing duplicates."""
+    if sink_format not in ("parquet", "txlog"):
+        raise ValueError(
+            f"sink_format must be 'parquet' or 'txlog', got {sink_format!r}"
+        )
     if (classifier is None) != (min_classifier_p is None):
         raise ValueError(
             "classifier and min_classifier_p must be passed together — "
@@ -147,14 +177,33 @@ def curated_append_stream(
             # normalize → quality → gates → exact dedup per batch
             .localCheckpoint()
         )
-        if _sink_exists(spark, sig_path):
+        if sink_format == "txlog":
+            sig_table_exists = txlog.latest_version(sig_path) >= 0
+        else:
+            sig_table_exists = _sink_exists(spark, sig_path)
+        if sig_table_exists:
             # The ONE corpus-sized side input. Excluding the current
             # batch id is a partition filter (pruned scan), and it is
             # what makes retries safe: a half-written previous attempt
-            # of THIS batch can never shadow its own rows.
-            corpus_sigs = spark.read.parquet(sig_path).filter(
-                F.col("batch") != batch_id
-            )
+            # of THIS batch can never shadow its own rows. txlog mode:
+            # same exclusion via the (_app, _batch) columns — commits
+            # are atomic, so the only possible self-state is a fully
+            # committed signature batch from an interrupted attempt.
+            if sink_format == "txlog":
+                corpus_sigs = (
+                    txlog.read(spark, sig_path)
+                    .filter(
+                        ~(
+                            (F.col("_app") == app_id)
+                            & (F.col("_batch") == batch_id)
+                        )
+                    )
+                    .drop("_app", "_batch")
+                )
+            else:
+                corpus_sigs = spark.read.parquet(sig_path).filter(
+                    F.col("batch") != batch_id
+                )
             found = [c for c in corpus_sigs.columns if c.startswith("sig_")]
             if len(found) != num_hashes or "_h" not in corpus_sigs.columns:
                 raise ValueError(
@@ -204,6 +253,34 @@ def curated_append_stream(
         surviving_sigs = new_sigs.join(
             survivors.select(id_col, "_h"), id_col
         ).select(id_col, *sig_cols, "_h")
+        if sink_format == "txlog":
+            # Exactly-once via the txn action: each table's commit
+            # atomically records (app_id, batch_id); a replay that
+            # finds its id already committed skips that table and
+            # proceeds to the next, so a crash between the two
+            # commits converges on retry. Signatures commit FIRST so
+            # an abandoned half batch errs dedup-conservative.
+            sig_out = surviving_sigs.withColumn(
+                "_app", F.lit(app_id)
+            ).withColumn("_batch", F.lit(batch_id).cast("long"))
+            for table, frame in (
+                (sig_path, sig_out),
+                (sink_path, survivors),
+            ):
+                if txlog.latest_version(table) < 0:
+                    txlog.create(spark, table, frame.limit(0))
+                state = txlog.snapshot_state(table)
+                txlog._check_schema(state, frame)
+                adds = txlog._write_data_files(
+                    frame, table, state["partition_by"]
+                )
+                try:
+                    _commit_batch(
+                        table, app_id, batch_id, "stream-append", adds
+                    )
+                except _AlreadyCommitted:
+                    pass
+            return
         # Idempotent per-batch partition overwrite: a retried batch
         # (same batch id) rewrites exactly its own partition of both
         # tables, so there is no append-twice window and no write

@@ -221,3 +221,109 @@ def test_curated_stream_classifier_gate(spark, tmp_path):
     q.awaitTermination(180)
     kept = {r.doc_id for r in spark.read.parquet(paths["sink"]).collect()}
     assert kept == {1}
+
+
+def _run_txlog(spark, src, paths, app_id="curation"):
+    q = curated_append_stream(
+        _stream(spark, src),
+        paths["sink"],
+        paths["sigs"],
+        paths["ckpt"],
+        sink_format="txlog",
+        app_id=app_id,
+    )
+    q.awaitTermination(180)
+
+
+def test_curated_stream_txlog_sink_dedups_and_feeds_cdf(spark, tmp_path):
+    """txlog-mode curation: same curation semantics, ACID sink, and a
+    change feed downstream incremental consumers can read."""
+    from mpg_data_warehouse_spark.sources import txlog
+
+    src = str(tmp_path / "src")
+    paths = {
+        "sink": str(tmp_path / "sink"),
+        "sigs": str(tmp_path / "sigs"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+    batch_a = spark.createDataFrame(
+        [
+            (1, BASE * 3, "web"),
+            (2, BASE * 3, "web"),  # exact dup of 1 (in-batch)
+            (3, "shrt", "web"),    # fails the quality gate
+            (4, OTHER, "books"),
+        ],
+        DOCS_SCHEMA,
+    )
+    batch_a.write.parquet(src)
+    _run_txlog(spark, src, paths)
+    v_after_a = txlog.latest_version(paths["sink"])
+    assert {
+        r.doc_id for r in txlog.read(spark, paths["sink"]).collect()
+    } == {1, 4}
+
+    batch_b = spark.createDataFrame(
+        [
+            (5, BASE * 3 + " ", "web"),  # near-dup of 1
+            (6, THIRD, "papers"),
+            (7, OTHER, "books"),         # exact dup of 4, new id
+        ],
+        DOCS_SCHEMA,
+    )
+    batch_b.write.mode("append").parquet(src)
+    _run_txlog(spark, src, paths)
+
+    assert {
+        r.doc_id for r in txlog.read(spark, paths["sink"]).collect()
+    } == {1, 4, 6}
+    sig_ids = {
+        r.doc_id for r in txlog.read(spark, paths["sigs"]).collect()
+    }
+    assert sig_ids == {1, 4, 6}
+    # CDF: the commits after batch A insert exactly doc 6
+    changes = txlog.read_changes(
+        spark, paths["sink"], v_after_a, txlog.latest_version(paths["sink"])
+    )
+    assert [(r.doc_id, r._change_type) for r in changes.collect()] == [
+        (6, "insert")
+    ]
+
+
+def test_curated_stream_txlog_replayed_batch_adds_zero_rows(
+    spark, tmp_path
+):
+    """Deleting the checkpoint and re-running with a FRESH app_id
+    re-delivers every source file; the txn guard plus the id/hash
+    guards must land zero new rows and zero new data files."""
+    import shutil
+
+    from mpg_data_warehouse_spark.sources import txlog
+
+    src = str(tmp_path / "src")
+    paths = {
+        "sink": str(tmp_path / "sink"),
+        "sigs": str(tmp_path / "sigs"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+    spark.createDataFrame(
+        [(1, BASE * 3, "web"), (4, OTHER, "books")], DOCS_SCHEMA
+    ).write.parquet(src)
+    _run_txlog(spark, src, paths)
+    before = txlog.read(spark, paths["sink"]).count()
+    assert before == 2
+
+    # Disaster replay: checkpoint lost, batch ids restart at 0 — the
+    # documented recovery is a fresh app_id (Delta semantics).
+    shutil.rmtree(paths["ckpt"])
+    paths["ckpt"] = str(tmp_path / "ckpt2")
+    _run_txlog(spark, src, paths, app_id="curation-reborn")
+    sink = txlog.read(spark, paths["sink"])
+    assert sink.count() == before
+    assert {r.doc_id for r in sink.collect()} == {1, 4}
+
+    # Same-checkpoint re-run (no new files): stream delivers nothing,
+    # tables untouched.
+    head = txlog.latest_version(paths["sink"])
+    _run_txlog(spark, src, paths, app_id="curation-reborn")
+    assert txlog.read(spark, paths["sink"]).count() == before
+    assert txlog.latest_version(paths["sink"]) == head
