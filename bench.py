@@ -34,7 +34,6 @@ HEADLINE = [
     "multi_way_join_enrich",
     "membership_semi_anti",
     "date_repair_from_dim",
-    "distinct_count_per_year",
     "string_agg_top3_dates",
     "window_partition_count",
     "group_multiples_having",
@@ -55,10 +54,14 @@ HEADLINE = [
     "sessionize_events",
     "temporal_asof_range",
     "user_value_windows",
-    "profile_summary_stats",
     "text_tokens_fingerprint",
     "pack_token_budget",
     "streaming_hourly_rollup",
+    # round-5 rotation: the verified round-4 families join the bench
+    "bm25_doc_search",
+    "dsir_select",
+    "quality_classifier_scores",
+    "pq_adc_topk",
 ]
 
 

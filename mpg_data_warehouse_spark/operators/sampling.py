@@ -246,7 +246,7 @@ def cap_per_group(
 
 
 def _hashed_ngram_buckets(
-    text_col: str, n_buckets: int, max_n: int = 2
+    text_col: str, n_buckets: int, max_n: int = 2, hash_fn: str = "xxhash64"
 ) -> Column:
     """Bag of hashed word n-grams (n = 1..max_n) as bucket ids in
     [0, n_buckets): the DSIR feature space. Unigrams and bigrams come
@@ -266,20 +266,42 @@ def _hashed_ngram_buckets(
             F.size(toks) >= n,
             F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
         ).otherwise(F.array().cast("array<int>"))
-        grams.append(
-            F.transform(
-                positions,
-                lambda i, n=n: F.concat_ws(" ", F.slice(toks, i, n)),
-            )
-        )
+        # capture n via a closure factory, NEVER `lambda i, n=n:` —
+        # a default arg makes the lambda arity 2 and PySpark binds it
+        # as transform's (element, index) form, so n silently became
+        # the ARRAY INDEX and every feature was a junk slice (caught
+        # by the dsir_select oracle; pinned in test_sampling)
+        def _gram(width: int):
+            return lambda i: F.concat_ws(" ", F.slice(toks, i, width))
+
+        grams.append(F.transform(positions, _gram(n)))
     allgrams = grams[0] if len(grams) == 1 else F.concat(*grams)
-    return F.transform(
-        allgrams, lambda g: F.pmod(F.xxhash64(g), F.lit(n_buckets))
-    )
+    if hash_fn == "xxhash64":
+        return F.transform(
+            allgrams, lambda g: F.pmod(F.xxhash64(g), F.lit(n_buckets))
+        )
+    if hash_fn == "md5":
+        # oracle-replayable bucket: 32-bit md5 prefix, the same
+        # primitive as _stable_bucket — mirrors in any engine as
+        # CAST('0x'||substr(md5(g),1,8) AS BIGINT) % n_buckets
+        return F.transform(
+            allgrams,
+            lambda g: F.pmod(
+                F.conv(
+                    F.substring(F.md5(g.cast("binary")), 1, 8), 16, 10
+                ).cast("long"),
+                F.lit(n_buckets),
+            ),
+        )
+    raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
 
 
 def _bucket_distribution(
-    df: DataFrame, text_col: str, n_buckets: int, max_n: int
+    df: DataFrame,
+    text_col: str,
+    n_buckets: int,
+    max_n: int,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(bucket, cnt) over the corpus's hashed n-grams — one explode +
     hash-agg; map-side combine collapses the Zipf head so the shuffle
@@ -287,7 +309,7 @@ def _bucket_distribution(
     return (
         df.select(
             F.explode(
-                _hashed_ngram_buckets(text_col, n_buckets, max_n)
+                _hashed_ngram_buckets(text_col, n_buckets, max_n, hash_fn)
             ).alias("bucket")
         )
         .groupBy("bucket")
@@ -303,6 +325,7 @@ def dsir_importance_weights(
     n_buckets: int = 10_000,
     max_n: int = 2,
     smoothing: float = 1.0,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Per-document importance log-weights for Data Selection via
     Importance Resampling (Xie et al., NeurIPS 2023 — public): score
@@ -326,13 +349,13 @@ def dsir_importance_weights(
     t_counts = {
         row["bucket"]: row["cnt"]
         for row in _bucket_distribution(
-            target, text_col, n_buckets, max_n
+            target, text_col, n_buckets, max_n, hash_fn
         ).collect()
     }
     r_counts = {
         row["bucket"]: row["cnt"]
         for row in _bucket_distribution(
-            raw, text_col, n_buckets, max_n
+            raw, text_col, n_buckets, max_n, hash_fn
         ).collect()
     }
     t_total = sum(t_counts.values())
@@ -353,9 +376,9 @@ def dsir_importance_weights(
     )
     doc_feats = raw.select(
         F.col(id_col),
-        F.explode(_hashed_ngram_buckets(text_col, n_buckets, max_n)).alias(
-            "bucket"
-        ),
+        F.explode(
+            _hashed_ngram_buckets(text_col, n_buckets, max_n, hash_fn)
+        ).alias("bucket"),
     )
     logw = (
         doc_feats.join(F.broadcast(ratio), "bucket")
@@ -377,6 +400,7 @@ def dsir_resample(
     max_n: int = 2,
     smoothing: float = 1.0,
     seed: int = 0,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Select ~``n`` raw docs matching the target distribution:
     Gumbel-top-k over the importance weights (sampling WITHOUT
@@ -391,13 +415,29 @@ def dsir_resample(
     of the key with ``percentile_approx`` and filter — fully
     distributed, approximately n rows."""
     weighted = dsir_importance_weights(
-        raw, target, id_col, text_col, n_buckets, max_n, smoothing
+        raw, target, id_col, text_col, n_buckets, max_n, smoothing, hash_fn
     )
     # uniform in (0,1) from the id hash; never exactly 0 or 1
-    u = (
-        (F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(2**40)) + 0.5)
-        / F.lit(float(2**40))
-    )
+    if hash_fn == "md5":
+        # 40 bits from 10 hex chars of md5("<id>:<seed>") — the
+        # oracle mirror is CAST('0x'||substr(md5(id||':'||seed),1,10)
+        # AS BIGINT)
+        draw = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col(id_col).cast("string"), F.lit(str(seed))
+                    ).cast("binary")
+                ),
+                1,
+                10,
+            ),
+            16,
+            10,
+        ).cast("long")
+    else:
+        draw = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(2**40))
+    u = (draw + 0.5) / F.lit(float(2**40))
     gumbel = -F.log(-F.log(u))
     return (
         weighted.withColumn("_gkey", F.col("dsir_logw") + gumbel)

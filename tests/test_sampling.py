@@ -286,3 +286,29 @@ def test_rebalance_outputs_carry_no_internal_columns(spark):
     assert set(out1.columns) == {"src", "doc_id", "w"}
     out2 = temperature_mixture_sample(df, "src", "doc_id", "w", 0.5, 10.0)
     assert set(out2.columns) == {"src", "doc_id", "w"}
+
+
+def test_dsir_md5_grams_match_reference(spark):
+    """Regression: `lambda i, n=n:` inside transform() has arity 2,
+    so PySpark bound it as the (element, index) binary form and n
+    silently became the array index — every DSIR feature was a junk
+    slice. Pin the hashed buckets of a known text against values
+    computed independently (md5 prefixes of the five true n-grams)."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from mpg_data_warehouse_spark.operators.sampling import (
+        _hashed_ngram_buckets,
+    )
+
+    text = "Alpha beta  gamma"
+    expected = [
+        int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % 512
+        for g in ["alpha", "beta", "gamma", "alpha beta", "beta gamma"]
+    ]
+    df = spark.createDataFrame([Row(text=text)])
+    got = df.select(
+        _hashed_ngram_buckets("text", 512, 2, "md5").alias("b")
+    ).first()["b"]
+    assert got == expected
