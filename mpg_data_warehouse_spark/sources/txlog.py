@@ -769,11 +769,23 @@ def delete(
     return _commit_retry(table, build)
 
 
+def row_count(table: str, version: int | None = None) -> int:
+    """Metadata-only COUNT(*): sum of the per-file row counts the add
+    actions carry (taken from parquet footers at write time). The S8
+    metadata-row-count surface on the ACID format — zero data pages
+    read, O(live files) driver work, correct at ANY pinned version
+    because the counts travel with the snapshot's file set."""
+    state = snapshot_state(table, version)
+    return sum(a["rows"] for a in state["files"].values())
+
+
 def compact(
     spark: SparkSession,
     table: str,
     target_partitions: int | None = None,
     cluster_by: list[str] | None = None,
+    zorder_by: tuple[str, str] | None = None,
+    zorder_bits: int = 16,
 ) -> int:
     """OPTIMIZE: rewrite every live file into one fresh commit group.
     Collapses small-file buildup from high-frequency appends AND (for
@@ -791,10 +803,50 @@ def compact(
     table touches O(1) files, an unclustered one touches every file
     whose random key range happens to straddle the key. Appends then
     interleave fresh unclustered files — re-cluster on a cadence,
-    exactly like Delta's OPTIMIZE ZORDER."""
+    exactly like Delta's OPTIMIZE ZORDER.
+
+    ``zorder_by=(c1, c2)`` is the TWO-dimensional clustering form
+    (Delta's actual ZORDER BY): files are range-partitioned + sorted
+    on the Morton-interleaved key of both numeric columns
+    (``writers.zorder_value``; bounds from one min/max aggregate), so
+    footer min/max tighten on BOTH dimensions and ``read_pruned`` /
+    MERGE pruning serve either predicate. Mutually exclusive with
+    ``cluster_by`` (which serves one lexicographic direction)."""
+    if cluster_by and zorder_by:
+        raise ValueError("pass cluster_by or zorder_by, not both")
     state = snapshot_state(table)
     df = _read_files(spark, table, state)
-    if cluster_by:
+    if zorder_by:
+        from mpg_data_warehouse_spark.sources.writers import zorder_value
+
+        c1, c2 = zorder_by
+        bounds = df.agg(
+            F.min(c1).cast("double").alias("lo1"),
+            F.max(c1).cast("double").alias("hi1"),
+            F.min(c2).cast("double").alias("lo2"),
+            F.max(c2).cast("double").alias("hi2"),
+        ).first()
+        if bounds["lo1"] is None or bounds["lo2"] is None:
+            raise ValueError(
+                f"zorder_by columns {zorder_by} are all-null or the "
+                "table is empty — nothing to cluster on"
+            )
+        z = zorder_value(
+            F.col(c1),
+            bounds["lo1"],
+            bounds["hi1"],
+            F.col(c2),
+            bounds["lo2"],
+            bounds["hi2"],
+            bits=zorder_bits,
+        ).alias("_z")
+        df = df.withColumn("_z", z)
+        if target_partitions:
+            df = df.repartitionByRange(target_partitions, F.col("_z"))
+        else:
+            df = df.repartitionByRange(F.col("_z"))
+        df = df.sortWithinPartitions("_z").drop("_z")
+    elif cluster_by:
         cols = [F.col(c) for c in cluster_by]
         if target_partitions:
             df = df.repartitionByRange(target_partitions, *cols)

@@ -858,3 +858,59 @@ def test_local_backend_never_exposes_partial_commit(tmp_path):
     assert json.load(open(target)) == {"op": "first"}
     # no temp-file litter from either attempt
     assert os.listdir(os.path.dirname(target)) == ["00000001.json"]
+
+
+def test_row_count_is_metadata_only_and_version_pinned(spark, tmp_path):
+    t = str(tmp_path / "t")
+    txlog.create(spark, t, _mk(spark, range(7)))
+    txlog.append(spark, t, _mk(spark, range(10, 15)))
+    assert txlog.row_count(t) == 12
+    assert txlog.row_count(t, version=0) == 7
+    txlog.delete(spark, t, "cust_id >= 10")
+    assert txlog.row_count(t) == 7
+    # agrees with the real scan at every version
+    assert txlog.row_count(t) == txlog.read(spark, t).count()
+
+
+def test_compact_zorder_tightens_both_dimensions(spark, tmp_path):
+    """After ZORDER compaction, a point predicate on EITHER column
+    prunes most files via footer stats (read_pruned), where the
+    unclustered layout straddles every file."""
+    import itertools
+
+    t = str(tmp_path / "t")
+    rows = [
+        Row(x=float(x), y=float(y), payload=x * 100 + y)
+        for x, y in itertools.product(range(32), range(32))
+    ]
+    df = spark.createDataFrame(rows).repartition(8)  # random layout
+    txlog.create(spark, t, df)
+    txlog.compact(spark, t, target_partitions=16, zorder_by=("x", "y"))
+    state = txlog.snapshot_state(t)
+
+    def files_overlapping(col, v):
+        return [
+            a for a in state["files"].values()
+            if a["min"].get(col) is not None
+            and a["min"][col] <= v <= a["max"][col]
+        ]
+
+    n = len(state["files"])
+    assert n >= 8
+    # both dimensions prune: a point value overlaps well under half
+    # the files in each
+    assert len(files_overlapping("x", 3.0)) <= n // 2
+    assert len(files_overlapping("y", 3.0)) <= n // 2
+    # rows survived exactly
+    assert txlog.row_count(t) == 1024
+    got = txlog.read(spark, t).where("x = 3.0 and y = 3.0").collect()
+    assert len(got) == 1 and got[0].payload == 303
+
+
+def test_compact_rejects_both_clusterings(spark, tmp_path):
+    t = str(tmp_path / "t")
+    txlog.create(spark, t, _mk(spark, range(3)))
+    with pytest.raises(ValueError, match="not both"):
+        txlog.compact(
+            spark, t, cluster_by=["cust_id"], zorder_by=("cust_id", "balance")
+        )
