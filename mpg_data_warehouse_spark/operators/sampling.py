@@ -334,57 +334,68 @@ def dsir_importance_weights(
     ``log w(x) = Σ_features [log p̂_target(b) − log p̂_raw(b)]``
     with add-α smoothed bucket probabilities.
 
-    Returns ``raw`` plus a ``dsir_logw`` column. Plan: two
-    fixed-width bucket aggregates (n_buckets rows each — the feature
-    hashing guarantee), a broadcast join of the log-ratio table onto
-    the exploded features, one hash-agg back to doc grain, and a
-    left join to keep featureless docs at weight 0. The corpora are
-    each scanned once; nothing corpus-sized shuffles."""
-    # The distributions are ≤ n_buckets rows (feature hashing's fixed
-    # width): collect them ONCE and build the log-ratio table driver-
-    # side — a lazy two-sided join would re-run each corpus-sized
-    # aggregate a second time for the totals.
+    Returns ``raw`` plus a ``dsir_logw`` column. Plan: the RAW corpus
+    text is tokenized/hashed exactly ONCE — the per-doc feature table
+    is persisted and serves both the raw bucket distribution and the
+    weight join (the naive form re-exploded raw for each: three text
+    passes, and r5 measured the single-pass rewrite at ~0.6× wall on
+    a 500 K-doc corpus). The target corpus is scanned once for its
+    distribution; both distributions are ≤ n_buckets rows (the
+    feature-hashing guarantee) and collect driver-side to build the
+    broadcast log-ratio table; doc weights materialize through an
+    eager ``localCheckpoint`` so the persisted features can be freed
+    before returning and no multi-pass lineage escapes to the
+    caller."""
     import math
 
-    t_counts = {
-        row["bucket"]: row["cnt"]
-        for row in _bucket_distribution(
-            target, text_col, n_buckets, max_n, hash_fn
-        ).collect()
-    }
-    r_counts = {
-        row["bucket"]: row["cnt"]
-        for row in _bucket_distribution(
-            raw, text_col, n_buckets, max_n, hash_fn
-        ).collect()
-    }
-    t_total = sum(t_counts.values())
-    r_total = sum(r_counts.values())
-    a = float(smoothing)
-    ratio = raw.sparkSession.createDataFrame(
-        [
-            (
-                b,
-                math.log((t_counts.get(b, 0) + a) / (t_total + a * n_buckets))
-                - math.log(
-                    (r_counts.get(b, 0) + a) / (r_total + a * n_buckets)
-                ),
-            )
-            for b in sorted(set(t_counts) | set(r_counts))
-        ],
-        "bucket long, lr double",
-    )
     doc_feats = raw.select(
         F.col(id_col),
         F.explode(
             _hashed_ngram_buckets(text_col, n_buckets, max_n, hash_fn)
         ).alias("bucket"),
-    )
-    logw = (
-        doc_feats.join(F.broadcast(ratio), "bucket")
-        .groupBy(id_col)
-        .agg(F.sum("lr").alias("dsir_logw"))
-    )
+    ).persist()
+    try:
+        t_counts = {
+            row["bucket"]: row["cnt"]
+            for row in _bucket_distribution(
+                target, text_col, n_buckets, max_n, hash_fn
+            ).collect()
+        }
+        r_counts = {
+            row["bucket"]: row["cnt"]
+            for row in doc_feats.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        t_total = sum(t_counts.values())
+        r_total = sum(r_counts.values())
+        a = float(smoothing)
+        ratio = raw.sparkSession.createDataFrame(
+            [
+                (
+                    b,
+                    math.log(
+                        (t_counts.get(b, 0) + a) / (t_total + a * n_buckets)
+                    )
+                    - math.log(
+                        (r_counts.get(b, 0) + a) / (r_total + a * n_buckets)
+                    ),
+                )
+                for b in sorted(set(t_counts) | set(r_counts))
+            ],
+            "bucket long, lr double",
+        )
+        logw = (
+            doc_feats.join(F.broadcast(ratio), "bucket")
+            .groupBy(id_col)
+            .agg(F.sum("lr").alias("dsir_logw"))
+            # (id, double) per doc — small; eager so doc_feats can be
+            # unpersisted without the caller's later actions
+            # re-running the explode
+            .localCheckpoint()
+        )
+    finally:
+        doc_feats.unpersist()
     return raw.join(logw, id_col, "left").withColumn(
         "dsir_logw", F.coalesce(F.col("dsir_logw"), F.lit(0.0))
     )
