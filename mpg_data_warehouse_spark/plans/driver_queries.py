@@ -148,7 +148,11 @@ def ground_cover_pct_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = li.groupBy("l_orderkey", "l_returnflag").agg(
         (F.count(F.lit(1)) / F.lit(2.0)).alias("intercepts_pct")
     )
-    filled = complete(
+    # map-strategy completion (r5): one shuffle of the aggregate and
+    # a map-side 3-flag explode, replacing the grid build + grid-
+    # sized left join; the plan reads the fact once for the agg and
+    # once for the (column-pruned) domain distinct.
+    filled = complete_map(
         agg,
         expand=["l_returnflag"],
         nesting=["l_orderkey"],
@@ -156,9 +160,6 @@ def ground_cover_pct_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the expand domain is pinned to the UNFILTERED fact's flags
         # (the oracle's grid) — the semi-join must not narrow it
         expand_values=lineitem,
-        # cache_input stays False: at bench scale the three re-reads
-        # of the pruned columnar scan are cheaper than materializing
-        # the agg; at 100 TB flip it (see operators.complete).
     )
     return (
         filled.join(F.broadcast(dim), filled.l_orderkey == dim.o_orderkey)

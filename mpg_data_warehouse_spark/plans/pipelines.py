@@ -17,7 +17,7 @@ from mpg_data_warehouse_spark.functions.cleaning import rename_columns
 from mpg_data_warehouse_spark.functions.dates import survey_sequence
 from mpg_data_warehouse_spark.operators.aggregates import multiples
 from mpg_data_warehouse_spark.operators.append import AppendResult, anti_join_append
-from mpg_data_warehouse_spark.operators.complete import complete
+from mpg_data_warehouse_spark.operators.complete import complete_map
 from mpg_data_warehouse_spark.operators.repair import fix_dates_from_dim
 from mpg_data_warehouse_spark.operators.validate import validate
 
@@ -42,12 +42,19 @@ def ground_cover_pipeline(
         .groupBy("survey_ID", "grid_point", "intercept_ground_code")
         .agg((F.count("intercept_ground_code") / 2).alias("intercepts_pct"))
     )
-    filled = complete(
+    # map-strategy completion (r5): the code domain comes from the
+    # CHEAP source — one column-pruned scan of the base fact's
+    # non-null codes (identical to the aggregate's observed set by
+    # construction) — so the expensive aggregate executes once and
+    # the grid is never materialized pre-join (operators.complete_map)
+    filled = complete_map(
         agg,
         expand=["intercept_ground_code"],
         nesting=["survey_ID", "grid_point"],
         fill={"intercepts_pct": 0.0},
-        cache_input=True,
+        expand_values=ground.filter(
+            F.col("intercept_ground_code").isNotNull()
+        ),
     )
     enriched = (
         filled.join(
@@ -89,12 +96,15 @@ def functional_groups_pipeline(
         .groupBy("survey_ID", *pfg)
         .agg(F.sum("intercepts_pct").alias("detection_rate"))
     )
-    filled = complete(
+    # map-strategy completion (r5): pfg-triple domain from the base
+    # fact (observed combos of the filtered rows == the aggregate's
+    # observed combos), aggregate executes once, no grid join
+    filled = complete_map(
         agg,
         expand=pfg,
         nesting=["survey_ID"],
         fill={"detection_rate": 0.0},
-        cache_input=True,
+        expand_values=foliar.filter(F.col("key_plant_code") != "NV"),
     )
     enriched = filled.join(
         F.broadcast(

@@ -30,11 +30,13 @@ def test_scans_prune_columns(spark):
     assert "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>" in plan
 
 
-def test_flagship_grid_is_broadcast_built(spark):
+def test_flagship_grid_is_mapside_exploded(spark):
     plan = _plan(spark, "ground_cover_pct_complete")
-    # the complete() cross join must be a broadcast NLJ over the tiny
-    # code domain, never a shuffle cartesian
-    assert "BroadcastNestedLoopJoin" in plan
+    # complete_map: the completion grid is exploded map-side from the
+    # literal code domain — no grid materialization, no grid-sized
+    # join, and never a shuffle cartesian
+    assert "Generate explode" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
 
 
