@@ -370,3 +370,55 @@ def hybrid_retrieve(
             "rank",
         )
     )
+
+
+def rerank_token_f1(
+    results: DataFrame,
+    k: int = 5,
+    query_col: str = "query_text",
+    text_col: str = "chunk_text",
+    group_col: str = "query_id",
+    id_col: str = "chunk_key",
+) -> DataFrame:
+    """Re-rank a retrieval candidate pool — the second stage of the
+    standard retrieve→rerank stack. The scorer here is a
+    DETERMINISTIC STAND-IN (binarized token-overlap F1 between query
+    and chunk: 2PR/(P+R) over distinct normalized tokens — a real
+    lexical relevance signal, pure JVM column math); production swaps
+    in a model-served cross-encoder score column, and everything
+    around it — candidate-pool shaping, per-query re-ranking with
+    deterministic tie-breaks (previous rank, then id), top-k cut —
+    is the tested path that does not change with the scorer.
+
+    Input: any frame shaped like ``retrieve``/``hybrid_retrieve``
+    output (must carry ``group_col``, ``id_col``, ``query_col``,
+    ``text_col``, and a ``rank`` column from the first stage).
+    Output: the same columns with ``rerank_score`` added and ``rank``
+    replaced by the re-ranked position, capped at ``k``.
+
+    Scale: the pool is |queries| x first-stage-k rows — re-scoring is
+    a narrow map over an already-tiny frame and the window re-rank
+    shuffles only the pool; the corpus and index are untouched."""
+    qt = F.array_distinct(norm_tokens(query_col))
+    ct = F.array_distinct(norm_tokens(text_col))
+    inter = F.size(F.array_intersect(qt, ct)).cast("double")
+    p = F.try_divide(inter, F.size(ct).cast("double"))
+    r = F.try_divide(inter, F.size(qt).cast("double"))
+    f1 = F.coalesce(
+        F.try_divide(2.0 * p * r, p + r), F.lit(0.0)
+    )
+    scored = results.withColumn("rerank_score", F.round(f1, 6)).withColumn(
+        "_prev_rank", F.col("rank")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(group_col).orderBy(
+        F.col("rerank_score").desc(),
+        F.col("_prev_rank").asc(),
+        F.col(id_col),
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .drop("_prev_rank")
+    )

@@ -218,3 +218,59 @@ def test_hybrid_lexical_only_hit_still_surfaces(spark, tmp_path):
         spark, idx, chunks, bm25, ["qqzzxx"], k=2, nprobe=2, pool=2
     ).collect()
     assert min(got, key=lambda r: r.rank).doc_id == 1
+
+
+def test_rerank_promotes_exact_lexical_match(spark, tmp_path):
+    """A chunk containing every query token must outrank a chunk the
+    dense stage scored higher on partial overlap; ties keep the
+    first-stage order."""
+    from mpg_data_warehouse_spark.plans.retrieval import rerank_token_f1
+
+    pool = spark.createDataFrame(
+        [
+            # (query_id, query_text, chunk_key, doc_id, chunk_id,
+            #  chunk_text, cos_sim, rank)
+            (0, "solar panel power", 10, 1, 0,
+             "discussion of solar farms and wind", 0.9, 1),
+            (0, "solar panel power", 20, 2, 0,
+             "solar panel power output measured daily", 0.8, 2),
+            (0, "solar panel power", 30, 3, 0,
+             "unrelated text about bread", 0.7, 3),
+        ],
+        "query_id long, query_text string, chunk_key long, doc_id long,"
+        "chunk_id long, chunk_text string, cos_sim double, rank long",
+    )
+    out = rerank_token_f1(pool, k=2)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert [r.chunk_key for r in rows] == [20, 10]
+    assert rows[0].rerank_score > rows[1].rerank_score
+    assert rows[0].rank == 1 and rows[1].rank == 2
+
+
+def test_rerank_composes_with_hybrid(spark, tmp_path):
+    from mpg_data_warehouse_spark.plans.retrieval import (
+        build_hybrid_index,
+        hybrid_retrieve,
+        rerank_token_f1,
+    )
+
+    corpus = _corpus(spark)
+    idx, chunks, bm25 = (
+        str(tmp_path / d) for d in ("idx", "chunks", "bm25")
+    )
+    build_hybrid_index(
+        corpus, idx, chunks, bm25,
+        dim=64, max_tokens=16, overlap=4, n_centroids=4,
+    )
+    pool = hybrid_retrieve(
+        spark, idx, chunks, bm25, ["solar panels sunlight"],
+        k=5, nprobe=4,
+    )
+    out = rerank_token_f1(pool, k=3, id_col="chunk_key")
+    rows = out.collect()
+    assert 0 < len(rows) <= 3
+    assert min(rows, key=lambda r: r.rank).doc_id == 1
+    # zero-division guard: empty-token queries keep rows, score 0
+    empty_pool = pool.withColumn("query_text", F.lit("   "))
+    safe = rerank_token_f1(empty_pool, k=3)
+    assert all(r.rerank_score == 0.0 for r in safe.collect())
