@@ -188,16 +188,22 @@ def complete_map(
             )
         ).alias("_m")
     )
-    anchors = (
-        nesting_values.select(*nesting).distinct()
-        if nesting_values is not None
-        else per_anchor.select(*nesting)
-    )
-    base = (
-        anchors.join(per_anchor, on=nesting, how="left")
-        if nesting_values is not None
-        else per_anchor
-    )
+    if nesting_values is not None:
+        # Null-safe anchor join (same NA-matching semantics as the
+        # grid path's eqNullSafe fix): a NULL anchor key must still
+        # pick up its data's map instead of silently taking the fill.
+        anchors = nesting_values.select(*nesting).distinct()
+        data = per_anchor
+        renames = {k: f"__cm_{k}" for k in nesting}
+        for k, rk in renames.items():
+            data = data.withColumnRenamed(k, rk)
+        cond = None
+        for k, rk in renames.items():
+            c = F.col(k).eqNullSafe(F.col(rk))
+            cond = c if cond is None else cond & c
+        base = anchors.join(data, cond, "left").drop(*renames.values())
+    else:
+        base = per_anchor
     looked_up = F.element_at(F.col("_m"), F.col("_k"))
     out = base.select(
         *nesting, F.explode(dom_lit).alias("_k"), F.col("_m")

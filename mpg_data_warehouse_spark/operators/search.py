@@ -34,6 +34,46 @@ def term_bucket(term, n_buckets: int = N_BUCKETS):
     return F.pmod(F.xxhash64(term), F.lit(n_buckets))
 
 
+META_FILE = "_index_meta.json"
+
+
+def _write_meta(path: str, meta: dict) -> None:
+    import json
+
+    with open(os.path.join(path, META_FILE), "w") as fh:
+        json.dump(meta, fh)
+
+
+def _check_n_buckets(
+    requested: int | None, stored, index_path: str
+) -> int:
+    """The index layout is self-describing: probes take the bucket
+    count FROM the index, because a silent mismatch recomputes bucket
+    ids against the wrong modulus and filters matching postings out —
+    wrong/empty results with no error. An explicit caller value is
+    validated, never trusted."""
+    if stored is None:
+        return requested if requested is not None else N_BUCKETS
+    if requested is not None and requested != stored:
+        raise ValueError(
+            f"index at {index_path} was built with n_buckets={stored}, "
+            f"but the probe requested {requested} — matching postings "
+            "would be silently filtered out"
+        )
+    return int(stored)
+
+
+def _resolve_n_buckets(index_path: str, requested: int | None) -> int:
+    import json
+
+    meta_path = os.path.join(index_path, META_FILE)
+    stored = None
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            stored = json.load(fh).get("n_buckets")
+    return _check_n_buckets(requested, stored, index_path)
+
+
 def build_inverted_index(
     docs: DataFrame,
     path: str,
@@ -73,6 +113,7 @@ def build_inverted_index(
     )
     if cached is not None:
         cached.unpersist()
+    _write_meta(path, {"n_buckets": n_buckets})
 
 
 def search_terms(
@@ -80,7 +121,7 @@ def search_terms(
     index_path: str,
     terms: list[str],
     mode: str = "any",
-    n_buckets: int = N_BUCKETS,
+    n_buckets: int | None = None,
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Doc ids matching the query terms — ``mode='any'`` (OR) or
@@ -98,6 +139,7 @@ def search_terms(
     """
     if mode not in ("any", "all"):
         raise ValueError(f"mode must be 'any' or 'all', got {mode!r}")
+    n_buckets = _resolve_n_buckets(index_path, n_buckets)
     norm = sorted(
         {w for t in terms if t for w in t.strip().lower().split()}
     )
@@ -193,7 +235,9 @@ def build_ranked_index(
     finally:
         tf.unpersist()
     with open(os.path.join(path, STATS_FILE), "w") as fh:
-        json.dump({"n_docs": n_docs, "avgdl": avgdl}, fh)
+        json.dump(
+            {"n_docs": n_docs, "avgdl": avgdl, "n_buckets": n_buckets}, fh
+        )
 
 
 def bm25_search_many(
@@ -203,7 +247,7 @@ def bm25_search_many(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
-    n_buckets: int = N_BUCKETS,
+    n_buckets: int | None = None,
     id_col: str = "doc_id",
 ) -> DataFrame:
     """BM25-ranked top-k per query over a ``build_ranked_index``
@@ -236,6 +280,9 @@ def bm25_search_many(
     with open(os.path.join(index_path, STATS_FILE)) as fh:
         stats = json.load(fh)
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    n_buckets = _check_n_buckets(
+        n_buckets, stats.get("n_buckets"), index_path
+    )
 
     qdf = spark.createDataFrame(qterms, "query_id long, term string")
     bucket_rows = (
@@ -284,7 +331,7 @@ def bm25_search(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
-    n_buckets: int = N_BUCKETS,
+    n_buckets: int | None = None,
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Single-query BM25: ``(id_col, score, rank)``."""

@@ -27,7 +27,7 @@ from pyspark.sql import Window as W
 from mpg_data_warehouse_spark.operators.aggregates import (
     string_agg_ordered_limited,
 )
-from mpg_data_warehouse_spark.operators.complete import complete, complete_map
+from mpg_data_warehouse_spark.operators.complete import complete_map
 from mpg_data_warehouse_spark.operators.ranking import topk_per_group
 from mpg_data_warehouse_spark.operators.sampling import (
     split_train_holdout,

@@ -183,6 +183,44 @@ def build_retrieval_index(
     )
 
 
+def _probe_chunk_ranks(
+    spark: SparkSession,
+    index_path: str,
+    query_texts: list[str],
+    k: int,
+    dim: int,
+    nprobe: int,
+    hash_fn: str,
+) -> DataFrame:
+    """Shared dense-probe core: embed the query strings, probe the
+    persisted IVF index, and return the UNHYDRATED rank frame
+    (query_id, chunk_key, cos_sim, rank) — ``retrieve`` joins the
+    chunk store once on top; ``hybrid_retrieve`` fuses first and
+    hydrates only the fused winners (hydrating here and again after
+    fusion would scan the chunk store twice per call)."""
+    if not query_texts:
+        raise ValueError("query_texts is empty")
+    neg_ids = [(-(i + 1), t) for i, t in enumerate(query_texts)]
+    queries = hashed_feature_embedding(
+        spark.createDataFrame(neg_ids, "chunk_key long, q_text string"),
+        "q_text",
+        dim,
+        hash_fn=hash_fn,
+    )
+    hits = ivf_probe_index(
+        spark,
+        index_path,
+        queries.select("chunk_key", "embedding"),
+        k=k,
+        nprobe=nprobe,
+        id_col="chunk_key",
+        vec_col="embedding",
+    )
+    return hits.withColumnRenamed("neighbor_id", "chunk_key").withColumn(
+        "query_id", -F.col("query_id") - 1
+    )
+
+
 def retrieve(
     spark: SparkSession,
     index_path: str,
@@ -207,29 +245,12 @@ def retrieve(
     with a real chunk_key would silently drop that chunk from the
     results — including the exact-match top hit for doc 0. Negative
     ids can never collide with composite chunk keys (≥ 0)."""
-    if not query_texts:
-        raise ValueError("query_texts is empty")
-    neg_ids = [(-(i + 1), t) for i, t in enumerate(query_texts)]
-    queries = hashed_feature_embedding(
-        spark.createDataFrame(neg_ids, "chunk_key long, q_text string"),
-        "q_text",
-        dim,
-        hash_fn=hash_fn,
-    )
-    hits = ivf_probe_index(
-        spark,
-        index_path,
-        queries.select("chunk_key", "embedding"),
-        k=k,
-        nprobe=nprobe,
-        id_col="chunk_key",
-        vec_col="embedding",
+    hits = _probe_chunk_ranks(
+        spark, index_path, query_texts, k, dim, nprobe, hash_fn
     )
     chunks = spark.read.parquet(chunks_path)
     return (
-        hits.withColumnRenamed("neighbor_id", "chunk_key")
-        .join(chunks, "chunk_key")
-        .withColumn("query_id", -F.col("query_id") - 1)
+        hits.join(chunks, "chunk_key")
         .join(
             spark.createDataFrame(
                 list(enumerate(query_texts)), "query_id long, query_text string"
@@ -297,6 +318,7 @@ def hybrid_retrieve(
     nprobe: int = 4,
     k_rrf: int = 60,
     pool: int = 20,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Hybrid dense + lexical retrieval with reciprocal-rank fusion
     (Cormack et al. 2009 — the standard zero-tuning fusion):
@@ -315,18 +337,25 @@ def hybrid_retrieve(
     probe."""
     from mpg_data_warehouse_spark.operators.search import bm25_search_many
 
-    dense = retrieve(
-        spark,
-        index_path,
-        chunks_path,
-        query_texts,
-        k=pool,
-        dim=dim,
-        nprobe=nprobe,
+    # dense ranks come UNHYDRATED from the shared probe core — the
+    # chunk store is scanned once, for the fused winners only
+    dense = _probe_chunk_ranks(
+        spark, index_path, query_texts, pool, dim, nprobe, hash_fn
     ).select("query_id", "chunk_key", F.col("rank").alias("_rank_d"))
-    lex = bm25_search_many(
-        spark, bm25_path, query_texts, k=pool, id_col="chunk_key"
-    ).select("query_id", "chunk_key", F.col("rank").alias("_rank_l"))
+    # Lexical half degrades gracefully: queries with no non-empty
+    # terms (the dense encoder defines them via the e_0 zero-guard)
+    # contribute an empty lexical side rather than poisoning the
+    # whole call with bm25_search_many's no-terms raise — exactly the
+    # missing-side-0 case RRF's full-outer fusion is built for.
+    has_terms = any((q or "").strip() for q in query_texts)
+    if has_terms:
+        lex = bm25_search_many(
+            spark, bm25_path, query_texts, k=pool, id_col="chunk_key"
+        ).select("query_id", "chunk_key", F.col("rank").alias("_rank_l"))
+    else:
+        lex = spark.createDataFrame(
+            [], "query_id long, chunk_key long, _rank_l long"
+        )
     contrib_d = F.lit(1.0) / (F.lit(float(k_rrf)) + F.col("_rank_d"))
     contrib_l = F.lit(1.0) / (F.lit(float(k_rrf)) + F.col("_rank_l"))
     fused = (

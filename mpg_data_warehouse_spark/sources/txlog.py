@@ -610,6 +610,10 @@ def _plan_merge(
     explicit, deterministic rule first (e.g. max_by on an event
     timestamp)."""
     _check_schema(state, updates)
+    # ONE aggregate job yields the dup/null-key guards AND the footer-
+    # pruning key bounds (min/max over the grouped keys == min/max
+    # over the batch): the guard must not add a full extra pass over a
+    # possibly-expensive derived updates plan.
     chk = (
         updates.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("_c"))
@@ -622,6 +626,8 @@ def _plan_merge(
                     else F.col(keys[0]).isNull()
                 ).cast("int")
             ).alias("_has_null_key"),
+            *[F.min(k).alias(f"lo_{k}") for k in keys],
+            *[F.max(k).alias(f"hi_{k}") for k in keys],
         )
         .first()
     )
@@ -638,7 +644,10 @@ def _plan_merge(
                 f"{keys} — null keys never match and would duplicate "
                 "on every merge"
             )
-    bounds = _key_bounds(updates, keys)
+    bounds = {
+        k: (_jsonable(chk[f"lo_{k}"]), _jsonable(chk[f"hi_{k}"]))
+        for k in keys
+    }
     touched = _touched_files(
         spark, table, state, updates, keys, bounds, broadcast_updates
     )

@@ -134,6 +134,24 @@ def curated_append_stream(
 
     def curate_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if sink_format == "txlog":
+            # Fast-path replay guard (same as txlog_sink's writer):
+            # a batch that fully committed but lost its checkpoint
+            # ack would otherwise re-run the whole curation pipeline
+            # and write both tables' data files before the in-commit
+            # guard abandons them as orphans. The authoritative check
+            # still runs inside each commit.
+            from mpg_data_warehouse_spark.streaming.txlog_sink import (
+                last_committed_batch,
+            )
+
+            if all(
+                txlog.latest_version(t) >= 0
+                and (lb := last_committed_batch(t, app_id)) is not None
+                and batch_id <= lb
+                for t in (sig_path, sink_path)
+            ):
+                return
         if normalize:
             # Canonicalize BEFORE hashing/signatures: unicode variants
             # of identical text must collide in every dedup guard.
@@ -263,12 +281,22 @@ def curated_append_stream(
             sig_out = surviving_sigs.withColumn(
                 "_app", F.lit(app_id)
             ).withColumn("_batch", F.lit(batch_id).cast("long"))
+            from mpg_data_warehouse_spark.streaming.txlog_sink import (
+                last_committed_batch,
+            )
+
             for table, frame in (
                 (sig_path, sig_out),
                 (sink_path, survivors),
             ):
                 if txlog.latest_version(table) < 0:
                     txlog.create(spark, table, frame.limit(0))
+                # per-table fast path: a retry after a crash between
+                # the two commits skips re-writing the table that
+                # already landed (in-commit guard stays authoritative)
+                last = last_committed_batch(table, app_id)
+                if last is not None and batch_id <= last:
+                    continue
                 state = txlog.snapshot_state(table)
                 txlog._check_schema(state, frame)
                 adds = txlog._write_data_files(

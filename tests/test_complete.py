@@ -197,3 +197,30 @@ def test_null_category_row_keeps_its_value(spark):
     assert out[("s2", None)] == 0.0
     assert out[("s1", "BG")] == 0.0
     assert out[("s2", "BG")] == 2.0
+
+
+def test_complete_map_null_anchor_keeps_its_value(spark):
+    """Null-safe anchor join: a NULL nesting key in nesting_values
+    must pick up its data's measures, not the fill (the grid path's
+    eqNullSafe semantics)."""
+    from mpg_data_warehouse_spark.operators.complete import complete_map
+
+    df = spark.createDataFrame(
+        [
+            Row(survey=None, code="BG", pct=2.0),
+            Row(survey="s1", code="BG", pct=1.0),
+        ]
+    )
+    anchors = spark.createDataFrame([Row(survey=None), Row(survey="s1")])
+    kw = dict(
+        expand=["code"],
+        nesting=["survey"],
+        fill={"pct": 0.0},
+        nesting_values=anchors,
+    )
+    got = {
+        (r.survey, r.code): r.pct for r in complete_map(df, **kw).collect()
+    }
+    assert got[(None, "BG")] == 2.0
+    assert got[("s1", "BG")] == 1.0
+    assert _rows_set(complete_map(df, **kw)) == _rows_set(complete(df, **kw))

@@ -182,3 +182,28 @@ def test_bm25_repeated_term_saturates_not_linear(spark, tmp_path):
     got = {r.doc_id: r.score for r in bm25_search(spark, idx, "zeta").collect()}
     assert got[2] > got[1]
     assert got[2] < 3 * got[1]
+
+
+def test_index_is_self_describing_on_bucket_count(spark, tmp_path):
+    """A probe against an index built with a different n_buckets used
+    to silently filter matching postings out; the layout is now
+    recorded in the index and mismatched explicit values raise."""
+    from mpg_data_warehouse_spark.operators.search import (
+        bm25_search,
+        build_ranked_index,
+    )
+
+    docs = _docs(spark)
+    idx = str(tmp_path / "idx32")
+    build_inverted_index(docs, idx, n_buckets=32)
+    # no n_buckets passed: resolved from the index meta
+    got = {r.doc_id for r in search_terms(spark, idx, ["alpha"]).collect()}
+    assert got == {1, 2, 4}
+    with pytest.raises(ValueError, match="n_buckets=32"):
+        search_terms(spark, idx, ["alpha"], n_buckets=64)
+
+    ridx = str(tmp_path / "ridx32")
+    build_ranked_index(docs, ridx, n_buckets=32)
+    assert bm25_search(spark, ridx, "alpha", k=5).count() == 3
+    with pytest.raises(ValueError, match="n_buckets=32"):
+        bm25_search(spark, ridx, "alpha", k=5, n_buckets=64)
