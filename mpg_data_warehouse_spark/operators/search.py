@@ -74,6 +74,19 @@ def _resolve_n_buckets(index_path: str, requested: int | None) -> int:
     return _check_n_buckets(requested, stored, index_path)
 
 
+def _ensure_readable(path: str, postings: DataFrame) -> None:
+    """A fully-filtered corpus (all-empty docs, or max_df dropping
+    every term) writes ZERO part files under the partitioned layout,
+    and a later read fails schema inference with a confusing
+    AnalysisException. Leave a zero-row unpartitioned file carrying
+    the schema so probes read cleanly and return empty results
+    (caught by the BM25 hypothesis property)."""
+    for dirpath, _dirs, names in os.walk(path):
+        if any(n.endswith(".parquet") for n in names):
+            return
+    postings.limit(0).write.mode("append").parquet(path)
+
+
 def build_inverted_index(
     docs: DataFrame,
     path: str,
@@ -113,6 +126,9 @@ def build_inverted_index(
     )
     if cached is not None:
         cached.unpersist()
+    _ensure_readable(
+        path, postings.withColumn("bucket", F.lit(0).cast("int"))
+    )
     _write_meta(path, {"n_buckets": n_buckets})
 
 
@@ -231,6 +247,9 @@ def build_ranked_index(
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(path)
+        )
+        _ensure_readable(
+            path, postings.withColumn("bucket", F.lit(0).cast("int"))
         )
     finally:
         tf.unpersist()

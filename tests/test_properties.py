@@ -391,3 +391,74 @@ def test_table_diff_properties(spark, data):
             assert got[k] == "changed"
         else:
             assert k not in got
+
+
+_null_codes = st.sampled_from(["a", "b", "c", None])
+_dedup_rows = st.lists(
+    st.tuples(keys, _null_codes, st.floats(0, 100, allow_nan=False)),
+    min_size=1,
+    max_size=40,
+).map(lambda rs: list({(k, c): (k, c, v) for k, c, v in rs}.values()))
+
+
+@_slow
+@given(data=_dedup_rows)
+def test_complete_map_equals_grid_for_arbitrary_frames(spark, data):
+    """The two completion strategies are output-identical for ANY
+    post-aggregation frame — including NULL expand categories and
+    NULL-bearing measures — with and without an explicit wider
+    anchor set."""
+    from mpg_data_warehouse_spark.operators.complete import complete_map
+
+    df = spark.createDataFrame(
+        [Row(survey=k, code=c, pct=v) for k, c, v in data]
+    )
+    kw = dict(expand=["code"], nesting=["survey"], fill={"pct": -1.0})
+    grid = {tuple(r) for r in complete(df, **kw).collect()}
+    mapped = {tuple(r) for r in complete_map(df, **kw).collect()}
+    assert mapped == grid
+
+    anchors = spark.createDataFrame(
+        [Row(survey=k) for k in range(7)]  # superset of observed keys
+    )
+    kw2 = dict(
+        expand=["code"],
+        nesting=["survey"],
+        fill={"pct": -1.0},
+        nesting_values=anchors,
+    )
+    grid2 = {tuple(r) for r in complete(df, **kw2).collect()}
+    mapped2 = {tuple(r) for r in complete_map(df, **kw2).collect()}
+    assert mapped2 == grid2
+
+
+@_slow
+@given(
+    corpus=st.lists(
+        st.text("abcde ", min_size=0, max_size=30), min_size=1, max_size=12
+    ),
+    query=st.text("abcde ", min_size=1, max_size=12),
+)
+def test_bm25_never_negative_and_only_matching_docs(spark, tmp_path_factory, corpus, query):
+    """BM25 invariants for arbitrary corpora/queries: scores are
+    positive, only docs containing ≥1 query term appear, and ranks
+    are a 1..n permutation per query."""
+    from mpg_data_warehouse_spark.operators.search import (
+        bm25_search_many,
+        build_ranked_index,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(corpus)]
+    )
+    idx = str(tmp_path_factory.mktemp("ridx"))
+    build_ranked_index(docs, idx)
+    qterms = {w for w in query.lower().split() if w}
+    if not qterms:
+        return
+    rows = bm25_search_many(spark, idx, [query], k=50).collect()
+    toks = {i: set(t.lower().split()) for i, t in enumerate(corpus)}
+    expected = {i for i, ts in toks.items() if ts & qterms}
+    assert {r.doc_id for r in rows} == expected
+    assert all(r.score > 0 for r in rows)
+    assert sorted(r.rank for r in rows) == list(range(1, len(rows) + 1))
