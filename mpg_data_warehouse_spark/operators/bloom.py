@@ -89,6 +89,8 @@ def bloom_build(
     filter DataFrame either way."""
     if n_bits % 64 != 0:
         raise ValueError(f"n_bits must be a multiple of 64, got {n_bits}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     blocks = (
         _block_masks(df.select(col), col, n_bits, k, seed)
         .groupBy("_block")
@@ -127,6 +129,8 @@ def bloom_maybe_seen(
 
     ``broadcast_filter=False`` switches to a shuffled join for
     filters past the broadcast threshold (the ≥10 B-key regime)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     keys = batch.select(col).distinct()
     probe = _block_masks(keys, col, n_bits, k, seed)
     flt = F.broadcast(bloom) if broadcast_filter else bloom
@@ -141,8 +145,15 @@ def bloom_maybe_seen(
         )
         .groupBy(col)
         .agg(F.bool_and("_hit").alias(out_col))
+        .withColumnRenamed(col, "_bloom_key")
     )
-    return batch.join(hit, col, "left")
+    # null-safe rejoin: a NULL key hashes fine (xxhash64 of the seed
+    # alone) and must carry its verdict back — a bare name-join gave
+    # it maybe_seen = NULL, silently dropping the row from BOTH tiers
+    # of the two-tier membership composition
+    return batch.join(
+        hit, batch[col].eqNullSafe(hit["_bloom_key"]), "left"
+    ).drop("_bloom_key")
 
 
 def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:

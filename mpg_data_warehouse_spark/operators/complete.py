@@ -30,6 +30,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _null_safe_left_join(
+    left: DataFrame, right: DataFrame, keys: list[str], prefix: str
+) -> DataFrame:
+    """left ⟕ right on ``keys`` with NA-matching (eqNullSafe)
+    equality — dplyr/tidyr join semantics; a bare equi-join never
+    matches NULL keys and silently replaces their measures with the
+    fill. Shared by both completion strategies."""
+    renames = {k: f"{prefix}{k}" for k in keys}
+    for k, rk in renames.items():
+        right = right.withColumnRenamed(k, rk)
+    cond = None
+    for k, rk in renames.items():
+        c = F.col(k).eqNullSafe(F.col(rk))
+        cond = c if cond is None else cond & c
+    return left.join(right, cond, "left").drop(*renames.values())
+
+
 def complete(
     df: DataFrame,
     expand: list[str],
@@ -97,21 +114,11 @@ def complete(
         grid = codes
         join_keys = list(expand)
 
-    # Null-safe key equality: tidyr keeps NULL as a category AND
-    # dplyr/tidyr joins match NA keys (na_matches="na"), so an
-    # existing (anchor, NULL-code) row must keep its measures. A bare
-    # equi-join never matches NULL, silently replacing that row's
-    # values with the fill (caught by test_complete_map_...; the map
-    # strategy's struct-keyed lookup was already null-safe).
-    data = df
-    renames = {k: f"__complete_{k}" for k in join_keys}
-    for k, rk in renames.items():
-        data = data.withColumnRenamed(k, rk)
-    cond = None
-    for k, rk in renames.items():
-        c = F.col(k).eqNullSafe(F.col(rk))
-        cond = c if cond is None else cond & c
-    out = grid.join(data, cond, "left").drop(*renames.values())
+    # tidyr keeps NULL as a category AND dplyr/tidyr joins match NA
+    # keys (na_matches="na"), so an existing (anchor, NULL-code) row
+    # must keep its measures (the map strategy's struct-keyed lookup
+    # is null-safe by construction).
+    out = _null_safe_left_join(grid, df, join_keys, "__complete_")
     if fill:
         out = out.na.fill(fill)
     return out
@@ -189,19 +196,14 @@ def complete_map(
         ).alias("_m")
     )
     if nesting_values is not None:
-        # Null-safe anchor join (same NA-matching semantics as the
-        # grid path's eqNullSafe fix): a NULL anchor key must still
-        # pick up its data's map instead of silently taking the fill.
-        anchors = nesting_values.select(*nesting).distinct()
-        data = per_anchor
-        renames = {k: f"__cm_{k}" for k in nesting}
-        for k, rk in renames.items():
-            data = data.withColumnRenamed(k, rk)
-        cond = None
-        for k, rk in renames.items():
-            c = F.col(k).eqNullSafe(F.col(rk))
-            cond = c if cond is None else cond & c
-        base = anchors.join(data, cond, "left").drop(*renames.values())
+        # a NULL anchor key must still pick up its data's map instead
+        # of silently taking the fill
+        base = _null_safe_left_join(
+            nesting_values.select(*nesting).distinct(),
+            per_anchor,
+            nesting,
+            "__cm_",
+        )
     else:
         base = per_anchor
     looked_up = F.element_at(F.col("_m"), F.col("_k"))

@@ -33,6 +33,41 @@ from mpg_data_warehouse_spark.operators.similarity import (
 )
 from mpg_data_warehouse_spark.operators.text import norm_tokens
 
+RETRIEVAL_META = "_retrieval_meta.json"
+
+
+def _write_retrieval_meta(index_path: str, dim: int, hash_fn: str) -> None:
+    import json
+    import os
+
+    with open(os.path.join(index_path, RETRIEVAL_META), "w") as fh:
+        json.dump({"dim": dim, "hash_fn": hash_fn}, fh)
+
+
+def _resolve_encoder(index_path: str, dim: int, hash_fn: str):
+    """The index records which encoder built it; a probe embedding
+    queries in a DIFFERENT feature space (other hash_fn or dim) would
+    return near-random neighbors with no error — same silent-mismatch
+    class the search-index n_buckets sidecar closes. Explicit caller
+    values are validated against the sidecar; older indexes without
+    one keep the caller's values."""
+    import json
+    import os
+
+    meta_path = os.path.join(index_path, RETRIEVAL_META)
+    if not os.path.exists(meta_path):
+        return dim, hash_fn
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    if dim != meta["dim"] or hash_fn != meta["hash_fn"]:
+        raise ValueError(
+            f"index at {index_path} was built with dim={meta['dim']}, "
+            f"hash_fn={meta['hash_fn']!r}; the probe requested dim={dim}, "
+            f"hash_fn={hash_fn!r} — query vectors would live in a "
+            "different feature space and neighbors would be meaningless"
+        )
+    return meta["dim"], meta["hash_fn"]
+
 
 def _tok_bucket_sign(tok, dim: int, hash_fn: str):
     """(bucket, sign) columns for one token under the chosen hash.
@@ -181,6 +216,7 @@ def build_retrieval_index(
         id_col="chunk_key",
         vec_col="embedding",
     )
+    _write_retrieval_meta(index_path, dim, hash_fn)
 
 
 def _probe_chunk_ranks(
@@ -200,6 +236,7 @@ def _probe_chunk_ranks(
     fusion would scan the chunk store twice per call)."""
     if not query_texts:
         raise ValueError("query_texts is empty")
+    dim, hash_fn = _resolve_encoder(index_path, dim, hash_fn)
     neg_ids = [(-(i + 1), t) for i, t in enumerate(query_texts)]
     queries = hashed_feature_embedding(
         spark.createDataFrame(neg_ids, "chunk_key long, q_text string"),
@@ -281,6 +318,7 @@ def build_hybrid_index(
     n_centroids: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "xxhash64",
 ) -> None:
     """Offline half of hybrid retrieval: the dense chunk index (IVF
     over hashed-feature embeddings) plus a BM25 ranked index over the
@@ -300,6 +338,7 @@ def build_hybrid_index(
         n_centroids=n_centroids,
         id_col=id_col,
         text_col=text_col,
+        hash_fn=hash_fn,
     )
     chunks = docs.sparkSession.read.parquet(chunks_path)
     build_ranked_index(

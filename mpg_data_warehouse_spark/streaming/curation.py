@@ -134,22 +134,32 @@ def curated_append_stream(
 
     def curate_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        last_by_table: dict[str, int | None] = {}
         if sink_format == "txlog":
             # Fast-path replay guard (same as txlog_sink's writer):
             # a batch that fully committed but lost its checkpoint
             # ack would otherwise re-run the whole curation pipeline
             # and write both tables' data files before the in-commit
             # guard abandons them as orphans. The authoritative check
-            # still runs inside each commit.
+            # still runs inside each commit; the per-table verdicts
+            # fetched here are REUSED by the write loop so the commit
+            # metadata is scanned once per table per batch, not three
+            # times.
             from mpg_data_warehouse_spark.streaming.txlog_sink import (
                 last_committed_batch,
             )
 
-            if all(
-                txlog.latest_version(t) >= 0
-                and (lb := last_committed_batch(t, app_id)) is not None
-                and batch_id <= lb
+            last_by_table = {
+                t: (
+                    last_committed_batch(t, app_id)
+                    if txlog.latest_version(t) >= 0
+                    else None
+                )
                 for t in (sig_path, sink_path)
+            }
+            if all(
+                lb is not None and batch_id <= lb
+                for lb in last_by_table.values()
             ):
                 return
         if normalize:
@@ -281,10 +291,6 @@ def curated_append_stream(
             sig_out = surviving_sigs.withColumn(
                 "_app", F.lit(app_id)
             ).withColumn("_batch", F.lit(batch_id).cast("long"))
-            from mpg_data_warehouse_spark.streaming.txlog_sink import (
-                last_committed_batch,
-            )
-
             for table, frame in (
                 (sig_path, sig_out),
                 (sink_path, survivors),
@@ -293,8 +299,9 @@ def curated_append_stream(
                     txlog.create(spark, table, frame.limit(0))
                 # per-table fast path: a retry after a crash between
                 # the two commits skips re-writing the table that
-                # already landed (in-commit guard stays authoritative)
-                last = last_committed_batch(table, app_id)
+                # already landed (in-commit guard stays authoritative;
+                # verdict reused from the top-of-batch fetch)
+                last = last_by_table.get(table)
                 if last is not None and batch_id <= last:
                     continue
                 state = txlog.snapshot_state(table)

@@ -84,3 +84,34 @@ def test_two_tier_membership_composition(spark):
     assert got == want
     # and the prefilter did real work: most new keys skipped the join
     assert definitely_new.count() > 400
+
+
+def test_null_key_carries_its_verdict(spark):
+    """A NULL key hashes fine and must flow through both tiers: the
+    rejoin used to be null-unsafe, giving NULL maybe_seen and
+    dropping the row from both filters."""
+    seen = spark.createDataFrame(
+        [Row(h="a"), Row(h=None), Row(h="b")], "h string"
+    )
+    flt = bloom_build(seen, "h", n_bits=N_BITS, k=K)
+    batch = spark.createDataFrame(
+        [Row(h="a"), Row(h=None), Row(h="zz_unseen_zz")], "h string"
+    )
+    out = bloom_maybe_seen(batch, "h", flt, n_bits=N_BITS, k=K)
+    rows = {r.h: r.maybe_seen for r in out.collect()}
+    assert rows["a"] is True
+    assert rows[None] is True  # inserted null key reports maybe-seen
+    assert rows["zz_unseen_zz"] is False
+    # the two tiers partition the batch exactly
+    n = out.filter(~F.col("maybe_seen")).count() + out.filter(
+        F.col("maybe_seen")
+    ).count()
+    assert n == 3
+
+
+def test_k_zero_rejected(spark):
+    with pytest.raises(ValueError, match="k must be"):
+        bloom_build(_keys(spark, 0, 5), "h", k=0)
+    flt = bloom_build(_keys(spark, 0, 5), "h", n_bits=N_BITS, k=K)
+    with pytest.raises(ValueError, match="k must be"):
+        bloom_maybe_seen(_keys(spark, 0, 5), "h", flt, k=0)

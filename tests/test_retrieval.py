@@ -215,7 +215,8 @@ def test_hybrid_lexical_only_hit_still_surfaces(spark, tmp_path):
         dim=32, max_tokens=8, overlap=0, n_centroids=2,
     )
     got = hybrid_retrieve(
-        spark, idx, chunks, bm25, ["qqzzxx"], k=2, nprobe=2, pool=2
+        spark, idx, chunks, bm25, ["qqzzxx"],
+        k=2, dim=32, nprobe=2, pool=2,
     ).collect()
     assert min(got, key=lambda r: r.rank).doc_id == 1
 
@@ -274,3 +275,25 @@ def test_rerank_composes_with_hybrid(spark, tmp_path):
     empty_pool = pool.withColumn("query_text", F.lit("   "))
     safe = rerank_token_f1(empty_pool, k=3)
     assert all(r.rerank_score == 0.0 for r in safe.collect())
+
+
+def test_probe_validates_encoder_against_index_sidecar(spark, tmp_path):
+    """A probe with a different dim/hash_fn than the index was built
+    with would embed queries in another feature space and return
+    near-random neighbors silently; the sidecar makes it raise."""
+    import pytest
+
+    idx = str(tmp_path / "idx")
+    chunks = str(tmp_path / "chunks")
+    build_retrieval_index(
+        _corpus(spark), idx, chunks,
+        dim=32, max_tokens=16, overlap=4, n_centroids=2, hash_fn="md5",
+    )
+    with pytest.raises(ValueError, match="feature space"):
+        retrieve(spark, idx, chunks, ["solar"], dim=64, hash_fn="md5")
+    with pytest.raises(ValueError, match="feature space"):
+        retrieve(spark, idx, chunks, ["solar"], dim=32, hash_fn="xxhash64")
+    # matching values pass
+    assert retrieve(
+        spark, idx, chunks, ["solar"], k=2, dim=32, nprobe=2, hash_fn="md5"
+    ).count() > 0
