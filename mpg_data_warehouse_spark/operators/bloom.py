@@ -165,3 +165,30 @@ def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
         .groupBy("block")
         .agg(F.bit_or("bits").alias("bits"))
     )
+
+
+def two_tier_new_rows(
+    batch: DataFrame,
+    corpus_keys: DataFrame,
+    col: str,
+    bloom: DataFrame,
+    n_bits: int = DEFAULT_N_BITS,
+    k: int = DEFAULT_K,
+    seed: int = 0,
+) -> DataFrame:
+    """Exactly the rows of ``batch`` whose key is NOT in
+    ``corpus_keys`` — the two-tier composition as one call: the bloom
+    verdict splits the batch, the "definitely new" majority skips the
+    exact check entirely (no false negatives), and only the
+    maybe-seen suspects pay the anti-join against the corpus key
+    table. Identical answer to the plain anti-join at a fraction of
+    the corpus-side scan for low-duplication batches."""
+    probed = bloom_maybe_seen(
+        batch, col, bloom, n_bits=n_bits, k=k, seed=seed
+    )
+    definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    suspects = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+    confirmed_new = suspects.join(
+        corpus_keys.select(col), col, "left_anti"
+    )
+    return definitely_new.unionByName(confirmed_new)

@@ -357,3 +357,74 @@ def bm25_search(
     return bm25_search_many(
         spark, index_path, [query], k, k1, b, n_buckets, id_col
     ).drop("query_id")
+
+
+def bm25_append_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_term_len: int = 1,
+) -> int:
+    """Incrementally maintain a ranked index: tokenize ONLY the new
+    batch, append its (term, id, tf, dl) postings to the matching
+    bucket partitions, and advance the corpus stats arithmetically
+    (new avgdl = (old_sum + batch_sum) / (old_n + batch_n)) — the
+    continual-ingest shape (``similarity.ivf_append_index`` for
+    vectors): daily arrivals cost O(|batch|), never an O(corpus)
+    rebuild. BM25's df is derived from the probed posting lists at
+    query time, so appended postings re-weight idf immediately with
+    no stored state to refresh.
+
+    Replay guard: batch ids already present in the index are dropped
+    before writing (semi-probe of only the batch's CANDIDATE buckets,
+    bounded by the batch), so at-least-once upstream delivery cannot
+    double-insert a document. ``max_df`` capping is a BUILD-time
+    decision and is not re-applied here — recap on the periodic
+    rebuild cadence, like IVF centroid refresh. Returns the number of
+    documents appended."""
+    import json
+
+    with open(os.path.join(path, STATS_FILE)) as fh:
+        stats = json.load(fh)
+    n_buckets = _check_n_buckets(None, stats.get("n_buckets"), path)
+
+    toks = docs.select(
+        F.col(id_col), F.explode(norm_tokens(text_col)).alias("term")
+    ).filter(F.length("term") >= min_term_len)
+    tf = (
+        toks.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .persist()
+    )
+    try:
+        dl = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
+        # replay guard: ids already indexed (any posting row) drop out
+        existing = (
+            docs.sparkSession.read.parquet(path)
+            .select(id_col)
+            .distinct()
+        )
+        fresh_dl = dl.join(existing, id_col, "left_anti").persist()
+        batch_row = fresh_dl.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+        ).first()
+        n_new = int(batch_row["n"] or 0)
+        if n_new == 0:
+            fresh_dl.unpersist()
+            return 0
+        postings = (
+            tf.join(fresh_dl, id_col)
+            .withColumn("bucket", term_bucket(F.col("term"), n_buckets))
+        )
+        postings.write.mode("append").partitionBy("bucket").parquet(path)
+        old_sum = stats["avgdl"] * stats["n_docs"]
+        n_docs = stats["n_docs"] + n_new
+        avgdl = (old_sum + float(batch_row["s"])) / n_docs
+        stats.update({"n_docs": n_docs, "avgdl": avgdl})
+        with open(os.path.join(path, STATS_FILE), "w") as fh:
+            json.dump(stats, fh)
+        fresh_dl.unpersist()
+        return n_new
+    finally:
+        tf.unpersist()

@@ -73,17 +73,19 @@ def test_two_tier_membership_composition(spark):
     batch = spark.createDataFrame(
         [Row(doc_id=10_000 + i, h=f"hash{i * 2}") for i in range(1000)]
     )  # evens 0..998 seen, evens 1000+ new
-    probed = bloom_maybe_seen(batch, "h", flt, n_bits=N_BITS, k=K)
-    definitely_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
-    suspects = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-    confirmed_new = suspects.join(corpus.select("h"), "h", "left_anti")
+    from mpg_data_warehouse_spark.operators.bloom import two_tier_new_rows
+
     got = {
-        r.doc_id for r in definitely_new.unionByName(confirmed_new).collect()
+        r.doc_id
+        for r in two_tier_new_rows(
+            batch, corpus, "h", flt, n_bits=N_BITS, k=K
+        ).collect()
     }
     want = {r.doc_id for r in batch.join(corpus.select("h"), "h", "left_anti").collect()}
     assert got == want
     # and the prefilter did real work: most new keys skipped the join
-    assert definitely_new.count() > 400
+    probed = bloom_maybe_seen(batch, "h", flt, n_bits=N_BITS, k=K)
+    assert probed.filter(~F.col("maybe_seen")).count() > 400
 
 
 def test_null_key_carries_its_verdict(spark):

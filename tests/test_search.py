@@ -207,3 +207,56 @@ def test_index_is_self_describing_on_bucket_count(spark, tmp_path):
     assert bm25_search(spark, ridx, "alpha", k=5).count() == 3
     with pytest.raises(ValueError, match="n_buckets=32"):
         bm25_search(spark, ridx, "alpha", k=5, n_buckets=64)
+
+
+def test_bm25_append_matches_full_rebuild(spark, tmp_path):
+    """Incremental append over two batches scores identically to one
+    full build over the union — stats advance arithmetically and df
+    re-derives from the probed lists."""
+    from mpg_data_warehouse_spark.operators.search import (
+        bm25_append_index,
+        bm25_search,
+        build_ranked_index,
+    )
+
+    batch1 = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha bravo charlie"),
+            Row(doc_id=2, text="alpha bravo echo"),
+        ]
+    )
+    batch2 = spark.createDataFrame(
+        [
+            Row(doc_id=3, text="charlie delta foxtrot"),
+            Row(doc_id=4, text="alpha alpha golf"),
+        ]
+    )
+    inc = str(tmp_path / "inc")
+    build_ranked_index(batch1, inc)
+    assert bm25_append_index(batch2, inc) == 2
+    full = str(tmp_path / "full")
+    build_ranked_index(batch1.unionByName(batch2), full)
+    for q in ("alpha", "charlie delta", "golf"):
+        a = {(r.doc_id, r.score) for r in bm25_search(spark, inc, q).collect()}
+        b = {(r.doc_id, r.score) for r in bm25_search(spark, full, q).collect()}
+        assert a == b, q
+
+
+def test_bm25_append_replay_is_idempotent(spark, tmp_path):
+    from mpg_data_warehouse_spark.operators.search import (
+        bm25_append_index,
+        bm25_search,
+        build_ranked_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_ranked_index(
+        spark.createDataFrame([Row(doc_id=1, text="alpha bravo")]), idx
+    )
+    batch = spark.createDataFrame([Row(doc_id=2, text="alpha charlie")])
+    assert bm25_append_index(batch, idx) == 1
+    # replayed delivery: same ids drop out, stats unchanged
+    assert bm25_append_index(batch, idx) == 0
+    rows = bm25_search(spark, idx, "alpha").collect()
+    assert {r.doc_id for r in rows} == {1, 2}
+    assert len(rows) == 2
