@@ -428,3 +428,82 @@ def bm25_append_index(
         return n_new
     finally:
         tf.unpersist()
+
+
+def bm25_delete_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_term_len: int = 1,
+) -> int:
+    """Targeted deletion from a ranked index (right-to-be-forgotten):
+    the request carries the documents' TEXT (the curated store has
+    it), so the affected buckets are exactly the batch's term
+    buckets — no full-index scan. Those bucket partitions are
+    rewritten without the deleted ids (dynamic partition overwrite;
+    fully-emptied buckets have their directory removed) and the
+    corpus stats retreat arithmetically using the stored per-doc
+    ``dl``. df self-corrects at query time (derived from the probed
+    lists). Returns documents removed.
+
+    The text must be the version that was INDEXED — a different text
+    would probe the wrong buckets and leave stale postings behind
+    (same contract as any secondary index maintenance)."""
+    import json
+    import shutil
+
+    from mpg_data_warehouse_spark.operators.append import (
+        overwrite_partitions,
+    )
+
+    spark = docs.sparkSession
+    with open(os.path.join(path, STATS_FILE)) as fh:
+        stats = json.load(fh)
+    n_buckets = _check_n_buckets(None, stats.get("n_buckets"), path)
+
+    terms = docs.select(
+        F.col(id_col), F.explode(norm_tokens(text_col)).alias("term")
+    ).filter(F.length("term") >= min_term_len)
+    buckets = sorted(
+        r["b"]
+        for r in terms.select(
+            term_bucket(F.col("term"), n_buckets).alias("b")
+        )
+        .distinct()
+        .collect()
+    )
+    del_ids = F.broadcast(docs.select(id_col).distinct())
+    postings = spark.read.parquet(path)
+    scoped = postings.filter(F.col("bucket").isin(buckets))
+    # per-doc dl of the ids actually present (for the stats retreat)
+    gone = (
+        scoped.join(del_ids, id_col, "left_semi")
+        .select(id_col, "dl")
+        .distinct()
+        .collect()
+    )
+    if not gone:
+        return 0
+    survivors = scoped.join(del_ids, id_col, "left_anti").select(
+        "term", id_col, "tf", "dl", "bucket"
+    ).localCheckpoint()
+    kept_buckets = {
+        r["bucket"] for r in survivors.select("bucket").distinct().collect()
+    }
+    overwrite_partitions(spark, survivors, path, ("bucket",))
+    for b in buckets:
+        if b not in kept_buckets:
+            shutil.rmtree(
+                os.path.join(path, f"bucket={b}"), ignore_errors=True
+            )
+    n_gone = len(gone)
+    old_sum = stats["avgdl"] * stats["n_docs"]
+    n_docs = stats["n_docs"] - n_gone
+    new_sum = old_sum - sum(r["dl"] for r in gone)
+    stats.update(
+        {"n_docs": n_docs, "avgdl": (new_sum / n_docs) if n_docs else 0.0}
+    )
+    with open(os.path.join(path, STATS_FILE), "w") as fh:
+        json.dump(stats, fh)
+    return n_gone

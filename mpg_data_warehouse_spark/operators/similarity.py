@@ -1194,3 +1194,57 @@ def ivfpq_topk(
     return scored.withColumn(
         "rank", F.row_number().over(w).cast("long")
     ).filter(F.col("rank") <= k)
+
+
+def ivf_delete_index(
+    spark,
+    path: str,
+    ids: DataFrame,
+    id_col: str = "vec_id",
+) -> int:
+    """Targeted deletion from a persisted IVF index (the
+    right-to-be-forgotten path): rewrite ONLY the cell partitions
+    that contain the requested ids — found with one id-semi-join over
+    the index (the delete batch broadcasts), then a dynamic partition
+    overwrite of the survivors. Cells whose every vector is deleted
+    have their partition directory removed (dynamic overwrite cannot
+    express an empty partition). Probes see the deletion immediately;
+    untouched cells keep their exact files. Returns vectors removed.
+
+    Survivors are materialized (localCheckpoint) before the
+    overwrite because their lineage READS the path being rewritten —
+    bounded by the hit cells' volume, not the index."""
+    import os
+    import shutil
+
+    from mpg_data_warehouse_spark.operators.append import (
+        overwrite_partitions,
+    )
+
+    del_ids = F.broadcast(
+        ids.select(F.col(id_col).alias("neighbor_id")).distinct()
+    )
+    idx = spark.read.parquet(path)
+    hit_cells = sorted(
+        r["cell"]
+        for r in idx.join(del_ids, "neighbor_id", "left_semi")
+        .select("cell")
+        .distinct()
+        .collect()
+    )
+    if not hit_cells:
+        return 0
+    scoped = idx.filter(F.col("cell").isin(hit_cells))
+    survivors = scoped.join(del_ids, "neighbor_id", "left_anti").select(
+        "neighbor_id", "c_vec", "c_norm", "cell"
+    ).localCheckpoint()
+    n_before = scoped.count()
+    n_after = survivors.count()
+    kept_cells = {
+        r["cell"] for r in survivors.select("cell").distinct().collect()
+    }
+    overwrite_partitions(spark, survivors, path, ("cell",))
+    for cell in hit_cells:
+        if cell not in kept_cells:
+            shutil.rmtree(os.path.join(path, f"cell={cell}"), ignore_errors=True)
+    return n_before - n_after

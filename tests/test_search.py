@@ -3,6 +3,7 @@ and partition-filter pushdown on the term-bucket layout."""
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from mpg_data_warehouse_spark.operators.search import (
     build_inverted_index,
@@ -260,3 +261,34 @@ def test_bm25_append_replay_is_idempotent(spark, tmp_path):
     rows = bm25_search(spark, idx, "alpha").collect()
     assert {r.doc_id for r in rows} == {1, 2}
     assert len(rows) == 2
+
+
+def test_bm25_delete_matches_rebuild_without_docs(spark, tmp_path):
+    """Deleting docs (with their indexed text) scores identically to
+    a fresh build over the survivors; stats retreat arithmetically."""
+    from mpg_data_warehouse_spark.operators.search import (
+        bm25_delete_index,
+        bm25_search,
+        build_ranked_index,
+    )
+
+    all_docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha bravo charlie"),
+            Row(doc_id=2, text="alpha bravo echo"),
+            Row(doc_id=3, text="charlie delta foxtrot"),
+            Row(doc_id=4, text="alpha alpha golf"),
+        ]
+    )
+    idx = str(tmp_path / "idx")
+    build_ranked_index(all_docs, idx)
+    victims = all_docs.filter(F.col("doc_id").isin([2, 4]))
+    assert bm25_delete_index(victims, idx) == 2
+    ref = str(tmp_path / "ref")
+    build_ranked_index(all_docs.filter(~F.col("doc_id").isin([2, 4])), ref)
+    for q in ("alpha", "charlie delta", "echo"):
+        a = {(r.doc_id, r.score) for r in bm25_search(spark, idx, q).collect()}
+        b = {(r.doc_id, r.score) for r in bm25_search(spark, ref, q).collect()}
+        assert a == b, q
+    # replay: deleting again removes nothing
+    assert bm25_delete_index(victims, idx) == 0

@@ -7,6 +7,7 @@ import math
 import random
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from mpg_data_warehouse_spark.operators import similarity as S
 
@@ -488,3 +489,81 @@ def test_lsh_topk_checks_query_dim(spark):
     )
     with pytest.raises(ValueError, match="dim"):
         lsh_topk(corpus, bad_queries, k=2, dim=4, n_planes=4)
+
+
+def test_ivf_delete_rewrites_only_hit_cells(spark, tmp_path):
+    """Deletion removes the ids, leaves untouched cells' files
+    byte-identical, removes fully-emptied cell dirs, and probes see
+    the change immediately."""
+    import os
+
+    from mpg_data_warehouse_spark.operators.similarity import (
+        ivf_delete_index,
+        ivf_probe_index,
+        ivf_write_index,
+    )
+
+    vecs = spark.createDataFrame(
+        [
+            Row(vec_id=i, embedding=[1.0 * (i % 4 == 0), 1.0 * (i % 4 == 1),
+                                     1.0 * (i % 4 == 2), 1.0 * (i % 4 == 3)])
+            for i in range(40)
+        ]
+    )
+    path = str(tmp_path / "idx")
+    ivf_write_index(vecs, path, n_centroids=4, id_col="vec_id",
+                    vec_col="embedding")
+    idx = spark.read.parquet(path)
+    cell_of = {r.neighbor_id: r.cell for r in idx.collect()}
+    victims = [i for i in range(40) if i % 4 == 0]  # one whole cell
+    victims.append(1)  # plus one vector from another cell
+    before_files = {
+        c: sorted(os.listdir(os.path.join(path, f"cell={c}")))
+        for c in set(cell_of.values())
+    }
+    n = ivf_delete_index(
+        spark, path,
+        spark.createDataFrame([Row(vec_id=v) for v in victims]),
+    )
+    assert n == len(victims)
+    after = spark.read.parquet(path)
+    remaining = {r.neighbor_id for r in after.collect()}
+    assert remaining == set(range(40)) - set(victims)
+    # the emptied cell's directory is gone
+    emptied = cell_of[0]
+    assert not os.path.exists(os.path.join(path, f"cell={emptied}"))
+    # cells with no victims keep their exact files
+    untouched = {
+        c for c in set(cell_of.values())
+        if not any(cell_of[v] == c for v in victims)
+    }
+    for c in untouched:
+        assert sorted(
+            os.listdir(os.path.join(path, f"cell={c}"))
+        ) == before_files[c]
+    # probe no longer returns deleted neighbors
+    hits = ivf_probe_index(
+        spark, path,
+        vecs.filter(F.col("vec_id") == 2).select("vec_id", "embedding"),
+        k=40, nprobe=4, id_col="vec_id", vec_col="embedding",
+    )
+    assert not {r.neighbor_id for r in hits.collect()} & set(victims)
+
+
+def test_ivf_delete_missing_ids_noop(spark, tmp_path):
+    from mpg_data_warehouse_spark.operators.similarity import (
+        ivf_delete_index,
+        ivf_write_index,
+    )
+
+    vecs = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i), 1.0]) for i in range(8)]
+    )
+    path = str(tmp_path / "idx")
+    ivf_write_index(vecs, path, n_centroids=2, id_col="vec_id",
+                    vec_col="embedding")
+    n = ivf_delete_index(
+        spark, path, spark.createDataFrame([Row(vec_id=999)])
+    )
+    assert n == 0
+    assert spark.read.parquet(path).count() == 8
