@@ -399,9 +399,21 @@ def bm25_append_index(
     )
     try:
         dl = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
-        # replay guard: ids already indexed (any posting row) drop out
+        # Replay guard scoped to the batch's OWN term buckets: a
+        # re-delivered batch carries the same texts, so its earlier
+        # postings live in exactly these buckets — the existing-id
+        # probe reads |batch terms| partitions, never the index.
+        cand_buckets = sorted(
+            r["b"]
+            for r in tf.select(
+                term_bucket(F.col("term"), n_buckets).alias("b")
+            )
+            .distinct()
+            .collect()
+        )
         existing = (
             docs.sparkSession.read.parquet(path)
+            .filter(F.col("bucket").isin(cand_buckets))
             .select(id_col)
             .distinct()
         )
