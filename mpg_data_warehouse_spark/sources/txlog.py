@@ -788,6 +788,26 @@ def row_count(table: str, version: int | None = None) -> int:
     return sum(a["rows"] for a in state["files"].values())
 
 
+def column_stats(table: str, version: int | None = None) -> dict:
+    """Metadata-only per-column min/max over a snapshot: the fold of
+    the footer stats the add actions already carry — the profiling
+    fast path (no data pages read, O(live files) driver work), and
+    correct at any pinned version. Columns whose stats were skipped
+    at write time (binary-physical types) are absent; callers fall
+    back to a scan for those. Returns {column: (min, max)}."""
+    state = snapshot_state(table, version)
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    for a in state["files"].values():
+        for c, lo in a.get("min", {}).items():
+            if c not in mins or lo < mins[c]:
+                mins[c] = lo
+        for c, hi in a.get("max", {}).items():
+            if c not in maxs or hi > maxs[c]:
+                maxs[c] = hi
+    return {c: (mins[c], maxs[c]) for c in mins if c in maxs}
+
+
 def compact(
     spark: SparkSession,
     table: str,

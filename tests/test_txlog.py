@@ -914,3 +914,17 @@ def test_compact_rejects_both_clusterings(spark, tmp_path):
         txlog.compact(
             spark, t, cluster_by=["cust_id"], zorder_by=("cust_id", "balance")
         )
+
+
+def test_column_stats_metadata_only_and_version_pinned(spark, tmp_path):
+    t = str(tmp_path / "t")
+    txlog.create(spark, t, _mk(spark, range(5)))
+    stats0 = txlog.column_stats(t)
+    assert stats0["cust_id"] == (0, 4)
+    assert stats0["balance"] == (0.0, 40.0)
+    txlog.append(spark, t, _mk(spark, range(90, 95)))
+    assert txlog.column_stats(t)["cust_id"] == (0, 94)
+    # pinned version still sees the old bounds
+    assert txlog.column_stats(t, version=0)["cust_id"] == (0, 4)
+    txlog.delete(spark, t, "cust_id >= 90")
+    assert txlog.column_stats(t)["cust_id"] == (0, 4)
