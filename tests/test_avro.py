@@ -1,0 +1,133 @@
+"""Native Avro OCF source/sink: typed round trips, codecs, spec
+structure, and loud failures on unsupported schema features."""
+
+from __future__ import annotations
+
+import datetime
+import io
+import json
+
+import pytest
+from pyspark.sql import Row
+
+from mpg_data_warehouse_spark.sources.avro_ocf import (
+    MAGIC,
+    emit_ocf,
+    parse_ocf,
+    read_avro,
+    write_avro,
+)
+
+TYPED_DDL = (
+    "id long, name string, score double, ok boolean, "
+    "tags array<string>, d date, ts timestamp_ntz, data binary"
+)
+
+
+def _typed(spark):
+    return spark.createDataFrame(
+        [
+            Row(
+                id=1, name="alpha", score=1.5, ok=True, tags=["x", "y"],
+                d=datetime.date(2021, 3, 4),
+                ts=datetime.datetime(2021, 3, 4, 5, 6, 7, 123456),
+                data=bytearray(b"\x00\x01"),
+            ),
+            Row(
+                id=2, name=None, score=None, ok=False, tags=[],
+                d=None, ts=None, data=None,
+            ),
+        ],
+        TYPED_DDL,
+    )
+
+
+def test_typed_round_trip_with_nulls(spark, tmp_path):
+    df = _typed(spark)
+    out = str(tmp_path / "avro")
+    write_avro(df, out, codec="deflate")
+    back = read_avro(spark, out)
+    assert back.schema == df.schema
+    key = lambda r: r.id  # noqa: E731
+    assert sorted(map(tuple, back.collect()), key=lambda t: t[0]) == sorted(
+        map(tuple, df.collect()), key=lambda t: t[0]
+    )
+
+
+def test_orders_table_round_trip(spark, tmp_path):
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    out = str(tmp_path / "orders_avro")
+    write_avro(orders, out)
+    back = read_avro(spark, out)
+    assert back.count() == orders.count()
+    assert back.schema == orders.schema
+    a = sorted(map(tuple, back.collect()))
+    b = sorted(map(tuple, orders.collect()))
+    assert a == b
+
+
+def test_codecs_agree_and_deflate_compresses(spark):
+    schema = {
+        "type": "record", "name": "r",
+        "fields": [{"name": "s", "type": "string"}],
+    }
+    rows = [{"s": "repetitive text " * 10}] * 50
+    raw = emit_ocf(schema, rows, codec="null")
+    comp = emit_ocf(schema, rows, codec="deflate")
+    assert len(comp) < len(raw) / 3
+    for blob in (raw, comp):
+        s, recs = parse_ocf(blob)
+        assert [r["s"] for r in recs] == [r["s"] for r in rows]
+
+
+def test_ocf_structure_matches_spec():
+    """Spec pin: magic, metadata map with avro.schema/avro.codec,
+    16-byte sync marker framing each block."""
+    schema = {
+        "type": "record", "name": "r",
+        "fields": [{"name": "v", "type": "long"}],
+    }
+    blob = emit_ocf(schema, [{"v": 7}], codec="null")
+    assert blob[:4] == MAGIC
+    parsed_schema, recs = parse_ocf(blob)
+    assert json.loads(json.dumps(parsed_schema)) == schema
+    assert list(recs) == [{"v": 7}]
+
+
+def test_corrupt_sync_marker_raises():
+    schema = {
+        "type": "record", "name": "r",
+        "fields": [{"name": "v", "type": "long"}],
+    }
+    blob = bytearray(emit_ocf(schema, [{"v": 1}], codec="null"))
+    blob[-1] ^= 0xFF  # flip a sync byte
+    _, recs = parse_ocf(bytes(blob))
+    with pytest.raises(ValueError, match="sync marker"):
+        list(recs)
+
+
+def test_schema_mismatch_across_files_raises(spark, tmp_path):
+    out = str(tmp_path / "mix")
+    write_avro(
+        spark.createDataFrame([Row(a=1)], "a long"), out, codec="null"
+    )
+    # hand-plant a second file with a different writer schema
+    other = emit_ocf(
+        {"type": "record", "name": "r",
+         "fields": [{"name": "b", "type": "string"}]},
+        [{"b": "x"}],
+    )
+    with open(f"{out}/part-other.avro", "wb") as fh:
+        fh.write(other)
+    with pytest.raises(Exception, match="schema differs"):
+        read_avro(spark, out).collect()
+
+
+def test_unsupported_spark_type_raises_before_work(spark, tmp_path):
+    import decimal
+
+    df = spark.createDataFrame(
+        [Row(x=decimal.Decimal("1.25"))], "x decimal(10,2)"
+    )
+    with pytest.raises(ValueError, match="no Avro mapping"):
+        write_avro(df, str(tmp_path / "nope"))
