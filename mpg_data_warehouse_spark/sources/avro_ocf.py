@@ -115,10 +115,12 @@ def _decode(schema, buf: io.BytesIO):
             v = _read_long(buf)
             if logical == "date":
                 return datetime.date(1970, 1, 1) + datetime.timedelta(days=v)
-            unit = 1_000_000 if logical == "timestamp-micros" else 1_000
-            return datetime.datetime.fromtimestamp(
-                v / unit, tz=datetime.timezone.utc
-            ).replace(tzinfo=None)
+            # exact integer arithmetic: float-seconds conversion loses
+            # microseconds once the value nears 2^53
+            us = v if logical == "timestamp-micros" else v * 1000
+            return datetime.datetime(1970, 1, 1) + datetime.timedelta(
+                microseconds=us
+            )
         if t == "record":
             return {
                 f["name"]: _decode(f["type"], buf) for f in schema["fields"]
@@ -185,10 +187,15 @@ def _encode(schema, value, out: io.BytesIO) -> None:
             if logical == "date":
                 _write_long(out, (value - datetime.date(1970, 1, 1)).days)
             else:
-                unit = 1_000_000 if logical == "timestamp-micros" else 1_000
-                epoch = datetime.datetime(1970, 1, 1)
+                td = value - datetime.datetime(1970, 1, 1)
+                us = (
+                    td.days * 86_400_000_000
+                    + td.seconds * 1_000_000
+                    + td.microseconds
+                )
                 _write_long(
-                    out, round((value - epoch).total_seconds() * unit)
+                    out,
+                    us if logical == "timestamp-micros" else us // 1000,
                 )
             return
         if t == "record":

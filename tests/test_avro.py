@@ -131,3 +131,14 @@ def test_unsupported_spark_type_raises_before_work(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="no Avro mapping"):
         write_avro(df, str(tmp_path / "nope"))
+
+
+def test_far_future_timestamp_is_microsecond_exact(spark, tmp_path):
+    """Exact integer µs arithmetic: float-seconds round-tripping
+    loses microseconds once epoch-µs nears 2^53 (~year 2255)."""
+    ts = datetime.datetime(2255, 6, 1, 2, 3, 4, 123457)
+    df = spark.createDataFrame([Row(id=1, ts=ts)], "id long, ts timestamp_ntz")
+    out = str(tmp_path / "far")
+    write_avro(df, out)
+    got = read_avro(spark, out).first()
+    assert got.ts == ts
