@@ -75,16 +75,20 @@ def _resolve_n_buckets(index_path: str, requested: int | None) -> int:
 
 
 def _ensure_readable(path: str, postings: DataFrame) -> None:
-    """A fully-filtered corpus (all-empty docs, or max_df dropping
-    every term) writes ZERO part files under the partitioned layout,
-    and a later read fails schema inference with a confusing
-    AnalysisException. Leave a zero-row unpartitioned file carrying
-    the schema so probes read cleanly and return empty results
-    (caught by the BM25 hypothesis property)."""
+    """A layout with ZERO part files (all-empty corpus at build, or a
+    delete that wiped every posting) fails schema inference on the
+    next read with a confusing AnalysisException. Leave a zero-row
+    schema-carrying file INSIDE a partition-style directory
+    (``bucket=0``) — a plain root file would conflict with later
+    partitioned appends (Spark rejects mixed layouts), whereas an
+    empty hive partition composes with them. ``postings`` must carry
+    the non-partition columns only."""
     for dirpath, _dirs, names in os.walk(path):
         if any(n.endswith(".parquet") for n in names):
             return
-    postings.limit(0).write.mode("append").parquet(path)
+    postings.limit(0).write.mode("append").parquet(
+        os.path.join(path, "bucket=0")
+    )
 
 
 def build_inverted_index(
@@ -126,9 +130,7 @@ def build_inverted_index(
     )
     if cached is not None:
         cached.unpersist()
-    _ensure_readable(
-        path, postings.withColumn("bucket", F.lit(0).cast("int"))
-    )
+    _ensure_readable(path, postings)
     _write_meta(path, {"n_buckets": n_buckets})
 
 
@@ -248,9 +250,7 @@ def build_ranked_index(
             .partitionBy("bucket")
             .parquet(path)
         )
-        _ensure_readable(
-            path, postings.withColumn("bucket", F.lit(0).cast("int"))
-        )
+        _ensure_readable(path, postings.drop("bucket"))
     finally:
         tf.unpersist()
     with open(os.path.join(path, STATS_FILE), "w") as fh:
@@ -509,6 +509,8 @@ def bm25_delete_index(
             shutil.rmtree(
                 os.path.join(path, f"bucket={b}"), ignore_errors=True
             )
+    # a wipe that removed every posting must leave the index readable
+    _ensure_readable(path, survivors.drop("bucket"))
     n_gone = len(gone)
     old_sum = stats["avgdl"] * stats["n_docs"]
     n_docs = stats["n_docs"] - n_gone

@@ -1247,4 +1247,17 @@ def ivf_delete_index(
     for cell in hit_cells:
         if cell not in kept_cells:
             shutil.rmtree(os.path.join(path, f"cell={cell}"), ignore_errors=True)
+    # a wipe that removed every vector must leave the index readable
+    # (and appendable): an empty hive partition carries the schema
+    # without conflicting with later partitioned appends
+    has_files = any(
+        n.endswith(".parquet")
+        for _d, _dd, names in os.walk(path)
+        if "_centroids" not in _d
+        for n in names
+    )
+    if not has_files:
+        survivors.limit(0).drop("cell").write.mode("append").parquet(
+            os.path.join(path, "cell=0")
+        )
     return n_before - n_after

@@ -10,31 +10,42 @@ close-the-gap-natively move as ``sources/txlog.py`` for Delta.
 
 Position in the engine: a COMPATIBILITY boundary, not the hot path.
 Decoding a row-oriented binary format is inherently per-record work
-no Spark builtin expresses, so it lives behind the engine's standard
-Arrow boundary — ``binaryFile`` scan → ``mapInPandas`` decode —
-exactly like the multimodal codecs (``operators/multimodal.py``).
-On a cluster with spark-avro available, swap
-``spark.read.format("avro")`` in; the schemas match.
+no Spark builtin expresses, so it rides ``binaryFile`` →
+``mapInArrow``: Arrow batches in and out, NO pandas in the loop —
+pandas coerces null-bearing int64 columns to float64 and silently
+corrupts integers above 2^53 (caught in review; Arrow preserves
+exact types and nulls). On a cluster with spark-avro available, swap
+``spark.read.format("avro")`` in; schema mappings follow the same
+spec table (timestamp-micros ↔ TimestampType instants,
+local-timestamp-micros ↔ TimestampNTZType).
 
-Scale shape: one Avro file = one task (binaryFile splits at file
-granularity; OCF files are written file-per-partition, so
-parallelism follows the layout). Decode is streamed block-by-block
-per file; memory is bounded by one decompressed block. The writer
-emits one OCF per partition directly to the target directory with a
-task-unique name (same shared-filesystem contract as the txlog
-format; an object-store deployment routes the byte blobs through its
-own put).
+Scale shape: one Avro file = one task (``binaryFile`` splits at file
+granularity — parallelism follows the file layout, so write many
+moderate files, standard Avro practice). Within a task the records
+decode block-by-block, one Arrow batch per Avro block; per-task
+memory is the raw file bytes (inherent to binaryFile) plus ONE
+decompressed block's rows. The driver reads only the first file's
+HEADER for schema inference. The writer emits one OCF per partition
+directly to the target directory (shared-filesystem contract, like
+the txlog format; an object-store deployment routes the blobs
+through its own put), and an all-empty frame still writes one
+zero-row schema-carrying file so the directory reads back cleanly.
 
 Supported types (the warehouse's surface): null, boolean, int, long,
-float, double, string, bytes, records, arrays, maps, 2-branch null
-unions (nullable columns), and the date / timestamp-micros /
-timestamp-millis logical types. Codecs: null and deflate (stdlib
-zlib). Unsupported schema features raise loudly — never silently
-mis-decode.
+float, double, string, bytes, records, arrays, string-keyed maps,
+2-branch null unions (nullable columns), and the date /
+timestamp-micros/millis (instant) / local-timestamp-micros/millis
+(NTZ) logical types. Codecs: null and deflate (stdlib zlib). Any
+OTHER schema feature — unknown codecs, multi-branch unions, enums,
+fixed, decimal/uuid/time logicals — raises loudly; this reader
+deliberately deviates from the spec's "ignore unknown logical
+types" advice because silently surfacing a decimal as raw bytes is
+a wrong answer, not a fallback.
 """
 
 from __future__ import annotations
 
+import datetime
 import io
 import json
 import os
@@ -46,13 +57,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 MAGIC = b"Obj\x01"
+_EPOCH_DATE = datetime.date(1970, 1, 1)
+_EPOCH = datetime.datetime(1970, 1, 1)
+_UTC = datetime.timezone.utc
+_KNOWN_LOGICALS = (
+    "date",
+    "timestamp-micros",
+    "timestamp-millis",
+    "local-timestamp-micros",
+    "local-timestamp-millis",
+)
 
 # ---------------------------------------------------------------------------
 # binary primitives (Avro spec §"Binary encoding")
 # ---------------------------------------------------------------------------
 
 
-def _read_long(buf: io.BytesIO) -> int:
+def _read_long(buf) -> int:
     """Zigzag varint."""
     shift = 0
     acc = 0
@@ -80,12 +101,15 @@ def _write_long(out: io.BytesIO, n: int) -> None:
             break
 
 
-def _read_bytes(buf: io.BytesIO) -> bytes:
-    n = _read_long(buf)
+def _read_exact(buf, n: int) -> bytes:
     data = buf.read(n)
     if len(data) != n:
-        raise EOFError("truncated bytes")
+        raise EOFError(f"truncated read: wanted {n}, got {len(data)}")
     return data
+
+
+def _read_bytes(buf) -> bytes:
+    return _read_exact(buf, _read_long(buf))
 
 
 def _write_bytes(out: io.BytesIO, data: bytes) -> None:
@@ -98,29 +122,46 @@ def _write_bytes(out: io.BytesIO, data: bytes) -> None:
 # ---------------------------------------------------------------------------
 
 
-def _decode(schema, buf: io.BytesIO):
+def _micros_since_epoch(value: datetime.datetime) -> int:
+    """Exact integer µs — float-seconds conversion loses microseconds
+    once the value nears 2^53 (~year 2255)."""
+    if value.tzinfo is not None:
+        value = value.astimezone(_UTC).replace(tzinfo=None)
+    td = value - _EPOCH
+    return td.days * 86_400_000_000 + td.seconds * 1_000_000 + td.microseconds
+
+
+def _check_logical(schema: dict) -> str | None:
+    logical = schema.get("logicalType")
+    if logical is not None and logical not in _KNOWN_LOGICALS:
+        raise ValueError(
+            f"unsupported Avro logicalType {logical!r} — refusing to "
+            "surface the raw base type as a plausible-looking value"
+        )
+    return logical
+
+
+def _decode(schema, buf):
     if isinstance(schema, list):  # union
         idx = _read_long(buf)
+        if not 0 <= idx < len(schema):
+            raise ValueError(
+                f"corrupt union branch index {idx} (union has "
+                f"{len(schema)} branches)"
+            )
         return _decode(schema[idx], buf)
     if isinstance(schema, dict):
         t = schema["type"]
-        logical = schema.get("logicalType")
-        if t in ("int", "long") and logical in (
-            "date",
-            "timestamp-micros",
-            "timestamp-millis",
-        ):
-            import datetime
-
+        logical = _check_logical(schema)
+        if t in ("int", "long") and logical is not None:
             v = _read_long(buf)
             if logical == "date":
-                return datetime.date(1970, 1, 1) + datetime.timedelta(days=v)
-            # exact integer arithmetic: float-seconds conversion loses
-            # microseconds once the value nears 2^53
-            us = v if logical == "timestamp-micros" else v * 1000
-            return datetime.datetime(1970, 1, 1) + datetime.timedelta(
-                microseconds=us
-            )
+                return _EPOCH_DATE + datetime.timedelta(days=v)
+            us = v if logical.endswith("micros") else v * 1000
+            ts = _EPOCH + datetime.timedelta(microseconds=us)
+            if logical.startswith("timestamp-"):  # spec: UTC instant
+                return ts.replace(tzinfo=_UTC)
+            return ts  # local-timestamp-*: naive
         if t == "record":
             return {
                 f["name"]: _decode(f["type"], buf) for f in schema["fields"]
@@ -152,13 +193,13 @@ def _decode(schema, buf: io.BytesIO):
     if schema == "null":
         return None
     if schema == "boolean":
-        return buf.read(1) == b"\x01"
+        return _read_exact(buf, 1) == b"\x01"
     if schema in ("int", "long"):
         return _read_long(buf)
     if schema == "float":
-        return struct.unpack("<f", buf.read(4))[0]
+        return struct.unpack("<f", _read_exact(buf, 4))[0]
     if schema == "double":
-        return struct.unpack("<d", buf.read(8))[0]
+        return struct.unpack("<d", _read_exact(buf, 8))[0]
     if schema == "bytes":
         return _read_bytes(buf)
     if schema == "string":
@@ -180,22 +221,14 @@ def _encode(schema, value, out: io.BytesIO) -> None:
         return
     if isinstance(schema, dict):
         t = schema["type"]
-        logical = schema.get("logicalType")
-        if logical in ("date", "timestamp-micros", "timestamp-millis"):
-            import datetime
-
+        logical = _check_logical(schema)
+        if logical is not None:
             if logical == "date":
-                _write_long(out, (value - datetime.date(1970, 1, 1)).days)
+                _write_long(out, (value - _EPOCH_DATE).days)
             else:
-                td = value - datetime.datetime(1970, 1, 1)
-                us = (
-                    td.days * 86_400_000_000
-                    + td.seconds * 1_000_000
-                    + td.microseconds
-                )
+                us = _micros_since_epoch(value)
                 _write_long(
-                    out,
-                    us if logical == "timestamp-micros" else us // 1000,
+                    out, us if logical.endswith("micros") else us // 1000
                 )
             return
         if t == "record":
@@ -210,9 +243,12 @@ def _encode(schema, value, out: io.BytesIO) -> None:
             _write_long(out, 0)
             return
         if t == "map":
-            if value:
-                _write_long(out, len(value))
-                for k, v in value.items():
+            # pyarrow surfaces map values as lists of (k, v) pairs
+            items = value.items() if isinstance(value, dict) else value
+            items = list(items)
+            if items:
+                _write_long(out, len(items))
+                for k, v in items:
                     _write_bytes(out, k.encode("utf-8"))
                     _encode(schema["values"], v, out)
             _write_long(out, 0)
@@ -247,10 +283,11 @@ def _encode(schema, value, out: io.BytesIO) -> None:
 # ---------------------------------------------------------------------------
 
 
-def parse_ocf(data: bytes):
-    """(schema dict, iterator of decoded records) for one OCF blob."""
-    buf = io.BytesIO(data)
-    if buf.read(4) != MAGIC:
+def read_header(buf) -> tuple[dict, str, bytes]:
+    """(writer schema, codec, sync marker) from the stream head —
+    reads ONLY the header bytes, so driver-side schema inference on a
+    multi-GB file touches a few KB."""
+    if _read_exact(buf, 4) != MAGIC:
         raise ValueError("not an Avro object container file (bad magic)")
     meta: dict[str, bytes] = {}
     while True:
@@ -267,9 +304,16 @@ def parse_ocf(data: bytes):
     if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported Avro codec: {codec!r}")
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
-    sync = buf.read(16)
+    sync = _read_exact(buf, 16)
+    return schema, codec, sync
 
-    def records():
+
+def parse_ocf_blocks(data: bytes):
+    """(writer schema, iterator of per-block record lists)."""
+    buf = io.BytesIO(data)
+    schema, codec, sync = read_header(buf)
+
+    def blocks():
         while True:
             head = buf.read(1)
             if not head:
@@ -277,20 +321,26 @@ def parse_ocf(data: bytes):
             buf.seek(-1, io.SEEK_CUR)
             n_obj = _read_long(buf)
             n_bytes = _read_long(buf)
-            block = buf.read(n_bytes)
+            block = _read_exact(buf, n_bytes)
             if codec == "deflate":
                 block = zlib.decompress(block, -15)  # raw DEFLATE per spec
             bbuf = io.BytesIO(block)
-            for _ in range(n_obj):
-                yield _decode(schema, bbuf)
-            if buf.read(16) != sync:
+            yield [_decode(schema, bbuf) for _ in range(n_obj)]
+            if _read_exact(buf, 16) != sync:
                 raise ValueError("sync marker mismatch (corrupt block)")
 
-    return schema, records()
+    return schema, blocks()
+
+
+def parse_ocf(data: bytes):
+    """(writer schema, iterator of decoded records)."""
+    schema, blocks = parse_ocf_blocks(data)
+    return schema, (rec for block in blocks for rec in block)
 
 
 def emit_ocf(schema: dict, rows, codec: str = "deflate") -> bytes:
-    """One OCF blob from an iterable of dict rows (single block)."""
+    """One OCF blob from an iterable of dict rows (single block; a
+    zero-row blob is valid and reads back as empty)."""
     if codec not in ("null", "deflate"):
         raise ValueError(f"unsupported Avro codec: {codec!r}")
     body = io.BytesIO()
@@ -315,15 +365,16 @@ def emit_ocf(schema: dict, rows, codec: str = "deflate") -> bytes:
     _write_long(out, 0)
     sync = uuid.uuid4().bytes
     out.write(sync)
-    _write_long(out, n)
-    _write_long(out, len(payload))
-    out.write(payload)
-    out.write(sync)
+    if n:
+        _write_long(out, n)
+        _write_long(out, len(payload))
+        out.write(payload)
+        out.write(sync)
     return out.getvalue()
 
 
 # ---------------------------------------------------------------------------
-# Spark ↔ Avro schema mapping
+# Spark ↔ Avro ↔ Arrow schema mapping
 # ---------------------------------------------------------------------------
 
 _SPARK_TO_AVRO = {
@@ -340,12 +391,24 @@ _SPARK_TO_AVRO = {
 def _avro_field_type(dt: T.DataType, nullable: bool):
     if isinstance(dt, T.DateType):
         base: object = {"type": "int", "logicalType": "date"}
-    elif isinstance(dt, T.TimestampType | T.TimestampNTZType):
+    elif isinstance(dt, T.TimestampType):
+        # spec: timestamp-micros is a UTC INSTANT — TimestampType
         base = {"type": "long", "logicalType": "timestamp-micros"}
+    elif isinstance(dt, T.TimestampNTZType):
+        base = {"type": "long", "logicalType": "local-timestamp-micros"}
     elif isinstance(dt, T.ArrayType):
         base = {
             "type": "array",
             "items": _avro_field_type(dt.elementType, dt.containsNull),
+        }
+    elif isinstance(dt, T.MapType):
+        if not isinstance(dt.keyType, T.StringType):
+            raise ValueError(
+                f"Avro maps require string keys, got {dt.keyType}"
+            )
+        base = {
+            "type": "map",
+            "values": _avro_field_type(dt.valueType, dt.valueContainsNull),
         }
     elif isinstance(dt, T.StructType):
         base = _avro_record_schema(dt, name=f"rec_{uuid.uuid4().hex[:8]}")
@@ -379,19 +442,19 @@ def _spark_type_for(avro_type) -> tuple[T.DataType, bool]:
         dt, _ = _spark_type_for(branches[0])
         return dt, True
     if isinstance(avro_type, dict):
-        logical = avro_type.get("logicalType")
+        logical = _check_logical(avro_type)
         if logical == "date":
             return T.DateType(), False
         if logical in ("timestamp-micros", "timestamp-millis"):
+            return T.TimestampType(), False
+        if logical in ("local-timestamp-micros", "local-timestamp-millis"):
             return T.TimestampNTZType(), False
         t = avro_type["type"]
         if t == "record":
             return (
                 T.StructType(
                     [
-                        T.StructField(
-                            f["name"], *_spark_type_for(f["type"])[::1]
-                        )
+                        T.StructField(f["name"], *_spark_type_for(f["type"]))
                         for f in avro_type["fields"]
                     ]
                 ),
@@ -419,12 +482,45 @@ def _spark_type_for(avro_type) -> tuple[T.DataType, bool]:
     return prim[avro_type], False
 
 
-def spark_schema_from_avro(schema: dict) -> T.StructType:
-    return T.StructType(
-        [
-            T.StructField(f["name"], *_spark_type_for(f["type"]))
-            for f in schema["fields"]
-        ]
+def _arrow_type(dt: T.DataType):
+    import pyarrow as pa
+
+    if isinstance(dt, T.LongType):
+        return pa.int64()
+    if isinstance(dt, T.IntegerType):
+        return pa.int32()
+    if isinstance(dt, T.DoubleType):
+        return pa.float64()
+    if isinstance(dt, T.FloatType):
+        return pa.float32()
+    if isinstance(dt, T.BooleanType):
+        return pa.bool_()
+    if isinstance(dt, T.StringType):
+        return pa.string()
+    if isinstance(dt, T.BinaryType):
+        return pa.binary()
+    if isinstance(dt, T.DateType):
+        return pa.date32()
+    if isinstance(dt, T.TimestampType):
+        return pa.timestamp("us", tz="UTC")
+    if isinstance(dt, T.TimestampNTZType):
+        return pa.timestamp("us")
+    if isinstance(dt, T.ArrayType):
+        return pa.list_(_arrow_type(dt.elementType))
+    if isinstance(dt, T.MapType):
+        return pa.map_(_arrow_type(dt.keyType), _arrow_type(dt.valueType))
+    if isinstance(dt, T.StructType):
+        return pa.struct(
+            [(f.name, _arrow_type(f.dataType)) for f in dt.fields]
+        )
+    raise ValueError(f"no Arrow mapping for Spark type {dt}")
+
+
+def _arrow_schema(schema: T.StructType):
+    import pyarrow as pa
+
+    return pa.schema(
+        [(f.name, _arrow_type(f.dataType)) for f in schema.fields]
     )
 
 
@@ -432,14 +528,17 @@ def spark_schema_from_avro(schema: dict) -> T.StructType:
 # DataFrame read / write
 # ---------------------------------------------------------------------------
 
+_HEADER_PROBE_BYTES = 1 << 20  # OCF headers are KBs; 1 MB is generous
+
 
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
     """Read a directory of ``.avro`` OCF files as a DataFrame. The
     Spark schema derives from ONE file's embedded writer schema
-    (driver-side header parse); every file is then decoded in its own
-    task (``binaryFile`` → ``mapInPandas``, Arrow-batched rows out).
-    Files whose schema disagrees raise in-task rather than
-    mis-decoding."""
+    (driver-side HEADER parse — header bytes only, never the file);
+    every file then decodes in its own task (``binaryFile`` →
+    ``mapInArrow``, one Arrow batch per Avro block, exact types —
+    no pandas float coercion). Files whose writer schema disagrees
+    raise in-task rather than mis-decoding."""
     import glob as _glob
 
     first = sorted(
@@ -449,27 +548,52 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     if not first:
         raise FileNotFoundError(f"no .avro files under {path}")
     with open(first[0], "rb") as fh:
-        head = fh.read()
-    schema, _ = parse_ocf(head)
+        schema, _codec, _sync = read_header(
+            io.BytesIO(fh.read(_HEADER_PROBE_BYTES))
+        )
     spark_schema = spark_schema_from_avro(schema)
     canonical = json.dumps(schema, sort_keys=True)
     cols = [f.name for f in spark_schema.fields]
+    arrow_fields = [
+        (f.name, spark_schema[f.name].dataType) for f in spark_schema.fields
+    ]
 
     def decode(batches):
-        import pandas as pd
+        import pyarrow as pa
 
-        for pdf in batches:
-            for _, row in pdf.iterrows():
-                s, recs = parse_ocf(bytes(row["content"]))
+        out_schema = pa.schema(
+            [(n, _arrow_type(dt)) for n, dt in arrow_fields]
+        )
+        for batch in batches:
+            paths = batch.column("path").to_pylist()
+            contents = batch.column("content").to_pylist()
+            for p, content in zip(paths, contents):
+                s, blocks = parse_ocf_blocks(bytes(content))
                 if json.dumps(s, sort_keys=True) != canonical:
                     raise ValueError(
-                        f"{row['path']}: writer schema differs from "
-                        "the directory's first file"
+                        f"{p}: writer schema differs from the "
+                        "directory's first file"
                     )
-                out = list(recs)
-                yield pd.DataFrame(
-                    {c: [r[c] for r in out] for c in cols}
-                ) if out else pd.DataFrame({c: [] for c in cols})
+                empty = True
+                for block in blocks:
+                    empty = False
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(
+                                [r[n] for r in block], type=out_schema[i].type
+                            )
+                            for i, n in enumerate(cols)
+                        ],
+                        schema=out_schema,
+                    )
+                if empty:
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array([], type=out_schema[i].type)
+                            for i in range(len(cols))
+                        ],
+                        schema=out_schema,
+                    )
 
     blobs = (
         spark.read.format("binaryFile")
@@ -478,52 +602,48 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
         .load(path)
         .select("path", "content")
     )
-    return blobs.mapInPandas(decode, spark_schema)
+    return blobs.mapInArrow(decode, spark_schema)
 
 
-def write_avro(
-    df: DataFrame, path: str, codec: str = "deflate"
-) -> None:
-    """Write ``df`` as one OCF file per partition under ``path``
-    (shared-filesystem contract, like the txlog format; an
-    object-store deployment routes the blobs through its own put).
-    The Avro writer schema derives from the DataFrame schema;
-    unsupported types raise before any work runs."""
+def spark_schema_from_avro(schema: dict) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(f["name"], *_spark_type_for(f["type"]))
+            for f in schema["fields"]
+        ]
+    )
+
+
+def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> None:
+    """Write ``df`` as one OCF file per partition under ``path``. The
+    Avro writer schema derives from the DataFrame schema; unsupported
+    types raise before any work runs. Rows travel as Arrow batches
+    (``to_pylist`` — exact ints, real None for nulls; maps arrive as
+    (k, v) pair lists and are encoded per spec). An all-empty frame
+    still leaves one zero-row schema-carrying file so the directory
+    reads back as an empty DataFrame."""
     schema = _avro_record_schema(df.schema)
     os.makedirs(path, exist_ok=True)
-    spark_schema = df.schema
-    cols = [f.name for f in spark_schema.fields]
+    cols = [f.name for f in df.schema.fields]
 
     def encode(batches):
-        import numpy as np
-        import pandas as pd
-
-        def norm(v):
-            # Arrow hands arrays as numpy ndarrays and nulls as
-            # NaN/NaT/None; normalize to plain python for the encoder
-            if isinstance(v, np.ndarray):
-                return v.tolist()
-            if isinstance(v, (list, dict, bytes, bytearray)):
-                return v
-            if v is None:
-                return None
-            try:
-                if pd.isna(v):
-                    return None
-            except (TypeError, ValueError):
-                pass
-            return v
+        import pyarrow as pa
 
         rows: list[dict] = []
-        for pdf in batches:
-            for rec in pdf.to_dict(orient="records"):
-                rows.append({c: norm(rec[c]) for c in cols})
+        for batch in batches:
+            for rec in batch.to_pylist():
+                rows.append({c: rec[c] for c in cols})
         if rows:
             blob = emit_ocf(schema, rows, codec)
             name = f"part-{uuid.uuid4().hex}.avro"
             with open(os.path.join(path, name), "wb") as fh:
                 fh.write(blob)
-        yield pd.DataFrame({"n": [len(rows)]})
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([len(rows)], type=pa.int64())], names=["n"]
+        )
 
-    # one encode task per partition; the count output forces execution
-    df.mapInPandas(encode, "n long").agg({"n": "sum"}).collect()
+    # one encode task per partition; the aggregate forces execution
+    df.mapInArrow(encode, "n long").agg({"n": "sum"}).collect()
+    if not any(f.endswith(".avro") for f in os.listdir(path)):
+        with open(os.path.join(path, "part-empty.avro"), "wb") as fh:
+            fh.write(emit_ocf(schema, [], codec))

@@ -792,20 +792,39 @@ def column_stats(table: str, version: int | None = None) -> dict:
     """Metadata-only per-column min/max over a snapshot: the fold of
     the footer stats the add actions already carry — the profiling
     fast path (no data pages read, O(live files) driver work), and
-    correct at any pinned version. Columns whose stats were skipped
-    at write time (binary-physical types) are absent; callers fall
-    back to a scan for those. Returns {column: (min, max)}."""
+    correct at any pinned version.
+
+    CONSERVATIVE like the pruning paths: a column is reported ONLY
+    when every live file carries both bounds for it and no file's
+    bounds are inverted (parquet truncates oversized string stats,
+    which can surface as max='' < min). A partially-covered fold
+    would return bounds that do not bound the data — absent columns
+    mean "unknown, scan for it", never a wrong answer. Returns
+    {column: (min, max)}."""
     state = snapshot_state(table, version)
+    files = list(state["files"].values())
+    if not files:
+        return {}
     mins: dict[str, object] = {}
     maxs: dict[str, object] = {}
-    for a in state["files"].values():
-        for c, lo in a.get("min", {}).items():
-            if c not in mins or lo < mins[c]:
-                mins[c] = lo
-        for c, hi in a.get("max", {}).items():
-            if c not in maxs or hi > maxs[c]:
-                maxs[c] = hi
-    return {c: (mins[c], maxs[c]) for c in mins if c in maxs}
+    seen: dict[str, int] = {}
+    dropped: set[str] = set()
+    for a in files:
+        amin, amax = a.get("min", {}), a.get("max", {})
+        for c in amin:
+            if c not in amax or amax[c] < amin[c]:
+                dropped.add(c)  # truncated/inverted per-file bounds
+                continue
+            seen[c] = seen.get(c, 0) + 1
+            if c not in mins or amin[c] < mins[c]:
+                mins[c] = amin[c]
+            if c not in maxs or amax[c] > maxs[c]:
+                maxs[c] = amax[c]
+    return {
+        c: (mins[c], maxs[c])
+        for c, n in seen.items()
+        if n == len(files) and c not in dropped
+    }
 
 
 def compact(

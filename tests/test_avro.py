@@ -142,3 +142,60 @@ def test_far_future_timestamp_is_microsecond_exact(spark, tmp_path):
     write_avro(df, out)
     got = read_avro(spark, out).first()
     assert got.ts == ts
+
+
+def test_big_int64_with_nulls_is_exact(spark, tmp_path):
+    """The Arrow boundary must not route null-bearing longs through
+    pandas float64 — 2^53+1 would silently round."""
+    big = 9007199254740993  # 2^53 + 1
+    df = spark.createDataFrame(
+        [Row(id=1, v=big), Row(id=2, v=None)], "id long, v long"
+    )
+    out = str(tmp_path / "big")
+    write_avro(df, out)
+    got = {r.id: r.v for r in read_avro(spark, out).collect()}
+    assert got == {1: big, 2: None}
+
+
+def test_instant_timestamp_and_map_round_trip(spark, tmp_path):
+    """TimestampType = spec timestamp-micros (UTC instant);
+    string-keyed maps round-trip through the pyarrow pair form."""
+    ts = datetime.datetime(2021, 3, 4, 5, 6, 7, 123456)
+    df = spark.createDataFrame(
+        [Row(id=1, ts=ts, m={"a": 1, "b": 2}), Row(id=2, ts=None, m={})],
+        "id long, ts timestamp, m map<string,long>",
+    )
+    out = str(tmp_path / "inst")
+    write_avro(df, out)
+    back = read_avro(spark, out)
+    assert back.schema == df.schema
+    rows = {r.id: r for r in back.collect()}
+    assert rows[1].ts == ts and rows[1].m == {"a": 1, "b": 2}
+    assert rows[2].ts is None and rows[2].m == {}
+
+
+def test_unknown_logical_type_raises_not_misdecodes():
+    blob = emit_ocf(
+        {"type": "record", "name": "r",
+         "fields": [{"name": "v", "type": "long"}]},
+        [{"v": 1}],
+    )
+    # hand-craft a schema with a decimal logical and try to decode
+    import mpg_data_warehouse_spark.sources.avro_ocf as A
+
+    with pytest.raises(ValueError, match="logicalType"):
+        A._decode(
+            {"type": "bytes", "logicalType": "decimal",
+             "precision": 10, "scale": 2},
+            io.BytesIO(b"\x02\x01"),
+        )
+    assert blob[:4] == MAGIC  # keep the fixture used
+
+
+def test_empty_dataframe_round_trips(spark, tmp_path):
+    df = spark.createDataFrame([], "id long, name string")
+    out = str(tmp_path / "empty")
+    write_avro(df, out)
+    back = read_avro(spark, out)
+    assert back.schema == df.schema
+    assert back.count() == 0

@@ -292,3 +292,29 @@ def test_bm25_delete_matches_rebuild_without_docs(spark, tmp_path):
         assert a == b, q
     # replay: deleting again removes nothing
     assert bm25_delete_index(victims, idx) == 0
+
+
+def test_bm25_delete_full_wipe_keeps_index_usable(spark, tmp_path):
+    from mpg_data_warehouse_spark.operators.search import (
+        bm25_append_index,
+        bm25_delete_index,
+        bm25_search_many,
+        build_ranked_index,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha bravo"), Row(doc_id=2, text="alpha c")]
+    )
+    idx = str(tmp_path / "idx")
+    build_ranked_index(docs, idx)
+    assert bm25_delete_index(docs, idx) == 2
+    # still readable: empty result, no AnalysisException
+    assert (
+        bm25_search_many(spark, idx, ["alpha"], k=5).count() == 0
+    )
+    # and appendable: the natural next step after a wipe
+    assert bm25_append_index(
+        spark.createDataFrame([Row(doc_id=3, text="alpha delta")]), idx
+    ) == 1
+    got = bm25_search_many(spark, idx, ["alpha"], k=5).collect()
+    assert [r.doc_id for r in got] == [3]

@@ -567,3 +567,35 @@ def test_ivf_delete_missing_ids_noop(spark, tmp_path):
     )
     assert n == 0
     assert spark.read.parquet(path).count() == 8
+
+
+def test_ivf_delete_full_wipe_keeps_index_usable(spark, tmp_path):
+    from mpg_data_warehouse_spark.operators.similarity import (
+        ivf_append_index,
+        ivf_delete_index,
+        ivf_probe_index,
+        ivf_write_index,
+    )
+
+    vecs = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i % 2), 1.0]) for i in range(6)]
+    )
+    path = str(tmp_path / "idx")
+    ivf_write_index(vecs, path, n_centroids=2, id_col="vec_id",
+                    vec_col="embedding")
+    assert ivf_delete_index(spark, path, vecs.select("vec_id")) == 6
+    # still readable: empty probe, no AnalysisException
+    q = spark.createDataFrame([Row(vec_id=100, embedding=[1.0, 1.0])])
+    assert ivf_probe_index(
+        spark, path, q, k=3, nprobe=2, id_col="vec_id", vec_col="embedding"
+    ).count() == 0
+    # and appendable after the wipe
+    assert ivf_append_index(
+        spark, path,
+        spark.createDataFrame([Row(vec_id=50, embedding=[1.0, 1.0])]),
+        id_col="vec_id", vec_col="embedding",
+    ) == 1
+    hits = ivf_probe_index(
+        spark, path, q, k=3, nprobe=2, id_col="vec_id", vec_col="embedding"
+    )
+    assert {r.neighbor_id for r in hits.collect()} == {50}
