@@ -31,12 +31,16 @@ from pyspark.sql import functions as F
 
 
 def _null_safe_left_join(
-    left: DataFrame, right: DataFrame, keys: list[str], prefix: str
+    left: DataFrame, right: DataFrame, keys: list[str], prefix: str,
+    how: str = "left", keep_right_keys: bool = False,
 ) -> DataFrame:
     """left ⟕ right on ``keys`` with NA-matching (eqNullSafe)
     equality — dplyr/tidyr join semantics; a bare equi-join never
     matches NULL keys and silently replaces their measures with the
-    fill. Shared by both completion strategies."""
+    fill. Shared by both completion strategies. ``how="full"`` +
+    ``keep_right_keys`` backs the strict-domain guard below, which
+    must still see the key values of right-only (out-of-domain)
+    rows to report them."""
     renames = {k: f"{prefix}{k}" for k in keys}
     for k, rk in renames.items():
         right = right.withColumnRenamed(k, rk)
@@ -44,7 +48,26 @@ def _null_safe_left_join(
     for k, rk in renames.items():
         c = F.col(k).eqNullSafe(F.col(rk))
         cond = c if cond is None else cond & c
-    return left.join(right, cond, "left").drop(*renames.values())
+    out = left.join(right, cond, how)
+    if not keep_right_keys:
+        out = out.drop(*renames.values())
+    return out
+
+
+_GRID_MARK = "__complete_in_grid"
+
+
+def _weave_guard(guard, out: DataFrame, col_name: str) -> DataFrame:
+    """Force per-row evaluation of ``guard`` (an ``assert_true``
+    column) by threading it through ``col_name``'s projection.
+    A bare ``withColumn + drop`` is pruned by Catalyst and never
+    evaluates (verified on 4.1) — wrapping a kept column in
+    ``when(guard.isNull(), col)`` is the cheapest construction the
+    optimizer cannot elide."""
+    wrapped = F.when(guard.isNull(), F.col(col_name)).alias(col_name)
+    return out.select(
+        *[wrapped if c == col_name else F.col(c) for c in out.columns]
+    )
 
 
 def complete(
@@ -118,7 +141,46 @@ def complete(
     # keys (na_matches="na"), so an existing (anchor, NULL-code) row
     # must keep its measures (the map strategy's struct-keyed lookup
     # is null-safe by construction).
-    out = _null_safe_left_join(grid, df, join_keys, "__complete_")
+    #
+    # Strict-domain guard: with an EXPLICIT domain (expand_values /
+    # nesting_values) a caller can pass a set NARROWER than the
+    # observed combos; a plain grid-left-join would then silently
+    # drop those aggregate rows (tidyr's full-join semantics keep
+    # every observed row). Instead of a separate validation job —
+    # which would re-execute df's upstream pipeline — the join
+    # becomes a full outer with a grid-side marker, and a lazy
+    # ``assert_true`` raises in-plan on any df-only row. Zero extra
+    # jobs, zero cost on the default (observed-domain) path.
+    strict = expand_values is not None or nesting_values is not None
+    if strict:
+        grid = grid.withColumn(_GRID_MARK, F.lit(True))
+        out = _null_safe_left_join(
+            grid, df, join_keys, "__complete_", how="full",
+            keep_right_keys=True,
+        )
+        guard = F.assert_true(
+            F.col(_GRID_MARK).isNotNull(),
+            F.concat(
+                F.lit(
+                    "complete(): input combo outside the explicit "
+                    "expand_values/nesting_values domain (would be "
+                    "silently dropped): "
+                ),
+                F.to_json(
+                    F.struct(
+                        *[
+                            F.col(f"__complete_{k}").alias(k)
+                            for k in join_keys
+                        ]
+                    )
+                ),
+            ),
+        )
+        out = _weave_guard(guard, out, join_keys[0]).drop(
+            _GRID_MARK, *[f"__complete_{k}" for k in join_keys]
+        )
+    else:
+        out = _null_safe_left_join(grid, df, join_keys, "__complete_")
     if fill:
         out = out.na.fill(fill)
     return out
@@ -197,18 +259,66 @@ def complete_map(
     )
     if nesting_values is not None:
         # a NULL anchor key must still pick up its data's map instead
-        # of silently taking the fill
+        # of silently taking the fill. Full outer + marker: an anchor
+        # present in the DATA but absent from the explicit anchor set
+        # must raise (it would otherwise be silently dropped — the
+        # same strict-domain contract as the grid strategy above).
+        anchors = (
+            nesting_values.select(*nesting)
+            .distinct()
+            .withColumn(_GRID_MARK, F.lit(True))
+        )
         base = _null_safe_left_join(
-            nesting_values.select(*nesting).distinct(),
-            per_anchor,
-            nesting,
-            "__cm_",
+            anchors, per_anchor, nesting, "__cm_", how="full",
+            keep_right_keys=True,
+        )
+        anchor_guard = F.assert_true(
+            F.col(_GRID_MARK).isNotNull(),
+            F.concat(
+                F.lit(
+                    "complete_map(): observed anchor outside the "
+                    "explicit nesting_values set (would be silently "
+                    "dropped): "
+                ),
+                F.to_json(
+                    F.struct(
+                        *[F.col(f"__cm_{k}").alias(k) for k in nesting]
+                    )
+                ),
+            ),
+        )
+        # woven into nesting[0] (NOT the marker/renamed keys, which
+        # are dropped — a guard inside a dropped column is pruned)
+        base = _weave_guard(anchor_guard, base, nesting[0]).drop(
+            _GRID_MARK, *[f"__cm_{k}" for k in nesting]
         )
     else:
         base = per_anchor
+
+    m_col = F.col("_m")
+    if expand_values is not None:
+        # Strict-domain guard, map flavor: every combo observed in the
+        # data (a key of the per-anchor map) must appear in the
+        # explicit domain literal, else the element_at lookups below
+        # would silently drop it. array_except on struct arrays is
+        # null-safe field-wise (verified on 4.1: a struct holding
+        # NULL matches its literal twin), so NULL categories guard
+        # correctly. _m is NULL for anchor-only rows — skip those.
+        extra = F.array_except(F.map_keys(F.col("_m")), dom_lit)
+        expand_guard = F.assert_true(
+            F.col("_m").isNull() | (F.size(extra) <= 0),
+            F.concat(
+                F.lit(
+                    "complete_map(): observed expand combos missing "
+                    "from expand_values (would be silently dropped): "
+                ),
+                F.to_json(extra),
+            ),
+        )
+        m_col = F.when(expand_guard.isNull(), F.col("_m"))
     looked_up = F.element_at(F.col("_m"), F.col("_k"))
     out = base.select(
-        *nesting, F.explode(dom_lit).alias("_k"), F.col("_m")
+        *nesting, F.explode(dom_lit).alias("_k"), m_col.alias("_m")
     ).select(
         *nesting,
         *[F.col("_k")[c].alias(c) for c in expand],

@@ -49,6 +49,7 @@ import datetime
 import io
 import json
 import os
+import shutil
 import struct
 import uuid
 import zlib
@@ -614,20 +615,42 @@ def spark_schema_from_avro(schema: dict) -> T.StructType:
     )
 
 
-def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> None:
+def write_avro(
+    df: DataFrame, path: str, codec: str = "deflate", mode: str = "error"
+) -> None:
     """Write ``df`` as one OCF file per partition under ``path``. The
     Avro writer schema derives from the DataFrame schema; unsupported
     types raise before any work runs. Rows travel as Arrow batches
     (``to_pylist`` — exact ints, real None for nulls; maps arrive as
     (k, v) pair lists and are encoded per spec). An all-empty frame
     still leaves one zero-row schema-carrying file so the directory
-    reads back as an empty DataFrame."""
+    reads back as an empty DataFrame.
+
+    Failure atomicity (spark-avro SaveMode parity): executors stage
+    part files into a SIBLING temp directory, which is installed at
+    ``path`` only after the whole job succeeds — a retried/re-run or
+    half-failed write can never leave duplicate rows visible under
+    the target. ``mode="error"`` (default) refuses an existing
+    non-empty target; ``mode="overwrite"`` swaps it out atomically
+    (two-rename ``swap_into_place``)."""
+    from mpg_data_warehouse_spark.sources.writers import swap_into_place
+
+    if mode not in ("error", "overwrite"):
+        raise ValueError(f"write_avro: unknown mode {mode!r}")
+    target = os.path.abspath(path)
+    if mode == "error" and os.path.isdir(target) and os.listdir(target):
+        raise FileExistsError(
+            f"write_avro: target {path!r} exists and is non-empty; "
+            "pass mode='overwrite' to replace it atomically"
+        )
     schema = _avro_record_schema(df.schema)
-    os.makedirs(path, exist_ok=True)
+    staging = f"{target}__stage-{uuid.uuid4().hex}"
+    os.makedirs(staging)
     cols = [f.name for f in df.schema.fields]
 
     def encode(batches):
         import pyarrow as pa
+        from pyspark import TaskContext
 
         rows: list[dict] = []
         for batch in batches:
@@ -635,15 +658,34 @@ def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> None:
                 rows.append({c: rec[c] for c in cols})
         if rows:
             blob = emit_ocf(schema, rows, codec)
-            name = f"part-{uuid.uuid4().hex}.avro"
-            with open(os.path.join(path, name), "wb") as fh:
+            # deterministic per-partition name + atomic rename: a task
+            # RETRY overwrites its own file instead of adding a second
+            # copy, and concurrent speculative attempts each install a
+            # complete blob (last writer wins) — never a partial one
+            pid = TaskContext.get().partitionId()
+            final = os.path.join(staging, f"part-{pid:05d}.avro")
+            tmp = f"{final}.inprogress-{uuid.uuid4().hex}"
+            with open(tmp, "wb") as fh:
                 fh.write(blob)
+            os.replace(tmp, final)
         yield pa.RecordBatch.from_arrays(
             [pa.array([len(rows)], type=pa.int64())], names=["n"]
         )
 
-    # one encode task per partition; the aggregate forces execution
-    df.mapInArrow(encode, "n long").agg({"n": "sum"}).collect()
-    if not any(f.endswith(".avro") for f in os.listdir(path)):
-        with open(os.path.join(path, "part-empty.avro"), "wb") as fh:
-            fh.write(emit_ocf(schema, [], codec))
+    try:
+        # one encode task per partition; the aggregate forces execution
+        df.mapInArrow(encode, "n long").agg({"n": "sum"}).collect()
+        if not any(f.endswith(".avro") for f in os.listdir(staging)):
+            with open(os.path.join(staging, "part-empty.avro"), "wb") as fh:
+                fh.write(emit_ocf(schema, [], codec))
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    if mode == "error" and os.path.isdir(target) and os.listdir(target):
+        # raced by another writer while the job ran
+        shutil.rmtree(staging, ignore_errors=True)
+        raise FileExistsError(
+            f"write_avro: target {path!r} became non-empty during the "
+            "write; nothing was installed"
+        )
+    swap_into_place(staging, target)

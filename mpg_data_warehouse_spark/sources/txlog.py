@@ -186,8 +186,19 @@ class LocalFSCommitBackend(CommitBackend):
         tmp = f"{path}.tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
             fh.write(payload)
+            # Durability, not just atomicity: without fsync a power
+            # loss can install the link with EMPTY/partial content —
+            # the bytes must be on stable storage BEFORE the name
+            # becomes visible (classic crash-consistency ordering).
+            fh.flush()
+            os.fsync(fh.fileno())
         try:
             os.link(tmp, path)
+            dfd = os.open(os.path.dirname(path), os.O_RDONLY)
+            try:
+                os.fsync(dfd)  # persist the directory entry itself
+            finally:
+                os.close(dfd)
             return True
         except FileExistsError:
             return False

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import datetime
 import io
+import os
 import json
 
 import pytest
@@ -199,3 +200,50 @@ def test_empty_dataframe_round_trips(spark, tmp_path):
     back = read_avro(spark, out)
     assert back.schema == df.schema
     assert back.count() == 0
+
+
+def test_write_refuses_nonempty_target_by_default(spark, tmp_path):
+    """spark-avro SaveMode parity: a re-run against an existing
+    directory must NOT silently accumulate duplicate rows."""
+    df = spark.createDataFrame([Row(id=1)], "id long")
+    out = str(tmp_path / "t")
+    write_avro(df, out)
+    with pytest.raises(FileExistsError, match="non-empty"):
+        write_avro(df, out)
+    # still exactly the original rows
+    assert read_avro(spark, out).count() == 1
+
+
+def test_write_overwrite_swaps_atomically(spark, tmp_path):
+    df1 = spark.createDataFrame([Row(id=i) for i in range(5)], "id long")
+    df2 = spark.createDataFrame([Row(id=99)], "id long")
+    out = str(tmp_path / "t")
+    write_avro(df1, out)
+    write_avro(df2, out, mode="overwrite")
+    got = [r.id for r in read_avro(spark, out).collect()]
+    assert got == [99]
+    # no staging leftovers beside the target
+    leftovers = [p for p in os.listdir(tmp_path) if "__stage-" in p]
+    assert leftovers == []
+
+
+def test_failed_write_leaves_target_untouched(spark, tmp_path):
+    """A job that dies mid-write must install NOTHING (and a prior
+    good table stays fully readable)."""
+    good = spark.createDataFrame([Row(id=1)], "id long")
+    out = str(tmp_path / "t")
+    write_avro(good, out)
+
+    from pyspark.sql import functions as F
+
+    bad = spark.range(4).select(
+        F.when(
+            F.assert_true(F.col("id") < 2, F.lit("boom")).isNull(),
+            F.col("id"),
+        ).alias("id")
+    )
+    with pytest.raises(Exception):
+        write_avro(bad, out, mode="overwrite")
+    assert [r.id for r in read_avro(spark, out).collect()] == [1]
+    leftovers = [p for p in os.listdir(tmp_path) if "__stage-" in p]
+    assert leftovers == []

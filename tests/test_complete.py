@@ -224,3 +224,98 @@ def test_complete_map_null_anchor_keeps_its_value(spark):
     assert got[(None, "BG")] == 2.0
     assert got[("s1", "BG")] == 1.0
     assert _rows_set(complete_map(df, **kw)) == _rows_set(complete(df, **kw))
+
+
+def test_narrowed_expand_domain_raises_grid(spark):
+    """An explicit expand_values NARROWER than the observed combos
+    must fail loudly (tidyr keeps every observed row — a silent drop
+    is data loss). The guard is lazy/in-plan: no extra job."""
+    import pytest
+
+    df = _base(spark)
+    dom = spark.createDataFrame([Row(code="BG"), Row(code="L")])  # no WDT
+    out = complete(
+        df, expand=["code"], nesting=["survey", "grid"],
+        fill={"pct": 0.0}, expand_values=dom,
+    )
+    with pytest.raises(Exception, match="outside the explicit"):
+        out.collect()
+
+
+def test_narrowed_expand_domain_raises_map(spark):
+    import pytest
+
+    from mpg_data_warehouse_spark.operators.complete import complete_map
+
+    df = _base(spark)
+    dom = spark.createDataFrame([Row(code="BG"), Row(code="L")])
+    out = complete_map(
+        df, expand=["code"], nesting=["survey", "grid"],
+        fill={"pct": 0.0}, expand_values=dom,
+    )
+    with pytest.raises(Exception, match="missing from expand_values"):
+        out.collect()
+
+
+def test_narrowed_anchor_set_raises_both(spark):
+    import pytest
+
+    from mpg_data_warehouse_spark.operators.complete import complete_map
+
+    df = _base(spark)
+    anchors = spark.createDataFrame([Row(survey="s1", grid=1)])  # drops s2/s3
+    for fn, pat in [
+        (complete, "outside the explicit"),
+        (complete_map, "outside the explicit nesting_values"),
+    ]:
+        out = fn(
+            df, expand=["code"], nesting=["survey", "grid"],
+            fill={"pct": 0.0}, nesting_values=anchors,
+        )
+        with pytest.raises(Exception, match=pat):
+            out.collect()
+
+
+def test_superset_domains_still_fill_and_match(spark):
+    """Superset expand_values + superset nesting_values: both
+    strategies stay output-identical and guards stay silent."""
+    from mpg_data_warehouse_spark.operators.complete import complete_map
+
+    df = _base(spark)
+    dom = spark.createDataFrame(
+        [Row(code=c) for c in ["BG", "L", "WDT", "EXTRA"]]
+    )
+    anchors = spark.createDataFrame(
+        [Row(survey=s, grid=g) for s, g in
+         [("s1", 1), ("s2", 2), ("s3", 1), ("s9", 9)]]
+    )
+    kw = dict(
+        expand=["code"], nesting=["survey", "grid"], fill={"pct": -1.0},
+        expand_values=dom, nesting_values=anchors,
+    )
+    a = {tuple(r) for r in complete(df, **kw).collect()}
+    b = {tuple(r) for r in complete_map(df, **kw).collect()}
+    assert a == b
+    assert len(a) == 4 * 4
+    assert ("s9", 9, "EXTRA", -1.0) in a
+
+
+def test_null_category_in_explicit_domain_guard_silent(spark):
+    """A NULL expand category present in BOTH data and domain must not
+    trip the strict guard (null-safe struct matching)."""
+    from mpg_data_warehouse_spark.operators.complete import complete_map
+
+    df = spark.createDataFrame(
+        [Row(survey="s1", code=None, pct=5.0),
+         Row(survey="s2", code="BG", pct=1.0)],
+        schema="survey string, code string, pct double",
+    )
+    dom = spark.createDataFrame(
+        [Row(code=None), Row(code="BG")], schema="code string"
+    )
+    kw = dict(expand=["code"], nesting=["survey"], fill={"pct": 0.0},
+              expand_values=dom)
+    a = {tuple(r) for r in complete(df, **kw).collect()}
+    b = {tuple(r) for r in complete_map(df, **kw).collect()}
+    assert a == b
+    assert ("s1", None, 5.0) in a and ("s1", "BG", 0.0) in a

@@ -411,7 +411,8 @@ def test_complete_map_equals_grid_for_arbitrary_frames(spark, data):
     from mpg_data_warehouse_spark.operators.complete import complete_map
 
     df = spark.createDataFrame(
-        [Row(survey=k, code=c, pct=v) for k, c, v in data]
+        [Row(survey=k, code=c, pct=v) for k, c, v in data],
+        schema="survey long, code string, pct double",
     )
     kw = dict(expand=["code"], nesting=["survey"], fill={"pct": -1.0})
     grid = {tuple(r) for r in complete(df, **kw).collect()}
@@ -419,7 +420,8 @@ def test_complete_map_equals_grid_for_arbitrary_frames(spark, data):
     assert mapped == grid
 
     anchors = spark.createDataFrame(
-        [Row(survey=k) for k in range(7)]  # superset of observed keys
+        [Row(survey=k) for k in range(7)],  # superset of observed keys
+        schema="survey long",
     )
     kw2 = dict(
         expand=["code"],
