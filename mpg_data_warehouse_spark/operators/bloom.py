@@ -39,11 +39,15 @@ invariant the curation guards rely on.
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from mpg_data_warehouse_spark.sources.storage import (
+    read_json,
+    write_json_atomic,
+)
 
 META_FILE = "_bloom_meta.json"
 DEFAULT_N_BITS = 1 << 26
@@ -99,16 +103,17 @@ def bloom_build(
     )
     if path is not None:
         blocks.write.mode("overwrite").parquet(path)
-        with open(os.path.join(path, META_FILE), "w") as fh:
-            json.dump({"n_bits": n_bits, "k": k, "seed": seed}, fh)
+        write_json_atomic(
+            os.path.join(path, META_FILE),
+            {"n_bits": n_bits, "k": k, "seed": seed},
+        )
         return df.sparkSession.read.parquet(path)
     return blocks
 
 
 def bloom_read(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
     """(filter table, params) from a persisted filter."""
-    with open(os.path.join(path, META_FILE)) as fh:
-        meta = json.load(fh)
+    meta = read_json(os.path.join(path, META_FILE))
     return spark.read.parquet(path), meta
 
 
@@ -156,10 +161,55 @@ def bloom_maybe_seen(
     ).drop("_bloom_key")
 
 
-def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+_PARAM_KEYS = ("n_bits", "k", "seed")
+
+
+def bloom_merge(
+    a: DataFrame | str,
+    b: DataFrame | str,
+    spark: SparkSession | None = None,
+    meta_a: dict | None = None,
+    meta_b: dict | None = None,
+) -> DataFrame:
     """Union two filters built with IDENTICAL parameters: bit_or of
     their blocks — how per-batch filters fold into the corpus filter
-    without touching the corpus (callers must verify sidecars match)."""
+    without touching the corpus.
+
+    Parameter safety: a merge of filters built with different
+    (n_bits, k, seed) silently ORs incompatible bit layouts — every
+    later probe answer is garbage with no error. So the parameters
+    are VERIFIED whenever they are knowable: pass paths (each side's
+    sidecar loads automatically — the recommended form) or the two
+    sidecar dicts alongside in-memory frames; any mismatch raises.
+    Two bare DataFrames with no metas merge unchecked (the
+    same-session build case where both literally share one parameter
+    set) — persisted filters always have sidecars, so prefer paths."""
+    if isinstance(a, str):
+        if spark is None:
+            raise ValueError("bloom_merge: pass spark= when merging paths")
+        a, meta_a = bloom_read(spark, a)
+    if isinstance(b, str):
+        if spark is None:
+            raise ValueError("bloom_merge: pass spark= when merging paths")
+        b, meta_b = bloom_read(spark, b)
+    if meta_a is not None and meta_b is not None:
+        mism = {
+            k2: (meta_a.get(k2), meta_b.get(k2))
+            for k2 in _PARAM_KEYS
+            if meta_a.get(k2) != meta_b.get(k2)
+        }
+        if mism:
+            raise ValueError(
+                "bloom_merge: incompatible filter parameters — a merge "
+                "would OR mismatched bit layouts and corrupt every "
+                f"probe: {mism}"
+            )
+    elif (meta_a is None) != (meta_b is None):
+        raise ValueError(
+            "bloom_merge: one side has parameters and the other does "
+            "not — pass both metas (or both paths) so compatibility "
+            "can be verified"
+        )
     return (
         a.unionByName(b)
         .groupBy("block")

@@ -26,6 +26,11 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from mpg_data_warehouse_spark.operators.text import norm_tokens
+from mpg_data_warehouse_spark.sources.storage import (
+    get_storage_backend,
+    read_json,
+    write_json_atomic,
+)
 
 N_BUCKETS = 64
 
@@ -36,12 +41,19 @@ def term_bucket(term, n_buckets: int = N_BUCKETS):
 
 META_FILE = "_index_meta.json"
 
+# doc-id-keyed manifest (id → dl + posting buckets), partitioned by an
+# id-hash bucket so replay/delete guards probe |batch| partitions and
+# never depend on the batch text matching the indexed version
+DOCS_DIR = "_docs"
+N_IDB = 64
+
+
+def _idb(id_col):
+    return F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(N_IDB))
+
 
 def _write_meta(path: str, meta: dict) -> None:
-    import json
-
-    with open(os.path.join(path, META_FILE), "w") as fh:
-        json.dump(meta, fh)
+    write_json_atomic(os.path.join(path, META_FILE), meta)
 
 
 def _check_n_buckets(
@@ -64,30 +76,44 @@ def _check_n_buckets(
 
 
 def _resolve_n_buckets(index_path: str, requested: int | None) -> int:
-    import json
-
     meta_path = os.path.join(index_path, META_FILE)
     stored = None
-    if os.path.exists(meta_path):
-        with open(meta_path) as fh:
-            stored = json.load(fh).get("n_buckets")
+    if get_storage_backend().exists(meta_path):
+        stored = read_json(meta_path).get("n_buckets")
     return _check_n_buckets(requested, stored, index_path)
 
 
-def _ensure_readable(path: str, postings: DataFrame) -> None:
+def _has_data_files(path: str) -> bool:
+    """True iff a Spark-visible parquet file exists under ``path`` —
+    files inside ``_``-prefixed directories (the ``_docs`` manifest,
+    ``_centroids``) are invisible to Spark's file listing and must
+    not count."""
+    root = path.rstrip("/")
+    for f in get_storage_backend().list_files(root):
+        rel = f[len(root):].lstrip("/")
+        parts = rel.split("/")
+        if any(p.startswith(("_", ".")) for p in parts):
+            continue
+        if rel.endswith(".parquet"):
+            return True
+    return False
+
+
+def _ensure_readable(
+    path: str, template: DataFrame, part_dir: str = "bucket=0"
+) -> None:
     """A layout with ZERO part files (all-empty corpus at build, or a
     delete that wiped every posting) fails schema inference on the
     next read with a confusing AnalysisException. Leave a zero-row
     schema-carrying file INSIDE a partition-style directory
     (``bucket=0``) — a plain root file would conflict with later
     partitioned appends (Spark rejects mixed layouts), whereas an
-    empty hive partition composes with them. ``postings`` must carry
+    empty hive partition composes with them. ``template`` must carry
     the non-partition columns only."""
-    for dirpath, _dirs, names in os.walk(path):
-        if any(n.endswith(".parquet") for n in names):
-            return
-    postings.limit(0).write.mode("append").parquet(
-        os.path.join(path, "bucket=0")
+    if _has_data_files(path):
+        return
+    template.limit(0).write.mode("append").parquet(
+        os.path.join(path, part_dir)
     )
 
 
@@ -216,9 +242,16 @@ def build_ranked_index(
     corpus-sized shuffle), one doc-grain sum over that agg, one
     |docs|-grain join — all fixed-width rows after the first agg; the
     stats are two scalars from a one-row collect.
-    """
-    import json
 
+    Alongside the postings the build writes a ``_docs/`` manifest —
+    one row per document ``(id, dl, buckets)`` partitioned by an
+    id-hash bucket — the exact-membership side table that lets
+    ``bm25_append_index``'s replay guard and ``bm25_delete_index``
+    work from document IDS alone (no dependence on the request text
+    being byte-identical to the indexed version). Spark's file
+    listing skips ``_``-prefixed directories, so the manifest is
+    invisible to posting scans.
+    """
     toks = docs.select(
         F.col(id_col), F.explode(norm_tokens(text_col)).alias("term")
     ).filter(F.length("term") >= min_term_len)
@@ -241,22 +274,52 @@ def build_ranked_index(
             postings = postings.join(
                 dfreq.filter(F.col("_df") <= max_df).select("term"), "term"
             )
+        postings = postings.withColumn(
+            "bucket", term_bucket(F.col("term"), n_buckets)
+        ).persist()
         (
-            postings.withColumn(
-                "bucket", term_bucket(F.col("term"), n_buckets)
-            )
-            .repartition("bucket")
+            postings.repartition("bucket")
             .write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(path)
         )
         _ensure_readable(path, postings.drop("bucket"))
+        _write_manifest(postings, dl, path, id_col, mode="overwrite")
+        postings.unpersist()
     finally:
         tf.unpersist()
-    with open(os.path.join(path, STATS_FILE), "w") as fh:
-        json.dump(
-            {"n_docs": n_docs, "avgdl": avgdl, "n_buckets": n_buckets}, fh
+    write_json_atomic(
+        os.path.join(path, STATS_FILE),
+        {"n_docs": n_docs, "avgdl": avgdl, "n_buckets": n_buckets},
+    )
+
+
+def _manifest_path(path: str) -> str:
+    return os.path.join(path, DOCS_DIR)
+
+
+def _write_manifest(
+    postings: DataFrame, dl: DataFrame, path: str, id_col: str, mode: str
+) -> None:
+    """(id, dl, buckets) rows — buckets from the doc's surviving
+    postings (empty array when ``max_df`` capped every term: such a
+    doc still counts in the corpus stats but owns no posting rows).
+    |docs|-grain, one extra agg over the already-persisted postings."""
+    bsets = postings.groupBy(id_col).agg(
+        F.collect_set("bucket").alias("buckets")
+    )
+    man = (
+        dl.join(bsets, id_col, "left")
+        .withColumn(
+            "buckets",
+            F.coalesce(F.col("buckets"), F.array().cast("array<bigint>")),
         )
+        .withColumn("idb", _idb(id_col))
+    )
+    man.write.mode(mode).partitionBy("idb").parquet(_manifest_path(path))
+    _ensure_readable(
+        _manifest_path(path), man.drop("idb"), part_dir="idb=0"
+    )
 
 
 def bm25_search_many(
@@ -285,8 +348,6 @@ def bm25_search_many(
     ``df`` comes from the probed posting lists themselves (count per
     term — no corpus pass); per-query top-k is a WindowGroupLimit.
     """
-    import json
-
     if not queries:
         raise ValueError("queries is empty")
     qterms = [
@@ -296,8 +357,7 @@ def bm25_search_many(
     ]
     if not qterms:
         raise ValueError("no non-empty query terms")
-    with open(os.path.join(index_path, STATS_FILE)) as fh:
-        stats = json.load(fh)
+    stats = read_json(os.path.join(index_path, STATS_FILE))
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
     n_buckets = _check_n_buckets(
         n_buckets, stats.get("n_buckets"), index_path
@@ -377,17 +437,18 @@ def bm25_append_index(
     no stored state to refresh.
 
     Replay guard: batch ids already present in the index are dropped
-    before writing (semi-probe of only the batch's CANDIDATE buckets,
-    bounded by the batch), so at-least-once upstream delivery cannot
-    double-insert a document. ``max_df`` capping is a BUILD-time
-    decision and is not re-applied here — recap on the periodic
-    rebuild cadence, like IVF centroid refresh. Returns the number of
-    documents appended."""
-    import json
-
-    with open(os.path.join(path, STATS_FILE)) as fh:
-        stats = json.load(fh)
+    before writing, so at-least-once upstream delivery cannot
+    double-insert a document. The guard probes the ``_docs`` manifest
+    by ID-hash partition (reads ≤ |batch| of its 64 partitions) — an
+    exact membership check that holds even if the redelivered batch
+    carries MUTATED text, which the previous term-bucket probe could
+    miss. ``max_df`` capping is a BUILD-time decision and is not
+    re-applied here — recap on the periodic rebuild cadence, like IVF
+    centroid refresh. Returns the number of documents appended."""
+    spark = docs.sparkSession
+    stats = read_json(os.path.join(path, STATS_FILE))
     n_buckets = _check_n_buckets(None, stats.get("n_buckets"), path)
+    _require_manifest(path)
 
     toks = docs.select(
         F.col(id_col), F.explode(norm_tokens(text_col)).alias("term")
@@ -399,21 +460,13 @@ def bm25_append_index(
     )
     try:
         dl = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
-        # Replay guard scoped to the batch's OWN term buckets: a
-        # re-delivered batch carries the same texts, so its earlier
-        # postings live in exactly these buckets — the existing-id
-        # probe reads |batch terms| partitions, never the index.
-        cand_buckets = sorted(
-            r["b"]
-            for r in tf.select(
-                term_bucket(F.col("term"), n_buckets).alias("b")
-            )
-            .distinct()
-            .collect()
+        idbs = sorted(
+            r["i"]
+            for r in docs.select(_idb(id_col).alias("i")).distinct().collect()
         )
         existing = (
-            docs.sparkSession.read.parquet(path)
-            .filter(F.col("bucket").isin(cand_buckets))
+            spark.read.parquet(_manifest_path(path))
+            .filter(F.col("idb").isin(idbs))
             .select(id_col)
             .distinct()
         )
@@ -428,96 +481,129 @@ def bm25_append_index(
         postings = (
             tf.join(fresh_dl, id_col)
             .withColumn("bucket", term_bucket(F.col("term"), n_buckets))
+            .persist()
         )
         postings.write.mode("append").partitionBy("bucket").parquet(path)
+        _write_manifest(postings, fresh_dl, path, id_col, mode="append")
+        postings.unpersist()
         old_sum = stats["avgdl"] * stats["n_docs"]
         n_docs = stats["n_docs"] + n_new
         avgdl = (old_sum + float(batch_row["s"])) / n_docs
         stats.update({"n_docs": n_docs, "avgdl": avgdl})
-        with open(os.path.join(path, STATS_FILE), "w") as fh:
-            json.dump(stats, fh)
+        write_json_atomic(os.path.join(path, STATS_FILE), stats)
         fresh_dl.unpersist()
         return n_new
     finally:
         tf.unpersist()
 
 
+def _require_manifest(path: str) -> None:
+    if not get_storage_backend().exists(_manifest_path(path)):
+        raise ValueError(
+            f"index at {path} has no {DOCS_DIR}/ manifest (built by an "
+            "older build?) — rebuild with build_ranked_index before "
+            "incremental maintenance"
+        )
+
+
 def bm25_delete_index(
-    docs: DataFrame,
+    ids: DataFrame,
     path: str,
     id_col: str = "doc_id",
-    text_col: str = "text",
-    min_term_len: int = 1,
 ) -> int:
-    """Targeted deletion from a ranked index (right-to-be-forgotten):
-    the request carries the documents' TEXT (the curated store has
-    it), so the affected buckets are exactly the batch's term
-    buckets — no full-index scan. Those bucket partitions are
-    rewritten without the deleted ids (dynamic partition overwrite;
-    fully-emptied buckets have their directory removed) and the
-    corpus stats retreat arithmetically using the stored per-doc
+    """Targeted deletion from a ranked index (right-to-be-forgotten)
+    by document ID: the ``_docs`` manifest maps each id to its
+    posting buckets, so the affected bucket partitions are found with
+    a ≤|batch|-partition manifest probe — no full-index scan, and no
+    dependence on the caller still holding the indexed TEXT (the old
+    contract, which silently left stale postings behind if the
+    request text had drifted from the indexed version). Hit bucket
+    partitions are rewritten without the deleted ids (dynamic
+    partition overwrite; fully-emptied directories removed), the
+    manifest's hit id-partitions are rewritten the same way, and the
+    corpus stats retreat arithmetically from the manifest's per-doc
     ``dl``. df self-corrects at query time (derived from the probed
-    lists). Returns documents removed.
-
-    The text must be the version that was INDEXED — a different text
-    would probe the wrong buckets and leave stale postings behind
-    (same contract as any secondary index maintenance)."""
-    import json
-    import shutil
-
+    lists). Returns documents removed. Extra columns on ``ids``
+    (e.g. the old text payload) are ignored."""
     from mpg_data_warehouse_spark.operators.append import (
         overwrite_partitions,
     )
 
-    spark = docs.sparkSession
-    with open(os.path.join(path, STATS_FILE)) as fh:
-        stats = json.load(fh)
-    n_buckets = _check_n_buckets(None, stats.get("n_buckets"), path)
+    spark = ids.sparkSession
+    stats = read_json(os.path.join(path, STATS_FILE))
+    _check_n_buckets(None, stats.get("n_buckets"), path)
+    _require_manifest(path)
+    backend = get_storage_backend()
 
-    terms = docs.select(
-        F.col(id_col), F.explode(norm_tokens(text_col)).alias("term")
-    ).filter(F.length("term") >= min_term_len)
+    del_ids = ids.select(id_col).distinct()
+    idbs = sorted(
+        r["i"]
+        for r in del_ids.select(_idb(id_col).alias("i")).distinct().collect()
+    )
+    man_scoped = spark.read.parquet(_manifest_path(path)).filter(
+        F.col("idb").isin(idbs)
+    )
+    gone = man_scoped.join(F.broadcast(del_ids), id_col, "left_semi").persist()
+    gone_row = gone.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
+    ).first()
+    n_gone = int(gone_row["n"] or 0)
+    if n_gone == 0:
+        gone.unpersist()
+        return 0
+    # union of the victims' posting buckets — ≤ N_BUCKETS values
     buckets = sorted(
         r["b"]
-        for r in terms.select(
-            term_bucket(F.col("term"), n_buckets).alias("b")
-        )
+        for r in gone.select(F.explode("buckets").alias("b"))
         .distinct()
         .collect()
     )
-    del_ids = F.broadcast(docs.select(id_col).distinct())
-    postings = spark.read.parquet(path)
-    scoped = postings.filter(F.col("bucket").isin(buckets))
-    # per-doc dl of the ids actually present (for the stats retreat)
-    gone = (
-        scoped.join(del_ids, id_col, "left_semi")
-        .select(id_col, "dl")
-        .distinct()
-        .collect()
-    )
-    if not gone:
-        return 0
-    survivors = scoped.join(del_ids, id_col, "left_anti").select(
-        "term", id_col, "tf", "dl", "bucket"
+    gone.unpersist()
+
+    if buckets:
+        postings = spark.read.parquet(path)
+        scoped = postings.filter(F.col("bucket").isin(buckets))
+        # Survivors are materialized (localCheckpoint) before the
+        # overwrite because their lineage READS the path being
+        # rewritten — bounded by the hit buckets' volume.
+        survivors = scoped.join(
+            F.broadcast(del_ids), id_col, "left_anti"
+        ).select("term", id_col, "tf", "dl", "bucket").localCheckpoint()
+        kept = {
+            r["bucket"]
+            for r in survivors.select("bucket").distinct().collect()
+        }
+        overwrite_partitions(spark, survivors, path, ("bucket",))
+        for b in buckets:
+            if b not in kept:
+                backend.delete_prefix(os.path.join(path, f"bucket={b}"))
+        # a wipe that removed every posting must leave the index readable
+        _ensure_readable(path, survivors.drop("bucket"))
+
+    # manifest retreat: rewrite only the hit id-partitions
+    man_survivors = man_scoped.join(
+        F.broadcast(del_ids), id_col, "left_anti"
     ).localCheckpoint()
-    kept_buckets = {
-        r["bucket"] for r in survivors.select("bucket").distinct().collect()
+    man_kept = {
+        r["idb"] for r in man_survivors.select("idb").distinct().collect()
     }
-    overwrite_partitions(spark, survivors, path, ("bucket",))
-    for b in buckets:
-        if b not in kept_buckets:
-            shutil.rmtree(
-                os.path.join(path, f"bucket={b}"), ignore_errors=True
+    overwrite_partitions(
+        spark, man_survivors, _manifest_path(path), ("idb",)
+    )
+    for i in idbs:
+        if i not in man_kept:
+            backend.delete_prefix(
+                os.path.join(_manifest_path(path), f"idb={i}")
             )
-    # a wipe that removed every posting must leave the index readable
-    _ensure_readable(path, survivors.drop("bucket"))
-    n_gone = len(gone)
+    _ensure_readable(
+        _manifest_path(path), man_survivors.drop("idb"), part_dir="idb=0"
+    )
+
     old_sum = stats["avgdl"] * stats["n_docs"]
     n_docs = stats["n_docs"] - n_gone
-    new_sum = old_sum - sum(r["dl"] for r in gone)
+    new_sum = old_sum - float(gone_row["s"] or 0.0)
     stats.update(
         {"n_docs": n_docs, "avgdl": (new_sum / n_docs) if n_docs else 0.0}
     )
-    with open(os.path.join(path, STATS_FILE), "w") as fh:
-        json.dump(stats, fh)
+    write_json_atomic(os.path.join(path, STATS_FILE), stats)
     return n_gone

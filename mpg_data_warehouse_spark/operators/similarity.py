@@ -1215,10 +1215,12 @@ def ivf_delete_index(
     overwrite because their lineage READS the path being rewritten —
     bounded by the hit cells' volume, not the index."""
     import os
-    import shutil
 
     from mpg_data_warehouse_spark.operators.append import (
         overwrite_partitions,
+    )
+    from mpg_data_warehouse_spark.sources.storage import (
+        get_storage_backend,
     )
 
     del_ids = F.broadcast(
@@ -1243,20 +1245,17 @@ def ivf_delete_index(
     kept_cells = {
         r["cell"] for r in survivors.select("cell").distinct().collect()
     }
+    backend = get_storage_backend()
     overwrite_partitions(spark, survivors, path, ("cell",))
     for cell in hit_cells:
         if cell not in kept_cells:
-            shutil.rmtree(os.path.join(path, f"cell={cell}"), ignore_errors=True)
+            backend.delete_prefix(os.path.join(path, f"cell={cell}"))
     # a wipe that removed every vector must leave the index readable
     # (and appendable): an empty hive partition carries the schema
     # without conflicting with later partitioned appends
-    has_files = any(
-        n.endswith(".parquet")
-        for _d, _dd, names in os.walk(path)
-        if "_centroids" not in _d
-        for n in names
-    )
-    if not has_files:
+    from mpg_data_warehouse_spark.operators.search import _has_data_files
+
+    if not _has_data_files(path):
         survivors.limit(0).drop("cell").write.mode("append").parquet(
             os.path.join(path, "cell=0")
         )

@@ -106,26 +106,16 @@ def swap_into_place(tmp: str, live: str) -> None:
     partial files. If the process dies mid-swap, both complete copies
     still exist on disk (live__old and/or tmp) for manual recovery.
 
-    Local-filesystem semantics: ``os.rename`` of a directory is atomic
-    on POSIX. On an object store (S3-style) directory "rename" is
-    copy+delete — use a transactional table format (Delta/Iceberg) or
-    an output committer there instead; this helper is the plain-parquet
-    local/HDFS fallback."""
-    import os
-    import shutil
+    Delegates to the injected control-plane storage backend
+    (``sources.storage``): the default is the POSIX two-rename
+    implementation (atomic on local/HDFS-style filesystems); an
+    object-store deployment injects a manifest-pointer-flip
+    implementation instead of copy+delete."""
+    from mpg_data_warehouse_spark.sources.storage import (
+        get_storage_backend,
+    )
 
-    old = live.rstrip("/") + "__old"
-    shutil.rmtree(old, ignore_errors=True)
-    had_live = os.path.exists(live)
-    if had_live:
-        os.rename(live, old)
-    try:
-        os.rename(tmp, live)
-    except OSError:
-        if had_live:
-            os.rename(old, live)  # roll back: old table restored intact
-        raise
-    shutil.rmtree(old, ignore_errors=True)
+    get_storage_backend().install_dir(tmp, live)
 
 
 def compact_table(

@@ -117,3 +117,35 @@ def test_k_zero_rejected(spark):
     flt = bloom_build(_keys(spark, 0, 5), "h", n_bits=N_BITS, k=K)
     with pytest.raises(ValueError, match="k must be"):
         bloom_maybe_seen(_keys(spark, 0, 5), "h", flt, k=0)
+
+
+def test_merge_paths_verifies_params_and_equals_rebuild(spark, tmp_path):
+    """Path-form merge loads both sidecars, verifies compatibility,
+    and produces the same filter as a from-scratch build."""
+    pa_, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    bloom_build(_keys(spark, 0, 300), "h", path=pa_, n_bits=N_BITS, k=K)
+    bloom_build(_keys(spark, 300, 600), "h", path=pb, n_bits=N_BITS, k=K)
+    merged = bloom_merge(pa_, pb, spark=spark)
+    direct = bloom_build(_keys(spark, 0, 600), "h", n_bits=N_BITS, k=K)
+    assert {
+        (r.block, r.bits) for r in merged.collect()
+    } == {(r.block, r.bits) for r in direct.collect()}
+
+
+def test_merge_mismatched_params_raises(spark, tmp_path):
+    import pytest
+
+    pa_, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    bloom_build(_keys(spark, 0, 100), "h", path=pa_, n_bits=N_BITS, k=K)
+    bloom_build(_keys(spark, 0, 100), "h", path=pb, n_bits=N_BITS * 2, k=K)
+    with pytest.raises(ValueError, match="incompatible filter parameters"):
+        bloom_merge(pa_, pb, spark=spark)
+    # seed mismatch too
+    pc = str(tmp_path / "c")
+    bloom_build(_keys(spark, 0, 100), "h", path=pc, n_bits=N_BITS, k=K, seed=9)
+    with pytest.raises(ValueError, match="incompatible filter parameters"):
+        bloom_merge(pa_, pc, spark=spark)
+    # one-sided knowledge is refused rather than trusted
+    a, meta = bloom_read(spark, pa_)
+    with pytest.raises(ValueError, match="one side has parameters"):
+        bloom_merge(a, bloom_build(_keys(spark, 0, 10), "h"), meta_a=meta)

@@ -1,6 +1,7 @@
 """Persisted inverted index: build, OR/AND search, stopword damping,
 and partition-filter pushdown on the term-bucket layout."""
 
+import os
 import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
@@ -318,3 +319,81 @@ def test_bm25_delete_full_wipe_keeps_index_usable(spark, tmp_path):
     ) == 1
     got = bm25_search_many(spark, idx, ["alpha"], k=5).collect()
     assert [r.doc_id for r in got] == [3]
+
+
+def test_bm25_append_replay_guard_survives_text_drift(spark, tmp_path):
+    """The replay guard is keyed on the doc-id MANIFEST, not text: a
+    redelivered batch whose text mutated between deliveries must still
+    drop out (the old term-bucket probe could miss it)."""
+    from mpg_data_warehouse_spark.operators.search import (
+        bm25_append_index,
+        bm25_search,
+        build_ranked_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_ranked_index(
+        spark.createDataFrame([Row(doc_id=1, text="alpha bravo")]), idx
+    )
+    batch = spark.createDataFrame([Row(doc_id=2, text="zulu yankee")])
+    assert bm25_append_index(batch, idx) == 1
+    # redelivery with MUTATED text — entirely different term buckets
+    mutated = spark.createDataFrame([Row(doc_id=2, text="qq ww ee")])
+    assert bm25_append_index(mutated, idx) == 0
+    rows = bm25_search(spark, idx, "zulu").collect()
+    assert [r.doc_id for r in rows] == [2]
+    # the mutated terms were never inserted
+    assert bm25_search(spark, idx, "qq").count() == 0
+
+
+def test_bm25_delete_by_bare_ids_no_text_needed(spark, tmp_path):
+    """Deletion takes document ids only — the manifest locates the
+    posting buckets, so the caller needn't (and can't wrongly)
+    supply text."""
+    from mpg_data_warehouse_spark.operators.search import (
+        bm25_delete_index,
+        bm25_search,
+        build_ranked_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha bravo charlie"),
+            Row(doc_id=2, text="alpha bravo echo"),
+            Row(doc_id=3, text="charlie delta foxtrot"),
+        ]
+    )
+    idx = str(tmp_path / "idx")
+    build_ranked_index(docs, idx)
+    victims = spark.createDataFrame([Row(doc_id=2)])
+    assert bm25_delete_index(victims, idx) == 1
+    ref = str(tmp_path / "ref")
+    build_ranked_index(docs.filter(F.col("doc_id") != 2), ref)
+    for q in ("alpha", "echo", "charlie delta"):
+        a = {(r.doc_id, r.score) for r in bm25_search(spark, idx, q).collect()}
+        b = {(r.doc_id, r.score) for r in bm25_search(spark, ref, q).collect()}
+        assert a == b, q
+
+
+def test_index_maintenance_requires_manifest(spark, tmp_path):
+    """A legacy index without the _docs manifest fails loudly instead
+    of guessing."""
+    import shutil
+
+    from mpg_data_warehouse_spark.operators.search import (
+        DOCS_DIR,
+        bm25_append_index,
+        bm25_delete_index,
+        build_ranked_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_ranked_index(
+        spark.createDataFrame([Row(doc_id=1, text="alpha")]), idx
+    )
+    shutil.rmtree(os.path.join(idx, DOCS_DIR))
+    batch = spark.createDataFrame([Row(doc_id=2, text="bravo")])
+    with pytest.raises(ValueError, match="manifest"):
+        bm25_append_index(batch, idx)
+    with pytest.raises(ValueError, match="manifest"):
+        bm25_delete_index(batch, idx)

@@ -1,0 +1,168 @@
+"""The control-plane storage seam: index/table sidecars, atomic
+installs, and prefix deletes must ALL route through the injected
+``StorageBackend`` — an object-store deployment swaps one class, not
+every module. Verified by injecting a fake backend that keeps
+sidecars in memory (never on disk) and recording every call."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from mpg_data_warehouse_spark.sources.storage import (
+    LocalFSStorageBackend,
+    get_storage_backend,
+    set_storage_backend,
+)
+
+
+class RecordingBackend(LocalFSStorageBackend):
+    """Sidecar text lives ONLY in this dict (a read/write of a text
+    object that bypassed the backend shows up as a hard failure);
+    directory-level ops delegate to the local implementation (the
+    parquet data plane is Spark's own filesystem) but are logged."""
+
+    def __init__(self, fail_first_install: bool = False):
+        self.texts: dict[str, str] = {}
+        self.calls: list[tuple[str, str]] = []
+        self._fail_install = fail_first_install
+
+    def read_text(self, path: str) -> str:
+        self.calls.append(("read_text", path))
+        return self.texts[path]
+
+    def write_text_atomic(self, path: str, payload: str) -> None:
+        self.calls.append(("write_text", path))
+        self.texts[path] = payload
+
+    def exists(self, path: str) -> bool:
+        self.calls.append(("exists", path))
+        return path in self.texts or os.path.exists(path)
+
+    def delete_prefix(self, prefix: str) -> None:
+        self.calls.append(("delete_prefix", prefix))
+        for k in [t for t in self.texts if t.startswith(prefix)]:
+            del self.texts[k]
+        super().delete_prefix(prefix)
+
+    def install_dir(self, staging: str, live: str) -> None:
+        self.calls.append(("install_dir", live))
+        if self._fail_install:
+            # simulate a contended install: first attempt loses the
+            # race; the caller must surface the failure, leave the
+            # live path intact, and a retry must succeed
+            self._fail_install = False
+            raise OSError("simulated install contention")
+        super().install_dir(staging, live)
+
+
+@pytest.fixture()
+def fake_backend():
+    fake = RecordingBackend()
+    prev = set_storage_backend(fake)
+    try:
+        yield fake
+    finally:
+        set_storage_backend(prev)
+
+
+def test_default_backend_is_local(spark):
+    assert isinstance(get_storage_backend(), LocalFSStorageBackend)
+
+
+def test_bm25_lifecycle_routes_all_sidecars_through_backend(
+    spark, tmp_path, fake_backend
+):
+    """build → search → append → delete with in-memory-only sidecars:
+    if any module still read/wrote _corpus_stats/_index_meta with
+    open(), the on-disk file would be missing (write) or stale
+    (read) and this test would fail."""
+    from mpg_data_warehouse_spark.operators.search import (
+        STATS_FILE,
+        bm25_append_index,
+        bm25_delete_index,
+        bm25_search,
+        build_ranked_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_ranked_index(
+        spark.createDataFrame(
+            [Row(doc_id=1, text="alpha bravo"), Row(doc_id=2, text="alpha c")]
+        ),
+        idx,
+    )
+    stats_path = os.path.join(idx, STATS_FILE)
+    assert stats_path in fake_backend.texts  # sidecar in memory…
+    assert not os.path.exists(stats_path)  # …and nowhere on disk
+    assert bm25_search(spark, idx, "alpha").count() == 2
+    assert bm25_append_index(
+        spark.createDataFrame([Row(doc_id=3, text="alpha delta")]), idx
+    ) == 1
+    assert bm25_delete_index(
+        spark.createDataFrame([Row(doc_id=1)]), idx
+    ) == 1
+    got = {r.doc_id for r in bm25_search(spark, idx, "alpha").collect()}
+    assert got == {2, 3}
+    assert '"n_docs": 2' in fake_backend.texts[stats_path]
+
+
+def test_bloom_sidecars_route_through_backend(spark, tmp_path, fake_backend):
+    from mpg_data_warehouse_spark.operators.bloom import (
+        META_FILE,
+        bloom_build,
+        bloom_maybe_seen,
+        bloom_read,
+    )
+
+    path = str(tmp_path / "bloom")
+    df = spark.createDataFrame([Row(h=i) for i in range(50)])
+    bloom_build(df, "h", path=path, n_bits=1 << 12, k=3)
+    assert os.path.join(path, META_FILE) in fake_backend.texts
+    assert not os.path.exists(os.path.join(path, META_FILE))
+    flt, meta = bloom_read(spark, path)
+    out = bloom_maybe_seen(
+        df, "h", flt, n_bits=meta["n_bits"], k=meta["k"]
+    )
+    assert all(r.maybe_seen for r in out.collect())
+
+
+def test_contended_install_fails_loudly_then_retries(spark, tmp_path):
+    """A raced directory install surfaces the error, the live table
+    stays fully readable, and a retry succeeds."""
+    from mpg_data_warehouse_spark.sources.writers import swap_into_place
+
+    fake = RecordingBackend(fail_first_install=True)
+    prev = set_storage_backend(fake)
+    try:
+        live = tmp_path / "live"
+        live.mkdir()
+        (live / "data.txt").write_text("old")
+        stage = tmp_path / "stage"
+        stage.mkdir()
+        (stage / "data.txt").write_text("new")
+        with pytest.raises(OSError, match="contention"):
+            swap_into_place(str(stage), str(live))
+        assert (live / "data.txt").read_text() == "old"  # intact
+        swap_into_place(str(stage), str(live))  # retry wins
+        assert (live / "data.txt").read_text() == "new"
+        assert [c for c, _ in fake.calls].count("install_dir") == 2
+    finally:
+        set_storage_backend(prev)
+
+
+def test_no_direct_filesystem_io_in_index_modules():
+    """The seam contract: index modules never open()/shutil index
+    paths directly (the data plane goes through Spark, the control
+    plane through the backend)."""
+    import inspect
+
+    from mpg_data_warehouse_spark.operators import bloom, search, similarity
+
+    for mod in (search, bloom):
+        src = inspect.getsource(mod)
+        assert "shutil" not in src, mod.__name__
+        assert "open(" not in src, mod.__name__
+    assert "shutil" not in inspect.getsource(similarity)
