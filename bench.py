@@ -41,12 +41,10 @@ HEADLINE = [
     "species_richness_union_dedup",
     "near_dup_retention",
     "minhash_near_dup_pairs",
-    "ngram_jaccard_pairs",
     "span_duplication_stats",
     "simhash_near_dup_pairs",
     "embedding_cosine_near_dup",
     "text_profile",
-    "ann_cosine_topk",
     "lsh_ann_topk",
     "ivf_ann_topk",
     "multimodal_frame_sample",
@@ -62,6 +60,12 @@ HEADLINE = [
     "dsir_select",
     "quality_classifier_scores",
     "pq_adc_topk",
+    # round-6 rotation: Avro round-trip, incremental BM25 lifecycle,
+    # hybrid RRF retrieval (replacing the ceded ngram_jaccard_pairs /
+    # ann_cosine_topk / streaming_user_totals slots)
+    "avro_roundtrip_agg",
+    "bm25_incremental_index",
+    "hybrid_rrf_retrieval",
 ]
 
 

@@ -264,10 +264,16 @@ def build_ranked_index(
     try:
         dl = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
         stats_row = dl.agg(
-            F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
         ).first()
         n_docs = int(stats_row["n"] or 0)
-        avgdl = float(stats_row["avgdl"] or 0.0)
+        dl_sum = int(stats_row["s"] or 0)
+        # avgdl derives from the EXACT integer token total — the same
+        # division a fresh build over any corpus state performs, so
+        # incremental append/delete (which adjust dl_sum exactly) stay
+        # bit-identical to a rebuild instead of drifting by ulps
+        # through avgdl*n round-trips
+        avgdl = (dl_sum / n_docs) if n_docs else 0.0
         postings = tf.join(dl, id_col)
         if max_df is not None:
             dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
@@ -290,7 +296,12 @@ def build_ranked_index(
         tf.unpersist()
     write_json_atomic(
         os.path.join(path, STATS_FILE),
-        {"n_docs": n_docs, "avgdl": avgdl, "n_buckets": n_buckets},
+        {
+            "n_docs": n_docs,
+            "avgdl": avgdl,
+            "dl_sum": dl_sum,
+            "n_buckets": n_buckets,
+        },
     )
 
 
@@ -486,10 +497,12 @@ def bm25_append_index(
         postings.write.mode("append").partitionBy("bucket").parquet(path)
         _write_manifest(postings, fresh_dl, path, id_col, mode="append")
         postings.unpersist()
-        old_sum = stats["avgdl"] * stats["n_docs"]
+        old_sum = stats.get("dl_sum", stats["avgdl"] * stats["n_docs"])
         n_docs = stats["n_docs"] + n_new
-        avgdl = (old_sum + float(batch_row["s"])) / n_docs
-        stats.update({"n_docs": n_docs, "avgdl": avgdl})
+        dl_sum = old_sum + int(batch_row["s"])
+        stats.update(
+            {"n_docs": n_docs, "avgdl": dl_sum / n_docs, "dl_sum": dl_sum}
+        )
         write_json_atomic(os.path.join(path, STATS_FILE), stats)
         fresh_dl.unpersist()
         return n_new
@@ -599,11 +612,15 @@ def bm25_delete_index(
         _manifest_path(path), man_survivors.drop("idb"), part_dir="idb=0"
     )
 
-    old_sum = stats["avgdl"] * stats["n_docs"]
+    old_sum = stats.get("dl_sum", stats["avgdl"] * stats["n_docs"])
     n_docs = stats["n_docs"] - n_gone
-    new_sum = old_sum - float(gone_row["s"] or 0.0)
+    new_sum = old_sum - int(gone_row["s"] or 0)
     stats.update(
-        {"n_docs": n_docs, "avgdl": (new_sum / n_docs) if n_docs else 0.0}
+        {
+            "n_docs": n_docs,
+            "avgdl": (new_sum / n_docs) if n_docs else 0.0,
+            "dl_sum": new_sum,
+        }
     )
     write_json_atomic(os.path.join(path, STATS_FILE), stats)
     return n_gone

@@ -1,0 +1,212 @@
+"""Subword tokenization (WordPiece-style greedy longest-match) as
+pure JVM column math — token-ACCURATE budget accounting for packing
+and corpus-mix rebalancing, which at 100 TB are set in subword
+tokens, not whitespace words.
+
+Algorithm (public: Schuster & Nakajima 2012; the BERT WordPiece
+variant): per whitespace word, repeatedly take the LONGEST vocab
+piece matching the current position — word-initial pieces match
+verbatim, continuations match with a ``##`` prefix; a position with
+no match makes the whole word one ``[UNK]``. The reference repo has
+no tokenizer (its notebooks never touch text at this grain); this
+module extends the engine's text family the way
+``operators/text.py::tokens`` (reference src/csv_to_bq.py's
+whitespace splits) began it.
+
+Scale design — three ideas keep this off the slow path:
+
+* **Word-grain memoization.** Tokenization is a pure function of the
+  word, so the corpus explodes to (pos, word), the DISTINCT word
+  table (≪ corpus token count — Heaps' law) is tokenized once, and
+  results join back and regroup in order. Two shuffles total, both
+  at word grain.
+* **Vocab as a broadcast MAP.** The vocabulary folds into a single
+  ``map<string,int>`` row (``map_from_entries``) cross-joined
+  broadcast — pieces are probed with ``element_at`` inside codegen.
+  Data, not a plan literal, so a 100 k-piece vocab costs one ~MB
+  broadcast, not a megabyte of SQL.
+* **In-row greedy loop, zero UDFs.** The per-word while-loop is a
+  bounded ``aggregate`` over ``sequence(1, max_word_len)`` (each
+  step consumes ≥ 1 char); the inner longest-match scans candidate
+  prefixes longest-first with ``filter(transform(...))[1]``. A
+  single-element-array ``aggregate`` serves as the let-binding SQL
+  lambdas lack, so the match is computed once per step. All lambda
+  variables carry distinct names (nested named-lambda scoping).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "subword_tokenize",
+    "subword_token_count",
+    "tokenize_words",
+]
+
+DEFAULT_UNK = "[UNK]"
+
+
+def _wordpiece_expr(
+    word_col: str,
+    vmap_col: str,
+    max_word_len: int,
+    max_piece_len: int,
+    unk: str,
+) -> Column:
+    """array<string> of pieces for one word column (greedy longest
+    match against the map column), or [unk] when the word is
+    untokenizable or over ``max_word_len`` chars (the BERT long-word
+    rule)."""
+    if "'" in unk or "\\" in unk:
+        raise ValueError("unk token must not contain quotes/backslashes")
+    inner_match = f"""try_element_at(
+      filter(
+        transform(sequence(least(length(acc.rem), {max_piece_len}), 1, -1),
+                  pl -> CASE WHEN size(acc.toks) = 0
+                             THEN substr(acc.rem, 1, pl)
+                             ELSE concat('##', substr(acc.rem, 1, pl))
+                        END),
+        cand -> element_at({vmap_col}, cand) IS NOT NULL),
+      1)"""
+    step = f"""(acc, st) -> CASE
+      WHEN acc.bad OR length(acc.rem) = 0 THEN acc
+      ELSE aggregate(
+        array({inner_match}),
+        acc,
+        (a2, best) -> CASE
+          WHEN best IS NULL
+          THEN named_struct('rem', a2.rem, 'toks', a2.toks, 'bad', true)
+          ELSE named_struct(
+            'rem', substr(a2.rem,
+                          (CASE WHEN size(a2.toks) = 0 THEN length(best)
+                                ELSE length(best) - 2 END) + 1),
+            'toks', array_append(a2.toks, best),
+            'bad', false)
+        END)
+    END"""
+    return F.expr(
+        f"""CASE
+          WHEN length({word_col}) = 0 OR length({word_col}) > {max_word_len}
+          THEN array('{unk}')
+          ELSE aggregate(
+            sequence(1, {max_word_len}),
+            named_struct('rem', {word_col},
+                         'toks', cast(array() as array<string>),
+                         'bad', false),
+            {step},
+            accf -> CASE WHEN accf.bad OR length(accf.rem) > 0
+                         THEN array('{unk}')
+                         ELSE accf.toks END)
+        END"""
+    )
+
+
+def _vocab_map(vocab, spark) -> DataFrame:
+    """One-row frame holding the vocab as map<piece, 1>."""
+    if isinstance(vocab, DataFrame):
+        vdf = vocab.select(F.col(vocab.columns[0]).alias("piece"))
+    else:
+        vdf = spark.createDataFrame(
+            [(str(p),) for p in vocab], "piece string"
+        )
+    return vdf.distinct().agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("piece"), F.lit(1)))
+        ).alias("_vmap")
+    )
+
+
+def tokenize_words(
+    words: DataFrame,
+    vocab,
+    word_col: str = "word",
+    out_col: str = "pieces",
+    max_word_len: int = 32,
+    max_piece_len: int = 16,
+    unk: str = DEFAULT_UNK,
+) -> DataFrame:
+    """(word → pieces) at word grain — the memoizable core. ``vocab``
+    is a piece list or a one-column DataFrame of pieces."""
+    vmap = _vocab_map(vocab, words.sparkSession)
+    return words.crossJoin(F.broadcast(vmap)).withColumn(
+        out_col,
+        _wordpiece_expr(word_col, "_vmap", max_word_len, max_piece_len, unk),
+    ).drop("_vmap")
+
+
+def subword_tokenize(
+    df: DataFrame,
+    vocab,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "pieces",
+    lowercase: bool = True,
+    max_word_len: int = 32,
+    max_piece_len: int = 16,
+    unk: str = DEFAULT_UNK,
+) -> DataFrame:
+    """Append ``out_col``: the document's subword pieces in order.
+    ``id_col`` must be unique per row (it keys the order-preserving
+    regroup). Empty/whitespace-only documents get an empty array."""
+    base = F.trim(F.col(text_col))
+    if lowercase:
+        base = F.lower(base)
+    words = F.filter(F.split(base, r"\s+"), lambda t: t != F.lit(""))
+    exploded = df.select(
+        F.col(id_col), F.posexplode_outer(words).alias("_pos", "_w")
+    )
+    distinct_words = (
+        exploded.filter(F.col("_w").isNotNull()).select("_w").distinct()
+    )
+    word_pieces = tokenize_words(
+        distinct_words,
+        vocab,
+        word_col="_w",
+        out_col="_wp",
+        max_word_len=max_word_len,
+        max_piece_len=max_piece_len,
+        unk=unk,
+    )
+    per_doc = (
+        exploded.join(word_pieces, "_w", "left")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.filter(
+                        F.array_sort(
+                            F.collect_list(F.struct("_pos", "_wp"))
+                        ),
+                        lambda e: e["_pos"].isNotNull(),
+                    ),
+                    lambda e: e["_wp"],
+                )
+            ).alias(out_col)
+        )
+    )
+    return df.join(per_doc, id_col, "left").withColumn(
+        out_col,
+        F.coalesce(F.col(out_col), F.array().cast("array<string>")),
+    )
+
+
+def subword_token_count(
+    df: DataFrame,
+    vocab,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "n_subword_tokens",
+    **kw,
+) -> DataFrame:
+    """Append the subword token COUNT — the budget column
+    ``sampling.budget_rebalance_sample`` (pass it as ``weight``) and
+    any packing-budget accounting should use at 100 TB instead of
+    whitespace word counts."""
+    pieces = subword_tokenize(
+        df, vocab, id_col=id_col, text_col=text_col, out_col="_sw_p", **kw
+    )
+    return pieces.withColumn(
+        out_col, F.size("_sw_p").cast("long")
+    ).drop("_sw_p")

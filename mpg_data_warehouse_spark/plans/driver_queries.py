@@ -235,21 +235,38 @@ def membership_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     minus the keys the warehouse already has (pre-1996 order activity
     plays the existing table — the full orders set covers every
     customer at sf0.01, which would make the anti-join vacuously
-    empty and the check worthless). Semi branch is the P9/J9
-    membership probe (parts with lineitem activity)."""
-    customer = _t(spark, sf_dir, "customer")
-    existing = _t(spark, sf_dir, "orders").filter(
-        F.year("o_orderdate") < 1996
+    empty and the check worthless). Since r6 the anti branch runs
+    through the BLOOM TWO-TIER membership path
+    (operators/bloom.py::two_tier_new_rows — the 100 TB continual-
+    ingest design: the filter's "definitely new" majority skips the
+    corpus anti-join entirely, only maybe-seen suspects pay it),
+    while the oracle stays the plain NOT EXISTS: the hash is the
+    external proof that the filter has zero false negatives and the
+    exact second tier removes every false positive. Semi branch is
+    the P9/J9 membership probe (parts with lineitem activity)."""
+    from mpg_data_warehouse_spark.operators.bloom import (
+        bloom_build,
+        two_tier_new_rows,
     )
-    new_keys = (
-        customer.join(
-            existing, customer.c_custkey == existing.o_custkey, "left_anti"
-        )
-        .select(
-            F.lit("new_key").alias("membership"),
-            F.col("c_custkey").alias("entity_key"),
-            F.col("c_name").alias("entity_name"),
-        )
+
+    customer = _t(spark, sf_dir, "customer")
+    existing_keys = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") < 1996)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    flt = bloom_build(existing_keys, "c_custkey", n_bits=1 << 20, k=7)
+    new_keys = two_tier_new_rows(
+        customer.select("c_custkey", "c_name"),
+        existing_keys,
+        "c_custkey",
+        flt,
+        n_bits=1 << 20,
+        k=7,
+    ).select(
+        F.lit("new_key").alias("membership"),
+        F.col("c_custkey").alias("entity_key"),
+        F.col("c_name").alias("entity_name"),
     )
     part = _t(spark, sf_dir, "part")
     lineitem = _t(spark, sf_dir, "lineitem")
@@ -901,43 +918,91 @@ def minhash_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Incremental BM25 index maintenance (rotated in r6; the ceded
+# ann_cosine_topk's brute-force cosine executes verbatim inside the
+# lsh/ivf/pq/retrieval oracles, so the exact-cosine family stays
+# externally verified — COVERAGE.md §ext). ---
+
+
 @_q(
-    "ann_cosine_topk",
+    "bm25_incremental_index",
     """
-    WITH q AS (
-      SELECT vec_id AS query_id, embedding AS qv
-      FROM embeddings WHERE vec_id < 5
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         t -> t <> '') AS t
+      FROM documents WHERE doc_id % 7 <> 0
     ),
-    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    tf AS (
+      SELECT doc_id, tok AS term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+      GROUP BY doc_id, term
+    ),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    qt AS (
+      SELECT * FROM (VALUES
+        (0, 'table'), (0, 'scan'), (0, 'merge'),
+        (1, 'window'), (1, 'join'), (1, 'batch')
+      ) AS q(query_id, term)
+    ),
+    dfreq AS (
+      SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf
+      WHERE term IN (SELECT term FROM qt) GROUP BY term
+    ),
     scored AS (
-      SELECT query_id, neighbor_id,
-             round(
-               list_sum(list_transform(list_zip(qv, cv),
-                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-               / (sqrt(list_sum(list_transform(list_zip(qv, qv),
-                    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))))
-                * sqrt(list_sum(list_transform(list_zip(cv, cv),
-                    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))))),
-               6) AS cos_sim
-      FROM c CROSS JOIN q
-      WHERE neighbor_id <> query_id
+      SELECT q.query_id, tf.doc_id,
+             round(sum(
+               ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+             ), 6) AS score
+      FROM tf
+      JOIN qt q ON q.term = tf.term
+      JOIN dfreq d ON d.term = tf.term
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+      GROUP BY q.query_id, tf.doc_id
     )
-    SELECT query_id, neighbor_id, cos_sim,
+    SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
            CAST(row_number() OVER (
-             PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+             PARTITION BY query_id ORDER BY score DESC, doc_id
            ) AS BIGINT) AS rank
     FROM scored
     QUALIFY rank <= 10
     """,
 )
-def ann_cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k baseline (operators.similarity).
-    Exact-match oracle: both engines fold the dot product
-    left-to-right in double — verified bit-identical."""
-    from mpg_data_warehouse_spark.operators.similarity import cosine_topk
+def bm25_incremental_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE incremental-maintenance lifecycle of the ranked index
+    under external verification (operators/search.py): build over two
+    thirds of the corpus, append the remaining third, REPLAY the same
+    append (the _docs-manifest guard must add zero documents), then
+    delete every 7th document by bare id, and score two queries. The
+    oracle is plain BM25 over ``documents WHERE doc_id % 7 <> 0`` — a
+    fresh build over the final corpus state — so the hash proves
+    append ≡, replay ≡ no-op, delete ≡ rebuild, and the exact-integer
+    ``dl_sum`` stats arithmetic all at once."""
+    import tempfile
 
-    emb = _t(spark, sf_dir, "embeddings")
-    return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    from mpg_data_warehouse_spark.operators.search import (
+        bm25_append_index,
+        bm25_delete_index,
+        bm25_search_many,
+        build_ranked_index,
+    )
+
+    docs = _docs(spark, sf_dir)
+    idx = tempfile.mkdtemp(prefix="bm25_incr_contract_")
+    build_ranked_index(docs.filter(F.col("doc_id") % 3 != 0), idx)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    bm25_append_index(batch, idx)
+    assert bm25_append_index(batch, idx) == 0  # replayed delivery
+    bm25_delete_index(
+        docs.filter(F.col("doc_id") % 7 == 0).select("doc_id"), idx
+    )
+    return bm25_search_many(
+        spark, idx, ["table scan merge", "window join batch"], k=10
+    )
 
 
 def _simhash_oracle_sql() -> str:
@@ -1313,73 +1378,69 @@ def species_richness_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Exact n-gram-Jaccard dedup (extension): complete candidate set from
-# the shingle inverted index — the recall ceiling MinHash approximates.
-# Same perturbed corpus as minhash_near_dup_pairs.
+# Avro OCF source/sink round-trip (rotated in r6; the ceded
+# ngram_jaccard_pairs' exact-Jaccard family stays externally verified
+# through minhash_near_dup_pairs — whose oracle computes true Jaccard
+# over the same perturbed corpus — and eval_contamination_pairs'
+# n-gram-overlap oracle; the operator itself stays property-pinned in
+# tests/test_dedup.py + test_properties.py).
 # ---------------------------------------------------------------------------
 
 
 @_q(
-    "ngram_jaccard_pairs",
+    "avro_roundtrip_agg",
     """
-    WITH base AS (
-      SELECT doc_id, text FROM documents
-      UNION ALL
-      SELECT doc_id + 1000000 AS doc_id,
-             array_to_string(
-               list_slice(regexp_split_to_array(trim(text), '\\s+'),
-                          3, 100000), ' ') AS text
-      FROM documents WHERE doc_id % 10 = 0
-    ),
-    toks AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
-      FROM base
-    ),
-    grams AS (
-      SELECT doc_id,
-             list_distinct(list_transform(
-               range(0, greatest(len(toks) - 3, 0) + 1),
-               i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3])
-             )) AS shingles
-      FROM toks
-    ),
-    sh AS (SELECT doc_id, unnest(shingles) AS s FROM grams),
-    cands AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-    ),
-    inter AS (
-      SELECT c.id_a, c.id_b, count(*) AS n_inter
-      FROM cands c
-      JOIN sh sa ON sa.doc_id = c.id_a
-      JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
-      GROUP BY c.id_a, c.id_b
-    ),
-    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM grams),
-    scored AS (
-      SELECT c.id_a, c.id_b,
-             round(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
-                   / (za.n_sh + zb.n_sh - COALESCE(i.n_inter, 0)), 4)
-               AS jaccard
-      FROM cands c
-      LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
-      JOIN sizes za ON za.doc_id = c.id_a
-      JOIN sizes zb ON zb.doc_id = c.id_b
-    )
-    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS sum_price_cents,
+           strftime(min(o_orderdate), '%Y-%m-%d') AS first_date,
+           strftime(max(o_orderdate), '%Y-%m-%d') AS last_date,
+           CAST(sum(CASE WHEN o_custkey % 7 = 0 THEN NULL
+                         ELSE o_custkey END) AS BIGINT) AS sum_cust
+    FROM orders
+    GROUP BY o_orderpriority
     """,
 )
-def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from mpg_data_warehouse_spark.operators.dedup import ngram_jaccard_pairs
-    from mpg_data_warehouse_spark.operators.text import tokens
+def avro_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The native Avro OCF sink + source under external verification
+    (sources/avro_ocf.py): orders — longs, a NULL-bearing long, a
+    double, a string, and a DATE (the date logical type) — is written
+    to a fresh Avro directory (deflate codec, staged + atomically
+    installed) and read back through the mapInArrow decoder; the
+    aggregate runs over the ROUND-TRIPPED frame while the oracle
+    reads the original parquet. Any drift in the zigzag varints, the
+    deflate codec, null unions, or epoch-day date arithmetic breaks
+    the hash. Dollar cents sum as exact integers (a double sum's
+    accumulation order is engine-dependent at 2 dp); dates emit as
+    ISO strings on both sides (driver date-dtype contract)."""
+    import tempfile
 
-    docs = _docs(spark, sf_dir)
-    perturbed = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.concat_ws(" ", F.slice(tokens("text"), 3, 100000)).alias("text"),
+    from mpg_data_warehouse_spark.sources.avro_ocf import (
+        read_avro,
+        write_avro,
     )
-    return ngram_jaccard_pairs(
-        docs.unionByName(perturbed), shingle_n=3, threshold=0.5
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_custkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+        "o_orderpriority",
+        "o_totalprice",
+        "o_orderdate",
+    )
+    tmp = tempfile.mkdtemp(prefix="avro_contract_")
+    write_avro(orders, tmp, codec="deflate", mode="overwrite")
+    back = read_avro(spark, tmp)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_price_cents"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_date"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_date"),
+        F.sum("o_custkey").cast("bigint").alias("sum_cust"),
     )
 
 
@@ -2000,45 +2061,13 @@ def catalog_region_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
-    "streaming_user_totals",
-    """
-    SELECT user_id,
-           count(*) AS n_events,
-           round(sum(coalesce(value, 0)), 2) AS total_value
-    FROM events
-    GROUP BY user_id
-    """,
-)
-def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom stateful streaming operator through the contract: drain
-    the events through ``applyInPandasWithState`` (per-user running
-    accumulator, update mode) and keep each user's LAST emitted state
-    — which must equal the batch groupBy. n_events is strictly
-    monotonic per user across updates, so "last" = max(n_events);
-    deterministic regardless of how the drain is micro-batched."""
-    import tempfile
-
-    from mpg_data_warehouse_spark.streaming import events as SE
-
-    staged = tempfile.mkdtemp(prefix="stream_totals_")
-    _events(spark, sf_dir).write.mode("overwrite").parquet(staged)
-    stream = SE.running_user_totals_stream(SE.read_events_stream(spark, staged))
-    q = (
-        stream.writeStream.format("memory")
-        .queryName("streaming_user_totals_t")
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    t = spark.table("streaming_user_totals_t")
-    w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
-    return (
-        t.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .select("user_id", "n_events", "total_value")
-    )
+# (streaming_user_totals ceded its registry slot in r6 to
+# hybrid_rrf_retrieval. The applyInPandasWithState stateful-operator
+# family it carried stays covered by tests/test_streaming.py's
+# stateful-drain-equals-batch pin, and the streaming contract surface
+# remains externally verified by streaming_hourly_rollup — the same
+# exactly-once txlog sink + watermark machinery — and
+# streaming_click_attribution's stream-stream join.)
 
 
 @_q(
@@ -3182,9 +3211,56 @@ def quality_classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
-    "retrieval_dense_topk",
-    """
+# ---------------------------------------------------------------------------
+# Retrieval oracles share the chunk-grid + hashed-feature-encoder CTEs
+# (single source of truth — the dense-only and hybrid oracles can never
+# drift from each other). Chunk grid: 32-token windows, stride 24
+# (overlap 8); encoder: md5-mode feature hashing into 64 buckets with
+# a parity sign.
+# ---------------------------------------------------------------------------
+
+_RETRIEVAL_QUERY_TEXTS = ["table scan merge fast", "window join batch order"]
+
+
+def _retrieval_vec_cte(src: str, out: str) -> str:
+    """Hashed-feature embedding of (key, txt) rows in ``src`` as a
+    64-dim list column — the DuckDB mirror of
+    plans/retrieval.py::hashed_feature_embedding (md5 mode)."""
+    return f"""
+    {out} AS (
+      SELECT key, list(val ORDER BY i) AS emb
+      FROM (
+        SELECT g.key, g.i, COALESCE(cm.v, 0.0) AS val
+        FROM (SELECT k.key, r.i
+              FROM (SELECT DISTINCT key FROM {src}) k
+              CROSS JOIN (SELECT unnest(range(0, 64)) AS i) r) g
+        LEFT JOIN (
+          SELECT key,
+                 CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 64 AS b,
+                 sum(CASE WHEN CAST('0x' || substr(md5(tok), 9, 8)
+                               AS BIGINT) % 2 = 0
+                          THEN 1.0 ELSE -1.0 END) AS v
+          FROM (SELECT key,
+                       unnest(list_filter(
+                         regexp_split_to_array(lower(trim(txt)), '\\s+'),
+                         x -> x <> '')) AS tok
+                FROM {src})
+          GROUP BY key, b
+        ) cm ON cm.key = g.key AND cm.b = g.i
+      )
+      GROUP BY key
+)"""
+
+
+def _retrieval_base_ctes() -> str:
+    """td/cn/ch/chunks/cin/cvecs/qin/qvecs — corpus chunking, chunk
+    store, and both embedding sides, parameterized by the module's
+    pinned query texts."""
+    qvalues = ",\n        ".join(
+        f"(CAST({i} AS BIGINT), '{t}')"
+        for i, t in enumerate(_RETRIEVAL_QUERY_TEXTS)
+    )
+    return f"""
     WITH td AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
       FROM documents
@@ -3207,61 +3283,30 @@ def quality_classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ch
     ),
     cin AS (SELECT chunk_key AS key, chunk_text AS txt FROM chunks),
-    cvecs AS (
-      SELECT key, list(val ORDER BY i) AS emb
-      FROM (
-        SELECT g.key, g.i, COALESCE(cm.v, 0.0) AS val
-        FROM (SELECT k.key, r.i
-              FROM (SELECT DISTINCT key FROM cin) k
-              CROSS JOIN (SELECT unnest(range(0, 64)) AS i) r) g
-        LEFT JOIN (
-          SELECT key,
-                 CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 64 AS b,
-                 sum(CASE WHEN CAST('0x' || substr(md5(tok), 9, 8)
-                               AS BIGINT) % 2 = 0
-                          THEN 1.0 ELSE -1.0 END) AS v
-          FROM (SELECT key,
-                       unnest(list_filter(
-                         regexp_split_to_array(lower(trim(txt)), '\\s+'),
-                         x -> x <> '')) AS tok
-                FROM cin)
-          GROUP BY key, b
-        ) cm ON cm.key = g.key AND cm.b = g.i
-      )
-      GROUP BY key
-),
+    {_retrieval_vec_cte("cin", "cvecs").strip()},
     qin AS (
       SELECT * FROM (VALUES
-        (CAST(0 AS BIGINT), 'table scan merge fast'),
-        (CAST(1 AS BIGINT), 'window join batch order')
+        {qvalues}
       ) AS q(key, txt)
     ),
-    qvecs AS (
-      SELECT key, list(val ORDER BY i) AS emb
-      FROM (
-        SELECT g.key, g.i, COALESCE(cm.v, 0.0) AS val
-        FROM (SELECT k.key, r.i
-              FROM (SELECT DISTINCT key FROM qin) k
-              CROSS JOIN (SELECT unnest(range(0, 64)) AS i) r) g
-        LEFT JOIN (
-          SELECT key,
-                 CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 64 AS b,
-                 sum(CASE WHEN CAST('0x' || substr(md5(tok), 9, 8)
-                               AS BIGINT) % 2 = 0
-                          THEN 1.0 ELSE -1.0 END) AS v
-          FROM (SELECT key,
-                       unnest(list_filter(
-                         regexp_split_to_array(lower(trim(txt)), '\\s+'),
-                         x -> x <> '')) AS tok
-                FROM qin)
-          GROUP BY key, b
-        ) cm ON cm.key = g.key AND cm.b = g.i
-      )
-      GROUP BY key
-),
+    {_retrieval_vec_cte("qin", "qvecs").strip()}"""
+
+
+_COS = (
+    "round(list_sum(list_transform(list_zip(q.emb, c.emb), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) "
+    "/ (sqrt(list_sum(list_transform(list_zip(q.emb, q.emb), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))) "
+    "* sqrt(list_sum(list_transform(list_zip(c.emb, c.emb), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))))), 6)"
+)
+
+
+def _retrieval_dense_oracle_sql() -> str:
+    return f"""{_retrieval_base_ctes()},
     scored AS (
       SELECT q.key AS query_id, c.key AS chunk_key,
-             round(list_sum(list_transform(list_zip(q.emb, c.emb), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (sqrt(list_sum(list_transform(list_zip(q.emb, q.emb), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))) * sqrt(list_sum(list_transform(list_zip(c.emb, c.emb), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))))), 6) AS cos_sim
+             {_COS} AS cos_sim
       FROM qvecs q CROSS JOIN cvecs c
     ),
     topk AS (
@@ -3277,8 +3322,10 @@ def quality_classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM topk t
     JOIN chunks k ON k.chunk_key = t.chunk_key
     JOIN qin qt ON qt.key = t.query_id
-    """,
-)
+    """
+
+
+@_q("retrieval_dense_topk", _retrieval_dense_oracle_sql())
 def retrieval_dense_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dense retrieval pipeline end to end under external
     verification (plans/retrieval.py): chunk the corpus (32-token
@@ -3313,10 +3360,149 @@ def retrieval_dense_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         f"{base}/idx",
         f"{base}/chunks",
-        ["table scan merge fast", "window join batch order"],
+        _RETRIEVAL_QUERY_TEXTS,
         k=5,
         dim=64,
         nprobe=8,
+        hash_fn="md5",
+    )
+
+
+def _hybrid_rrf_oracle_sql() -> str:
+    """Both retrieval legs + reciprocal-rank fusion: the dense leg is
+    the exhaustive cosine rank above, the lexical leg is Lucene BM25
+    over the SAME chunk store (mirroring bm25_doc_search's algebra at
+    chunk grain), fused as sum(1/(60 + rank)) over each leg's top-20
+    pool with missing sides contributing zero — exactly
+    plans/retrieval.py::hybrid_retrieve."""
+    return f"""{_retrieval_base_ctes()},
+    dense_scored AS (
+      SELECT q.key AS query_id, c.key AS chunk_key,
+             {_COS} AS cos_sim
+      FROM qvecs q CROSS JOIN cvecs c
+    ),
+    dense_rank AS (
+      SELECT query_id, chunk_key,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY cos_sim DESC, chunk_key
+             ) AS BIGINT) AS rd
+      FROM dense_scored
+      QUALIFY rd <= 20
+    ),
+    ctoks AS (
+      SELECT chunk_key,
+             list_filter(regexp_split_to_array(lower(trim(chunk_text)),
+                                               '\\s+'),
+                         t -> t <> '') AS t
+      FROM chunks
+    ),
+    tf AS (
+      SELECT chunk_key, tok AS term, count(*) AS tf
+      FROM (SELECT chunk_key, unnest(t) AS tok FROM ctoks)
+      GROUP BY chunk_key, term
+    ),
+    dl AS (SELECT chunk_key, sum(tf) AS dl FROM tf GROUP BY chunk_key),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    qt AS (
+      SELECT key AS query_id,
+             unnest(list_distinct(list_filter(
+               regexp_split_to_array(lower(trim(txt)), '\\s+'),
+               x -> x <> ''))) AS term
+      FROM qin
+    ),
+    dfreq AS (
+      SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf
+      WHERE term IN (SELECT term FROM qt) GROUP BY term
+    ),
+    lex_scored AS (
+      SELECT q.query_id, tf.chunk_key,
+             round(sum(
+               ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+             ), 6) AS score
+      FROM tf
+      JOIN qt q ON q.term = tf.term
+      JOIN dfreq d ON d.term = tf.term
+      JOIN dl ON dl.chunk_key = tf.chunk_key
+      CROSS JOIN stats s
+      GROUP BY q.query_id, tf.chunk_key
+    ),
+    lex_rank AS (
+      SELECT query_id, chunk_key,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, chunk_key
+             ) AS BIGINT) AS rl
+      FROM lex_scored
+      QUALIFY rl <= 20
+    ),
+    fused AS (
+      SELECT COALESCE(d.query_id, l.query_id) AS query_id,
+             COALESCE(d.chunk_key, l.chunk_key) AS chunk_key,
+             round(COALESCE(1.0 / (60 + d.rd), 0.0)
+                   + COALESCE(1.0 / (60 + l.rl), 0.0), 6) AS rrf_score
+      FROM dense_rank d
+      FULL OUTER JOIN lex_rank l
+        ON d.query_id = l.query_id AND d.chunk_key = l.chunk_key
+    ),
+    top AS (
+      SELECT query_id, chunk_key, rrf_score,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY rrf_score DESC, chunk_key
+             ) AS BIGINT) AS rank
+      FROM fused
+      QUALIFY rank <= 5
+    )
+    SELECT t.query_id, qt2.txt AS query_text, t.chunk_key,
+           k.doc_id, k.chunk_id, k.chunk_text, t.rrf_score, t.rank
+    FROM top t
+    JOIN chunks k ON k.chunk_key = t.chunk_key
+    JOIN qin qt2 ON qt2.key = t.query_id
+    """
+
+
+@_q("hybrid_rrf_retrieval", _hybrid_rrf_oracle_sql())
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid dense + lexical retrieval with reciprocal-rank fusion
+    under external verification (plans/retrieval.py::hybrid_retrieve,
+    rotated in r6): one build lays down the chunk store, the IVF
+    dense index, AND the BM25 ranked index over the same chunk keys;
+    the probe fuses both retrievers' top-20 pools with RRF
+    (Cormack et al. 2009) and hydrates the fused top-5. nprobe =
+    n_centroids makes the dense leg exhaustive, so the oracle mirrors
+    both legs exactly: cosine ranks, chunk-grain BM25 ranks, and the
+    1/(60+rank) fusion arithmetic are all under the hash."""
+    import tempfile
+
+    from mpg_data_warehouse_spark.plans.retrieval import (
+        build_hybrid_index,
+        hybrid_retrieve,
+    )
+
+    base = tempfile.mkdtemp(prefix="hybrid_contract_")
+    docs = _docs(spark, sf_dir)
+    build_hybrid_index(
+        docs,
+        f"{base}/idx",
+        f"{base}/chunks",
+        f"{base}/bm25",
+        dim=64,
+        max_tokens=32,
+        overlap=8,
+        n_centroids=8,
+        hash_fn="md5",
+    )
+    return hybrid_retrieve(
+        spark,
+        f"{base}/idx",
+        f"{base}/chunks",
+        f"{base}/bm25",
+        _RETRIEVAL_QUERY_TEXTS,
+        k=5,
+        dim=64,
+        nprobe=8,
+        k_rrf=60,
+        pool=20,
         hash_fn="md5",
     )
 

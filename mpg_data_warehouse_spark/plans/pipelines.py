@@ -330,10 +330,14 @@ def curate_corpus_pipeline(
     dsir_target: DataFrame | None = None,
     dsir_n: int | None = None,
     funnel: dict | None = None,
+    html_col: str | None = None,
+    html_extract_kwargs: dict | None = None,
 ) -> DataFrame:
     """End-to-end training-corpus curation, composing the engine's
     LLM-pipeline operators into one lazy plan:
 
+        [optional HTML→text extraction (``html_col`` — jusText-style
+        block filter, operators/html.py; web corpora enter here)] →
         unicode/whitespace normalization (default on — curly-quote /
         NBSP / zero-width variants of identical text must hash
         identically or every downstream dedup stage misses them) →
@@ -404,6 +408,20 @@ def curate_corpus_pipeline(
             "target_tokens_per_source and mixture_temperature are "
             "mutually exclusive rebalance modes"
         )
+
+    if html_col is not None:
+        # web corpora arrive as HTML: extract content text (block
+        # segmentation + link/stopword-density boilerplate filter)
+        # BEFORE any text-grain stage — markup would otherwise poison
+        # quality scores, shingles, and token budgets alike
+        from mpg_data_warehouse_spark.operators.html import (
+            extract_html_text,
+        )
+
+        docs = extract_html_text(
+            docs, html_col=html_col, out_col="text",
+            **(html_extract_kwargs or {}),
+        ).drop("n_blocks_kept", "n_blocks_total", html_col)
 
     if normalize:
         from mpg_data_warehouse_spark.operators.text import normalize_text

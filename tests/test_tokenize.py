@@ -1,0 +1,146 @@
+"""Subword tokenizer (WordPiece greedy longest-match): hand-computed
+fixtures, a pure-Python reference cross-check on arbitrary inputs,
+and the token-budget integration with corpus-mix rebalancing."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from mpg_data_warehouse_spark.operators.tokenize import (
+    subword_token_count,
+    subword_tokenize,
+    tokenize_words,
+)
+
+VOCAB = [
+    "un", "##aff", "##able", "aff", "the", "run", "##ning", "##n",
+    "a", "##b", "b", "runn", "##ing",
+]
+
+
+def _ref_wordpiece(word, vocab, max_word_len=32, max_piece_len=16,
+                   unk="[UNK]"):
+    """Pure-Python reference of the same algorithm."""
+    if len(word) == 0 or len(word) > max_word_len:
+        return [unk]
+    vset = set(vocab)
+    out, pos = [], 0
+    while pos < len(word):
+        best = None
+        for plen in range(min(len(word) - pos, max_piece_len), 0, -1):
+            cand = word[pos:pos + plen]
+            if pos > 0:
+                cand = "##" + cand
+            if cand in vset:
+                best = cand
+                break
+        if best is None:
+            return [unk]
+        out.append(best)
+        pos += len(best) - 2 if pos > 0 else len(best)
+    return out
+
+
+def test_wordpiece_hand_fixture(spark):
+    """The canonical WordPiece example plus greedy-vs-optimal: greedy
+    takes 'runn' + '##ing' because 'runn' is the LONGEST first match,
+    even though 'run' + '##ning' also exists."""
+    words = spark.createDataFrame(
+        [Row(word=w) for w in ["unaffable", "running", "the", "xyzzy"]]
+    )
+    got = {
+        r.word: r.pieces
+        for r in tokenize_words(words, VOCAB).collect()
+    }
+    assert got["unaffable"] == ["un", "##aff", "##able"]
+    assert got["running"] == ["runn", "##ing"]
+    assert got["the"] == ["the"]
+    assert got["xyzzy"] == ["[UNK]"]
+
+
+def test_subword_tokenize_documents(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="unaffable the running"),
+            Row(doc_id=2, text="  THE  Unaffable  "),  # trim + lowercase
+            Row(doc_id=3, text=""),  # empty doc -> empty array
+            Row(doc_id=4, text="xyz ab"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.pieces for r in subword_tokenize(df, VOCAB).collect()}
+    assert got[1] == ["un", "##aff", "##able", "the", "runn", "##ing"]
+    assert got[2] == ["the", "un", "##aff", "##able"]
+    assert got[3] == []
+    assert got[4] == ["[UNK]", "a", "##b"]
+    counts = {
+        r.doc_id: r.n_subword_tokens
+        for r in subword_token_count(df, VOCAB).collect()
+    }
+    assert counts == {1: 6, 2: 4, 3: 0, 4: 3}
+
+
+def test_overlong_word_is_unk_and_vocab_dataframe_accepted(spark):
+    vdf = spark.createDataFrame([Row(piece=p) for p in VOCAB])
+    words = spark.createDataFrame(
+        [Row(word="a" * 33), Row(word="a" * 32)]
+    )
+    got = {
+        r.word: r.pieces
+        for r in tokenize_words(words, vdf).collect()
+    }
+    assert got["a" * 33] == ["[UNK]"]
+    # 32 chars is within the cap: 'a' then 31 continuations would need
+    # '##a' which is absent -> UNK through the match path instead
+    assert got["a" * 32] == ["[UNK]"]
+
+
+_word_st = st.text(alphabet="abnfiurg", min_size=0, max_size=12)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(words=st.lists(_word_st, min_size=1, max_size=15))
+def test_wordpiece_matches_python_reference(spark, words):
+    """Engine output == pure-Python reference for arbitrary words over
+    a vocab with rich prefix overlaps."""
+    df = spark.createDataFrame([Row(word=w) for w in set(words)],
+                               "word string")
+    got = {r.word: r.pieces for r in tokenize_words(df, VOCAB).collect()}
+    for w in set(words):
+        assert got[w] == _ref_wordpiece(w, VOCAB), w
+
+
+def test_rebalance_on_subword_budget(spark):
+    """budget_rebalance_sample driven by the subword count column —
+    the token-accurate budget path. Every kept row is from the input,
+    and the over-budget stratum is down-sampled while the tiny one is
+    kept whole."""
+    from mpg_data_warehouse_spark.operators.sampling import (
+        budget_rebalance_sample,
+    )
+
+    rows = [
+        Row(doc_id=i, source="big", text="unaffable running the")
+        for i in range(40)
+    ] + [Row(doc_id=100, source="small", text="the")]
+    df = spark.createDataFrame(rows)
+    counted = subword_token_count(df, VOCAB)
+    out = budget_rebalance_sample(
+        counted, "source", "doc_id", "n_subword_tokens",
+        target_per_stratum=60.0,
+    )
+    kept = out.groupBy("source").agg(
+        F.sum("n_subword_tokens").alias("w"), F.count("*").alias("n")
+    )
+    got = {r.source: (r.w, r.n) for r in kept.collect()}
+    assert got["small"] == (1, 1)  # under budget: kept whole
+    # big stratum: 40 docs x 6 tokens = 240, budget 60 -> ~1/4 kept
+    assert 0 < got["big"][1] < 40
