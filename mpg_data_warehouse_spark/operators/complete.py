@@ -295,7 +295,6 @@ def complete_map(
     else:
         base = per_anchor
 
-    m_col = F.col("_m")
     if expand_values is not None:
         # Strict-domain guard, map flavor: every combo observed in the
         # data (a key of the per-anchor map) must appear in the
@@ -315,10 +314,16 @@ def complete_map(
                 F.to_json(extra),
             ),
         )
-        m_col = F.when(expand_guard.isNull(), F.col("_m"))
+        # woven BELOW the explode (a guard inside the post-explode
+        # projection re-evaluates the O(|domain| × |map|) array_except
+        # once per domain row — measured 3× on the functional-groups
+        # bench query; here it runs once per anchor)
+        base = base.withColumn(
+            "_m", F.when(expand_guard.isNull(), F.col("_m"))
+        )
     looked_up = F.element_at(F.col("_m"), F.col("_k"))
     out = base.select(
-        *nesting, F.explode(dom_lit).alias("_k"), m_col.alias("_m")
+        *nesting, F.explode(dom_lit).alias("_k"), F.col("_m")
     ).select(
         *nesting,
         *[F.col("_k")[c].alias(c) for c in expand],

@@ -140,6 +140,11 @@ def extract_html_text(
     counts. ``min_stopword_frac`` defaults OFF (0.0): it is a strong
     precision lever for single-language corpora but wrong for mixed-
     language crawls unless ``stopwords`` matches the language."""
+    if out_col == html_col:
+        raise ValueError(
+            "out_col must differ from html_col (the source column is "
+            "still referenced while extracting)"
+        )
     structs = _block_structs(html_col, stopwords)
     kept = F.filter(
         structs,
@@ -147,17 +152,20 @@ def extract_html_text(
         & (s["link_density"] <= F.lit(float(max_link_density)))
         & (s["stop_frac"] >= F.lit(float(min_stopword_frac))),
     )
+    # withColumn semantics for the outputs: REPLACE any pre-existing
+    # column of the same name (a select("*", alias) would duplicate
+    # the name and poison every later reference as ambiguous)
     return (
         df.withColumn("_hb", structs)
         .withColumn("_hk", kept)
-        .select(
-            "*",
+        .withColumn(
+            out_col,
             F.concat_ws(
                 "\n\n", F.transform(F.col("_hk"), lambda s: s["txt"])
-            ).alias(out_col),
-            F.size("_hk").cast("long").alias("n_blocks_kept"),
-            F.size("_hb").cast("long").alias("n_blocks_total"),
+            ),
         )
+        .withColumn("n_blocks_kept", F.size("_hk").cast("long"))
+        .withColumn("n_blocks_total", F.size("_hb").cast("long"))
         .drop("_hb", "_hk")
     )
 

@@ -83,38 +83,14 @@ def _resolve_n_buckets(index_path: str, requested: int | None) -> int:
     return _check_n_buckets(requested, stored, index_path)
 
 
-def _has_data_files(path: str) -> bool:
-    """True iff a Spark-visible parquet file exists under ``path`` —
-    files inside ``_``-prefixed directories (the ``_docs`` manifest,
-    ``_centroids``) are invisible to Spark's file listing and must
-    not count."""
-    root = path.rstrip("/")
-    for f in get_storage_backend().list_files(root):
-        rel = f[len(root):].lstrip("/")
-        parts = rel.split("/")
-        if any(p.startswith(("_", ".")) for p in parts):
-            continue
-        if rel.endswith(".parquet"):
-            return True
-    return False
-
-
 def _ensure_readable(
     path: str, template: DataFrame, part_dir: str = "bucket=0"
 ) -> None:
-    """A layout with ZERO part files (all-empty corpus at build, or a
-    delete that wiped every posting) fails schema inference on the
-    next read with a confusing AnalysisException. Leave a zero-row
-    schema-carrying file INSIDE a partition-style directory
-    (``bucket=0``) — a plain root file would conflict with later
-    partitioned appends (Spark rejects mixed layouts), whereas an
-    empty hive partition composes with them. ``template`` must carry
-    the non-partition columns only."""
-    if _has_data_files(path):
-        return
-    template.limit(0).write.mode("append").parquet(
-        os.path.join(path, part_dir)
+    from mpg_data_warehouse_spark.sources.writers import (
+        ensure_readable_partition_layout,
     )
+
+    ensure_readable_partition_layout(path, template, part_dir)
 
 
 def build_inverted_index(
@@ -470,10 +446,14 @@ def bm25_append_index(
         .persist()
     )
     try:
+        # idb probe set derived from the PERSISTED tf lineage (via dl),
+        # never from a re-execution of the raw input: a
+        # nondeterministic upstream (sample/limit) re-evaluated here
+        # could yield ids the guard then fails to probe
         dl = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
         idbs = sorted(
             r["i"]
-            for r in docs.select(_idb(id_col).alias("i")).distinct().collect()
+            for r in dl.select(_idb(id_col).alias("i")).distinct().collect()
         )
         existing = (
             spark.read.parquet(_manifest_path(path))

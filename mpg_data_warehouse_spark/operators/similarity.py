@@ -1253,10 +1253,11 @@ def ivf_delete_index(
     # a wipe that removed every vector must leave the index readable
     # (and appendable): an empty hive partition carries the schema
     # without conflicting with later partitioned appends
-    from mpg_data_warehouse_spark.operators.search import _has_data_files
+    from mpg_data_warehouse_spark.sources.writers import (
+        ensure_readable_partition_layout,
+    )
 
-    if not _has_data_files(path):
-        survivors.limit(0).drop("cell").write.mode("append").parquet(
-            os.path.join(path, "cell=0")
-        )
+    ensure_readable_partition_layout(
+        path, survivors.drop("cell"), part_dir="cell=0"
+    )
     return n_before - n_after

@@ -61,6 +61,14 @@ def _wordpiece_expr(
     rule)."""
     if "'" in unk or "\\" in unk:
         raise ValueError("unk token must not contain quotes/backslashes")
+    for ident in (word_col, vmap_col):
+        if "`" in ident:
+            raise ValueError(f"column name {ident!r} must not contain `")
+    # backtick-quote the interpolated identifiers: a column named
+    # "word 1" or a reserved word would otherwise fail to parse (or
+    # resolve to the wrong column) deep inside the aggregate
+    word_col = f"`{word_col}`"
+    vmap_col = f"`{vmap_col}`"
     inner_match = f"""try_element_at(
       filter(
         transform(sequence(least(length(acc.rem), {max_piece_len}), 1, -1),

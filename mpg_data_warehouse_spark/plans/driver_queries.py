@@ -996,7 +996,14 @@ def bm25_incremental_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_ranked_index(docs.filter(F.col("doc_id") % 3 != 0), idx)
     batch = docs.filter(F.col("doc_id") % 3 == 0)
     bm25_append_index(batch, idx)
-    assert bm25_append_index(batch, idx) == 0  # replayed delivery
+    # replayed delivery must be a no-op (a bare assert would vanish
+    # under python -O and silently stop exercising the guard)
+    n_replayed = bm25_append_index(batch, idx)
+    if n_replayed != 0:
+        raise AssertionError(
+            f"replayed append inserted {n_replayed} docs; the _docs "
+            "manifest replay guard failed"
+        )
     bm25_delete_index(
         docs.filter(F.col("doc_id") % 7 == 0).select("doc_id"), idx
     )

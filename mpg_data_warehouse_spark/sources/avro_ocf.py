@@ -638,7 +638,15 @@ def write_avro(
     if mode not in ("error", "overwrite"):
         raise ValueError(f"write_avro: unknown mode {mode!r}")
     target = os.path.abspath(path)
-    if mode == "error" and os.path.isdir(target) and os.listdir(target):
+
+    def _target_occupied() -> bool:
+        # a regular FILE at the target counts too — mode="error" must
+        # never let the install path rename pre-existing data away
+        if os.path.isdir(target):
+            return bool(os.listdir(target))
+        return os.path.exists(target)
+
+    if mode == "error" and _target_occupied():
         raise FileExistsError(
             f"write_avro: target {path!r} exists and is non-empty; "
             "pass mode='overwrite' to replace it atomically"
@@ -675,13 +683,19 @@ def write_avro(
     try:
         # one encode task per partition; the aggregate forces execution
         df.mapInArrow(encode, "n long").agg({"n": "sum"}).collect()
+        # a task attempt that died between open(tmp) and os.replace
+        # leaves its .inprogress file behind — prune before install so
+        # the published directory holds only complete blobs
+        for name in os.listdir(staging):
+            if ".inprogress-" in name:
+                os.unlink(os.path.join(staging, name))
         if not any(f.endswith(".avro") for f in os.listdir(staging)):
             with open(os.path.join(staging, "part-empty.avro"), "wb") as fh:
                 fh.write(emit_ocf(schema, [], codec))
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
         raise
-    if mode == "error" and os.path.isdir(target) and os.listdir(target):
+    if mode == "error" and _target_occupied():
         # raced by another writer while the job ran
         shutil.rmtree(staging, ignore_errors=True)
         raise FileExistsError(

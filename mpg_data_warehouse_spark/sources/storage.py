@@ -74,13 +74,22 @@ class LocalFSStorageBackend(StorageBackend):
             return fh.read()
 
     def write_text_atomic(self, path: str, payload: str) -> None:
-        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        parent = os.path.dirname(path) or "."
+        os.makedirs(parent, exist_ok=True)
         tmp = f"{path}.tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
             fh.write(payload)
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(tmp, path)
+        # persist the rename itself: without the directory fsync a
+        # crash can revive the OLD sidecar next to NEW data files
+        # (same ordering rule as txlog's commit install)
+        dfd = os.open(parent, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
     def exists(self, path: str) -> bool:
         return os.path.exists(path)
@@ -133,6 +142,22 @@ def set_storage_backend(backend: StorageBackend) -> StorageBackend:
     prev = _BACKEND
     _BACKEND = backend
     return prev
+
+
+def has_visible_data_files(prefix: str) -> bool:
+    """True iff a Spark-visible parquet file exists under ``prefix``
+    — files inside ``_``- or ``.``-prefixed directories (manifests,
+    ``_centroids``, metadata) are invisible to Spark's file listing
+    and must not count."""
+    root = prefix.rstrip("/")
+    for f in get_storage_backend().list_files(root):
+        rel = f[len(root):].lstrip("/")
+        parts = rel.split("/")
+        if any(p.startswith(("_", ".")) for p in parts):
+            continue
+        if rel.endswith(".parquet"):
+            return True
+    return False
 
 
 def read_json(path: str) -> dict:

@@ -247,3 +247,22 @@ def test_failed_write_leaves_target_untouched(spark, tmp_path):
     assert [r.id for r in read_avro(spark, out).collect()] == [1]
     leftovers = [p for p in os.listdir(tmp_path) if "__stage-" in p]
     assert leftovers == []
+
+
+def test_write_refuses_existing_regular_file_target(spark, tmp_path):
+    """mode='error' must also refuse a regular FILE at the target —
+    the swap path would otherwise rename pre-existing data away and
+    delete it."""
+    victim = tmp_path / "out.avro"
+    victim.write_bytes(b"precious")
+    df = spark.createDataFrame([Row(id=1)], "id long")
+    with pytest.raises(FileExistsError):
+        write_avro(df, str(victim))
+    assert victim.read_bytes() == b"precious"
+
+
+def test_no_inprogress_files_published(spark, tmp_path):
+    df = spark.createDataFrame([Row(id=i) for i in range(10)], "id long")
+    out = str(tmp_path / "t")
+    write_avro(df, out)
+    assert not [n for n in os.listdir(out) if ".inprogress-" in n]

@@ -120,3 +120,27 @@ def test_curation_pipeline_composes_from_html(spark):
     assert len(ids) >= 1
     texts = " ".join(r.chunk_text for r in chunks.collect())
     assert "Home" not in texts
+
+
+def test_out_col_replaces_existing_column(spark):
+    """A frame that already carries a 'text' column gets it REPLACED,
+    never duplicated (an ambiguous duplicate name poisons every later
+    reference)."""
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="old extracted", html=PAGE)]
+    )
+    out = extract_html_text(df)
+    assert out.columns.count("text") == 1
+    row = out.first()
+    assert "second real paragraph" in row.text
+    # downstream references work (this raised AMBIGUOUS_REFERENCE
+    # before the fix)
+    assert out.filter(F.col("text").contains("Engine")).count() == 1
+
+
+def test_out_col_equal_to_html_col_rejected(spark):
+    import pytest
+
+    df = _df(spark)
+    with pytest.raises(ValueError, match="must differ"):
+        extract_html_text(df, html_col="html", out_col="html")

@@ -68,7 +68,7 @@ def test_no_python_udfs_in_reference_queries(spark):
         "species_richness_union_dedup",
         "minhash_near_dup_pairs",
         "text_profile",
-        "ann_cosine_topk",
+        "lsh_ann_topk",
     ]:
         plan = _plan(spark, name)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -144,3 +144,20 @@ def test_rebalance_on_subword_budget(spark):
     assert got["small"] == (1, 1)  # under budget: kept whole
     # big stratum: 40 docs x 6 tokens = 240, budget 60 -> ~1/4 kept
     assert 0 < got["big"][1] < 40
+
+
+def test_weird_column_names_are_quoted(spark):
+    """Identifier with a space (and a reserved word) must work — the
+    SQL expression quotes what it interpolates."""
+    words = spark.createDataFrame(
+        [Row(**{"word 1": "unaffable"}), Row(**{"word 1": "the"})]
+    )
+    got = {
+        r["word 1"]: r.pieces
+        for r in tokenize_words(words, VOCAB, word_col="word 1").collect()
+    }
+    assert got["unaffable"] == ["un", "##aff", "##able"]
+    assert got["the"] == ["the"]
+    bad = spark.createDataFrame([Row(word="x")])
+    with pytest.raises(ValueError, match="must not contain"):
+        tokenize_words(bad, VOCAB, word_col="wo`rd")
