@@ -266,7 +266,10 @@ def build_ranked_index(
             .parquet(path)
         )
         _ensure_readable(path, postings.drop("bucket"))
-        _write_manifest(postings, dl, path, id_col, mode="overwrite")
+        _write_manifest(
+            postings, dl, path, id_col, mode="overwrite",
+            capped=max_df is not None,
+        )
         postings.unpersist()
     finally:
         tf.unpersist()
@@ -286,24 +289,38 @@ def _manifest_path(path: str) -> str:
 
 
 def _write_manifest(
-    postings: DataFrame, dl: DataFrame, path: str, id_col: str, mode: str
+    postings: DataFrame,
+    dl: DataFrame,
+    path: str,
+    id_col: str,
+    mode: str,
+    capped: bool = False,
 ) -> None:
-    """(id, dl, buckets) rows — buckets from the doc's surviving
-    postings (empty array when ``max_df`` capped every term: such a
-    doc still counts in the corpus stats but owns no posting rows).
-    |docs|-grain, one extra agg over the already-persisted postings."""
+    """(id, dl, buckets) rows — one agg over the already-persisted
+    postings (which carry ``dl`` denormalized). Only a build with
+    ``max_df`` capping can produce a doc whose EVERY term was capped
+    away — still counted in the corpus stats but owning no posting
+    rows — so only then does the dl-side anti-join pick up those
+    empty-bucket rows (``capped=True``); the common path is one
+    |docs|-grain agg and nothing else."""
     bsets = postings.groupBy(id_col).agg(
-        F.collect_set("bucket").alias("buckets")
+        F.first("dl").alias("dl"),
+        F.collect_set("bucket").alias("buckets"),
     )
-    man = (
-        dl.join(bsets, id_col, "left")
-        .withColumn(
-            "buckets",
-            F.coalesce(F.col("buckets"), F.array().cast("array<bigint>")),
+    if capped:
+        orphans = dl.join(bsets.select(id_col), id_col, "left_anti")
+        bsets = bsets.unionByName(
+            orphans.withColumn(
+                "buckets", F.array().cast("array<bigint>")
+            )
         )
-        .withColumn("idb", _idb(id_col))
+    man = bsets.withColumn("idb", _idb(id_col))
+    # co-locate each idb partition into one task: without this the
+    # partitioned write fans out to (shuffle partitions × idb) tiny
+    # files — small-file debt AND measurable write overhead
+    man.repartition("idb").write.mode(mode).partitionBy("idb").parquet(
+        _manifest_path(path)
     )
-    man.write.mode(mode).partitionBy("idb").parquet(_manifest_path(path))
     _ensure_readable(
         _manifest_path(path), man.drop("idb"), part_dir="idb=0"
     )

@@ -205,17 +205,31 @@ def build_retrieval_index(
     # explode runs once, and the index is built from exactly the bytes
     # the chunk store serves at query time
     stored = chunks.sparkSession.read.parquet(chunks_path)
-    embedded = hashed_feature_embedding(
-        stored.select("chunk_key", "chunk_text"), "chunk_text", dim,
-        hash_fn=hash_fn,
+    # Persist the embedded corpus before the IVF build: k-means
+    # seeding, each Lloyd iteration, and the final cell assignment
+    # all consume it, and without reuse the encoder's multi-shuffle
+    # plan (distinct texts → explode → aggs → text-keyed rejoin)
+    # re-executes per consumer — measured 3× the build wall-clock at
+    # sf0.1. MEMORY_AND_DISK (the persist default) keeps this safe at
+    # corpus scale: partitions that don't fit spill instead of OOM.
+    embedded = (
+        hashed_feature_embedding(
+            stored.select("chunk_key", "chunk_text"), "chunk_text", dim,
+            hash_fn=hash_fn,
+        )
+        .select("chunk_key", "embedding")
+        .persist()
     )
-    ivf_write_index(
-        embedded.select("chunk_key", "embedding"),
-        index_path,
-        n_centroids=n_centroids,
-        id_col="chunk_key",
-        vec_col="embedding",
-    )
+    try:
+        ivf_write_index(
+            embedded,
+            index_path,
+            n_centroids=n_centroids,
+            id_col="chunk_key",
+            vec_col="embedding",
+        )
+    finally:
+        embedded.unpersist()
     _write_retrieval_meta(index_path, dim, hash_fn)
 
 

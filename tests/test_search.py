@@ -397,3 +397,34 @@ def test_index_maintenance_requires_manifest(spark, tmp_path):
         bm25_append_index(batch, idx)
     with pytest.raises(ValueError, match="manifest"):
         bm25_delete_index(batch, idx)
+
+
+def test_capped_out_doc_still_in_manifest_and_deletable(spark, tmp_path):
+    """A doc whose EVERY term is max_df-capped owns zero postings but
+    still counts in the corpus stats; the manifest must carry it
+    (empty bucket set) so deletion by id retreats n_docs/avgdl
+    correctly."""
+    from mpg_data_warehouse_spark.operators.search import (
+        STATS_FILE,
+        bm25_delete_index,
+        build_ranked_index,
+    )
+    from mpg_data_warehouse_spark.sources.storage import read_json
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="common common"),  # only capped terms
+            Row(doc_id=2, text="common rare"),
+            Row(doc_id=3, text="common rare2"),
+        ]
+    )
+    idx = str(tmp_path / "idx")
+    build_ranked_index(docs, idx, max_df=2)  # 'common' df=3 -> capped
+    stats = read_json(os.path.join(idx, STATS_FILE))
+    assert stats["n_docs"] == 3 and stats["dl_sum"] == 6
+    # doc 1 deletable by bare id even though it has no postings
+    assert bm25_delete_index(
+        spark.createDataFrame([Row(doc_id=1)]), idx
+    ) == 1
+    stats = read_json(os.path.join(idx, STATS_FILE))
+    assert stats["n_docs"] == 2 and stats["dl_sum"] == 4
