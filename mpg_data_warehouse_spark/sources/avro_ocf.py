@@ -45,14 +45,36 @@ a wrong answer, not a fallback.
 
 from __future__ import annotations
 
+import bz2
 import datetime
 import io
 import json
+import lzma
 import os
 import shutil
 import struct
 import uuid
 import zlib
+
+
+def _deflate_raw(b: bytes) -> bytes:
+    co = zlib.compressobj(9, zlib.DEFLATED, -15)
+    return co.compress(b) + co.flush()
+
+
+# spec codec name → (compress, decompress). deflate is RAW (no zlib
+# header) per spec; bzip2/xz use their standard framings. snappy's
+# block+CRC form needs a library absent from this environment and
+# stays a loud error rather than a silent mis-decode.
+_CODECS = {
+    "null": (lambda b: b, lambda b: b),
+    "deflate": (_deflate_raw, lambda b: zlib.decompress(b, -15)),
+    "bzip2": (bz2.compress, bz2.decompress),
+    "xz": (
+        lambda b: lzma.compress(b, format=lzma.FORMAT_XZ),
+        lzma.decompress,
+    ),
+}
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -302,8 +324,12 @@ def read_header(buf) -> tuple[dict, str, bytes]:
             k = _read_bytes(buf).decode("utf-8")
             meta[k] = _read_bytes(buf)
     codec = meta.get("avro.codec", b"null").decode("utf-8")
-    if codec not in ("null", "deflate"):
-        raise ValueError(f"unsupported Avro codec: {codec!r}")
+    if codec not in _CODECS:
+        raise ValueError(
+            f"unsupported Avro codec: {codec!r} (supported: "
+            f"{sorted(_CODECS)}; snappy needs a library this "
+            "environment lacks)"
+        )
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
     sync = _read_exact(buf, 16)
     return schema, codec, sync
@@ -323,8 +349,7 @@ def parse_ocf_blocks(data: bytes):
             n_obj = _read_long(buf)
             n_bytes = _read_long(buf)
             block = _read_exact(buf, n_bytes)
-            if codec == "deflate":
-                block = zlib.decompress(block, -15)  # raw DEFLATE per spec
+            block = _CODECS[codec][1](block)
             bbuf = io.BytesIO(block)
             yield [_decode(schema, bbuf) for _ in range(n_obj)]
             if _read_exact(buf, 16) != sync:
@@ -342,17 +367,17 @@ def parse_ocf(data: bytes):
 def emit_ocf(schema: dict, rows, codec: str = "deflate") -> bytes:
     """One OCF blob from an iterable of dict rows (single block; a
     zero-row blob is valid and reads back as empty)."""
-    if codec not in ("null", "deflate"):
-        raise ValueError(f"unsupported Avro codec: {codec!r}")
+    if codec not in _CODECS:
+        raise ValueError(
+            f"unsupported Avro codec: {codec!r} (supported: "
+            f"{sorted(_CODECS)})"
+        )
     body = io.BytesIO()
     n = 0
     for row in rows:
         _encode(schema, row, body)
         n += 1
-    payload = body.getvalue()
-    if codec == "deflate":
-        co = zlib.compressobj(9, zlib.DEFLATED, -15)
-        payload = co.compress(payload) + co.flush()
+    payload = _CODECS[codec][0](body.getvalue())
     out = io.BytesIO()
     out.write(MAGIC)
     meta = {

@@ -266,3 +266,34 @@ def test_no_inprogress_files_published(spark, tmp_path):
     out = str(tmp_path / "t")
     write_avro(df, out)
     assert not [n for n in os.listdir(out) if ".inprogress-" in n]
+
+
+def test_bzip2_and_xz_codecs_round_trip(spark, tmp_path):
+    """Spec codecs beyond deflate: bzip2 and xz (both stdlib) — full
+    write/read round trips plus raw emit/parse agreement."""
+    df = spark.createDataFrame(
+        [Row(id=i, s="repetitive " * 20) for i in range(30)],
+        "id long, s string",
+    )
+    for codec in ("bzip2", "xz"):
+        out = str(tmp_path / codec)
+        write_avro(df, out, codec=codec)
+        back = read_avro(spark, out)
+        assert back.count() == 30
+        assert back.schema == df.schema
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "s", "type": "string"}]}
+    rows = [{"s": "repetitive text " * 10}] * 50
+    raw = emit_ocf(schema, rows, codec="null")
+    for codec in ("bzip2", "xz"):
+        comp = emit_ocf(schema, rows, codec=codec)
+        assert len(comp) < len(raw) / 3
+        _, recs = parse_ocf(comp)
+        assert [r["s"] for r in recs] == [r["s"] for r in rows]
+
+
+def test_unknown_codec_raises_loudly():
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "v", "type": "long"}]}
+    with pytest.raises(ValueError, match="unsupported Avro codec"):
+        emit_ocf(schema, [{"v": 1}], codec="snappy")
