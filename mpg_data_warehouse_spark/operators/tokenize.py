@@ -43,6 +43,7 @@ __all__ = [
     "subword_tokenize",
     "subword_token_count",
     "tokenize_words",
+    "learn_bpe_vocab",
 ]
 
 DEFAULT_UNK = "[UNK]"
@@ -218,3 +219,118 @@ def subword_token_count(
     return pieces.withColumn(
         out_col, F.size("_sw_p").cast("long")
     ).drop("_sw_p")
+
+
+def learn_bpe_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 100,
+    min_pair_count: int = 2,
+    lowercase: bool = True,
+    max_word_len: int = 32,
+    checkpoint_every: int = 16,
+) -> tuple[list[tuple[str, str, str]], list[str]]:
+    """Learn a WordPiece-compatible vocabulary from the corpus by
+    byte-pair-encoding merges (Sennrich et al. 2016 — the public BPE
+    recipe): start from characters, repeatedly merge the most
+    frequent adjacent symbol pair, stop after ``n_merges`` or when no
+    pair reaches ``min_pair_count``. Returns ``(merges, vocab)`` —
+    merges as (left, right, merged) in application order, and the
+    vocab (alphabet pieces + merged pieces) directly consumable by
+    ``subword_tokenize``/``tokenize_words``.
+
+    Pieces use the WordPiece surface convention (word-initial
+    verbatim, continuations ``##``-prefixed), so greedy
+    longest-match tokenization against the returned vocab composes
+    with the rest of this module. (Greedy matching does not replay
+    the merge ORDER — the standard practice: BPE learns the vocab,
+    WordPiece-style matching applies it.)
+
+    Scale shape: the corpus collapses to the DISTINCT-WORD frequency
+    table up front (Heaps' law — sublinear in corpus size; exactly
+    how the reference BPE implementation trains on a word-frequency
+    dict), and every merge round is one pair-count aggregate over
+    that word table plus a one-row collect — the corpus text is
+    never touched again. Iterative lineage is cut with
+    ``localCheckpoint`` every ``checkpoint_every`` rounds (the same
+    pattern as the connected-components loop in dedup). At 100 TB,
+    train on a sample or a capped word table — the merges ARE the
+    model; ``n_merges`` one-row collects is the driver traffic.
+    """
+    spark = df.sparkSession
+    base = F.trim(F.col(text_col))
+    if lowercase:
+        base = F.lower(base)
+    words = (
+        df.select(F.explode(F.split(base, r"\s+")).alias("_w"))
+        .filter((F.col("_w") != "") & (F.length("_w") <= max_word_len))
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    # initial segmentation: [c0, ##c1, ##c2, ...]
+    chars = F.split(F.col("_w"), "")
+    segs = F.transform(
+        chars,
+        lambda c, i: F.when(i == 0, c).otherwise(F.concat(F.lit("##"), c)),
+    )
+    table = words.select("_w", "_n", segs.alias("_segs")).localCheckpoint()
+
+    # alphabet from the INITIAL segmentation — a symbol whose every
+    # occurrence later merges away must still be in the vocab, or an
+    # unseen word needing it over-UNKs (standard BPE keeps the base
+    # alphabet)
+    alphabet = {
+        r["_s"]
+        for r in table.select(F.explode("_segs").alias("_s"))
+        .distinct()
+        .collect()
+    }
+
+    # guard single-symbol words: sequence(1, 0) counts DOWN in Spark
+    # (step −1 inferred), indexing past the array under ANSI
+    pair_structs = F.expr(
+        """CASE WHEN size(_segs) < 2 THEN
+             cast(array() as array<struct<a string, b string>>)
+           ELSE
+             transform(sequence(1, size(_segs) - 1),
+                       pi -> struct(element_at(_segs, pi) AS a,
+                                    element_at(_segs, pi + 1) AS b))
+           END"""
+    )
+    merges: list[tuple[str, str, str]] = []
+    for step in range(n_merges):
+        top = (
+            table.select(F.explode(pair_structs).alias("_p"), "_n")
+            .groupBy("_p")
+            .agg(F.sum("_n").alias("_c"))
+            .orderBy(F.col("_c").desc(), F.col("_p.a"), F.col("_p.b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["_c"] < min_pair_count:
+            break
+        a, b = top[0]["_p"]["a"], top[0]["_p"]["b"]
+        merged = a + (b[2:] if b.startswith("##") else b)
+        merges.append((a, b, merged))
+        # left-to-right single-pass merge of adjacent (a, b) — the
+        # fold matches the reference implementation's re.sub pass
+        # ("aaa" under (a,a) becomes [aa, a], not [a, aa])
+        la, lb, lm = (F.lit(a), F.lit(b), F.lit(merged))
+        new_segs = F.aggregate(
+            F.col("_segs"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == la)
+                & (x == lb),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(lm)
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        table = table.select("_w", "_n", new_segs.alias("_segs"))
+        if (step + 1) % checkpoint_every == 0:
+            table = table.localCheckpoint()
+
+    vocab = sorted(alphabet | {m[2] for m in merges})
+    return merges, vocab

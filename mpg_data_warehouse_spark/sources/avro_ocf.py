@@ -35,7 +35,8 @@ Supported types (the warehouse's surface): null, boolean, int, long,
 float, double, string, bytes, records, arrays, string-keyed maps,
 2-branch null unions (nullable columns), and the date /
 timestamp-micros/millis (instant) / local-timestamp-micros/millis
-(NTZ) logical types. Codecs: null and deflate (stdlib zlib). Any
+(NTZ) logical types. Codecs: null, deflate (stdlib zlib),
+bzip2, and xz (stdlib bz2/lzma). Any
 OTHER schema feature — unknown codecs, multi-branch unions, enums,
 fixed, decimal/uuid/time logicals — raises loudly; this reader
 deliberately deviates from the spec's "ignore unknown logical
@@ -57,6 +58,10 @@ import uuid
 import zlib
 
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
 def _deflate_raw(b: bytes) -> bytes:
     co = zlib.compressobj(9, zlib.DEFLATED, -15)
     return co.compress(b) + co.flush()
@@ -75,9 +80,6 @@ _CODECS = {
         lzma.decompress,
     ),
 }
-
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import types as T
 
 MAGIC = b"Obj\x01"
 _EPOCH_DATE = datetime.date(1970, 1, 1)

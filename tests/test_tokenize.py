@@ -161,3 +161,98 @@ def test_weird_column_names_are_quoted(spark):
     bad = spark.createDataFrame([Row(word="x")])
     with pytest.raises(ValueError, match="must not contain"):
         tokenize_words(bad, VOCAB, word_col="wo`rd")
+
+
+# --- BPE vocab learning -------------------------------------------------
+
+
+def _ref_bpe(word_counts, n_merges, min_pair_count=2):
+    """Pure-Python reference of the same algorithm (Sennrich 2016
+    recipe on a word-frequency dict, WordPiece surface pieces, same
+    deterministic tie-break: count desc then (a, b) ascending)."""
+    segs = {
+        w: [w[0]] + ["##" + c for c in w[1:]] for w in word_counts
+    }
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for w, n in word_counts.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + n
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), c = best
+        if c < min_pair_count:
+            break
+        merged = a + (b[2:] if b.startswith("##") else b)
+        merges.append((a, b, merged))
+        for w, s in segs.items():
+            out = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = merged
+                else:
+                    out.append(x)
+            segs[w] = out
+    alphabet = {
+        p for w in word_counts for p in ([w[0]] + ["##" + c for c in w[1:]])
+    }
+    return merges, sorted(alphabet | {m[2] for m in merges})
+
+
+def test_bpe_learns_textbook_merges(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="low lower lowest low low"),
+            Row(doc_id=2, text="new newer newest new"),
+        ]
+    )
+    from mpg_data_warehouse_spark.operators.tokenize import learn_bpe_vocab
+
+    merges, vocab = learn_bpe_vocab(docs, n_merges=4, min_pair_count=2)
+    assert merges[0] == ("##o", "##w", "##ow")
+    assert ("l", "##ow", "low") in merges
+    assert "low" in vocab and "new" in vocab
+    # base alphabet survives even when fully merged away
+    assert "##o" in vocab and "##w" in vocab
+    # learned vocab composes with the tokenizer
+    out = {r.doc_id: r.pieces for r in subword_tokenize(docs, vocab).collect()}
+    assert out[1][:1] == ["low"]
+    assert "[UNK]" not in out[1] + out[2]  # every trained word tokenizes
+
+
+def test_bpe_matches_python_reference(spark):
+    corpus = [
+        "aba abba abab bab",
+        "cab cabs scab scabs",
+        "aba aba abba x",
+    ]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(corpus)]
+    )
+    from collections import Counter
+
+    from mpg_data_warehouse_spark.operators.tokenize import learn_bpe_vocab
+
+    wc = Counter(w for t in corpus for w in t.split())
+    for n_merges in (1, 3, 8):
+        got_m, got_v = learn_bpe_vocab(
+            docs, n_merges=n_merges, min_pair_count=2
+        )
+        ref_m, ref_v = _ref_bpe(dict(wc), n_merges, min_pair_count=2)
+        assert got_m == ref_m, n_merges
+        assert got_v == ref_v, n_merges
+
+
+def test_bpe_stops_below_min_pair_count(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="abc def ghi")]  # every pair unique
+    )
+    from mpg_data_warehouse_spark.operators.tokenize import learn_bpe_vocab
+
+    merges, vocab = learn_bpe_vocab(docs, n_merges=10, min_pair_count=2)
+    assert merges == []
+    # vocab is exactly the alphabet pieces
+    assert "a" in vocab and "##b" in vocab and "g" in vocab
