@@ -35,8 +35,10 @@ Supported types (the warehouse's surface): null, boolean, int, long,
 float, double, string, bytes, records, arrays, string-keyed maps,
 2-branch null unions (nullable columns), and the date /
 timestamp-micros/millis (instant) / local-timestamp-micros/millis
-(NTZ) logical types. Codecs: null, deflate (stdlib zlib),
-bzip2, and xz (stdlib bz2/lzma). Any
+(NTZ) logical types. Codecs: null, deflate (stdlib
+zlib), bzip2/xz (stdlib bz2/lzma), and snappy (pure-Python block
+format + spec CRC32 — full decode, literal-only encode; see
+``snappy_codec``). Any
 OTHER schema feature — unknown codecs, multi-branch unions, enums,
 fixed, decimal/uuid/time logicals — raises loudly; this reader
 deliberately deviates from the spec's "ignore unknown logical
@@ -67,10 +69,38 @@ def _deflate_raw(b: bytes) -> bytes:
     return co.compress(b) + co.flush()
 
 
+def _snappy_block_compress(b: bytes) -> bytes:
+    # Avro spec: snappy data followed by the 4-byte BIG-ENDIAN CRC32
+    # of the UNCOMPRESSED bytes. The emitter writes a literal-only
+    # snappy stream (valid for every decoder; see snappy_codec) —
+    # interop is the point, compression comes from deflate/bzip2/xz.
+    from mpg_data_warehouse_spark.sources.snappy_codec import (
+        compress_literal,
+    )
+
+    return compress_literal(b) + (zlib.crc32(b) & 0xFFFFFFFF).to_bytes(
+        4, "big"
+    )
+
+
+def _snappy_block_decompress(b: bytes) -> bytes:
+    from mpg_data_warehouse_spark.sources.snappy_codec import decompress
+
+    if len(b) < 4:
+        raise ValueError("snappy block too short for its CRC32 suffix")
+    out = decompress(b[:-4])
+    want = int.from_bytes(b[-4:], "big")
+    if (zlib.crc32(out) & 0xFFFFFFFF) != want:
+        raise ValueError(
+            "snappy block CRC32 mismatch (corrupt uncompressed data)"
+        )
+    return out
+
+
 # spec codec name → (compress, decompress). deflate is RAW (no zlib
-# header) per spec; bzip2/xz use their standard framings. snappy's
-# block+CRC form needs a library absent from this environment and
-# stays a loud error rather than a silent mis-decode.
+# header) per spec; bzip2/xz use their standard framings; snappy is
+# a pure-Python block-format decoder (full) + literal-only encoder
+# with the spec's uncompressed-CRC32 suffix (sources/snappy_codec).
 _CODECS = {
     "null": (lambda b: b, lambda b: b),
     "deflate": (_deflate_raw, lambda b: zlib.decompress(b, -15)),
@@ -79,6 +109,7 @@ _CODECS = {
         lambda b: lzma.compress(b, format=lzma.FORMAT_XZ),
         lzma.decompress,
     ),
+    "snappy": (_snappy_block_compress, _snappy_block_decompress),
 }
 
 MAGIC = b"Obj\x01"
@@ -329,8 +360,7 @@ def read_header(buf) -> tuple[dict, str, bytes]:
     if codec not in _CODECS:
         raise ValueError(
             f"unsupported Avro codec: {codec!r} (supported: "
-            f"{sorted(_CODECS)}; snappy needs a library this "
-            "environment lacks)"
+            f"{sorted(_CODECS)})"
         )
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
     sync = _read_exact(buf, 16)
