@@ -2848,15 +2848,34 @@ def txlog_merge_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     txlog.merge(spark, table, updates, keys=["s_suppkey"])
-    v0 = txlog.read(spark, table, version=0)
-    head = txlog.read(spark, table)
     pay = ["s_suppkey", "s_acctbal"]
-    new_or_changed = head.join(v0.select(*pay), pay, "left_anti").select(
+    # new_or_changed side derives from the CHANGE DATA FEED (r6):
+    # read_changes surfaces only the files the MERGE touched as
+    # insert/delete rows; rewritten-but-unchanged neighbor rows
+    # appear on both sides and self-cancel under the payload
+    # anti-join, so the surviving inserts are exactly the
+    # head-minus-v0 snapshot diff (s_suppkey is unique, so a payload
+    # match can only pair a row with itself). The oracle is unchanged
+    # — the hash is the external proof the CDF is complete and
+    # minimal.
+    changes = txlog.read_changes(spark, table, from_version=0)
+    ins = changes.filter(F.col("_change_type") == "insert").drop(
+        "_change_type"
+    )
+    dels = changes.filter(F.col("_change_type") == "delete").drop(
+        "_change_type"
+    )
+    new_or_changed = ins.join(dels.select(*pay), pay, "left_anti").select(
         "s_suppkey",
         "s_name",
         "s_acctbal",
         F.lit("new_or_changed").alias("change_tag"),
     )
+    # replaced side keeps the TIME-TRAVEL read (VERSION AS OF 0 vs
+    # HEAD) so both change-tracking mechanisms execute under the one
+    # hash
+    v0 = txlog.read(spark, table, version=0)
+    head = txlog.read(spark, table)
     replaced = v0.join(head.select(*pay), pay, "left_anti").select(
         "s_suppkey",
         "s_name",
@@ -3376,12 +3395,15 @@ def retrieval_dense_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hybrid_rrf_oracle_sql() -> str:
-    """Both retrieval legs + reciprocal-rank fusion: the dense leg is
-    the exhaustive cosine rank above, the lexical leg is Lucene BM25
-    over the SAME chunk store (mirroring bm25_doc_search's algebra at
-    chunk grain), fused as sum(1/(60 + rank)) over each leg's top-20
-    pool with missing sides contributing zero — exactly
-    plans/retrieval.py::hybrid_retrieve."""
+    """Both retrieval legs + reciprocal-rank fusion + the rerank
+    stage: the dense leg is the exhaustive cosine rank above, the
+    lexical leg is Lucene BM25 over the SAME chunk store (mirroring
+    bm25_doc_search's algebra at chunk grain), fused as
+    sum(1/(60 + rank)) over each leg's top-20 pool with missing
+    sides contributing zero (plans/retrieval.py::hybrid_retrieve),
+    and the fused top-10 pool re-ranked by the deterministic
+    token-overlap F1 (rerank_token_f1's cross-encoder stand-in) with
+    (score desc, previous rank, chunk_key) tie-breaks down to 5."""
     return f"""{_retrieval_base_ctes()},
     dense_scored AS (
       SELECT q.key AS query_id, c.key AS chunk_key,
@@ -3458,32 +3480,68 @@ def _hybrid_rrf_oracle_sql() -> str:
                PARTITION BY query_id ORDER BY rrf_score DESC, chunk_key
              ) AS BIGINT) AS rank
       FROM fused
-      QUALIFY rank <= 5
+      QUALIFY rank <= 10
+    ),
+    pool AS (
+      SELECT t.query_id, qt2.txt AS query_text, t.chunk_key,
+             k.doc_id, k.chunk_id, k.chunk_text, t.rrf_score,
+             t.rank AS prev_rank,
+             list_distinct(list_filter(
+               regexp_split_to_array(lower(trim(qt2.txt)), '\\s+'),
+               xq -> xq <> '')) AS qt,
+             list_distinct(list_filter(
+               regexp_split_to_array(lower(trim(k.chunk_text)), '\\s+'),
+               xc -> xc <> '')) AS ct
+      FROM top t
+      JOIN chunks k ON k.chunk_key = t.chunk_key
+      JOIN qin qt2 ON qt2.key = t.query_id
+    ),
+    rescored AS (
+      SELECT query_id, query_text, chunk_key, doc_id, chunk_id,
+             chunk_text, rrf_score, prev_rank,
+             round(CASE
+               WHEN len(ct) = 0 OR len(qt) = 0 THEN 0.0
+               WHEN (CAST(len(list_intersect(qt, ct)) AS DOUBLE) / len(ct)
+                     + CAST(len(list_intersect(qt, ct)) AS DOUBLE) / len(qt))
+                    = 0 THEN 0.0
+               ELSE 2.0
+                    * (CAST(len(list_intersect(qt, ct)) AS DOUBLE) / len(ct))
+                    * (CAST(len(list_intersect(qt, ct)) AS DOUBLE) / len(qt))
+                    / (CAST(len(list_intersect(qt, ct)) AS DOUBLE) / len(ct)
+                       + CAST(len(list_intersect(qt, ct)) AS DOUBLE) / len(qt))
+             END, 6) AS rerank_score
+      FROM pool
     )
-    SELECT t.query_id, qt2.txt AS query_text, t.chunk_key,
-           k.doc_id, k.chunk_id, k.chunk_text, t.rrf_score, t.rank
-    FROM top t
-    JOIN chunks k ON k.chunk_key = t.chunk_key
-    JOIN qin qt2 ON qt2.key = t.query_id
+    SELECT query_id, query_text, chunk_key, doc_id, chunk_id,
+           chunk_text, rrf_score, rerank_score,
+           CAST(row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY rerank_score DESC, prev_rank, chunk_key
+           ) AS BIGINT) AS rank
+    FROM rescored
+    QUALIFY rank <= 5
     """
 
 
 @_q("hybrid_rrf_retrieval", _hybrid_rrf_oracle_sql())
 def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid dense + lexical retrieval with reciprocal-rank fusion
-    under external verification (plans/retrieval.py::hybrid_retrieve,
-    rotated in r6): one build lays down the chunk store, the IVF
-    dense index, AND the BM25 ranked index over the same chunk keys;
-    the probe fuses both retrievers' top-20 pools with RRF
-    (Cormack et al. 2009) and hydrates the fused top-5. nprobe =
-    n_centroids makes the dense leg exhaustive, so the oracle mirrors
-    both legs exactly: cosine ranks, chunk-grain BM25 ranks, and the
-    1/(60+rank) fusion arithmetic are all under the hash."""
+    """The full retrieve→rerank stack under external verification
+    (plans/retrieval.py, rotated in r6): one build lays down the
+    chunk store, the IVF dense index, AND the BM25 ranked index over
+    the same chunk keys; the probe fuses both retrievers' top-20
+    pools with RRF (Cormack et al. 2009) into a top-10 candidate
+    pool, which the rerank stage re-scores with the deterministic
+    token-F1 stand-in and cuts to 5. nprobe = n_centroids makes the
+    dense leg exhaustive, so the oracle mirrors everything exactly:
+    cosine ranks, chunk-grain BM25 ranks, the 1/(60+rank) fusion
+    arithmetic, the F1 algebra, and the rerank tie-breaks are all
+    under the hash."""
     import tempfile
 
     from mpg_data_warehouse_spark.plans.retrieval import (
         build_hybrid_index,
         hybrid_retrieve,
+        rerank_token_f1,
     )
 
     base = tempfile.mkdtemp(prefix="hybrid_contract_")
@@ -3499,19 +3557,20 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids=8,
         hash_fn="md5",
     )
-    return hybrid_retrieve(
+    pool = hybrid_retrieve(
         spark,
         f"{base}/idx",
         f"{base}/chunks",
         f"{base}/bm25",
         _RETRIEVAL_QUERY_TEXTS,
-        k=5,
+        k=10,
         dim=64,
         nprobe=8,
         k_rrf=60,
         pool=20,
         hash_fn="md5",
     )
+    return rerank_token_f1(pool, k=5)
 
 
 REGISTRY_DOC = "queries: " + ", ".join(sorted(QUERIES))
