@@ -257,6 +257,11 @@ def learn_bpe_vocab(
     train on a sample or a capped word table — the merges ARE the
     model; ``n_merges`` one-row collects is the driver traffic.
     """
+    if checkpoint_every < 1:
+        raise ValueError(
+            "checkpoint_every must be >= 1 (it bounds the iterative "
+            f"lineage between localCheckpoints); got {checkpoint_every}"
+        )
     spark = df.sparkSession
     base = F.trim(F.col(text_col))
     if lowercase:

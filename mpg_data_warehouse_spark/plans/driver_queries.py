@@ -2799,7 +2799,7 @@ def user_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE NOT EXISTS (
       SELECT 1 FROM v0
       WHERE v0.s_suppkey = h.s_suppkey
-        AND v0.s_acctbal = h.s_acctbal
+        AND v0.s_acctbal IS NOT DISTINCT FROM h.s_acctbal
     )
     UNION ALL
     SELECT o.s_suppkey, o.s_name, o.s_acctbal,
@@ -2808,7 +2808,7 @@ def user_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE NOT EXISTS (
       SELECT 1 FROM head h
       WHERE h.s_suppkey = o.s_suppkey
-        AND h.s_acctbal = o.s_acctbal
+        AND h.s_acctbal IS NOT DISTINCT FROM o.s_acctbal
     )
     """,
 )
@@ -2855,9 +2855,13 @@ def txlog_merge_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # appear on both sides and self-cancel under the payload
     # anti-join, so the surviving inserts are exactly the
     # head-minus-v0 snapshot diff (s_suppkey is unique, so a payload
-    # match can only pair a row with itself). The oracle is unchanged
-    # — the hash is the external proof the CDF is complete and
-    # minimal.
+    # match can only pair a row with itself). The hash is the
+    # external proof the CDF is complete and minimal. Both diffs are
+    # null-safe (eqNullSafe / IS NOT DISTINCT FROM): a NULL payload
+    # equal on both sides is "unchanged", which is what makes the CDF
+    # derivation layout-independent — an untouched NULL row never
+    # enters the feed and is correctly absent from the report, and a
+    # rewritten-but-unchanged NULL row self-cancels.
     changes = txlog.read_changes(spark, table, from_version=0)
     ins = changes.filter(F.col("_change_type") == "insert").drop(
         "_change_type"
@@ -2865,7 +2869,16 @@ def txlog_merge_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     dels = changes.filter(F.col("_change_type") == "delete").drop(
         "_change_type"
     )
-    new_or_changed = ins.join(dels.select(*pay), pay, "left_anti").select(
+
+    def _null_safe_on():
+        cond = None
+        for c in pay:
+            eq = F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}"))
+            cond = eq if cond is None else cond & eq
+        return cond
+
+    d = dels.select(*pay).alias("r")
+    new_or_changed = ins.alias("l").join(d, _null_safe_on(), "left_anti").select(
         "s_suppkey",
         "s_name",
         "s_acctbal",
@@ -2876,7 +2889,8 @@ def txlog_merge_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash
     v0 = txlog.read(spark, table, version=0)
     head = txlog.read(spark, table)
-    replaced = v0.join(head.select(*pay), pay, "left_anti").select(
+    h = head.select(*pay).alias("r")
+    replaced = v0.alias("l").join(h, _null_safe_on(), "left_anti").select(
         "s_suppkey",
         "s_name",
         "s_acctbal",

@@ -37,7 +37,9 @@ def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
         if not b & 0x80:
             return acc, pos
         shift += 7
-        if shift > 35:
+        # 32-bit length fits in 5 varint bytes (shifts 0..28); a
+        # continuation bit on the 5th byte is already malformed
+        if shift >= 35:
             raise ValueError("snappy: varint too long")
 
 

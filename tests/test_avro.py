@@ -345,3 +345,17 @@ def test_snappy_codec_round_trip_and_foreign_decode(spark, tmp_path):
     bad = comp + b"\x00\x00\x00\x00"
     with pytest.raises(ValueError, match="CRC32 mismatch"):
         A._CODECS["snappy"][1](bad)
+
+
+def test_snappy_varint_rejects_six_bytes():
+    """A 32-bit snappy length preamble is at most 5 varint bytes; a
+    continuation bit on the 5th byte must raise, not read a 6th."""
+    from mpg_data_warehouse_spark.sources import snappy_codec
+
+    six = bytes([0x80, 0x80, 0x80, 0x80, 0x80, 0x01])
+    with pytest.raises(ValueError, match="varint too long"):
+        snappy_codec._read_varint(six, 0)
+    # a valid 5-byte varint still decodes
+    five = bytes([0x80, 0x80, 0x80, 0x80, 0x01])
+    val, pos = snappy_codec._read_varint(five, 0)
+    assert val == 1 << 28 and pos == 5

@@ -256,3 +256,13 @@ def test_bpe_stops_below_min_pair_count(spark):
     assert merges == []
     # vocab is exactly the alphabet pieces
     assert "a" in vocab and "##b" in vocab and "g" in vocab
+
+
+def test_bpe_rejects_nonpositive_checkpoint_every(spark):
+    docs = spark.createDataFrame([Row(doc_id=1, text="aa aa")])
+    from mpg_data_warehouse_spark.operators.tokenize import learn_bpe_vocab
+
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        learn_bpe_vocab(docs, checkpoint_every=0)
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        learn_bpe_vocab(docs, checkpoint_every=-1)

@@ -928,3 +928,54 @@ def test_column_stats_metadata_only_and_version_pinned(spark, tmp_path):
     assert txlog.column_stats(t, version=0)["cust_id"] == (0, 4)
     txlog.delete(spark, t, "cust_id >= 90")
     assert txlog.column_stats(t)["cust_id"] == (0, 4)
+
+
+def test_cdf_diff_null_payload_is_layout_independent(spark, tmp_path):
+    """A NULL-payload row must not leak into a CDF-derived change
+    report: untouched NULL rows never enter the feed, and a
+    rewritten-but-unchanged NULL row self-cancels ONLY under a
+    null-safe (eqNullSafe) payload anti-join — the plain anti-join
+    would tag it changed whenever footer-stats pruning happened to
+    rewrite its file (layout-dependent output)."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    sch = StructType(
+        [
+            StructField("cust_id", LongType()),
+            StructField("segment", StringType()),
+            StructField("balance", DoubleType()),
+        ]
+    )
+    t = str(tmp_path / "t")
+    # file A: ids 1-3, id 2 has NULL balance (will be rewritten by merge)
+    txlog.create(
+        spark,
+        t,
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "a", None), (3, "a", 30.0)], sch
+        ).coalesce(1),
+    )
+    # file B: id 10 NULL balance, untouched by the merge (stats-pruned)
+    txlog.append(
+        spark, t, spark.createDataFrame([(10, "b", None)], sch).coalesce(1)
+    )
+    txlog.merge(
+        spark,
+        t,
+        spark.createDataFrame([(1, "a", 99.0)], sch),
+        keys=["cust_id"],
+    )
+    ch = txlog.read_changes(spark, t, from_version=1)
+    ins = ch.filter(F.col("_change_type") == "insert").alias("l")
+    dels = (
+        ch.filter(F.col("_change_type") == "delete")
+        .select("cust_id", "balance")
+        .alias("r")
+    )
+    cond = F.col("l.cust_id").eqNullSafe(F.col("r.cust_id")) & F.col(
+        "l.balance"
+    ).eqNullSafe(F.col("r.balance"))
+    changed = ins.join(dels, cond, "left_anti")
+    assert {r.cust_id for r in changed.collect()} == {1}
