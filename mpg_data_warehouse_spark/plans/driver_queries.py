@@ -2810,6 +2810,13 @@ def user_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE h.s_suppkey = o.s_suppkey
         AND h.s_acctbal IS NOT DISTINCT FROM o.s_acctbal
     )
+    UNION ALL
+    SELECT s_suppkey % 10 AS s_suppkey,
+           'ROLLUP_' || CAST(s_suppkey % 10 AS VARCHAR) AS s_name,
+           CAST(sum(s_suppkey) AS DOUBLE) AS s_acctbal,
+           'rollup_n=' || CAST(count(*) AS VARCHAR) AS change_tag
+    FROM head
+    GROUP BY s_suppkey % 10
     """,
 )
 def txlog_merge_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2824,6 +2831,15 @@ def txlog_merge_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged-UNION shape, previously covered by union_only_in). The
     oracle reconstructs MERGE semantics in pure SQL.
 
+    Round 6 additionally folds txlog.incremental_rollup under the same
+    hash: a SUM/COUNT rollup grouped on a derived ``grp`` column is
+    bootstrapped at version 0 (full scan) and then maintained through
+    the CDF-delta path after the MERGE (only added/removed files are
+    read; deletions contribute negated partials). The rollup rows are
+    unioned into the report and the oracle recomputes them as a plain
+    GROUP BY over the reconstructed head — the hash match is the
+    external proof that bootstrap + delta maintenance ≡ full rescan.
+
     Each invocation builds its table in a fresh temp dir: commits,
     data-file writes, log replay, and both snapshot reads all execute
     for real; the returned frame lazily reads the committed files."""
@@ -2832,10 +2848,17 @@ def txlog_merge_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mpg_data_warehouse_spark.sources import txlog
 
     supplier = _t(spark, sf_dir, "supplier").select(
-        "s_suppkey", "s_name", "s_acctbal"
+        "s_suppkey",
+        "s_name",
+        "s_acctbal",
+        (F.col("s_suppkey") % 10).alias("grp"),
     )
     table = tempfile.mkdtemp(prefix="txlog_contract_")
+    rollup_path = tempfile.mkdtemp(prefix="txlog_rollup_")
     txlog.create(spark, table, supplier)
+    rollup_args = (["grp"], {"key_sum": "s_suppkey", "n": "1"})
+    # bootstrap the rollup over version 0 (full scan)...
+    txlog.incremental_rollup(spark, table, rollup_path, *rollup_args)
     updates = (
         supplier.filter(F.col("s_suppkey") % 3 == 0)
         .withColumn("s_acctbal", F.round(F.col("s_acctbal") + 1000.0, 2))
@@ -2844,10 +2867,24 @@ def txlog_merge_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("s_suppkey") + 1000000).alias("s_suppkey"),
                 F.concat(F.lit("NEW_"), F.col("s_name")).alias("s_name"),
                 F.lit(0.0).alias("s_acctbal"),
+                F.col("grp"),
             )
         )
     )
     txlog.merge(spark, table, updates, keys=["s_suppkey"])
+    # ...then maintain it through the CDF-delta path: only the files
+    # the MERGE added/removed are read, deletes as negated partials
+    txlog.incremental_rollup(spark, table, rollup_path, *rollup_args)
+    rollup = txlog.read(spark, rollup_path).select(
+        F.col("grp").alias("s_suppkey"),
+        F.concat(F.lit("ROLLUP_"), F.col("grp").cast("string")).alias(
+            "s_name"
+        ),
+        F.col("key_sum").cast("double").alias("s_acctbal"),
+        F.concat(F.lit("rollup_n="), F.col("n").cast("string")).alias(
+            "change_tag"
+        ),
+    )
     pay = ["s_suppkey", "s_acctbal"]
     # new_or_changed side derives from the CHANGE DATA FEED (r6):
     # read_changes surfaces only the files the MERGE touched as
@@ -2896,7 +2933,7 @@ def txlog_merge_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_acctbal",
         F.lit("replaced").alias("change_tag"),
     )
-    return new_or_changed.unionByName(replaced)
+    return new_or_changed.unionByName(replaced).unionByName(rollup)
 
 
 @_q(
