@@ -112,6 +112,47 @@ def _wordpiece_expr(
     )
 
 
+def _match_len(piece: str) -> int:
+    """Characters of the WORD a piece consumes when matched (the
+    ``##`` continuation prefix is surface convention, not content)."""
+    return len(piece) - 2 if piece.startswith("##") else len(piece)
+
+
+def _check_piece_lengths(vocab, max_piece_len: int) -> None:
+    """Raise when a vocab piece can NEVER match because the greedy
+    scanner only probes candidate lengths up to ``max_piece_len`` —
+    otherwise the piece is silently dead (the word decomposes into
+    shorter pieces or [UNK]) and the bug is invisible."""
+    if isinstance(vocab, DataFrame):
+        p = F.col(vocab.columns[0])
+        row = (
+            vocab.select(
+                F.max(
+                    F.length(p)
+                    - F.when(p.startswith("##"), F.lit(2)).otherwise(F.lit(0))
+                ).alias("_m")
+            ).first()
+        )
+        longest = row["_m"] or 0
+        if longest > max_piece_len:
+            raise ValueError(
+                f"vocab contains a piece matching {longest} chars but "
+                f"max_piece_len={max_piece_len}: it would never match. "
+                "Raise max_piece_len (learn_bpe_vocab can emit pieces "
+                "up to its max_word_len)."
+            )
+    else:
+        for piece in vocab:
+            if _match_len(str(piece)) > max_piece_len:
+                raise ValueError(
+                    f"vocab piece {piece!r} matches "
+                    f"{_match_len(str(piece))} chars but "
+                    f"max_piece_len={max_piece_len}: it would never "
+                    "match. Raise max_piece_len (learn_bpe_vocab can "
+                    "emit pieces up to its max_word_len)."
+                )
+
+
 def _vocab_map(vocab, spark) -> DataFrame:
     """One-row frame holding the vocab as map<piece, 1>."""
     if isinstance(vocab, DataFrame):
@@ -137,7 +178,10 @@ def tokenize_words(
     unk: str = DEFAULT_UNK,
 ) -> DataFrame:
     """(word → pieces) at word grain — the memoizable core. ``vocab``
-    is a piece list or a one-column DataFrame of pieces."""
+    is a piece list or a one-column DataFrame of pieces. Raises if any
+    vocab piece exceeds ``max_piece_len`` match characters (it could
+    never be emitted — see ``_check_piece_lengths``)."""
+    _check_piece_lengths(vocab, max_piece_len)
     vmap = _vocab_map(vocab, words.sparkSession)
     return words.crossJoin(F.broadcast(vmap)).withColumn(
         out_col,
@@ -237,7 +281,12 @@ def learn_bpe_vocab(
     pair reaches ``min_pair_count``. Returns ``(merges, vocab)`` —
     merges as (left, right, merged) in application order, and the
     vocab (alphabet pieces + merged pieces) directly consumable by
-    ``subword_tokenize``/``tokenize_words``.
+    ``subword_tokenize``/``tokenize_words``. Learned pieces can grow
+    up to ``max_word_len`` match characters, while the tokenizers
+    default ``max_piece_len=16`` — pass them
+    ``max_piece_len=max_word_len`` (or the actual longest piece) when
+    consuming a learned vocab; ``tokenize_words`` raises on the
+    mismatch rather than silently never matching the long pieces.
 
     Pieces use the WordPiece surface convention (word-initial
     verbatim, continuations ``##``-prefixed), so greedy

@@ -688,8 +688,21 @@ def write_avro(
     ``path`` only after the whole job succeeds — a retried/re-run or
     half-failed write can never leave duplicate rows visible under
     the target. ``mode="error"`` (default) refuses an existing
-    non-empty target; ``mode="overwrite"`` swaps it out atomically
-    (two-rename ``swap_into_place``)."""
+    non-empty target and installs via an EXCLUSIVE single rename (the
+    kernel refuses an occupied target — no check-then-install race);
+    ``mode="overwrite"`` swaps it out atomically (two-rename
+    ``swap_into_place``).
+
+    Deployment constraint: the staging directory is created by the
+    DRIVER and part files are ``open()``-ed by EXECUTOR tasks — the
+    write path therefore requires a filesystem shared by driver and
+    executors (local mode, NFS, HDFS/fuse mounts). Each task probes
+    the staging dir and fails fast with a clear error on
+    object-store-only clusters (where there is no shared POSIX path);
+    there, write to a mounted path or a custom ``StorageBackend``
+    whose paths all sides can reach. The READ path has no such
+    constraint — ``read_avro`` goes through Spark's ``binaryFile``
+    source and works wherever Spark can read."""
     from mpg_data_warehouse_spark.sources.writers import swap_into_place
 
     if mode not in ("error", "overwrite"):
@@ -717,6 +730,13 @@ def write_avro(
         import pyarrow as pa
         from pyspark import TaskContext
 
+        if not os.path.isdir(staging):
+            raise RuntimeError(
+                f"write_avro: staging dir {staging!r} is not visible "
+                "from this executor — the write path requires a "
+                "filesystem shared by driver and executors (see "
+                "write_avro docstring); reads are unaffected"
+            )
         rows: list[dict] = []
         for batch in batches:
             for rec in batch.to_pylist():
@@ -752,11 +772,17 @@ def write_avro(
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
         raise
-    if mode == "error" and _target_occupied():
-        # raced by another writer while the job ran
-        shutil.rmtree(staging, ignore_errors=True)
-        raise FileExistsError(
-            f"write_avro: target {path!r} became non-empty during the "
-            "write; nothing was installed"
-        )
-    swap_into_place(staging, target)
+    if mode == "error":
+        # EXCLUSIVE install: one rename the kernel refuses if the
+        # target became occupied while the job ran — no window in
+        # which concurrent pre-existing data could be renamed away
+        try:
+            swap_into_place(staging, target, if_absent=True)
+        except FileExistsError:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise FileExistsError(
+                f"write_avro: target {path!r} became non-empty during "
+                "the write; nothing was installed"
+            ) from None
+    else:
+        swap_into_place(staging, target)

@@ -43,9 +43,21 @@ def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
             raise ValueError("snappy: varint too long")
 
 
-def decompress(data: bytes) -> bytes:
-    """Decode one Snappy block-format stream."""
+def decompress(data: bytes, max_length: int | None = None) -> bytes:
+    """Decode one Snappy block-format stream.
+
+    The output is bounded as it grows: any element that would push the
+    decoded size past the header-declared length fails IMMEDIATELY, so
+    a malformed/hostile stream (5-byte copy tags emit up to 64 bytes
+    each, ~32x amplification) cannot materialize more than ``want``
+    bytes before the error. ``max_length`` additionally caps the
+    header-declared length itself for callers decoding untrusted data.
+    """
     want, pos = _read_varint(data, 0)
+    if max_length is not None and want > max_length:
+        raise ValueError(
+            f"snappy: declared length {want} exceeds cap {max_length}"
+        )
     out = bytearray()
     n = len(data)
     while pos < n:
@@ -63,6 +75,8 @@ def decompress(data: bytes) -> bytes:
             ln += 1
             if pos + ln > n:
                 raise ValueError("snappy: truncated literal")
+            if len(out) + ln > want:
+                raise ValueError("snappy: output exceeds declared length")
             out += data[pos:pos + ln]
             pos += ln
             continue
@@ -86,6 +100,8 @@ def decompress(data: bytes) -> bytes:
             pos += 5
         if offset == 0 or offset > len(out):
             raise ValueError("snappy: copy offset out of range")
+        if len(out) + ln > want:
+            raise ValueError("snappy: output exceeds declared length")
         # copies may OVERLAP the output head (offset < length is the
         # RLE idiom) — byte-at-a-time semantics, chunked per offset
         start = len(out) - offset

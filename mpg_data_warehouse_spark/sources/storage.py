@@ -62,7 +62,14 @@ class StorageBackend:
         """Remove everything under ``prefix``; absent prefix is a no-op."""
         raise NotImplementedError
 
-    def install_dir(self, staging: str, live: str) -> None:
+    def install_dir(
+        self, staging: str, live: str, if_absent: bool = False
+    ) -> None:
+        """Publish ``staging`` at ``live`` atomically. With
+        ``if_absent=True`` the install must FAIL (``FileExistsError``)
+        when ``live`` is already occupied, atomically — no window in
+        which concurrent pre-existing data is renamed away (the
+        error-mode write contract)."""
         raise NotImplementedError
 
 
@@ -103,7 +110,9 @@ class LocalFSStorageBackend(StorageBackend):
     def delete_prefix(self, prefix: str) -> None:
         shutil.rmtree(prefix, ignore_errors=True)
 
-    def install_dir(self, staging: str, live: str) -> None:
+    def install_dir(
+        self, staging: str, live: str, if_absent: bool = False
+    ) -> None:
         """Two renames: live → live__old, staging → live, then delete
         live__old. The path never holds a half-written table — at
         every instant it resolves to the complete old data, the
@@ -112,7 +121,26 @@ class LocalFSStorageBackend(StorageBackend):
         process dies mid-swap both complete copies remain on disk
         (live__old and/or staging) for manual recovery. On a bare
         object store directory "rename" is copy+delete — use the
-        txlog table format or an output committer there instead."""
+        txlog table format or an output committer there instead.
+
+        ``if_absent=True`` takes the EXCLUSIVE path: one
+        ``os.rename(staging, live)``, which the kernel refuses
+        (ENOTEMPTY/EEXIST) when ``live`` holds data — closing the
+        check-then-install TOCTOU window; data that appeared
+        concurrently is never renamed away. An EMPTY pre-existing
+        directory at ``live`` counts as absent (rename replaces it),
+        matching the occupied-target definition of the callers."""
+        if if_absent:
+            try:
+                os.rename(staging, live)
+            except FileNotFoundError:
+                raise  # missing staging/parent is a caller bug, not a race
+            except OSError as exc:
+                raise FileExistsError(
+                    f"install_dir: target {live!r} is occupied; "
+                    "nothing was installed"
+                ) from exc
+            return
         old = live.rstrip("/") + "__old"
         shutil.rmtree(old, ignore_errors=True)
         had_live = os.path.exists(live)

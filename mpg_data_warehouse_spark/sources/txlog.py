@@ -56,6 +56,8 @@ from pyspark.sql import functions as F
 
 LOG_DIR = "_txlog"
 CHECKPOINT_EVERY = 10
+# rollup maintenance column: signed live-row count per group
+_NROWS = "__nrows"
 _COMMIT_RE = re.compile(r"^(\d{8})\.json$")
 
 
@@ -1127,7 +1129,16 @@ def incremental_rollup(
     file rewrites are bounded by the rollup's own (group-sized, small)
     table. The full-table groupBy never runs again after bootstrap.
     Returns the source version the rollup now reflects.
+
+    The rollup table carries a maintenance column ``__nrows`` (signed
+    live-row count per group); groups whose every source row has been
+    deleted merge to ``__nrows = 0`` and are DROPPED, so the rollup
+    stays row-for-row identical to a from-scratch ``GROUP BY`` of the
+    live table — without it a fully-deleted group would survive as a
+    zero-valued phantom row.
     """
+    if _NROWS in agg_exprs or _NROWS in group_cols:
+        raise ValueError(f"{_NROWS!r} is reserved for rollup maintenance")
     src_head = latest_version(table)
     last = None
     if latest_version(rollup_path) >= 0:
@@ -1138,12 +1149,15 @@ def incremental_rollup(
                 break
     state = snapshot_state(table)
 
+    out_cols = [*agg_exprs, _NROWS]
+
     def partials(df: DataFrame, sign: int) -> DataFrame:
         return df.groupBy(*group_cols).agg(
             *[
                 F.sum(F.expr(src) * F.lit(sign)).alias(out)
                 for out, src in agg_exprs.items()
-            ]
+            ],
+            F.sum(F.lit(sign)).alias(_NROWS),
         )
 
     if last is None:
@@ -1157,7 +1171,7 @@ def incremental_rollup(
         ).unionByName(partials(_read_files(spark, table, state, removed), -1))
         # collapse the union so the merge sees one row per group
         delta = delta.groupBy(*group_cols).agg(
-            *[F.sum(out).alias(out) for out in agg_exprs]
+            *[F.sum(out).alias(out) for out in out_cols]
         )
 
     if latest_version(rollup_path) < 0:
@@ -1175,11 +1189,23 @@ def incremental_rollup(
         return src_head
 
     current = read(spark, rollup_path)
-    merged = (
-        current.unionByName(delta)
-        .groupBy(*group_cols)
-        .agg(*[F.sum(out).alias(out) for out in agg_exprs])
-    )
+    if _NROWS not in current.columns:
+        # legacy rollup built before the maintenance column existed:
+        # fully-deleted groups cannot be detected, carry them as-is
+        merged = (
+            current.unionByName(delta.drop(_NROWS))
+            .groupBy(*group_cols)
+            .agg(*[F.sum(out).alias(out) for out in agg_exprs])
+        )
+    else:
+        merged = (
+            current.unionByName(delta)
+            .groupBy(*group_cols)
+            .agg(*[F.sum(out).alias(out) for out in out_cols])
+            # a group whose live-row count cancelled to 0 has no source
+            # rows left — drop it, matching a from-scratch GROUP BY
+            .where(F.col(_NROWS) > 0)
+        )
     rstate = snapshot_state(rollup_path)
     adds = _write_data_files(merged, rollup_path, rstate["partition_by"])
     removed_files = set(rstate["files"])

@@ -95,7 +95,7 @@ def file_stats(df: DataFrame) -> DataFrame:
     )
 
 
-def swap_into_place(tmp: str, live: str) -> None:
+def swap_into_place(tmp: str, live: str, if_absent: bool = False) -> None:
     """Install a fully-written staging directory as the live table via
     two renames: live → live__old, tmp → live, then delete live__old.
 
@@ -115,7 +115,7 @@ def swap_into_place(tmp: str, live: str) -> None:
         get_storage_backend,
     )
 
-    get_storage_backend().install_dir(tmp, live)
+    get_storage_backend().install_dir(tmp, live, if_absent=if_absent)
 
 
 def compact_table(

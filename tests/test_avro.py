@@ -359,3 +359,27 @@ def test_snappy_varint_rejects_six_bytes():
     five = bytes([0x80, 0x80, 0x80, 0x80, 0x01])
     val, pos = snappy_codec._read_varint(five, 0)
     assert val == 1 << 28 and pos == 5
+
+
+def test_snappy_decompress_bounds_output_as_it_grows():
+    """A stream whose elements overshoot the declared length must fail
+    BEFORE materializing the over-long output (copy-tag amplification
+    guard), and max_length caps the declared size itself."""
+    from mpg_data_warehouse_spark.sources import snappy_codec
+
+    # declared length 4, literal 'ab', then an RLE copy of len 8:
+    # would reach 10 > 4 — must raise at the copy, not at the end
+    bad = bytes([4]) + bytes([1 << 2]) + b"ab" + bytes(
+        [(0b01) | (4 << 2)]  # copy-1: len 4+4=8, offset high bits 0
+    ) + bytes([1])  # offset 1
+    with pytest.raises(ValueError, match="exceeds declared length"):
+        snappy_codec.decompress(bad)
+    # a literal overshooting the declared length fails the same way
+    bad_lit = bytes([1]) + bytes([2 << 2]) + b"abc"
+    with pytest.raises(ValueError, match="exceeds declared length"):
+        snappy_codec.decompress(bad_lit)
+    # max_length rejects an honest-but-huge declared size up front
+    ok = snappy_codec.compress_literal(b"x" * 100)
+    assert snappy_codec.decompress(ok, max_length=100) == b"x" * 100
+    with pytest.raises(ValueError, match="exceeds cap"):
+        snappy_codec.decompress(ok, max_length=99)

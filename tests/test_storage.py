@@ -10,6 +10,7 @@ import os
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from mpg_data_warehouse_spark.sources.storage import (
     LocalFSStorageBackend,
@@ -47,7 +48,9 @@ class RecordingBackend(LocalFSStorageBackend):
             del self.texts[k]
         super().delete_prefix(prefix)
 
-    def install_dir(self, staging: str, live: str) -> None:
+    def install_dir(
+        self, staging: str, live: str, if_absent: bool = False
+    ) -> None:
         self.calls.append(("install_dir", live))
         if self._fail_install:
             # simulate a contended install: first attempt loses the
@@ -55,7 +58,7 @@ class RecordingBackend(LocalFSStorageBackend):
             # live path intact, and a retry must succeed
             self._fail_install = False
             raise OSError("simulated install contention")
-        super().install_dir(staging, live)
+        super().install_dir(staging, live, if_absent=if_absent)
 
 
 @pytest.fixture()
@@ -151,6 +154,52 @@ def test_contended_install_fails_loudly_then_retries(spark, tmp_path):
         assert [c for c, _ in fake.calls].count("install_dir") == 2
     finally:
         set_storage_backend(prev)
+
+
+def test_exclusive_install_refuses_occupied_target(tmp_path):
+    """if_absent=True: the install is ONE rename the kernel refuses if
+    the target is occupied — data that appeared between a caller's
+    pre-check and the install can never be renamed away (the
+    write_avro mode='error' TOCTOU contract)."""
+    from mpg_data_warehouse_spark.sources.storage import (
+        LocalFSStorageBackend,
+    )
+
+    b = LocalFSStorageBackend()
+    live = tmp_path / "live"
+    live.mkdir()
+    (live / "theirs.txt").write_text("concurrent")
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    (stage / "mine.txt").write_text("new")
+    with pytest.raises(FileExistsError, match="occupied"):
+        b.install_dir(str(stage), str(live), if_absent=True)
+    # the concurrent data survives untouched, staging is intact
+    assert (live / "theirs.txt").read_text() == "concurrent"
+    assert (stage / "mine.txt").read_text() == "new"
+    # an EMPTY pre-existing dir counts as absent: install succeeds
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    b.install_dir(str(stage), str(empty), if_absent=True)
+    assert (empty / "mine.txt").read_text() == "new"
+    assert not stage.exists()
+
+
+def test_write_avro_error_mode_exclusive_install(spark, tmp_path):
+    """End-to-end: mode='error' against a target that fills up during
+    the job raises and never disturbs the concurrent data."""
+    from mpg_data_warehouse_spark.sources.avro_ocf import (
+        read_avro,
+        write_avro,
+    )
+
+    df = spark.range(5).select(F.col("id").cast("long").alias("v"))
+    out = tmp_path / "tbl"
+    write_avro(df, str(out))  # plain error-mode install works
+    assert read_avro(spark, str(out)).count() == 5
+    with pytest.raises(FileExistsError):
+        write_avro(df, str(out))  # now occupied
+    assert read_avro(spark, str(out)).count() == 5
 
 
 def test_no_direct_filesystem_io_in_index_modules():

@@ -163,6 +163,29 @@ def test_weird_column_names_are_quoted(spark):
         tokenize_words(bad, VOCAB, word_col="wo`rd")
 
 
+def test_overlong_vocab_piece_raises(spark):
+    """A piece the greedy scanner can never probe (match length >
+    max_piece_len) must raise, not silently never match."""
+    words = spark.createDataFrame([Row(word="hi")])
+    long_piece = "x" * 20
+    with pytest.raises(ValueError, match="never match"):
+        tokenize_words(words, ["h", "##i", long_piece], max_piece_len=16)
+    # a ##-prefixed piece only consumes len-2 chars: 18 chars OK at 16
+    ok = ["h", "##i", "##" + "y" * 16]
+    assert tokenize_words(words, ok, max_piece_len=16).count() == 1
+    # DataFrame vocab path checks too
+    vdf = spark.createDataFrame([Row(piece=p) for p in ["h", long_piece]])
+    with pytest.raises(ValueError, match="never match"):
+        tokenize_words(words, vdf, max_piece_len=16)
+    # sized correctly, the long piece is usable
+    got = tokenize_words(
+        spark.createDataFrame([Row(word=long_piece)]),
+        ["h", long_piece],
+        max_piece_len=20,
+    ).collect()
+    assert got[0].pieces == [long_piece]
+
+
 # --- BPE vocab learning -------------------------------------------------
 
 

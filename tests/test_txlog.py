@@ -409,6 +409,33 @@ def test_incremental_rollup_handles_deletes(spark, tmp_path):
     assert {r.segment: (r.total, r.n) for r in fresh} == {"a": (10.0, 2)}
 
 
+def test_incremental_rollup_drops_fully_deleted_group(spark, tmp_path):
+    """A group whose every source row is deleted must VANISH from the
+    rollup (matching a fresh GROUP BY), not survive as a zero row."""
+    t = str(tmp_path / "t")
+    roll = str(tmp_path / "roll")
+    a = _mk(spark, range(3)).coalesce(1)
+    b = _mk(spark, range(100, 103), seg="b").coalesce(1)
+    txlog.create(spark, t, a)
+    txlog.append(spark, t, b)
+    txlog.incremental_rollup(
+        spark, t, roll, ["segment"], {"total": "balance", "n": "1"}
+    )
+    txlog.delete(spark, t, "segment = 'b'")  # wipes group b entirely
+    txlog.incremental_rollup(
+        spark, t, roll, ["segment"], {"total": "balance", "n": "1"}
+    )
+    got = {r.segment: (r.total, r.n) for r in txlog.read(spark, roll).collect()}
+    assert got == {"a": (30.0, 3)}  # no phantom zero-row for 'b'
+    fresh = (
+        txlog.read(spark, t)
+        .groupBy("segment")
+        .agg(F.sum("balance").alias("total"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert {r.segment: (r.total, r.n) for r in fresh} == got
+
+
 def test_cluster_by_compaction_sharpens_pruning(spark, tmp_path):
     """After OPTIMIZE with cluster_by, files own disjoint key slices:
     a point merge touches exactly one file, and read_pruned skips the
