@@ -293,14 +293,17 @@ def write_keybucket_table(
     """Materialize ``df`` partitioned by the key-hash bucket and record
     ``(keys, n_buckets)`` in a manifest, so later merges can't silently
     use a different bucketing (which would orphan stale rows)."""
-    import json
     import os
+
+    from mpg_data_warehouse_spark.sources.storage import write_json_atomic
 
     with_key_bucket(df, keys, n_buckets).write.mode("overwrite").partitionBy(
         BUCKET_COL
     ).parquet(table_path)
-    with open(os.path.join(table_path, _BUCKET_META), "w") as f:
-        json.dump({"keys": keys, "n_buckets": n_buckets}, f)
+    write_json_atomic(
+        os.path.join(table_path, _BUCKET_META),
+        {"keys": keys, "n_buckets": n_buckets},
+    )
 
 
 def read_keybucket_table(spark: SparkSession, table_path: str) -> DataFrame:
@@ -309,11 +312,11 @@ def read_keybucket_table(spark: SparkSession, table_path: str) -> DataFrame:
 
 
 def _bucket_meta(table_path: str) -> dict:
-    import json
     import os
 
-    with open(os.path.join(table_path, _BUCKET_META)) as f:
-        return json.load(f)
+    from mpg_data_warehouse_spark.sources.storage import read_json
+
+    return read_json(os.path.join(table_path, _BUCKET_META))
 
 
 def merge_upsert_bucketed(

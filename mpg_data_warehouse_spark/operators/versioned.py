@@ -15,7 +15,6 @@ paid for its extract-job backups.
 
 from __future__ import annotations
 
-import json
 import os
 import re
 
@@ -54,13 +53,15 @@ def rollback(
 ) -> None:
     """Restore the table to a snapshot, staged through a temp path so
     the snapshot is never read while the table is being overwritten."""
-    import shutil
+    from mpg_data_warehouse_spark.sources.storage import (
+        get_storage_backend,
+    )
 
     snap = read_version(spark, versions_dir, version)
     tmp = table_path.rstrip("/") + "__rollback_tmp"
     snap.write.mode("overwrite").parquet(tmp)
     spark.read.parquet(tmp).write.mode("overwrite").parquet(table_path)
-    shutil.rmtree(tmp, ignore_errors=True)
+    get_storage_backend().delete_prefix(tmp)
 
 
 def prune_versions(versions_dir: str, keep_last: int) -> list[str]:
@@ -69,14 +70,17 @@ def prune_versions(versions_dir: str, keep_last: int) -> list[str]:
     the deleted version ids. Never touches the live table; refuses
     nonsensical retention (keep_last < 1) rather than silently wiping
     every restore point."""
-    import shutil
+    from mpg_data_warehouse_spark.sources.storage import (
+        get_storage_backend,
+    )
 
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1 (refusing to delete all restore points)")
     versions = list_versions(versions_dir)
     doomed = versions[:-keep_last] if len(versions) > keep_last else []
+    backend = get_storage_backend()
     for vid in doomed:
-        shutil.rmtree(os.path.join(versions_dir, vid))
+        backend.delete_prefix(os.path.join(versions_dir, vid))
     return doomed
 
 
@@ -150,15 +154,16 @@ def snapshot_partitions(
         )
     else:
         os.makedirs(dest, exist_ok=True)
-    with open(os.path.join(dest, _MANIFEST), "w") as f:
-        json.dump(
-            {
-                "partition_cols": list(partition_cols),
-                "touched": touched,
-                "existed": existing_parts,
-            },
-            f,
-        )
+    from mpg_data_warehouse_spark.sources.storage import write_json_atomic
+
+    write_json_atomic(
+        os.path.join(dest, _MANIFEST),
+        {
+            "partition_cols": list(partition_cols),
+            "touched": touched,
+            "existed": existing_parts,
+        },
+    )
     return vid
 
 
@@ -172,15 +177,16 @@ def rollback_partitions(
     partitions it captured back into the table, and DELETE touched
     partitions that did not exist pre-mutation (the failed mutation
     created them). Untouched partitions' files are never rewritten."""
-    import shutil
-
     from mpg_data_warehouse_spark.operators.append import (
         overwrite_partitions,
     )
+    from mpg_data_warehouse_spark.sources.storage import (
+        get_storage_backend,
+        read_json,
+    )
 
     vdir = os.path.join(versions_dir, version)
-    with open(os.path.join(vdir, _MANIFEST)) as f:
-        manifest = json.load(f)
+    manifest = read_json(os.path.join(vdir, _MANIFEST))
     part_cols = tuple(manifest["partition_cols"])
     existed = manifest["existed"]
     if existed:
@@ -188,10 +194,11 @@ def rollback_partitions(
             spark, spark.read.parquet(vdir), table_path, part_cols
         )
     existed_dirs = {_partition_dir(table_path, p) for p in existed}
+    backend = get_storage_backend()
     for p in manifest["touched"]:
         d = _partition_dir(table_path, p)
         if d not in existed_dirs:
-            shutil.rmtree(d, ignore_errors=True)
+            backend.delete_prefix(d)
 
 
 def merge_upsert_with_backup(

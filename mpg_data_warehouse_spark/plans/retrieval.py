@@ -37,11 +37,14 @@ RETRIEVAL_META = "_retrieval_meta.json"
 
 
 def _write_retrieval_meta(index_path: str, dim: int, hash_fn: str) -> None:
-    import json
     import os
 
-    with open(os.path.join(index_path, RETRIEVAL_META), "w") as fh:
-        json.dump({"dim": dim, "hash_fn": hash_fn}, fh)
+    from mpg_data_warehouse_spark.sources.storage import write_json_atomic
+
+    write_json_atomic(
+        os.path.join(index_path, RETRIEVAL_META),
+        {"dim": dim, "hash_fn": hash_fn},
+    )
 
 
 def _resolve_encoder(index_path: str, dim: int, hash_fn: str):
@@ -51,14 +54,17 @@ def _resolve_encoder(index_path: str, dim: int, hash_fn: str):
     class the search-index n_buckets sidecar closes. Explicit caller
     values are validated against the sidecar; older indexes without
     one keep the caller's values."""
-    import json
     import os
 
+    from mpg_data_warehouse_spark.sources.storage import (
+        get_storage_backend,
+        read_json,
+    )
+
     meta_path = os.path.join(index_path, RETRIEVAL_META)
-    if not os.path.exists(meta_path):
+    if not get_storage_backend().exists(meta_path):
         return dim, hash_fn
-    with open(meta_path) as fh:
-        meta = json.load(fh)
+    meta = read_json(meta_path)
     if dim != meta["dim"] or hash_fn != meta["hash_fn"]:
         raise ValueError(
             f"index at {index_path} was built with dim={meta['dim']}, "

@@ -132,7 +132,9 @@ def compact_table(
     restores ``maxPartitionBytes``-sized splits. Partitioned tables
     should compact per partition (compose with
     ``overwrite_partitions``)."""
-    import shutil
+    from mpg_data_warehouse_spark.sources.storage import (
+        get_storage_backend,
+    )
 
     df = spark.read.parquet(path)
     n_before = df.count()
@@ -140,7 +142,7 @@ def compact_table(
     df.repartition(target_files).write.mode("overwrite").parquet(tmp)
     n_after = spark.read.parquet(tmp).count()
     if n_after != n_before:
-        shutil.rmtree(tmp, ignore_errors=True)
+        get_storage_backend().delete_prefix(tmp)
         raise RuntimeError(
             f"compaction row mismatch: {n_before} -> {n_after}; aborted"
         )

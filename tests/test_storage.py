@@ -156,6 +156,72 @@ def test_contended_install_fails_loudly_then_retries(spark, tmp_path):
         set_storage_backend(prev)
 
 
+def test_retrieval_keybucket_versioned_route_through_backend(
+    spark, tmp_path, fake_backend
+):
+    """Round-7 seam completion: the retrieval meta sidecar, the
+    keybucket manifest, and the versioned snapshot manifest/deletes
+    all go through the injected backend (sidecar text lives ONLY in
+    the fake's dict — a bypassing open() hard-fails)."""
+    from mpg_data_warehouse_spark.operators.append import (
+        merge_upsert_bucketed,
+        write_keybucket_table,
+    )
+    from mpg_data_warehouse_spark.operators.versioned import (
+        rollback_partitions,
+        snapshot_partitions,
+    )
+    from mpg_data_warehouse_spark.plans.retrieval import (
+        _resolve_encoder,
+        build_retrieval_index,
+    )
+
+    # --- retrieval: meta sidecar written + read via the backend
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"alpha beta gamma delta doc {i}") for i in range(6)]
+    )
+    idx = str(tmp_path / "ridx")
+    build_retrieval_index(
+        docs, idx, str(tmp_path / "chunks"), dim=8, n_centroids=2
+    )
+    assert any(k.endswith("_retrieval_meta.json") for k in fake_backend.texts)
+    assert _resolve_encoder(idx, 8, "xxhash64") == (8, "xxhash64")
+    with pytest.raises(ValueError, match="different feature space"):
+        _resolve_encoder(idx, 16, "xxhash64")
+
+    # --- keybucket: manifest written + validated via the backend
+    base = spark.createDataFrame([Row(k=i, v=i * 10) for i in range(20)])
+    tbl = str(tmp_path / "kb")
+    write_keybucket_table(base, tbl, ["k"], n_buckets=4)
+    assert any(k.startswith(tbl) for k in fake_backend.texts)
+    upd = spark.createDataFrame([Row(k=1, v=999)])
+    merge_upsert_bucketed(spark, upd, tbl)
+    got = {r.k: r.v for r in spark.read.parquet(tbl).collect()}
+    assert got[1] == 999 and got[5] == 50
+
+    # --- versioned: partition snapshot manifest + created-partition
+    # delete on rollback, all through the backend
+    t = str(tmp_path / "ptab")
+    spark.createDataFrame(
+        [Row(p="a", v=1), Row(p="a", v=2)]
+    ).write.partitionBy("p").parquet(t)
+    vdir = str(tmp_path / "vers")
+    vid = snapshot_partitions(
+        spark, t, vdir, ("p",), [{"p": "a"}, {"p": "b"}]
+    )
+    assert any(k.endswith("_manifest.json") for k in fake_backend.texts)
+    # failed mutation CREATES partition b, then rollback must delete it
+    spark.createDataFrame([Row(p="b", v=9)]).write.mode("append").partitionBy(
+        "p"
+    ).parquet(t)
+    rollback_partitions(spark, t, vdir, vid)
+    assert not os.path.isdir(os.path.join(t, "p=b"))
+    deletes = [p for c, p in fake_backend.calls if c == "delete_prefix"]
+    assert any(p.endswith("p=b") for p in deletes)
+    vals = sorted(r.v for r in spark.read.parquet(t).collect())
+    assert vals == [1, 2]
+
+
 def test_exclusive_install_refuses_occupied_target(tmp_path):
     """if_absent=True: the install is ONE rename the kernel refuses if
     the target is occupied — data that appeared between a caller's
@@ -203,15 +269,33 @@ def test_write_avro_error_mode_exclusive_install(spark, tmp_path):
 
 
 def test_no_direct_filesystem_io_in_index_modules():
-    """The seam contract: index modules never open()/shutil index
-    paths directly (the data plane goes through Spark, the control
-    plane through the backend)."""
+    """The seam contract: control-plane modules never open()/shutil
+    their paths directly (the data plane goes through Spark, the
+    control plane through the backend) — BOTH patterns asserted
+    uniformly across EVERY module behind the seam, so a regression in
+    any one of them fails here instead of surviving to deployment."""
     import inspect
 
-    from mpg_data_warehouse_spark.operators import bloom, search, similarity
+    from mpg_data_warehouse_spark.operators import (
+        append,
+        bloom,
+        search,
+        similarity,
+        versioned,
+    )
+    from mpg_data_warehouse_spark.plans import retrieval
+    from mpg_data_warehouse_spark.sources import writers
 
-    for mod in (search, bloom):
+    seam_modules = (
+        search,
+        bloom,
+        similarity,
+        append,
+        versioned,
+        retrieval,
+        writers,
+    )
+    for mod in seam_modules:
         src = inspect.getsource(mod)
-        assert "shutil" not in src, mod.__name__
-        assert "open(" not in src, mod.__name__
-    assert "shutil" not in inspect.getsource(similarity)
+        assert "shutil" not in src, f"{mod.__name__}: direct shutil"
+        assert "open(" not in src, f"{mod.__name__}: direct open()"
