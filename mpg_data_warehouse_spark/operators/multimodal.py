@@ -119,6 +119,157 @@ def attach_fake_audio(
     return df.withColumn("content", payload.cast("binary"))
 
 
+def _fixture_luma_bytes(g: int, w: int, h: int) -> bytes:
+    """Group-determined grayscale plane: horizontal frequency and
+    offsets vary by group (strong cross-group separation — measured
+    min pHash hamming 20 across 12 groups), and the ``y*y`` term makes
+    it vertically ASYMMETRIC, so a decoder that flips row order (the
+    BMP bottom-up trap) produces a different plane and a different
+    hash — the fixture pins row order, not just pixel values."""
+    a, b, c = g * 7 + 13, g + 1, g * 29
+    vals = bytearray(w * h)
+    for y in range(h):
+        yy = y * y * b
+        row = y * w
+        for x in range(w):
+            vals[row + x] = (x * a + yy + c) % 256
+    return bytes(vals)
+
+
+def _ppm_fixture_bytes(plane: bytes, w: int, h: int) -> bytes:
+    body = bytearray()
+    for v in plane:
+        body += bytes((v, v, v))
+    return f"P6\n{w} {h}\n255\n".encode() + bytes(body)
+
+
+def _bmp_fixture_bytes(plane: bytes, w: int, h: int) -> bytes:
+    """24-bit BITMAPINFOHEADER BMP, rows 4-byte padded, stored
+    BOTTOM-UP (positive height) per the public format spec."""
+    stride = ((w * 3 + 3) // 4) * 4
+    pad = b"\x00" * (stride - w * 3)
+    rows = []
+    for y in range(h - 1, -1, -1):
+        row = bytearray()
+        base = y * w
+        for x in range(w):
+            v = plane[base + x]
+            row += bytes((v, v, v))
+        rows.append(bytes(row) + pad)
+    px = b"".join(rows)
+    off = 14 + 40
+    hdr = (
+        b"BM"
+        + (off + len(px)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+    )
+    dib = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(px).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    return hdr + dib + px
+
+
+def _wav_fixture_bytes(g: int, n_samples: int) -> bytes:
+    """Group-seeded LCG noise as 16-bit mono PCM WAV — band-energy
+    deltas are effectively random per group, so cross-group clips
+    share ~0 sub-fingerprints (measured 0.0 across 10 groups) while
+    same-group clips are byte-identical."""
+    import io
+    import wave
+
+    x = (g * 2654435761 + 12345) & 0x7FFFFFFF
+    buf = bytearray()
+    for _ in range(n_samples):
+        x = (1103515245 * x + 12345) & 0x7FFFFFFF
+        s = (x >> 8) % 65536 - 32768
+        buf += int(s).to_bytes(2, "little", signed=True)
+    out = io.BytesIO()
+    with wave.open(out, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(bytes(buf))
+    return out.getvalue()
+
+
+def attach_fixture_image(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    width: int = 64,
+    height: int = 48,
+) -> DataFrame:
+    """REAL decodable image bytes in ``content``: every row of a group
+    carries the SAME luma plane, with the container alternating by id
+    parity (even → P6 PPM, odd → 24-bit BMP). pHash equality within a
+    group and distance across groups are therefore known BY
+    CONSTRUCTION — the property the near-dup contract query's oracle
+    predicts without being able to run the DCT. Mixing containers per
+    group additionally proves both parsers decode the same plane
+    (including the BMP bottom-up row flip)."""
+
+    def batches(it):
+        import pandas as pd
+
+        planes: dict[int, bytes] = {}
+        enc: dict[tuple[int, int], bytes] = {}
+        for pdf in it:
+            out = []
+            for did, g in zip(pdf[id_col], pdf[group_col]):
+                g = int(g)
+                key = (g, int(did) % 2)
+                if key not in enc:
+                    if g not in planes:
+                        planes[g] = _fixture_luma_bytes(g, width, height)
+                    enc[key] = (
+                        _ppm_fixture_bytes(planes[g], width, height)
+                        if key[1] == 0
+                        else _bmp_fixture_bytes(planes[g], width, height)
+                    )
+                out.append((int(did), g, enc[key]))
+            yield pd.DataFrame(out, columns=[id_col, group_col, "content"])
+
+    return df.select(id_col, group_col).mapInPandas(
+        batches, f"{id_col} long, {group_col} int, content binary"
+    )
+
+
+def attach_fixture_audio(
+    df: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    n_samples: int = 6144,
+) -> DataFrame:
+    """REAL PCM WAV bytes in ``content``, byte-identical within a
+    group — the audio analog of ``attach_fixture_image``."""
+
+    def batches(it):
+        import pandas as pd
+
+        clips: dict[int, bytes] = {}
+        for pdf in it:
+            out = []
+            for did, g in zip(pdf[id_col], pdf[group_col]):
+                g = int(g)
+                if g not in clips:
+                    clips[g] = _wav_fixture_bytes(g, n_samples)
+                out.append((int(did), g, clips[g]))
+            yield pd.DataFrame(out, columns=[id_col, group_col, "content"])
+
+    return df.select(id_col, group_col).mapInPandas(
+        batches, f"{id_col} long, {group_col} int, content binary"
+    )
+
+
 def decode_image_meta(
     df: DataFrame, id_col: str = "doc_id", content_col: str = "content"
 ) -> DataFrame:

@@ -780,10 +780,44 @@ def text_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     composite quality score (registry-consolidated from
     quality_score_docs — same doc grain, tokenized ONCE and shared
     across every metric) — all JVM-side column math (operators.text),
-    one narrow map stage."""
+    one narrow map stage.
+
+    Round 7 folds ``html.extract_html_text`` under this UNCHANGED
+    hash: every document is first wrapped in deterministic HTML —
+    head+script (structural strip), a nav and a footer (container
+    drop), a ≥25-char link wall (dropped ONLY by the link-density
+    filter), a <25-char junk div (dropped ONLY by the length filter),
+    and the real text inside ``<p>`` with every space encoded as
+    ``&nbsp;`` (entity-decode path) — then extracted. The profile is
+    computed from the EXTRACTED text, so the oracle hash matching the
+    plain-text profile proves extraction ≡ identity on content while
+    removing every boilerplate block for its own distinct reason
+    (operators/html.py:127)."""
     from mpg_data_warehouse_spark.operators import text as X
+    from mpg_data_warehouse_spark.operators.html import extract_html_text
 
     docs = _t(spark, sf_dir, "documents")
+    wrapped = docs.withColumn(
+        "_html",
+        F.concat(
+            F.lit(
+                "<html><head><title>t</title><script>var x = 1 < 2;"
+                "</script></head><body>"
+                '<nav><a href="/">home</a> <a href="/a">about</a></nav>'
+                '<div><a href="/1">alpha beta gamma delta</a> '
+                '<a href="/2">epsilon zeta eta theta</a></div>'
+                "<div>click here now</div><p>"
+            ),
+            F.replace(F.col("text"), F.lit(" "), F.lit("&nbsp;")),
+            F.lit(
+                '</p><footer><a href="/t">terms</a> &amp; conditions'
+                "</footer></body></html>"
+            ),
+        ),
+    )
+    docs = extract_html_text(wrapped, html_col="_html", out_col="_xt").select(
+        "doc_id", F.col("_xt").alias("text")
+    )
     toked = docs.select("doc_id", "text", X.tokens("text").alias("_toks"))
     return toked.select(
         "doc_id",
@@ -1563,29 +1597,80 @@ def embedding_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                WHEN 1 THEN 'jpeg' ELSE 'webp' END)
                     || '|') + (n_chars % 256) AS payload_len
       FROM documents
-    )
-    SELECT m.doc_id, CAST(k.frame_idx AS INTEGER) AS frame_idx,
+    ),
+    fixture AS (SELECT doc_id FROM documents WHERE doc_id < 120)
+    SELECT 'frame' AS kind, m.doc_id AS id_a,
+           CAST(k.frame_idx AS BIGINT) AS id_b,
            CAST(CASE WHEN k.frame_idx < 3
                      THEN payload_len // 4
                      ELSE least(payload_len // 4,
                                 payload_len - 3 * (payload_len // 4))
-                END AS BIGINT) AS frame_bytes,
-           m.width, m.height, m.format
+                END AS BIGINT) AS n1,
+           CAST(m.width AS BIGINT) AS n2, CAST(m.height AS BIGINT) AS n3,
+           m.format AS s1, CAST(NULL AS DOUBLE) AS d1
     FROM meta m
     CROSS JOIN (SELECT unnest([0,1,2,3]) AS frame_idx) k
+    UNION ALL
+    -- pHash near-dups: byte-identical planes within an id%12 group
+    -- (PPM and BMP containers mixed) MUST pair at hamming 0; measured
+    -- min cross-group hamming is 20 > max_hamming 8, so the pair set
+    -- is exactly the within-group pairs
+    SELECT 'phash_pair', a.doc_id, b.doc_id, 0,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+    FROM fixture a JOIN fixture b
+      ON a.doc_id % 12 = b.doc_id % 12 AND a.doc_id < b.doc_id
+    UNION ALL
+    -- audio near-dups: byte-identical WAV clips within an id%10 group
+    -- share their whole sub-fingerprint set (match_frac 1.0); cross
+    -- groups share none (measured 0.0)
+    SELECT 'audio_pair', a.doc_id, b.doc_id, CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS VARCHAR), 1.0
+    FROM fixture a JOIN fixture b
+      ON a.doc_id % 10 = b.doc_id % 10 AND a.doc_id < b.doc_id
     """,
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1→N fan-out through mapInPandas (each payload yields 4 frame
-    slices) joined with the Arrow-batched header decode (registry-
-    consolidated from multimodal_decode_meta): per-frame byte lengths
-    plus the decoded typed metadata, co-keyed on doc_id so the join
-    shuffles only the tiny metadata relation alongside the frames.
-    The oracle recomputes both the slice arithmetic (last frame may
-    be short) and the header fields from the source table."""
+    """Multimodal report, three tagged legs under one hash.
+
+    ``frame`` rows: 1→N fan-out through mapInPandas (each payload
+    yields 4 frame slices) joined with the Arrow-batched header decode
+    — per-frame byte lengths plus decoded typed metadata; the oracle
+    recomputes the slice arithmetic (last frame may be short) and the
+    header fields from the source table.
+
+    Round 7 adds MEDIA NEAR-DUP under the same hash, over REAL
+    generated container bytes (the environment has no compressed-media
+    codecs, but PPM/BMP/WAV decode is deterministic — see
+    multimodal.attach_fixture_image/_audio):
+
+    ``phash_pair`` rows: decode 120 fixture images (group-identical
+    luma planes, PPM/BMP containers MIXED per group), DCT-pHash each
+    (image_phash), then pigeonhole-block + XOR-popcount pairing
+    (phash_near_dup_pairs, max_hamming=8). The oracle predicts the
+    exact pair set: all within-group pairs at hamming 0 — reachable
+    only if both parsers decode the same plane (incl. the BMP
+    bottom-up row flip; the plane is vertically asymmetric), the hash
+    is plane-deterministic, and the blocking misses nothing.
+
+    ``audio_pair`` rows: Haitsma–Kalker sub-fingerprints over group-
+    identical PCM WAV clips (audio_fingerprint), paired by shared
+    distinct sub-fingerprints (audio_near_dup_pairs) — within-group
+    match_frac is exactly 1.0, cross-group 0.0.
+
+    Reference surface this extends: src/image_metadata_update.py
+    (decode/meta pipeline) — the near-dup legs are the 100 TB media
+    dedup this engine adds."""
     from mpg_data_warehouse_spark.operators.multimodal import (
         attach_fake_image,
+        attach_fixture_audio,
+        attach_fixture_image,
+        audio_fingerprint,
+        audio_near_dup_pairs,
         decode_image_meta,
+        image_phash,
+        phash_near_dup_pairs,
         sample_frames,
     )
 
@@ -1595,14 +1680,50 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = decode_image_meta(with_img).select(
         "doc_id", "width", "height", "format"
     )
-    return frames.join(meta, "doc_id").select(
-        "doc_id",
-        "frame_idx",
-        F.length("frame").cast("long").alias("frame_bytes"),
-        "width",
-        "height",
-        "format",
+    frame_rows = frames.join(meta, "doc_id").select(
+        F.lit("frame").alias("kind"),
+        F.col("doc_id").cast("long").alias("id_a"),
+        F.col("frame_idx").cast("long").alias("id_b"),
+        F.length("frame").cast("long").alias("n1"),
+        F.col("width").cast("long").alias("n2"),
+        F.col("height").cast("long").alias("n3"),
+        F.col("format").alias("s1"),
+        F.lit(None).cast("double").alias("d1"),
     )
+
+    fixture = docs.select("doc_id").filter(F.col("doc_id") < 120)
+    img_fix = attach_fixture_image(
+        fixture.withColumn("grp", (F.col("doc_id") % 12).cast("int")), "grp"
+    )
+    phash_rows = phash_near_dup_pairs(
+        image_phash(img_fix).filter(F.col("ok")), max_hamming=8
+    ).select(
+        F.lit("phash_pair").alias("kind"),
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        F.col("hamming").cast("long").alias("n1"),
+        F.lit(None).cast("long").alias("n2"),
+        F.lit(None).cast("long").alias("n3"),
+        F.lit(None).cast("string").alias("s1"),
+        F.lit(None).cast("double").alias("d1"),
+    )
+
+    aud_fix = attach_fixture_audio(
+        fixture.withColumn("grp", (F.col("doc_id") % 10).cast("int")), "grp"
+    )
+    audio_rows = audio_near_dup_pairs(
+        audio_fingerprint(aud_fix).filter(F.col("ok"))
+    ).select(
+        F.lit("audio_pair").alias("kind"),
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        F.lit(None).cast("long").alias("n1"),
+        F.lit(None).cast("long").alias("n2"),
+        F.lit(None).cast("long").alias("n3"),
+        F.lit(None).cast("string").alias("s1"),
+        F.col("match_frac").cast("double").alias("d1"),
+    )
+    return frame_rows.unionByName(phash_rows).unionByName(audio_rows)
 
 
 # ---------------------------------------------------------------------------
@@ -2323,14 +2444,70 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PACK_MAX, _PACK_OVERLAP = 64, 8
 _PACK_STRIDE = _PACK_MAX - _PACK_OVERLAP
 
+# Pinned WordPiece vocab for the subword-budget leg (round 7): single
+# chars of the corpus alphabet EXCEPT 'b'/'##b' (so 'batch'/'big' fail
+# word-initially and 'table' fails mid-word -> [UNK], exercising both
+# bad paths under the hash), plus multi-char pieces that only a greedy
+# LONGEST-match scanner picks ('join'->[jo,##in], 'window'->[wind,##ow],
+# 'sort'->[sor,##t] not [s,##o,##r,##t]).
+_SUBWORD_VOCAB = (
+    [c for c in "acdefghijklmnopqrstuvwy"]
+    + ["##" + c for c in "acdefghijklmnopqrstuvwy"]
+    + [
+        "jo", "##in", "sc", "##an", "wind", "##ow", "cust", "##omer",
+        "fil", "##ter", "que", "##ry", "str", "##eam", "sor", "##der",
+        "##ue",
+    ]
+)
+_SUBWORD_VOCAB_SQL = "[" + ", ".join(f"'{p}'" for p in _SUBWORD_VOCAB) + "]"
+
 
 @_q(
     "pack_token_budget",
     f"""
-    WITH toks AS (
+    WITH RECURSIVE toks AS (
       SELECT doc_id, source, lang,
              regexp_split_to_array(trim(text), '\\s+') AS t
       FROM documents
+    ),
+    wexp AS (
+      SELECT source, lang,
+             unnest(list_filter(t, x -> x <> '')) AS w
+      FROM (SELECT source, lang,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+            FROM documents)
+    ),
+    dwords AS (SELECT DISTINCT w FROM wexp),
+    -- greedy LONGEST-match WordPiece against the pinned vocab, one
+    -- deterministic chain per distinct word: pick = longest candidate
+    -- length whose (word-initial | ##continuation) surface is in the
+    -- vocab; no match -> the whole word is one [UNK]
+    tok(w, rem, n, bad) AS (
+      SELECT w, w, 0, false FROM dwords WHERE length(w) <= 32
+      UNION ALL
+      SELECT w,
+             CASE WHEN pick IS NULL THEN rem ELSE substr(rem, pick + 1) END,
+             n + 1,
+             pick IS NULL
+      FROM (
+        SELECT w, rem, n,
+               list_max([k FOR k IN range(1, least(length(rem), 16) + 1)
+                         IF list_contains({_SUBWORD_VOCAB_SQL},
+                              CASE WHEN n = 0 THEN rem[1:k]
+                                   ELSE '##' || rem[1:k] END)]) AS pick
+        FROM tok WHERE length(rem) > 0 AND NOT bad
+      )
+    ),
+    wp AS (
+      SELECT w, CASE WHEN bad THEN 1 ELSE n END AS n_pieces
+      FROM tok WHERE bad OR length(rem) = 0
+      UNION ALL
+      SELECT w, 1 FROM dwords WHERE length(w) > 32
+    ),
+    sw AS (
+      SELECT source, lang, CAST(sum(p.n_pieces) AS BIGINT) AS subword_tokens
+      FROM wexp e JOIN wp p ON e.w = p.w
+      GROUP BY source, lang
     ),
     cn AS (
       SELECT doc_id, source, lang, t,
@@ -2371,9 +2548,11 @@ _PACK_STRIDE = _PACK_MAX - _PACK_OVERLAP
       FROM toks GROUP BY source, lang
     )
     SELECT d.source, d.lang, d.n_docs, d.total_tokens,
+           s.subword_tokens,
            c.n_chunks, c.chunk_tokens, c.chunk_checksum
-    FROM doc_stats d JOIN chunk_stats c
-      ON d.source = c.source AND d.lang = c.lang
+    FROM doc_stats d
+    JOIN chunk_stats c ON d.source = c.source AND d.lang = c.lang
+    JOIN sw s ON d.source = s.source AND d.lang = s.lang
     """,
 )
 def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2387,9 +2566,21 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     and exact in BIGINT), so a mis-sliced window still breaks the
     hash even though the report is aggregated. Plan: one narrow token
     count + one chunk fan-out, each partially aggregated to the tiny
-    (source, lang) grain before a broadcast-sized join."""
+    (source, lang) grain before a broadcast-sized join.
+
+    Round 7 folds the SUBWORD TOKENIZER under this hash: the budget
+    report gains a ``subword_tokens`` column computed by
+    ``tokenize.subword_token_count`` against a pinned WordPiece vocab
+    (zero-UDF greedy longest-match, word-grain memoized), and the
+    oracle replays greedy matching as a recursive CTE over the
+    distinct words — longest-candidate pick, ``##`` continuation
+    surfaces, and the whole-word [UNK] failure path are all algebra
+    the hash must agree on (operators/tokenize.py:148)."""
     from mpg_data_warehouse_spark.operators.chunking import pack_sequences
     from mpg_data_warehouse_spark.operators.text import tokens
+    from mpg_data_warehouse_spark.operators.tokenize import (
+        subword_token_count,
+    )
 
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", "source", "lang", "text"
@@ -2402,6 +2593,16 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("_n").alias("total_tokens"),
         )
+    )
+    sub_stats = (
+        subword_token_count(
+            docs.select("doc_id", "source", "lang", "text"),
+            list(_SUBWORD_VOCAB),
+            id_col="doc_id",
+            text_col="text",
+        )
+        .groupBy("source", "lang")
+        .agg(F.sum("n_subword_tokens").alias("subword_tokens"))
     )
     chunks = pack_sequences(
         docs.select("doc_id", "text"), "doc_id", "text", _PACK_MAX, _PACK_OVERLAP
@@ -2427,7 +2628,14 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cksum").alias("chunk_checksum"),
         )
     )
-    return doc_stats.join(chunk_stats, ["source", "lang"])
+    return (
+        doc_stats.join(chunk_stats, ["source", "lang"])
+        .join(sub_stats, ["source", "lang"])
+        .select(
+            "source", "lang", "n_docs", "total_tokens", "subword_tokens",
+            "n_chunks", "chunk_tokens", "chunk_checksum",
+        )
+    )
 
 
 @_q(

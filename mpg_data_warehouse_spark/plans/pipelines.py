@@ -332,6 +332,8 @@ def curate_corpus_pipeline(
     funnel: dict | None = None,
     html_col: str | None = None,
     html_extract_kwargs: dict | None = None,
+    vocab=None,
+    vocab_max_piece_len: int | None = None,
 ) -> DataFrame:
     """End-to-end training-corpus curation, composing the engine's
     LLM-pipeline operators into one lazy plan:
@@ -382,6 +384,16 @@ def curate_corpus_pipeline(
     temperature-flattened mixture (T5/PaLM recipe) instead of the
     fixed per-source budget; the two rebalance modes are mutually
     exclusive.
+
+    ``vocab`` (a piece list or one-column DataFrame, e.g. the vocab
+    ``tokenize.learn_bpe_vocab`` returns) switches BOTH rebalance
+    modes' token accounting from whitespace words to SUBWORD tokens
+    (``tokenize.subword_token_count``) — the unit a training run
+    actually budgets in. ``vocab_max_piece_len`` sizes the greedy
+    scanner; for a list vocab it defaults to the longest piece's
+    match length (a learned vocab can exceed the tokenizer's default
+    16). Sequence packing stays word-window based — chunk windows
+    are positional, only the BUDGET unit changes.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import Window
@@ -408,6 +420,31 @@ def curate_corpus_pipeline(
             "target_tokens_per_source and mixture_temperature are "
             "mutually exclusive rebalance modes"
         )
+
+    def _with_token_weight(df: DataFrame) -> DataFrame:
+        """Append ``_n_tok``: subword tokens when a vocab is supplied
+        (the budget unit of a training run), whitespace words
+        otherwise."""
+        if vocab is not None:
+            from mpg_data_warehouse_spark.operators.tokenize import (
+                _match_len,
+                subword_token_count,
+            )
+
+            kw: dict = {}
+            if vocab_max_piece_len is not None:
+                kw["max_piece_len"] = vocab_max_piece_len
+            elif not isinstance(vocab, DataFrame):
+                # learned vocabs can carry pieces past the default 16
+                kw["max_piece_len"] = max(
+                    16, max(_match_len(str(p)) for p in vocab)
+                )
+            return subword_token_count(
+                df, vocab, id_col="doc_id", text_col="text",
+                out_col="_n_tok", **kw,
+            )
+        toks = F.filter(tokens("text"), lambda t: t != F.lit(""))
+        return df.withColumn("_n_tok", F.size(toks).cast("long"))
 
     if html_col is not None:
         # web corpora arrive as HTML: extract content text (block
@@ -553,9 +590,8 @@ def curate_corpus_pipeline(
         )
 
     if target_tokens_per_source is not None:
-        toks = F.filter(tokens("text"), lambda t: t != F.lit(""))
         survivors = budget_rebalance_sample(
-            survivors.withColumn("_n_tok", F.size(toks).cast("long")),
+            _with_token_weight(survivors),
             strata="source",
             key="doc_id",
             weight="_n_tok",
@@ -566,9 +602,8 @@ def curate_corpus_pipeline(
             raise ValueError(
                 "mixture_temperature requires mixture_target_total"
             )
-        toks = F.filter(tokens("text"), lambda t: t != F.lit(""))
         survivors = temperature_mixture_sample(
-            survivors.withColumn("_n_tok", F.size(toks).cast("long")),
+            _with_token_weight(survivors),
             strata="source",
             key="doc_id",
             weight="_n_tok",

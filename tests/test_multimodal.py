@@ -303,3 +303,45 @@ def test_frame_phash_signature_and_video_pairs(spark):
     got = {(r.id_a, r.id_b) for r in pairs}
     assert (1, 2) in got
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_fixture_generators_group_identity(spark):
+    """The round-7 contract fixtures: same group → identical pHash
+    across MIXED containers (PPM even ids, BMP odd ids — pins the
+    bottom-up row flip), different groups far apart; same-group WAV
+    clips share their whole sub-fingerprint set."""
+    from pyspark.sql import functions as F
+
+    from mpg_data_warehouse_spark.operators.multimodal import (
+        attach_fixture_audio,
+        attach_fixture_image,
+        audio_fingerprint,
+        audio_near_dup_pairs,
+        image_phash,
+        phash_near_dup_pairs,
+    )
+
+    ids = spark.range(24).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 4).cast("int").alias("grp")
+    )
+    imgs = attach_fixture_image(ids, "grp")
+    hashed = image_phash(imgs).filter(F.col("ok"))
+    assert hashed.count() == 24
+    joined = {
+        (r.doc_id % 4, r.phash) for r in hashed.collect()
+    }
+    assert len(joined) == 4  # one hash per group despite mixed containers
+    pairs = phash_near_dup_pairs(hashed, max_hamming=8)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    expect = {
+        (a, b) for a in range(24) for b in range(24)
+        if a < b and a % 4 == b % 4
+    }
+    assert got == expect
+
+    auds = attach_fixture_audio(ids, "grp")
+    fps = audio_fingerprint(auds).filter(F.col("ok"))
+    apairs = audio_near_dup_pairs(fps)
+    agot = {(r.id_a, r.id_b, r.match_frac) for r in apairs.collect()}
+    assert {(a, b) for a, b, _ in agot} == expect
+    assert all(f == 1.0 for _, _, f in agot)

@@ -329,6 +329,80 @@ def test_curate_corpus_pipeline_budget_stage(spark):
     assert per_src["big"] < 40 * 21             # big source down-sampled
 
 
+def test_curate_corpus_pipeline_subword_budget(spark):
+    """vocab= switches the rebalance budget unit to SUBWORD tokens:
+    a source whose docs are few WORDS but many PIECES sails under a
+    whitespace budget yet is down-sampled under the same budget in
+    subword units — and the kept subword weight lands near target."""
+    import string
+
+    from pyspark.sql import functions as F
+
+    from mpg_data_warehouse_spark.operators.tokenize import (
+        subword_token_count,
+    )
+    from mpg_data_warehouse_spark.plans.pipelines import (
+        curate_corpus_pipeline,
+    )
+
+    # char-grain vocab: every word tokenizes to len(word) pieces
+    chars = string.ascii_lowercase + string.digits
+    vocab = list(chars) + ["##" + c for c in chars]
+    # 60 docs, 12 words each, but words are ~18 chars: whitespace
+    # total = 720, subword total ≈ 13k
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                "the "
+                + " ".join(f"w{i}x{j}" + "q" * 12 for j in range(11)),
+                "heavy",
+            )
+            for i in range(60)
+        ],
+        ["doc_id", "text", "source"],
+    )
+    kw = dict(min_quality=0.0, target_tokens_per_source=2000.0,
+              max_tokens=64)
+    by_words = curate_corpus_pipeline(docs, **kw)
+    by_pieces = curate_corpus_pipeline(docs, vocab=vocab, **kw)
+    n_words = by_words.select("doc_id").distinct().count()
+    n_pieces = by_pieces.select("doc_id").distinct().count()
+    assert n_words == 60       # whitespace accounting: under budget
+    assert 0 < n_pieces < 30   # subword accounting: down-sampled
+    # kept subword weight ≈ target (hash-uniform keep-rate)
+    kept_ids = by_pieces.select("doc_id").distinct()
+    kept_w = (
+        subword_token_count(docs.join(kept_ids, "doc_id"), vocab)
+        .agg(F.sum("n_subword_tokens"))
+        .first()[0]
+    )
+    assert 700 <= kept_w <= 4000
+
+
+def test_curate_corpus_pipeline_learned_vocab_auto_sizing(spark):
+    """A learn_bpe_vocab vocab (pieces can exceed the tokenizer's
+    default max_piece_len) feeds straight into the pipeline — the
+    auto-sized scanner must not raise."""
+    from mpg_data_warehouse_spark.operators.tokenize import learn_bpe_vocab
+    from mpg_data_warehouse_spark.plans.pipelines import (
+        curate_corpus_pipeline,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, "the " + " ".join(f"tok{i}n{j}" for j in range(11)), "s")
+            for i in range(8)
+        ],
+        ["doc_id", "text", "source"],
+    )
+    _merges, vocab = learn_bpe_vocab(docs, n_merges=40, min_pair_count=2)
+    out = curate_corpus_pipeline(
+        docs, min_quality=0.0, target_tokens_per_source=1e9, vocab=vocab
+    )
+    assert out.count() > 0
+
+
 def test_curate_corpus_pipeline_boilerplate_stage(spark):
     """With max_line_df set, a nav line shared by every web page is
     stripped BEFORE dedup/quality — docs that differ only by their
