@@ -209,15 +209,25 @@ def overwrite_partitions(
     df: DataFrame,
     table_path: str,
     partition_cols: tuple[str, ...] = ("year",),
+    cluster: bool = True,
 ) -> None:
     """Dynamic partition overwrite: replace ONLY the partitions
     present in ``df``, leaving all others' files untouched — the scale
     path for the repair flows (a date fix touching 3 seasons rewrites
     3 partitions of a 100 TB table, not the table). Uses Spark's
     ``partitionOverwriteMode=dynamic`` session conf scoped to the
-    write."""
+    write.
+
+    ``cluster`` (default) first hash-repartitions on the partition
+    columns so each output partition is written by ONE task — without
+    it every shuffle task fans out a file into every partition it
+    touches (tasks × partitions small files; measured 4× wall on the
+    BM25 index maintenance path). Disable for a giant single
+    partition whose write parallelism matters more than file count."""
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    if cluster:
+        df = df.repartition(*[F.col(c) for c in partition_cols])
     try:
         df.write.mode("overwrite").partitionBy(*partition_cols).parquet(
             table_path

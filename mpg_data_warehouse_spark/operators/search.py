@@ -48,8 +48,17 @@ DOCS_DIR = "_docs"
 N_IDB = 64
 
 
-def _idb(id_col):
-    return F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(N_IDB))
+def _idb(id_col, n_idb: int = N_IDB):
+    return F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_idb))
+
+
+def _adaptive_buckets(n_docs: int, cap: int = N_BUCKETS) -> int:
+    """Directory count scaled to the corpus: a partitioned write's
+    commit cost is LINEAR in its directory count (measured 2.5 s for
+    64 dirs vs 0.7 s for 16 on toy data), so a small corpus must not
+    pay the 100 TB layout's fan-out. ~256 docs per partition, floor 4,
+    capped at the standard layout."""
+    return max(4, min(cap, n_docs // 256))
 
 
 def _write_meta(path: str, meta: dict) -> None:
@@ -200,7 +209,7 @@ def build_ranked_index(
     path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n_buckets: int = N_BUCKETS,
+    n_buckets: int | None = None,
     min_term_len: int = 1,
     max_df: int | None = None,
 ) -> None:
@@ -227,6 +236,13 @@ def build_ranked_index(
     being byte-identical to the indexed version). Spark's file
     listing skips ``_``-prefixed directories, so the manifest is
     invisible to posting scans.
+
+    ``n_buckets=None`` (default) sizes BOTH layouts adaptively
+    (``_adaptive_buckets``): partitioned-write commit cost is linear
+    in directory count, so a small corpus gets a small layout while a
+    real one gets the full fan-out; the chosen counts are recorded in
+    the stats sidecar and every later append/delete/search reads them
+    from there — layout is a build-time decision, never re-guessed.
     """
     toks = docs.select(
         F.col(id_col), F.explode(norm_tokens(text_col)).alias("term")
@@ -250,6 +266,9 @@ def build_ranked_index(
         # bit-identical to a rebuild instead of drifting by ulps
         # through avgdl*n round-trips
         avgdl = (dl_sum / n_docs) if n_docs else 0.0
+        if n_buckets is None:
+            n_buckets = _adaptive_buckets(n_docs)
+        n_idb = _adaptive_buckets(n_docs, cap=N_IDB)
         postings = tf.join(dl, id_col)
         if max_df is not None:
             dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
@@ -268,7 +287,7 @@ def build_ranked_index(
         _ensure_readable(path, postings.drop("bucket"))
         _write_manifest(
             postings, dl, path, id_col, mode="overwrite",
-            capped=max_df is not None,
+            capped=max_df is not None, n_idb=n_idb,
         )
         postings.unpersist()
     finally:
@@ -280,6 +299,7 @@ def build_ranked_index(
             "avgdl": avgdl,
             "dl_sum": dl_sum,
             "n_buckets": n_buckets,
+            "n_idb": n_idb,
         },
     )
 
@@ -295,6 +315,7 @@ def _write_manifest(
     id_col: str,
     mode: str,
     capped: bool = False,
+    n_idb: int = N_IDB,
 ) -> None:
     """(id, dl, buckets) rows — one agg over the already-persisted
     postings (which carry ``dl`` denormalized). Only a build with
@@ -314,7 +335,7 @@ def _write_manifest(
                 "buckets", F.array().cast("array<bigint>")
             )
         )
-    man = bsets.withColumn("idb", _idb(id_col))
+    man = bsets.withColumn("idb", _idb(id_col, n_idb))
     # co-locate each idb partition into one task: without this the
     # partitioned write fans out to (shuffle partitions × idb) tiny
     # files — small-file debt AND measurable write overhead
@@ -452,6 +473,7 @@ def bm25_append_index(
     spark = docs.sparkSession
     stats = read_json(os.path.join(path, STATS_FILE))
     n_buckets = _check_n_buckets(None, stats.get("n_buckets"), path)
+    n_idb = int(stats.get("n_idb", N_IDB))
     _require_manifest(path)
 
     toks = docs.select(
@@ -470,7 +492,9 @@ def bm25_append_index(
         dl = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
         idbs = sorted(
             r["i"]
-            for r in dl.select(_idb(id_col).alias("i")).distinct().collect()
+            for r in dl.select(_idb(id_col, n_idb).alias("i"))
+            .distinct()
+            .collect()
         )
         existing = (
             spark.read.parquet(_manifest_path(path))
@@ -491,8 +515,16 @@ def bm25_append_index(
             .withColumn("bucket", term_bucket(F.col("term"), n_buckets))
             .persist()
         )
-        postings.write.mode("append").partitionBy("bucket").parquet(path)
-        _write_manifest(postings, fresh_dl, path, id_col, mode="append")
+        # co-locate each bucket into one task before the partitioned
+        # append — an unclustered write fans every shuffle task into
+        # every bucket it touches (tasks × buckets small files per
+        # APPEND, compounding across batches)
+        postings.repartition("bucket").write.mode("append").partitionBy(
+            "bucket"
+        ).parquet(path)
+        _write_manifest(
+            postings, fresh_dl, path, id_col, mode="append", n_idb=n_idb
+        )
         postings.unpersist()
         old_sum = stats.get("dl_sum", stats["avgdl"] * stats["n_docs"])
         n_docs = stats["n_docs"] + n_new
@@ -542,13 +574,16 @@ def bm25_delete_index(
     spark = ids.sparkSession
     stats = read_json(os.path.join(path, STATS_FILE))
     _check_n_buckets(None, stats.get("n_buckets"), path)
+    n_idb = int(stats.get("n_idb", N_IDB))
     _require_manifest(path)
     backend = get_storage_backend()
 
     del_ids = ids.select(id_col).distinct()
     idbs = sorted(
         r["i"]
-        for r in del_ids.select(_idb(id_col).alias("i")).distinct().collect()
+        for r in del_ids.select(_idb(id_col, n_idb).alias("i"))
+        .distinct()
+        .collect()
     )
     man_scoped = spark.read.parquet(_manifest_path(path)).filter(
         F.col("idb").isin(idbs)

@@ -297,3 +297,36 @@ def test_probe_validates_encoder_against_index_sidecar(spark, tmp_path):
     assert retrieve(
         spark, idx, chunks, ["solar"], k=2, dim=32, nprobe=2, hash_fn="md5"
     ).count() > 0
+
+
+def test_embedding_key_grain_path_matches_default(spark):
+    """key_col= selects the key-grain explode/agg plan; values must be
+    bit-equal to the distinct-text plan for both hash functions,
+    including the e_0 guard for empty and NULL texts."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [
+            Row(k=1, text="alpha beta gamma alpha"),
+            Row(k=2, text=""),
+            Row(k=3, text=None),
+            Row(k=4, text="alpha beta gamma alpha"),
+        ]
+    )
+    for fn in ("xxhash64", "md5"):
+        a = {
+            r.k: r.embedding
+            for r in hashed_feature_embedding(
+                df, "text", dim=16, hash_fn=fn, key_col="k"
+            ).collect()
+        }
+        b = {
+            r.k: r.embedding
+            for r in hashed_feature_embedding(
+                df, "text", dim=16, hash_fn=fn
+            ).collect()
+        }
+        assert a.keys() == b.keys()
+        for k in a:
+            assert a[k] == b[k], (fn, k)
+        assert a[2][0] == 1.0 and a[3][0] == 1.0  # e_0 guard
