@@ -3,7 +3,10 @@
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...},
-     "spread": {...}, "reps": 3, "sf": ...}
+     "reps": 3, "sf": ...}
+
+(compact — no ``spread`` — so it fits the driver's ~2,000-char stdout
+tail capture; the in-repo ``BENCH_sf<sf>.json`` adds ``spread``)
 
 Each query is executed with a noop sink (no driver-side
 materialization of result rows) so we measure the distributed plan,
@@ -127,10 +130,10 @@ def main() -> None:
         "sf": sf,
     }
     line = json.dumps(record)
-    print(line)
-    # Durable copy: the driver's stdout-tail capture is capped (r4's
-    # archived record lost the headline total to a 2,000-char tail),
-    # so the full JSON also lands in-repo keyed by scale factor.
+    # Durable copy FIRST: the driver's stdout-tail capture is capped
+    # (r4's archived record lost the headline total to a 2,000-char
+    # tail), so the full JSON (with spread) lands in-repo keyed by
+    # scale factor.
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         f"BENCH_sf{sf}.json" if sf >= 0 else "BENCH_custom.json",
@@ -140,6 +143,13 @@ def main() -> None:
             fh.write(line + "\n")
     except OSError:
         pass  # read-only checkout: stdout line is still the record
+    # Stdout gets a COMPACT record as the LAST line — spread dropped so
+    # the line stays under the driver's ~2,000-char tail cap and its
+    # capture parses (r6's archived record had parsed: null); the full
+    # record (with spread) is the in-repo BENCH_sf*.json above.
+    compact = dict(record)
+    compact.pop("spread", None)
+    print(json.dumps(compact))
     spark.stop()
 
 
