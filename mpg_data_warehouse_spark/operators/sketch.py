@@ -1,0 +1,238 @@
+"""Mergeable HyperLogLog distinct-count sketches in pure column math.
+
+The 100 TB profiling problem: ``count(DISTINCT user_id)`` per group is
+exact but non-reaggregatable — a day rollup cannot be derived from
+hour rollups, so every new grain re-shuffles the raw corpus. An HLL
+sketch is a tiny fixed-size register array whose merge is element-wise
+``max``: compute once at the finest grain, derive every coarser grain
+(and every incremental update) by merging sketches instead of
+re-scanning rows. (Flajolet et al. 2007; bias notes from HLL++,
+Heule et al. 2013 — both public.)
+
+Spark 4 ships DataSketches HLL (``F.hll_sketch_agg`` /
+``F.hll_union_agg``) — the right choice when raw speed matters and
+the sketch never leaves Spark. This module instead keeps the
+registers as a PLAIN ``array<int>`` column built from md5-derived
+hashes, because the engine's contract is cross-engine replayability:
+
+- the register algebra (hash → bucket → leading-zero rank → per-bucket
+  max) is exact integer arithmetic any engine reproduces bit-for-bit
+  (the DuckDB oracles replay it in SQL — same policy as the SimHash
+  and MinHash families, `operators/dedup.py`);
+- at rest it is ordinary parquet — readable, mergeable, and auditable
+  without a DataSketches runtime;
+- ``bit_length`` is taken as ``length(bin(x))`` — a minimal binary
+  string in both Spark and DuckDB — so no float ``log2`` enters the
+  rank computation.
+
+Plan shape (the 100 TB audit): one corpus-sized shuffle to the
+``(keys, bucket)`` grain with map-side partial ``max`` — the same
+shape as a group-by count — then a keys-grain assembly agg over at
+most ``m`` fixed-width rows per group. Merging pre-built sketches
+shuffles only ``|groups| × m`` small rows (``hll_merge``), or is a
+zero-shuffle ``zip_with`` for two columns (``hll_union``). No UDFs,
+no driver state; estimates are per-row column math over a bounded
+array.
+
+Reference parity: extends the reference's profiling surface
+(`src/vegetation_cover_summaries.py` group-count family) with the
+re-aggregatable form its BigQuery scripts get from ``APPROX_COUNT_
+DISTINCT`` / ``HLL_COUNT.MERGE``.
+
+Only the final estimate touches floats: the raw estimator divides two
+exactly-derived quantities (``alpha·m²·2^(w+1)`` and the integer
+register sum ``T = Σ 2^((w+1)−M_j)``), and the small-range linear
+count is ``m·ln(m/V)`` with integer ``m``/``V`` — both deterministic
+given IEEE doubles; contract queries round the estimate (the same
+absorption trick as the k-means centroid oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+P_DEFAULT = 8
+REG_COL = "hll_registers"
+
+def _pow2() -> Column:
+    """element_at(_pow2(), k+1) == 2^k exactly, k in [0, 57] — covers
+    2^((w+1) - rho) for every register value at p >= 6 (p < 6 is
+    rejected below). Built lazily: Column literals need a live
+    SparkContext, which module import time doesn't have."""
+    return F.array(*[F.lit(1 << k) for k in range(58)])
+
+
+def _alpha(m: int) -> float:
+    """Flajolet's bias-correction constant by register count."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _check_p(p: int) -> None:
+    # p >= 4 is the classical minimum; p >= 6 keeps every 2^(w+1-rho)
+    # inside the _POW2 table; p <= 16 bounds the register array at 64 Ki
+    # ints — beyond that the "tiny mergeable state" premise is gone.
+    if not 6 <= p <= 16:
+        raise ValueError(f"p={p} outside [6, 16]")
+
+
+def _register_rows(
+    df: DataFrame, key_cols: list[str], value_col: str, p: int
+) -> DataFrame:
+    """(keys…, _bucket, _rho) — one row per non-null value.
+
+    Hash = md5 of the value cast to string (DuckDB's
+    ``md5(CAST(x AS VARCHAR))`` produces identical hex on the same
+    value — the established cross-engine hash, `dedup.py:29`), split
+    into two 32-bit halves. Bucket = top ``p`` bits; rank ``rho`` =
+    leading zeros of the remaining ``w = 64 − p`` bits + 1, derived
+    from ``length(bin(rest))`` — exact integer arithmetic, no float
+    log anywhere. NULL values are skipped (``count(DISTINCT x)``
+    semantics)."""
+    w = 64 - p
+    md5c = F.md5(F.col(value_col).cast("string"))
+    hi = F.conv(F.substring(md5c, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(md5c, 9, 8), 16, 10).cast("long")
+    rows = df.filter(F.col(value_col).isNotNull()).select(
+        *key_cols, hi.alias("_hi"), lo.alias("_lo")
+    )
+    bucket = F.shiftright(F.col("_hi"), 32 - p)
+    # rest = the low (32 − p) bits of hi, then all 32 bits of lo:
+    # < 2^56 for p >= 8 (< 2^58 at p = 6) — long-safe in both engines
+    rest = (
+        (F.col("_hi") - F.shiftleft(bucket, 32 - p)) * F.lit(1 << 32)
+        + F.col("_lo")
+    )
+    bl = F.when(rest == 0, F.lit(0)).otherwise(F.length(F.bin(rest)))
+    return rows.select(
+        *key_cols,
+        bucket.cast("int").alias("_bucket"),
+        (F.lit(w + 1) - bl).cast("int").alias("_rho"),
+    )
+
+
+def _assemble(
+    grouped: DataFrame, key_cols: list[str], p: int, out_col: str
+) -> DataFrame:
+    """(keys…, _bucket, _rho)@unique-bucket rows → (keys…, out_col)
+    with the dense m-length register array (missing buckets = 0).
+    The sparse→map hoist mirrors `plans/retrieval.py`'s embedding
+    assembly (inlining the map costs m constructions per row)."""
+    m = 1 << p
+    sparse = grouped.groupBy(*key_cols).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("_bucket", "_rho"))
+        ).alias("_map")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("_map"), i.cast("int")), F.lit(0)
+        ),
+    )
+    return sparse.withColumn(out_col, dense).drop("_map")
+
+
+def hll_sketch(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    p: int = P_DEFAULT,
+    out_col: str = REG_COL,
+) -> DataFrame:
+    """Per-group HLL registers: one row per distinct ``key_cols``
+    combination (with at least one non-null value), carrying the
+    ``2^p``-length ``array<int>`` register column. Groups whose
+    values are ALL null produce no row — the caller's join decides
+    whether that group reads as the empty sketch (all-zero array)."""
+    _check_p(p)
+    rows = _register_rows(df, key_cols, value_col, p)
+    grouped = rows.groupBy(*key_cols, "_bucket").agg(
+        F.max("_rho").alias("_rho")
+    )
+    return _assemble(grouped, key_cols, p, out_col)
+
+
+def hll_merge(
+    df: DataFrame,
+    key_cols: list[str],
+    sketch_col: str = REG_COL,
+    p: int = P_DEFAULT,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Merge many sketch ROWS per group into one: element-wise max.
+    posexplode → per-(keys, position) max → reassemble; shuffles only
+    ``|groups| × m`` fixed-width rows, never raw values — the rollup
+    path that makes day grains derivable from hour sketches."""
+    _check_p(p)
+    out = out_col or sketch_col
+    ex = df.select(
+        *key_cols,
+        F.posexplode(F.col(sketch_col)).alias("_bucket", "_rho"),
+    ).filter(F.col("_rho") > 0)
+    grouped = ex.groupBy(*key_cols, "_bucket").agg(
+        F.max("_rho").alias("_rho")
+    )
+    return _assemble(grouped, key_cols, p, out)
+
+
+def hll_union(a: Column, b: Column) -> Column:
+    """Two sketch columns → their union: zero-shuffle ``zip_with``
+    element-wise max (register arrays must share ``p``)."""
+    return F.zip_with(a, b, lambda x, y: F.greatest(x, y))
+
+
+def hll_zero_regs(sketch: Column) -> Column:
+    """Number of empty (zero) registers — the ``V`` of the
+    small-range linear-counting correction; exact integer."""
+    return F.size(F.filter(sketch, lambda x: x == F.lit(0))).cast("long")
+
+
+def hll_reg_sum(sketch: Column, p: int = P_DEFAULT) -> Column:
+    """The EXACT integer register sum ``T = Σ_j 2^((w+1) − M_j)``
+    (``w = 64 − p``), as ``decimal(38,0)`` — up to ``m·2^(w+1)``
+    (≈ 2^65 at p = 8), beyond long range but exact in decimal. The
+    harmonic mean ``Z = Σ 2^(−M_j)`` equals ``T / 2^(w+1)``: keeping
+    the sum integral makes the estimator's only float op a single
+    division of exactly-derived quantities — identical in every
+    IEEE engine, which is what lets a DuckDB oracle replay it."""
+    _check_p(p)
+    w = 64 - p
+    idx = F.lit(w + 2)  # element_at is 1-based: 2^((w+1) - rho)
+    pow2 = _pow2()
+    return F.aggregate(
+        sketch,
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, x: (
+            acc + F.element_at(pow2, (idx - x).cast("int"))
+        ).cast("decimal(38,0)"),
+    )
+
+
+def hll_estimate(
+    sketch: Column, p: int = P_DEFAULT, decimals: int | None = 4
+) -> Column:
+    """The HLL cardinality estimate: ``alpha·m²/Z`` with the classic
+    small-range correction (linear counting ``m·ln(m/V)`` when the
+    raw estimate ≤ 2.5·m and zero registers remain). 64-bit hashes
+    make the 32-bit large-range correction unnecessary (HLL++ §4).
+    ``decimals`` rounds the result so engine-replayed oracles hash
+    identically despite last-ulp ``ln`` differences; pass ``None``
+    for the unrounded value."""
+    _check_p(p)
+    m = 1 << p
+    w = 64 - p
+    t = hll_reg_sum(sketch, p).cast("double")
+    v = hll_zero_regs(sketch)
+    raw = F.lit(_alpha(m) * m * m * float(1 << (w + 1))) / t
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(raw)
+    return est if decimals is None else F.round(est, decimals)

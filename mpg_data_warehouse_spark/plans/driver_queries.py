@@ -1923,27 +1923,108 @@ def temporal_asof_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "events_multi_grain_rollup",
     """
-    SELECT CAST(CAST(date_trunc('hour', ts) AS TIMESTAMP) AS VARCHAR)
-             AS hour_ts,
-           CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR)
-             AS day_ts,
-           event_type,
-           CAST(grouping(date_trunc('hour', ts)) AS BIGINT) AS is_day_grain,
-           count(*) AS n_events,
-           round(sum(value), 2) AS sum_value,
-           count(DISTINCT user_id) AS n_users
-    FROM events
-    GROUP BY GROUPING SETS (
-      (date_trunc('hour', ts), date_trunc('day', ts), event_type),
-      (date_trunc('day', ts), event_type)
+    WITH roll AS (
+      SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
+             event_type AS t,
+             CAST(grouping(date_trunc('hour', ts)) AS BIGINT)
+               AS is_day_grain,
+             count(*) AS n_events,
+             round(sum(value), 2) AS sum_value,
+             count(DISTINCT user_id) AS n_users
+      FROM events
+      GROUP BY GROUPING SETS (
+        (date_trunc('hour', ts), date_trunc('day', ts), event_type),
+        (date_trunc('day', ts), event_type)
+      )
+    ),
+    -- HLL register replay (operators/sketch.py, p=8): md5 halves ->
+    -- top-8-bit bucket + 56-bit rest, rho = 57 - bit_length(rest) via
+    -- length(bin(x)) -- exact integer arithmetic, no float log --
+    -- then per-bucket max per group
+    rho AS (
+      SELECT h, d, t,
+             hi // 16777216 AS bucket,
+             57 - CASE WHEN (hi % 16777216) * 4294967296 + lo = 0 THEN 0
+                       ELSE length(bin((hi % 16777216) * 4294967296 + lo))
+                  END AS r
+      FROM (
+        SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
+               event_type AS t,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                    AS BIGINT) AS hi,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8)
+                    AS BIGINT) AS lo
+        FROM events
+      )
+    ),
+    hreg AS (
+      SELECT h, d, t, bucket, max(r) AS mr
+      FROM rho GROUP BY h, d, t, bucket
+    ),
+    dreg AS (
+      SELECT d, t, bucket, max(mr) AS mr
+      FROM hreg GROUP BY d, t, bucket
+    ),
+    -- exact integer register sum T = sum_j 2^(57 - M_j) (empty
+    -- registers contribute 2^57) in HUGEINT; V = empty registers
+    hfin AS (
+      SELECT h, d, t, 256 - count(*) AS v,
+             (0.7213 / (1 + 1.079 / 256)) * 256 * 256
+               * 144115188075855872
+               / CAST(sum(1::BIGINT << (57 - mr))
+                      + (256 - count(*)) * (1::HUGEINT << 57)
+                      AS DOUBLE) AS raw
+      FROM hreg GROUP BY h, d, t
+    ),
+    dfin AS (
+      SELECT d, t, 256 - count(*) AS v,
+             (0.7213 / (1 + 1.079 / 256)) * 256 * 256
+               * 144115188075855872
+               / CAST(sum(1::BIGINT << (57 - mr))
+                      + (256 - count(*)) * (1::HUGEINT << 57)
+                      AS DOUBLE) AS raw
+      FROM dreg GROUP BY d, t
     )
+    SELECT CAST(CAST(r.h AS TIMESTAMP) AS VARCHAR) AS hour_ts,
+           CAST(CAST(r.d AS TIMESTAMP) AS VARCHAR) AS day_ts,
+           r.t AS event_type,
+           r.is_day_grain,
+           r.n_events,
+           r.sum_value,
+           r.n_users,
+           round(CASE WHEN COALESCE(hf.raw, df.raw) <= 640.0
+                       AND COALESCE(hf.v, df.v) > 0
+                      THEN 256.0 * ln(256.0 / COALESCE(hf.v, df.v))
+                      ELSE COALESCE(hf.raw, df.raw) END, 4) AS hll_users,
+           CAST(COALESCE(hf.v, df.v) AS BIGINT) AS hll_zero_regs
+    FROM roll r
+    LEFT JOIN hfin hf
+      ON r.is_day_grain = 0 AND r.h = hf.h AND r.d = hf.d AND r.t = hf.t
+    LEFT JOIN dfin df
+      ON r.is_day_grain = 1 AND r.d = df.d AND r.t = df.t
     """,
 )
 def events_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry-consolidated: subsumes the former events_hourly_rollup
     (its hour grain is this query's hour grouping set, now including
     the per-grain user count-distinct; the streaming module keeps the
-    incremental hourly form under its own contract query)."""
+    incremental hourly form under its own contract query).
+
+    r7: each grain also carries a mergeable HLL distinct-user sketch
+    (operators/sketch.py) next to the exact count — the HOUR grain
+    sketches the raw rows, the DAY grain is ``hll_merge`` of the hour
+    sketches (never re-reads raw rows), while the oracle computes
+    BOTH grains' registers directly from the rows — so the hash
+    additionally proves merge ≡ direct build, the re-aggregation
+    property continuous rollups rely on at 100 TB (BigQuery's
+    ``HLL_COUNT.MERGE`` analog on the reference's platform)."""
+    from mpg_data_warehouse_spark.operators.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_sketch,
+        hll_zero_regs,
+    )
+
     events = _events(spark, sf_dir).select(
         F.date_trunc("hour", "ts").alias("_hour"),
         F.date_trunc("day", "ts").alias("_day"),
@@ -1953,12 +2034,21 @@ def events_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h, d, t = F.col("_hour"), F.col("_day"), F.col("event_type")
     grouped = events.groupingSets([[h, d, t], [d, t]], h, d, t)
-    return grouped.agg(
+    roll = grouped.agg(
         F.grouping(h).cast("long").alias("is_day_grain"),
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
         F.countDistinct("user_id").alias("n_users"),
-    ).select(
+    )
+    hour_sk = hll_sketch(events, ["_hour", "_day", "event_type"], "user_id")
+    day_sk = hll_merge(hour_sk.drop("_hour"), ["_day", "event_type"])
+    hour_leg = roll.filter(F.col("is_day_grain") == 0).join(
+        hour_sk, ["_hour", "_day", "event_type"], "left"
+    )
+    day_leg = roll.filter(F.col("is_day_grain") == 1).join(
+        day_sk, ["_day", "event_type"], "left"
+    )
+    return hour_leg.unionByName(day_leg).select(
         F.col("_hour").cast("string").alias("hour_ts"),
         F.col("_day").cast("string").alias("day_ts"),
         "event_type",
@@ -1966,6 +2056,8 @@ def events_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
         "n_users",
+        hll_estimate(F.col("hll_registers")).alias("hll_users"),
+        hll_zero_regs(F.col("hll_registers")).alias("hll_zero_regs"),
     )
 
 

@@ -1,0 +1,151 @@
+"""HLL register sketches: bit-exact agreement with a pure-Python
+reference (same md5 algebra the DuckDB oracles replay), merge ≡
+direct-build, and estimator accuracy."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from mpg_data_warehouse_spark.operators.sketch import (
+    hll_estimate,
+    hll_merge,
+    hll_sketch,
+    hll_union,
+    hll_zero_regs,
+)
+
+
+# --- pure-Python reference: the exact algebra sketch.py implements ---
+
+
+def _py_registers(values, p=8):
+    m = 1 << p
+    w = 64 - p
+    regs = [0] * m
+    for v in values:
+        if v is None:
+            continue
+        hx = hashlib.md5(str(v).encode()).hexdigest()
+        hi = int(hx[:8], 16)
+        lo = int(hx[8:16], 16)
+        bucket = hi >> (32 - p)
+        rest = (hi - (bucket << (32 - p))) * (1 << 32) + lo
+        rho = (w + 1) - rest.bit_length()  # bit_length(0) == 0
+        regs[bucket] = max(regs[bucket], rho)
+    return regs
+
+
+def _py_estimate(regs, p=8, decimals=4):
+    m = 1 << p
+    w = 64 - p
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1.0 + 1.079 / m)
+    )
+    t = sum(1 << ((w + 1) - r) for r in regs)
+    raw = alpha * m * m * float(1 << (w + 1)) / float(t)
+    v = regs.count(0)
+    est = m * math.log(m / v) if (raw <= 2.5 * m and v > 0) else raw
+    return round(est, decimals)
+
+
+def _values(n, tag="v"):
+    return [f"{tag}-{i}" for i in range(n)]
+
+
+def test_registers_match_python_reference(spark):
+    vals = _values(500) + [None, "dup", "dup"]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "grp string, val string"
+    )
+    got = hll_sketch(df, ["grp"], "val").collect()
+    assert len(got) == 1
+    assert list(got[0]["hll_registers"]) == _py_registers(vals)
+
+
+def test_estimate_matches_python_reference(spark):
+    for n in (3, 40, 2000):  # linear-counting AND raw regimes
+        vals = _values(n)
+        df = spark.createDataFrame(
+            [("g", v) for v in vals], "grp string, val string"
+        )
+        got = (
+            hll_sketch(df, ["grp"], "val")
+            .select(hll_estimate(F.col("hll_registers")).alias("e"))
+            .first()["e"]
+        )
+        assert got == pytest.approx(
+            _py_estimate(_py_registers(vals)), abs=1e-4
+        )
+
+
+def test_merge_equals_direct_build(spark):
+    a, b = _values(300, "a"), _values(300, "b")
+    both = spark.createDataFrame(
+        [("g", v) for v in a + b], "grp string, val string"
+    )
+    parts = spark.createDataFrame(
+        [("g", "pa", v) for v in a] + [("g", "pb", v) for v in b],
+        "grp string, part string, val string",
+    )
+    direct = hll_sketch(both, ["grp"], "val").first()["hll_registers"]
+    per_part = hll_sketch(parts, ["grp", "part"], "val")
+    merged = hll_merge(per_part.drop("part"), ["grp"]).first()[
+        "hll_registers"
+    ]
+    assert list(merged) == list(direct)
+
+
+def test_union_column_equals_merge(spark):
+    a, b = _values(120, "x"), _values(120, "y")
+    sa = hll_sketch(
+        spark.createDataFrame([("g", v) for v in a], "grp string, val string"),
+        ["grp"], "val", out_col="ra",
+    )
+    sb = hll_sketch(
+        spark.createDataFrame([("g", v) for v in b], "grp string, val string"),
+        ["grp"], "val", out_col="rb",
+    )
+    got = (
+        sa.join(sb, "grp")
+        .select(hll_union(F.col("ra"), F.col("rb")).alias("u"))
+        .first()["u"]
+    )
+    assert list(got) == _py_registers(a + b)
+
+
+def test_all_null_group_absent_and_nulls_skipped(spark):
+    df = spark.createDataFrame(
+        [("live", "v1"), ("live", None), ("dead", None)],
+        "grp string, val string",
+    )
+    rows = {r["grp"]: r for r in hll_sketch(df, ["grp"], "val").collect()}
+    assert set(rows) == {"live"}
+    assert list(rows["live"]["hll_registers"]) == _py_registers(["v1"])
+
+
+def test_estimate_accuracy_and_zero_regs(spark):
+    vals = _values(5000)
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "grp string, val string"
+    )
+    row = (
+        hll_sketch(df, ["grp"], "val")
+        .select(
+            hll_estimate(F.col("hll_registers")).alias("e"),
+            hll_zero_regs(F.col("hll_registers")).alias("v"),
+        )
+        .first()
+    )
+    assert abs(row["e"] - 5000) / 5000 < 0.15  # ~1.04/sqrt(256) typical
+    assert row["v"] == _py_registers(vals).count(0)
+
+
+def test_p_bounds_rejected(spark):
+    df = spark.createDataFrame([("g", "v")], "grp string, val string")
+    for bad in (4, 17):
+        with pytest.raises(ValueError):
+            hll_sketch(df, ["grp"], "val", p=bad)
