@@ -667,8 +667,19 @@ def image_phash(
                     hashes.append(None)
                     oks.append(False)
                     errs.append(str(e)[:200])
+            # phash MUST be the masked nullable Int64 dtype: a plain
+            # list with one None coerces the whole column to float64,
+            # silently rounding every OTHER row's 63-bit hash above
+            # 2^53 (one bad image corrupts the batch's good hashes —
+            # wrong hamming distances with ok=true). Int64 keeps exact
+            # integers + a null mask through the Arrow boundary.
             yield pd.DataFrame(
-                {id_col: ids, "ok": oks, "phash": hashes, "err": errs}
+                {
+                    id_col: ids,
+                    "ok": oks,
+                    "phash": pd.array(hashes, dtype="Int64"),
+                    "err": errs,
+                }
             )
 
     return src.mapInPandas(
@@ -818,9 +829,14 @@ def audio_fingerprint(
                     rows.append((doc_id, True, len(fp), fp, None))
                 except Exception as exc:  # noqa: BLE001 — quarantine
                     rows.append((doc_id, False, None, None, str(exc)[:200]))
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 rows, columns=[id_col, "ok", "n_frames", "fp", "err"]
             )
+            # masked Int32, not None-coerced float64 (the image_phash
+            # lesson; n_frames is small enough to survive float64 but
+            # the nullable dtype keeps the boundary exact by type)
+            out["n_frames"] = out["n_frames"].astype("Int32")
+            yield out
 
     return src.mapInPandas(
         batches,

@@ -56,11 +56,12 @@ P_DEFAULT = 8
 REG_COL = "hll_registers"
 
 def _pow2() -> Column:
-    """element_at(_pow2(), k+1) == 2^k exactly, k in [0, 57] — covers
-    2^((w+1) - rho) for every register value at p >= 6 (p < 6 is
-    rejected below). Built lazily: Column literals need a live
-    SparkContext, which module import time doesn't have."""
-    return F.array(*[F.lit(1 << k) for k in range(58)])
+    """element_at(_pow2(), k+1) == 2^k exactly, k in [0, 59] — covers
+    2^((w+1) - rho) for every register value down to p = 6 (w+1 = 59,
+    and an EMPTY register's rho = 0 indexes w+2; p < 6 is rejected
+    below). Built lazily: Column literals need a live SparkContext,
+    which module import time doesn't have."""
+    return F.array(*[F.lit(1 << k) for k in range(60)])
 
 
 def _alpha(m: int) -> float:
@@ -75,9 +76,11 @@ def _alpha(m: int) -> float:
 
 
 def _check_p(p: int) -> None:
-    # p >= 4 is the classical minimum; p >= 6 keeps every 2^(w+1-rho)
-    # inside the _POW2 table; p <= 16 bounds the register array at 64 Ki
-    # ints — beyond that the "tiny mergeable state" premise is gone.
+    # p >= 6 keeps every 2^((w+1) - rho) inside the _pow2 table (the
+    # classical minimum is 4, but m < 64 sketches are too noisy to be
+    # worth the table extension); p <= 16 bounds the register array at
+    # 64 Ki ints — beyond that the "tiny mergeable state" premise is
+    # gone.
     if not 6 <= p <= 16:
         raise ValueError(f"p={p} outside [6, 16]")
 
@@ -172,10 +175,14 @@ def hll_merge(
     path that makes day grains derivable from hour sketches."""
     _check_p(p)
     out = out_col or sketch_col
+    # zero registers are kept (not filtered pre-shuffle): a group whose
+    # input sketches are ALL empty must still emit its all-zero sketch,
+    # not vanish — and the shuffle stays |groups| × m fixed-width rows
+    # either way, the same order as the reassembly output.
     ex = df.select(
         *key_cols,
         F.posexplode(F.col(sketch_col)).alias("_bucket", "_rho"),
-    ).filter(F.col("_rho") > 0)
+    )
     grouped = ex.groupBy(*key_cols, "_bucket").agg(
         F.max("_rho").alias("_rho")
     )

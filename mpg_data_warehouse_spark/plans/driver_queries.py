@@ -1955,6 +1955,10 @@ def temporal_asof_range(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8)
                     AS BIGINT) AS lo
         FROM events
+        -- count(DISTINCT) semantics: NULL values contribute no
+        -- register (mirrors _register_rows' isNotNull filter — a
+        -- NULL here would otherwise become a phantom NULL bucket)
+        WHERE user_id IS NOT NULL
       )
     ),
     hreg AS (

@@ -101,6 +101,36 @@ def _tok_bucket_sign(tok, dim: int, hash_fn: str):
     return bucket, F.when(sign_even, 1.0).otherwise(-1.0)
 
 
+def _e0(dim: int):
+    """The zero-guard unit vector e_0 — what empty/null texts embed
+    as, keeping retrieval total."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.when(i == 0, 1.0).otherwise(0.0),
+    )
+
+
+def _unit_from_sparse_map(df: DataFrame, dim: int, out_col: str) -> DataFrame:
+    """``_map`` (bucket → signed count) → L2-unit dense ``out_col``;
+    a zero-norm vector falls back to e_0. Shared by both embedding
+    plans (the grouping key is the only thing that differs between
+    them). The sparse→map conversion is hoisted OUT of the
+    per-component lambda by the callers (inline it and every row pays
+    ``dim`` map constructions)."""
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("_map"), i.cast("long")), F.lit(0.0)
+        ),
+    )
+    with_vec = df.withColumn("_dense", dense).drop("_map")
+    norm = l2_norm(F.col("_dense"))
+    unit = F.when(
+        norm > 0, F.transform(F.col("_dense"), lambda x: x / norm)
+    ).otherwise(_e0(dim))
+    return with_vec.withColumn(out_col, unit).drop("_dense")
+
+
 def hashed_feature_embedding(
     df: DataFrame,
     text_col: str,
@@ -152,26 +182,13 @@ def hashed_feature_embedding(
                 ).alias("_map")
             )
         )
-        dense = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda i: F.coalesce(
-                F.element_at(F.col("_map"), i.cast("long")), F.lit(0.0)
-            ),
+        embedded = _unit_from_sparse_map(comps, dim, out_col).select(
+            key_col, out_col
         )
-        with_vec = comps.withColumn("_dense", dense).drop("_map")
-        norm = l2_norm(F.col("_dense"))
-        e0 = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda i: F.when(i == 0, 1.0).otherwise(0.0),
-        )
-        unit = F.when(
-            norm > 0, F.transform(F.col("_dense"), lambda x: x / norm)
-        ).otherwise(e0)
-        embedded = with_vec.withColumn(out_col, unit).select(key_col, out_col)
         # rows whose text had NO tokens (empty/null) never reach the
         # explode: left join + e_0 fill keeps retrieval total
         return orig.join(embedded, key_col, "left").withColumn(
-            out_col, F.coalesce(F.col(out_col), e0)
+            out_col, F.coalesce(F.col(out_col), _e0(dim))
         )
     uniq = df.select(F.col(text_col).alias("_txt")).distinct()
     toks = uniq.withColumn("_tok", F.explode(norm_tokens("_txt")))
@@ -188,36 +205,15 @@ def hashed_feature_embedding(
             ).alias("_bv")
         )
     )
-    # dense vector: for each component, the matching sparse value or 0.
-    # The sparse→map conversion is hoisted OUT of the per-component
-    # lambda (inline it and every row pays dim map constructions).
-    sparse_map = comps.withColumn("_map", F.map_from_entries(F.col("_bv")))
-    dense = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.coalesce(
-            F.element_at(F.col("_map"), i.cast("long")), F.lit(0.0)
-        ),
-    )
-    with_vec = sparse_map.withColumn("_dense", dense).drop("_bv", "_map")
-    norm = l2_norm(F.col("_dense"))
-    unit = F.when(
-        norm > 0, F.transform(F.col("_dense"), lambda x: x / norm)
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda i: F.when(i == 0, 1.0).otherwise(0.0),
-        )
-    )
-    out = with_vec.withColumn(out_col, unit).drop("_dense")
+    sparse_map = comps.withColumn(
+        "_map", F.map_from_entries(F.col("_bv"))
+    ).drop("_bv")
+    out = _unit_from_sparse_map(sparse_map, dim, out_col)
     # texts with NO tokens (empty or null) never reach the explode:
     # re-attach with e_0. A null _txt never equi-matches in the
     # left_anti either, so the null-text row correctly lands here.
     missing = uniq.join(out.select("_txt"), ["_txt"], "left_anti")
-    e0 = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.when(i == 0, 1.0).otherwise(0.0),
-    )
-    embedded = out.unionByName(missing.withColumn(out_col, e0))
+    embedded = out.unionByName(missing.withColumn(out_col, _e0(dim)))
     # re-attach to every original row. eqNullSafe (<=>) keeps this a
     # plannable equi-join (hash/sort-merge on the text key) while
     # matching the null-text row to its e_0 — a bare name-join would
@@ -261,9 +257,11 @@ def build_retrieval_index(
     stored = chunks.sparkSession.read.parquet(chunks_path)
     # Persist the embedded corpus before the IVF build: k-means
     # seeding, each Lloyd iteration, and the final cell assignment
-    # all consume it, and without reuse the encoder plan (explode →
-    # key-grain aggs → rejoin) re-executes per consumer — measured 3×
-    # the build wall-clock at sf0.1. MEMORY_AND_DISK (the persist
+    # all consume it, and without reuse the encoder's multi-shuffle
+    # plan (distinct texts → explode → aggs → text-keyed rejoin; the
+    # default — key_col measured slower IN THIS composition, see
+    # hashed_feature_embedding) re-executes per consumer — measured
+    # 3× the build wall-clock at sf0.1. MEMORY_AND_DISK (the persist
     # default) keeps this safe at corpus scale: partitions that don't
     # fit spill instead of OOM.
     embedded = (

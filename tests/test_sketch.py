@@ -144,6 +144,43 @@ def test_estimate_accuracy_and_zero_regs(spark):
     assert row["v"] == _py_registers(vals).count(0)
 
 
+def test_small_p_estimates_do_not_overflow_pow2_table(spark):
+    # regression: p in {6, 7} used to index past the 58-entry pow2
+    # table (empty register rho=0 needs element w+2) and crash
+    for p in (6, 7):
+        vals = _values(200, f"p{p}")
+        df = spark.createDataFrame(
+            [("g", v) for v in vals], "grp string, val string"
+        )
+        sk = hll_sketch(df, ["grp"], "val", p=p)
+        row = sk.select(
+            hll_estimate(F.col("hll_registers"), p=p).alias("e")
+        ).first()
+        assert list(sk.first()["hll_registers"]) == _py_registers(vals, p)
+        assert row["e"] is not None and row["e"] > 0
+
+
+def test_merge_keeps_all_zero_sketch_group(spark):
+    # regression: a group whose every input sketch is empty must emit
+    # the all-zero sketch, not vanish from the merged output
+    m = 256
+    live = _py_registers(_values(50))
+    df = spark.createDataFrame(
+        [("dead", [0] * m), ("live", live), ("live", [0] * m)],
+        "grp string, hll_registers array<int>",
+    )
+    rows = {r["grp"]: r for r in hll_merge(df, ["grp"]).collect()}
+    assert set(rows) == {"dead", "live"}
+    assert list(rows["dead"]["hll_registers"]) == [0] * m
+    assert list(rows["live"]["hll_registers"]) == live
+    est = (
+        hll_merge(df, ["grp"])
+        .select("grp", hll_estimate(F.col("hll_registers")).alias("e"))
+        .collect()
+    )
+    assert {r["grp"]: r["e"] for r in est}["dead"] == 0.0
+
+
 def test_p_bounds_rejected(spark):
     df = spark.createDataFrame([("g", "v")], "grp string, val string")
     for bad in (4, 17):
