@@ -222,6 +222,48 @@ def hll_reg_sum(sketch: Column, p: int = P_DEFAULT) -> Column:
     )
 
 
+def py_update_registers(regs, values, p: int = P_DEFAULT):
+    """Pure-Python register update — the SAME algebra as
+    ``_register_rows`` bit for bit (md5 halves, top-p-bit bucket,
+    ``rho = (w+1) − bit_length(rest)``). Used by the streaming
+    stateful operator (whose per-key state is exactly this register
+    list) and by the test reference; NULL values are skipped. Returns
+    ``regs`` mutated in place."""
+    import hashlib
+
+    _check_p(p)
+    w = 64 - p
+    for v in values:
+        if v is None:
+            continue
+        hx = hashlib.md5(str(v).encode()).hexdigest()
+        hi = int(hx[:8], 16)
+        lo = int(hx[8:16], 16)
+        bucket = hi >> (32 - p)
+        rest = (hi - (bucket << (32 - p))) * (1 << 32) + lo
+        rho = (w + 1) - rest.bit_length()  # bit_length(0) == 0
+        if rho > regs[bucket]:
+            regs[bucket] = rho
+    return regs
+
+
+def py_estimate(regs, p: int = P_DEFAULT, decimals: int | None = 4):
+    """Pure-Python mirror of ``hll_estimate`` — same exact-integer
+    register sum, same branch arithmetic — so driver-side consumers
+    of streamed register state (and the tests) agree with the column
+    form to the rounding decimal."""
+    import math
+
+    _check_p(p)
+    m = 1 << p
+    w = 64 - p
+    t = sum(1 << ((w + 1) - r) for r in regs)
+    raw = _alpha(m) * m * m * float(1 << (w + 1)) / float(t)
+    v = regs.count(0) if isinstance(regs, list) else list(regs).count(0)
+    est = m * math.log(m / v) if (raw <= 2.5 * m and v > 0) else raw
+    return est if decimals is None else round(est, decimals)
+
+
 def hll_estimate(
     sketch: Column, p: int = P_DEFAULT, decimals: int | None = 4
 ) -> Column:

@@ -25,7 +25,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -153,6 +155,71 @@ def running_user_totals_stream(
     return (
         events.withWatermark("ts", watermark)
         .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def running_distinct_users_stream(
+    events: DataFrame, watermark: str = "2 hours", p: int = 8
+) -> DataFrame:
+    """Streaming approximate-distinct via HLL register state: per
+    event_type, the ``2^p`` register array (``operators/sketch.py``
+    algebra, bit-identical — the stream and the batch ``hll_sketch``
+    produce the SAME registers, pinned by the batch-agreement test)
+    is the ``applyInPandasWithState`` state, updated per micro-batch
+    and emitted with the estimate.
+
+    This is the aggregate exact ``approx_count_distinct`` streaming
+    can't give you incrementally: register max is monotone under
+    inserts, so append-only streams maintain the sketch EXACTLY
+    (deletes/retractions would need a rebuild — same caveat as every
+    HLL). State is m ints per key, fixed-size forever — no growth
+    with stream length, unlike a distinct-set state. The emitted
+    registers stay joinable/mergeable with batch sketches
+    (``hll_merge``) for lambda-architecture reconciliation."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from mpg_data_warehouse_spark.operators.sketch import (
+        py_estimate,
+        py_update_registers,
+    )
+
+    m = 1 << p
+    out_schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("hll_users", DoubleType()),
+            StructField("hll_registers", ArrayType(IntegerType())),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("regs", ArrayType(IntegerType()))]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        regs = list(state.get[0]) if state.exists else [0] * m
+        for pdf in pdfs:
+            py_update_registers(regs, pdf["user_id"].tolist(), p)
+        state.update((regs,))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "hll_users": [py_estimate(regs, p)],
+                "hll_registers": [regs],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_type")
         .applyInPandasWithState(
             update,
             outputStructType=out_schema,

@@ -181,6 +181,26 @@ def test_merge_keeps_all_zero_sketch_group(spark):
     assert {r["grp"]: r["e"] for r in est}["dead"] == 0.0
 
 
+def test_sketch_parquet_roundtrip_and_cross_table_merge(spark, tmp_path):
+    # the "at rest it is plain parquet" claim: persist per-source
+    # sketches, read them back, merge across sources — equal to a
+    # direct sketch over the union (the incremental-profile pattern:
+    # only the new source's rows are ever re-scanned)
+    a, b = _values(200, "s1"), _values(150, "s2")
+    for tag, vals in (("s1", a), ("s2", b)):
+        df = spark.createDataFrame(
+            [("g", v) for v in vals], "grp string, val string"
+        )
+        hll_sketch(df, ["grp"], "val").write.mode("overwrite").parquet(
+            str(tmp_path / tag)
+        )
+    stored = spark.read.parquet(str(tmp_path / "s1")).unionByName(
+        spark.read.parquet(str(tmp_path / "s2"))
+    )
+    merged = hll_merge(stored, ["grp"]).first()["hll_registers"]
+    assert list(merged) == _py_registers(a + b)
+
+
 def test_p_bounds_rejected(spark):
     df = spark.createDataFrame([("g", "v")], "grp string, val string")
     for bad in (4, 17):

@@ -308,3 +308,49 @@ def test_idempotent_append_checkpoint_resume_reads_only_new_files(
     got = spark.read.parquet(sink)
     assert got.count() == first.count() + second.count()
     assert got.select("event_id").distinct().count() == got.count()
+
+
+def test_streaming_hll_registers_match_batch_sketch(spark, events_dir):
+    """running_distinct_users_stream: after draining the input, the
+    streamed per-type HLL registers must be BIT-IDENTICAL to the
+    batch hll_sketch over the same rows (the lambda-architecture
+    reconciliation claim), and the emitted estimate must match the
+    column-form hll_estimate."""
+    from mpg_data_warehouse_spark.operators.sketch import (
+        hll_estimate,
+        hll_sketch,
+    )
+
+    stream = S.running_distinct_users_stream(
+        S.read_events_stream(spark, events_dir)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("hll_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r.event_type: (list(r.hll_registers), r.hll_users)
+        for r in spark.table("hll_t").collect()
+    }
+    batch = hll_sketch(
+        spark.read.parquet(events_dir), ["event_type"], "user_id"
+    )
+    want = {
+        r.event_type: (
+            list(r.hll_registers),
+            r.est,
+        )
+        for r in batch.select(
+            "event_type",
+            "hll_registers",
+            hll_estimate(F.col("hll_registers")).alias("est"),
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for t in want:
+        assert got[t][0] == want[t][0], f"registers diverge for {t}"
+        assert got[t][1] == pytest.approx(want[t][1], abs=1e-4)
