@@ -234,7 +234,10 @@ def py_update_registers(regs, values, p: int = P_DEFAULT):
     _check_p(p)
     w = 64 - p
     for v in values:
-        if v is None:
+        # v != v catches float NaN: a nullable long column crossing a
+        # pandas boundary surfaces SQL NULLs as NaN, which would
+        # otherwise hash as the literal string 'nan'
+        if v is None or v != v:
             continue
         hx = hashlib.md5(str(v).encode()).hexdigest()
         hi = int(hx[:8], 16)

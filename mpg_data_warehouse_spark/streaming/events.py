@@ -205,7 +205,16 @@ def running_distinct_users_stream(
     def update(key, pdfs, state: GroupState):
         regs = list(state.get[0]) if state.exists else [0] * m
         for pdf in pdfs:
-            py_update_registers(regs, pdf["user_id"].tolist(), p)
+            # dropna + int(): one null user_id coerces the pandas
+            # column to float64, so NULLs arrive as NaN (must be
+            # skipped like the batch side's isNotNull, not hashed as
+            # 'nan') and the SURVIVORS as floats (str(5.0) != str(5)
+            # would silently desync every register of the batch).
+            # The usual >2^53 float-precision caveat applies only to
+            # null-BEARING batches; ids stay exact otherwise.
+            py_update_registers(
+                regs, (int(v) for v in pdf["user_id"].dropna()), p
+            )
         state.update((regs,))
         import pandas as pd
 

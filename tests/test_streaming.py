@@ -354,3 +354,41 @@ def test_streaming_hll_registers_match_batch_sketch(spark, events_dir):
     for t in want:
         assert got[t][0] == want[t][0], f"registers diverge for {t}"
         assert got[t][1] == pytest.approx(want[t][1], abs=1e-4)
+
+
+def test_streaming_hll_skips_null_users_like_batch(spark, tmp_path):
+    """A null user_id in a micro-batch coerces the pandas column to
+    float64: the stream must skip the NaN (batch isNotNull parity)
+    AND keep hashing the surviving ids as integers — one null must
+    not desync the batch's other registers."""
+    from mpg_data_warehouse_spark.operators.sketch import hll_sketch
+
+    src = str(tmp_path / "null_events")
+    rows = [(i, i % 7 if i % 5 else None, "click", 1.0) for i in range(60)]
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double"
+    ).withColumn("ts", F.timestamp_seconds(F.col("event_id") + 1_700_000_000)) \
+     .withColumn("props", F.lit("{}")) \
+     .write.parquet(src)
+    stream = S.running_distinct_users_stream(
+        S.read_events_stream(spark, src)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("hll_null_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r.event_type: list(r.hll_registers)
+        for r in spark.table("hll_null_t").collect()
+    }
+    want = {
+        r.event_type: list(r.hll_registers)
+        for r in hll_sketch(
+            spark.read.parquet(src), ["event_type"], "user_id"
+        ).collect()
+    }
+    assert got == want
