@@ -1,4 +1,5 @@
-"""Mergeable HyperLogLog distinct-count sketches in pure column math.
+"""Mergeable sketches in pure column math: HyperLogLog distinct
+counts and Count-Min frequencies.
 
 The 100 TB profiling problem: ``count(DISTINCT user_id)`` per group is
 exact but non-reaggregatable — a day rollup cannot be derived from
@@ -45,6 +46,18 @@ register sum ``T = Σ 2^((w+1)−M_j)``), and the small-range linear
 count is ``m·ln(m/V)`` with integer ``m``/``V`` — both deterministic
 given IEEE doubles; contract queries round the estimate (the same
 absorption trick as the k-means centroid oracle).
+
+The Count-Min half (Cormode & Muthukrishnan 2005 — public) is the
+frequency analog: ``depth`` seeded hash rows of ``width`` counters as
+ONE flat ``array<long>`` (index ``d·width + bucket``); point queries
+take the per-row minimum (an upper bound on the true count, exact
+when the value escaped every collision); merge is element-wise SUM —
+so unlike HLL it composes under weights and is exact integer algebra
+END TO END, no float anywhere. The 100 TB uses: mergeable heavy-hitter
+/ vocabulary-frequency state across corpus increments, and hot-key
+probes whose memory is fixed by (depth, width) rather than key
+cardinality (the detection half of `operators/joins.py`'s salted-join
+recipe).
 """
 
 from __future__ import annotations
@@ -288,3 +301,145 @@ def hll_estimate(
         F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
     ).otherwise(raw)
     return est if decimals is None else F.round(est, decimals)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min frequency sketch — the mergeable-by-SUM sibling.
+# ---------------------------------------------------------------------------
+
+CMS_WIDTH = 1024
+CMS_DEPTH = 4
+CMS_COL = "cms_counters"
+
+
+def _check_cms(width: int, depth: int) -> None:
+    # width*depth bounds the flat counter array (memory per group);
+    # depth > 8 buys nothing (error prob 2^-depth already < 0.4%)
+    if width < 16 or width > (1 << 20):
+        raise ValueError(f"width={width} outside [16, 2^20]")
+    if not 1 <= depth <= 8:
+        raise ValueError(f"depth={depth} outside [1, 8]")
+
+
+def _cms_bucket(value: Column, d: int, width: int) -> Column:
+    """Row-d bucket of a value: md5 of the seed-prefixed string —
+    ``md5('cms<d>|' || CAST(x AS VARCHAR))`` in any engine — first
+    32 hash bits mod width. Seeding by prefix (not a second hash
+    argument) keeps the replay one expression in DuckDB."""
+    h = F.md5(F.concat(F.lit(f"cms{d}|"), value.cast("string")))
+    return F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(width)
+    )
+
+
+def cms_sketch(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+    weight_col: str | None = None,
+    out_col: str = CMS_COL,
+) -> DataFrame:
+    """Per-group Count-Min counters: one row per ``key_cols`` combo
+    carrying a flat ``array<long>`` of ``depth × width`` counters
+    (index ``d·width + bucket``; flat beats nested arrays — one
+    ``map_from_entries`` assembly, no nested HOF lambdas). Each
+    non-null value adds ``weight_col`` (default 1) to one bucket per
+    depth row. ``key_cols=[]`` builds one global sketch.
+
+    Plan shape: the input explodes ×depth into (keys, flat-index,
+    weight) rows — fixed small factor — then ONE corpus-sized
+    hash-agg shuffle with map-side partial sums and a keys-grain
+    assembly, the same audit shape as ``hll_sketch``."""
+    _check_cms(width, depth)
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    idx = F.explode(
+        F.array(
+            *[
+                (F.lit(d * width) + _cms_bucket(F.col(value_col), d, width))
+                for d in range(depth)
+            ]
+        )
+    )
+    rows = df.filter(F.col(value_col).isNotNull()).select(
+        *key_cols, idx.alias("_ix"), w.alias("_w")
+    )
+    grouped = rows.groupBy(*key_cols, "_ix").agg(F.sum("_w").alias("_c"))
+    m = width * depth
+    sparse = grouped.groupBy(*key_cols).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("_ix", "_c"))
+        ).alias("_map")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("_map"), i.cast("long")), F.lit(0).cast("long")
+        ),
+    )
+    return sparse.withColumn(out_col, dense).drop("_map")
+
+
+def cms_merge(
+    df: DataFrame,
+    key_cols: list[str],
+    sketch_col: str = CMS_COL,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Merge many counter ROWS per group: element-wise sum (counters
+    are linear, so merge also composes with weighted builds). Shuffles
+    |groups| × depth·width fixed-width rows, never raw values."""
+    out = out_col or sketch_col
+    ex = df.select(
+        *key_cols, F.posexplode(F.col(sketch_col)).alias("_ix", "_c")
+    )
+    grouped = ex.groupBy(*key_cols, "_ix").agg(F.sum("_c").alias("_c"))
+    # reassemble at the length of the input arrays (posexplode emits
+    # every index, zeros included, so max(_ix) is depth·width − 1)
+    sparse = grouped.groupBy(*key_cols).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("_ix", "_c"))
+        ).alias("_map"),
+        F.max("_ix").alias("_mx"),
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.col("_mx")),
+        lambda i: F.coalesce(
+            F.element_at(F.col("_map"), i.cast("long")), F.lit(0).cast("long")
+        ),
+    )
+    return sparse.withColumn(out, dense).drop("_map", "_mx")
+
+
+def cms_union(a: Column, b: Column) -> Column:
+    """Two counter columns → their sum: zero-shuffle ``zip_with``
+    (arrays must share (width, depth))."""
+    return F.zip_with(a, b, lambda x, y: x + y)
+
+
+def cms_query(
+    sketch: Column,
+    value: Column,
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+) -> Column:
+    """Point frequency estimate: min over depth rows of the value's
+    counter — an UPPER bound on the true count (exact when the value
+    dodged every collision). Pure integer column math."""
+    _check_cms(width, depth)
+    return F.least(
+        *[
+            F.element_at(
+                sketch,
+                (F.lit(d * width) + _cms_bucket(value, d, width) + 1).cast(
+                    "int"
+                ),
+            )
+            for d in range(depth)
+        ]
+    )

@@ -2449,10 +2449,53 @@ _NORM_TOKENS_SQL = """
       GROUP BY gram
       ORDER BY n DESC, gram
       LIMIT 50
+    ),
+    -- Count-Min replay (operators/sketch.py, width 1024 x depth 4):
+    -- per depth row, bucket every occurrence by the seed-prefixed md5
+    -- ('cms<d>|' || value, first 32 bits mod width) and count; a
+    -- value's estimate is the MIN of its four bucket counts — exact
+    -- integer algebra end to end
+    dseq AS (SELECT unnest([0, 1, 2, 3]) AS d),
+    wcnt AS (
+      SELECT d,
+             CAST('0x' || substr(md5('cms' || d || '|' || term), 1, 8)
+                  AS BIGINT) % 1024 AS b,
+             count(*) AS c
+      FROM ({_NORM_TOKENS_SQL}) CROSS JOIN dseq
+      WHERE term <> ''
+      GROUP BY 1, 2
+    ),
+    wq AS (
+      SELECT w.term AS gram, min(c.c) AS cms_n
+      FROM words w CROSS JOIN dseq
+      JOIN wcnt c
+        ON c.d = dseq.d
+       AND c.b = CAST('0x' || substr(md5('cms' || dseq.d || '|' || w.term),
+                                     1, 8) AS BIGINT) % 1024
+      GROUP BY w.term
+    ),
+    gcnt AS (
+      SELECT d,
+             CAST('0x' || substr(md5('cms' || d || '|' || gram), 1, 8)
+                  AS BIGINT) % 1024 AS b,
+             count(*) AS c
+      FROM (SELECT unnest(g) AS gram FROM gram_lists) CROSS JOIN dseq
+      GROUP BY 1, 2
+    ),
+    gq AS (
+      SELECT g.gram, min(c.c) AS cms_n
+      FROM grams g CROSS JOIN dseq
+      JOIN gcnt c
+        ON c.d = dseq.d
+       AND c.b = CAST('0x' || substr(md5('cms' || dseq.d || '|' || g.gram),
+                                     1, 8) AS BIGINT) % 1024
+      GROUP BY g.gram
     )
-    SELECT 'word' AS kind, term AS gram, n FROM words
+    SELECT 'word' AS kind, w.term AS gram, w.n, wq.cms_n
+    FROM words w JOIN wq ON wq.gram = w.term
     UNION ALL
-    SELECT 'trigram' AS kind, gram, n FROM grams
+    SELECT 'trigram' AS kind, g.gram, g.n, gq.cms_n
+    FROM grams g JOIN gq ON gq.gram = g.gram
     """,
 )
 def vocab_and_trigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2463,29 +2506,50 @@ def vocab_and_trigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic top-50. Trigram branch counts ALL occurrences —
     distinct=False is what separates language-model statistics from
     dedup shingles — with the same one-agg + deterministic-top-k
-    shape."""
+    shape.
+
+    r7: each head row also carries ``cms_n`` — the Count-Min point
+    estimate from ONE global 1024×4 sketch per branch
+    (operators/sketch.py), probed via a one-row broadcast crossJoin.
+    The oracle replays the full counter algebra (seeded-md5 buckets,
+    per-depth counts, min), so the hash proves build + query exact —
+    and CMS's ``estimate ≥ truth`` contract is visible in-row next to
+    the exact ``n``."""
     from mpg_data_warehouse_spark.operators.dedup import shingles_from_tokens
-    from mpg_data_warehouse_spark.operators.text import tokens
+    from mpg_data_warehouse_spark.operators.sketch import (
+        cms_query,
+        cms_sketch,
+    )
+    from mpg_data_warehouse_spark.operators.text import norm_tokens, tokens
 
     docs = _docs(spark, sf_dir)
+    wocc = docs.select(F.explode(norm_tokens("text")).alias("term"))
+    wsk = cms_sketch(wocc, [], "term")  # one global (1024 × 4) row
     words = (
         term_counts(docs, "text")
         .orderBy(F.col("n").desc(), F.col("term"))
         .limit(50)
         .select(F.lit("word").alias("kind"), F.col("term").alias("gram"), "n")
+        .crossJoin(F.broadcast(wsk))
+        .withColumn("cms_n", cms_query(F.col("cms_counters"), F.col("gram")))
+        .drop("cms_counters")
     )
     toked = docs.select(tokens("text").alias("_toks"))
+    gocc = toked.select(
+        F.explode(
+            shingles_from_tokens(F.col("_toks"), 3, distinct=False)
+        ).alias("gram")
+    )
+    gsk = cms_sketch(gocc, [], "gram")
     grams = (
-        toked.select(
-            F.explode(
-                shingles_from_tokens(F.col("_toks"), 3, distinct=False)
-            ).alias("gram")
-        )
-        .groupBy("gram")
+        gocc.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("gram"))
         .limit(50)
         .select(F.lit("trigram").alias("kind"), "gram", "n")
+        .crossJoin(F.broadcast(gsk))
+        .withColumn("cms_n", cms_query(F.col("cms_counters"), F.col("gram")))
+        .drop("cms_counters")
     )
     return words.unionByName(grams)
 

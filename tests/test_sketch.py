@@ -206,3 +206,140 @@ def test_p_bounds_rejected(spark):
     for bad in (4, 17):
         with pytest.raises(ValueError):
             hll_sketch(df, ["grp"], "val", p=bad)
+
+
+# --- Count-Min frequency sketch ---
+
+
+def _py_cms(values, width=1024, depth=4, weights=None):
+    counters = [0] * (width * depth)
+    ws = weights or [1] * len(values)
+    for v, w in zip(values, ws):
+        if v is None:
+            continue
+        for d in range(depth):
+            hx = hashlib.md5(f"cms{d}|{v}".encode()).hexdigest()
+            counters[d * width + int(hx[:8], 16) % width] += w
+    return counters
+
+
+def _py_cms_query(counters, v, width=1024, depth=4):
+    return min(
+        counters[d * width + int(hashlib.md5(f"cms{d}|{v}".encode()).hexdigest()[:8], 16) % width]
+        for d in range(depth)
+    )
+
+
+def test_cms_counters_match_python_reference(spark):
+    from mpg_data_warehouse_spark.operators.sketch import cms_sketch
+
+    vals = [f"t-{i % 40}" for i in range(500)] + [None]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "grp string, val string"
+    )
+    got = cms_sketch(df, ["grp"], "val").first()["cms_counters"]
+    assert list(got) == _py_cms(vals)
+
+
+def test_cms_query_upper_bounds_and_exact_counts(spark):
+    from mpg_data_warehouse_spark.operators.sketch import (
+        cms_query,
+        cms_sketch,
+    )
+
+    vals = [f"t-{i % 40}" for i in range(500)]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "grp string, val string"
+    )
+    sk = cms_sketch(df, ["grp"], "val")
+    probes = spark.createDataFrame(
+        [(f"t-{i}",) for i in range(40)] + [("absent",)], "term string"
+    )
+    got = (
+        sk.crossJoin(probes)
+        .select(
+            "term",
+            cms_query(F.col("cms_counters"), F.col("term")).alias("est"),
+        )
+        .collect()
+    )
+    counters = _py_cms(vals)
+    true = {f"t-{i}": (500 + 39 - i) // 40 for i in range(40)}
+    true["absent"] = 0
+    for r in got:
+        assert r["est"] >= true[r["term"]]  # CMS never undercounts
+        assert r["est"] == _py_cms_query(counters, r["term"])
+
+
+def test_cms_merge_and_union_equal_direct(spark):
+    from mpg_data_warehouse_spark.operators.sketch import (
+        cms_merge,
+        cms_sketch,
+        cms_union,
+    )
+
+    a = [f"a-{i % 11}" for i in range(120)]
+    b = [f"b-{i % 7}" for i in range(90)]
+    parts = spark.createDataFrame(
+        [("g", "p1", v) for v in a] + [("g", "p2", v) for v in b],
+        "grp string, part string, val string",
+    )
+    direct = _py_cms(a + b)
+    merged = cms_merge(
+        cms_sketch(parts, ["grp", "part"], "val").drop("part"), ["grp"]
+    ).first()["cms_counters"]
+    assert list(merged) == direct
+    sa = cms_sketch(
+        spark.createDataFrame([("g", v) for v in a], "grp string, val string"),
+        ["grp"], "val", out_col="ca",
+    )
+    sb = cms_sketch(
+        spark.createDataFrame([("g", v) for v in b], "grp string, val string"),
+        ["grp"], "val", out_col="cb",
+    )
+    u = (
+        sa.join(sb, "grp")
+        .select(cms_union(F.col("ca"), F.col("cb")).alias("u"))
+        .first()["u"]
+    )
+    assert list(u) == direct
+
+
+def test_cms_weighted_build(spark):
+    from mpg_data_warehouse_spark.operators.sketch import (
+        cms_query,
+        cms_sketch,
+    )
+
+    rows = [("g", "x", 5), ("g", "x", 2), ("g", "y", 10)]
+    df = spark.createDataFrame(rows, "grp string, val string, w long")
+    sk = cms_sketch(df, ["grp"], "val", weight_col="w")
+    got = {
+        r["v"]: r["est"]
+        for r in sk.crossJoin(
+            spark.createDataFrame([("x",), ("y",)], "v string")
+        )
+        .select("v", cms_query(F.col("cms_counters"), F.col("v")).alias("est"))
+        .collect()
+    }
+    assert got == {"x": 7, "y": 10}
+
+
+def test_cms_global_sketch_empty_keys(spark):
+    from mpg_data_warehouse_spark.operators.sketch import cms_sketch
+
+    df = spark.createDataFrame(
+        [(v,) for v in ("a", "b", "a")], "val string"
+    )
+    rows = cms_sketch(df, [], "val").collect()
+    assert len(rows) == 1
+    assert list(rows[0]["cms_counters"]) == _py_cms(["a", "b", "a"])
+
+
+def test_cms_param_bounds(spark):
+    from mpg_data_warehouse_spark.operators.sketch import cms_sketch
+
+    df = spark.createDataFrame([("g", "v")], "grp string, val string")
+    for kw in ({"width": 8}, {"depth": 0}, {"depth": 9}):
+        with pytest.raises(ValueError):
+            cms_sketch(df, ["grp"], "val", **kw)
