@@ -133,26 +133,37 @@ def _register_rows(
     )
 
 
+def _dense_from_map(
+    sparse: DataFrame, last_idx, zero: Column, out_col: str
+) -> DataFrame:
+    """(keys…, _map) → (keys…, out_col): densify an int-keyed sparse
+    map into the [0, last_idx] array with ``zero`` at missing
+    positions. Shared by every sketch assembly (HLL registers, CMS
+    counters, merge reassembly). The sparse→map hoist mirrors
+    `plans/retrieval.py`'s embedding assembly (inlining the map costs
+    one construction per component per row)."""
+    last = last_idx if isinstance(last_idx, Column) else F.lit(last_idx)
+    dense = F.transform(
+        F.sequence(F.lit(0), last),
+        lambda i: F.coalesce(
+            F.element_at(F.col("_map"), i.cast("int")), zero
+        ),
+    )
+    return sparse.withColumn(out_col, dense).drop("_map")
+
+
 def _assemble(
     grouped: DataFrame, key_cols: list[str], p: int, out_col: str
 ) -> DataFrame:
     """(keys…, _bucket, _rho)@unique-bucket rows → (keys…, out_col)
-    with the dense m-length register array (missing buckets = 0).
-    The sparse→map hoist mirrors `plans/retrieval.py`'s embedding
-    assembly (inlining the map costs m constructions per row)."""
+    with the dense m-length register array (missing buckets = 0)."""
     m = 1 << p
     sparse = grouped.groupBy(*key_cols).agg(
         F.map_from_entries(
             F.collect_list(F.struct("_bucket", "_rho"))
         ).alias("_map")
     )
-    dense = F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda i: F.coalesce(
-            F.element_at(F.col("_map"), i.cast("int")), F.lit(0)
-        ),
-    )
-    return sparse.withColumn(out_col, dense).drop("_map")
+    return _dense_from_map(sparse, m - 1, F.lit(0), out_col)
 
 
 def hll_sketch(
@@ -346,7 +357,10 @@ def cms_sketch(
     (index ``d·width + bucket``; flat beats nested arrays — one
     ``map_from_entries`` assembly, no nested HOF lambdas). Each
     non-null value adds ``weight_col`` (default 1) to one bucket per
-    depth row. ``key_cols=[]`` builds one global sketch.
+    depth row. ``key_cols=[]`` builds one global sketch. Like
+    ``hll_sketch``, a group whose values are ALL null produces no row
+    (the caller's join decides whether it reads as the all-zero
+    counter array); the global form always yields its one row.
 
     Plan shape: the input explodes ×depth into (keys, flat-index,
     weight) rows — fixed small factor — then ONE corpus-sized
@@ -362,6 +376,7 @@ def cms_sketch(
         F.array(
             *[
                 (F.lit(d * width) + _cms_bucket(F.col(value_col), d, width))
+                .cast("int")  # int-keyed map, same as every assembly
                 for d in range(depth)
             ]
         )
@@ -370,19 +385,14 @@ def cms_sketch(
         *key_cols, idx.alias("_ix"), w.alias("_w")
     )
     grouped = rows.groupBy(*key_cols, "_ix").agg(F.sum("_w").alias("_c"))
-    m = width * depth
     sparse = grouped.groupBy(*key_cols).agg(
         F.map_from_entries(
             F.collect_list(F.struct("_ix", "_c"))
         ).alias("_map")
     )
-    dense = F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda i: F.coalesce(
-            F.element_at(F.col("_map"), i.cast("long")), F.lit(0).cast("long")
-        ),
+    return _dense_from_map(
+        sparse, width * depth - 1, F.lit(0).cast("long"), out_col
     )
-    return sparse.withColumn(out_col, dense).drop("_map")
 
 
 def cms_merge(
@@ -407,13 +417,9 @@ def cms_merge(
         ).alias("_map"),
         F.max("_ix").alias("_mx"),
     )
-    dense = F.transform(
-        F.sequence(F.lit(0), F.col("_mx")),
-        lambda i: F.coalesce(
-            F.element_at(F.col("_map"), i.cast("long")), F.lit(0).cast("long")
-        ),
-    )
-    return sparse.withColumn(out, dense).drop("_map", "_mx")
+    return _dense_from_map(
+        sparse, F.col("_mx"), F.lit(0).cast("long"), out
+    ).drop("_mx")
 
 
 def cms_union(a: Column, b: Column) -> Column:

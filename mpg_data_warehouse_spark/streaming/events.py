@@ -205,16 +205,19 @@ def running_distinct_users_stream(
     def update(key, pdfs, state: GroupState):
         regs = list(state.get[0]) if state.exists else [0] * m
         for pdf in pdfs:
-            # dropna + int(): one null user_id coerces the pandas
-            # column to float64, so NULLs arrive as NaN (must be
-            # skipped like the batch side's isNotNull, not hashed as
-            # 'nan') and the SURVIVORS as floats (str(5.0) != str(5)
-            # would silently desync every register of the batch).
-            # The usual >2^53 float-precision caveat applies only to
-            # null-BEARING batches; ids stay exact otherwise.
-            py_update_registers(
-                regs, (int(v) for v in pdf["user_id"].dropna()), p
-            )
+            # _uid is projected as STRING below, so the column crosses
+            # Arrow→pandas as exact object strings even when a batch
+            # carries nulls — no float64 coercion, no 2^53 id rounding
+            # (the int64 path corrupted >2^53 ids whenever a null
+            # shared the batch); NULLs arrive as None and are skipped
+            # (batch isNotNull parity).
+            py_update_registers(regs, pdf["_uid"].tolist(), p)
+        if not any(regs):
+            # every value so far was NULL: emit nothing and keep no
+            # state, mirroring the batch hll_sketch's all-null-group
+            # absence (registers are monotone, so a later real value
+            # starts the group cleanly)
+            return
         state.update((regs,))
         import pandas as pd
 
@@ -228,6 +231,15 @@ def running_distinct_users_stream(
 
     return (
         events.withWatermark("ts", watermark)
+        .select(
+            "ts",
+            "event_type",
+            # string projection BEFORE the Arrow boundary: the batch
+            # side hashes md5(CAST(user_id AS STRING)), and an object
+            # (string) pandas column is the only dtype that survives
+            # null-bearing batches without corrupting exact longs
+            F.col("user_id").cast("string").alias("_uid"),
+        )
         .groupBy("event_type")
         .applyInPandasWithState(
             update,

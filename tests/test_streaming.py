@@ -357,14 +357,20 @@ def test_streaming_hll_registers_match_batch_sketch(spark, events_dir):
 
 
 def test_streaming_hll_skips_null_users_like_batch(spark, tmp_path):
-    """A null user_id in a micro-batch coerces the pandas column to
-    float64: the stream must skip the NaN (batch isNotNull parity)
-    AND keep hashing the surviving ids as integers — one null must
-    not desync the batch's other registers."""
+    """Null-bearing batches must not desync the stream from batch: the
+    NULL is skipped (isNotNull parity), ids above 2^53 sharing the
+    batch survive exactly (the string projection — an int64→float64
+    round-trip rounded them), and a group whose users are ALL null
+    emits nothing, exactly as batch hll_sketch drops it."""
     from mpg_data_warehouse_spark.operators.sketch import hll_sketch
 
     src = str(tmp_path / "null_events")
     rows = [(i, i % 7 if i % 5 else None, "click", 1.0) for i in range(60)]
+    # a null + a 2^53+1 id in the SAME group: float64 coercion would
+    # round the big id to 2^53 and hash the wrong register
+    rows += [(100, None, "click", 1.0), (101, (1 << 53) + 1, "click", 1.0)]
+    # a group with ONLY null users: batch emits no row; stream must not
+    rows += [(102, None, "beacon", 1.0)]
     spark.createDataFrame(
         rows, "event_id long, user_id long, event_type string, value double"
     ).withColumn("ts", F.timestamp_seconds(F.col("event_id") + 1_700_000_000)) \
