@@ -1,5 +1,6 @@
 """Mergeable sketches in pure column math: HyperLogLog distinct
-counts and Count-Min frequencies.
+counts, Count-Min frequencies, and KMV/theta bottom-k distinct sets
+(the set-algebra member: union AND intersection stay sketches).
 
 The 100 TB profiling problem: ``count(DISTINCT user_id)`` per group is
 exact but non-reaggregatable — a day rollup cannot be derived from
@@ -449,3 +450,207 @@ def cms_query(
             for d in range(depth)
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV / bottom-k (theta) distinct sketch — the SET-ALGEBRA sibling.
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+KMV_COL = "kmv_minima"
+KMV_SPACE = 1 << 56  # 56-bit hash domain: first 14 md5 hex chars
+
+
+def _check_k(k: int) -> None:
+    # k >= 8 keeps the (k-1)/U_(k) estimator sane; the upper bound
+    # caps per-group sketch memory (k longs) like _check_cms does
+    if k < 8 or k > (1 << 16):
+        raise ValueError(f"k={k} outside [8, 65536]")
+
+
+def _kmv_hash(value: Column) -> Column:
+    """56-bit hash: the first 14 hex chars of ``md5(CAST(x AS
+    VARCHAR))`` — ``CAST('0x' || substr(md5(x), 1, 14) AS BIGINT)``
+    in DuckDB, long-safe in both engines (< 2^56), the established
+    cross-engine hash family (`_register_rows`, `_cms_bucket`)."""
+    return F.conv(
+        F.substring(F.md5(value.cast("string")), 1, 14), 16, 10
+    ).cast("long")
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    k: int = KMV_K,
+    out_col: str = KMV_COL,
+) -> DataFrame:
+    """Per-group bottom-k sketch: the k smallest DISTINCT 56-bit
+    hashes of ``value_col``, as a sorted ``array<long>`` (fewer than
+    k rows when the group has fewer distinct values — then the
+    sketch IS the exact distinct set). KMV / theta sketches
+    (Bar-Yossef et al. 2002; Dasgupta et al. 2016, the public
+    DataSketches theta framework) buy what HLL registers cannot:
+    closed SET ALGEBRA — union (``kmv_union``) AND intersection
+    (``kmv_intersect_estimate``) stay sketches, so segment-overlap
+    questions ("users in cohort A ∩ cohort B") are answerable from
+    pre-built per-segment state without rescanning raw rows.
+
+    Plan shape at 100 TB: a ``dense_rank() ≤ k`` window on the hash —
+    Spark's InferWindowGroupLimit inserts a MAP-SIDE partial top-k
+    before the exchange, so the shuffle carries at most
+    ``tasks × k`` rows per group, never the raw distinct values —
+    then one keys-grain collect of ≤ k longs. NULL values are
+    skipped (count-distinct semantics); an all-null group emits no
+    row, matching ``hll_sketch``; ``key_cols=[]`` builds one global
+    sketch (always one row)."""
+    from pyspark.sql import Window
+
+    _check_k(k)
+    rows = df.filter(F.col(value_col).isNotNull()).select(
+        *key_cols, _kmv_hash(F.col(value_col)).alias("_h")
+    )
+    w = Window.partitionBy(*key_cols).orderBy("_h")
+    ranked = rows.withColumn("_r", F.dense_rank().over(w)).filter(
+        F.col("_r") <= k
+    )
+    return ranked.groupBy(*key_cols).agg(
+        F.array_sort(F.collect_set("_h")).alias(out_col)
+    )
+
+
+def kmv_merge(
+    df: DataFrame,
+    key_cols: list[str],
+    sketch_col: str = KMV_COL,
+    k: int = KMV_K,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Merge many sketch ROWS per group: the k smallest distinct
+    hashes of the union of the inputs — same dense_rank ≤ k shape as
+    the build, but over |groups| × k fixed-width rows, never raw
+    values. A group whose sketches are ALL empty still emits its
+    (empty-array) row, matching ``hll_merge``'s zero-register rule:
+    ``explode_outer`` keeps one NULL row per empty sketch, nulls rank
+    LAST so they never displace a real hash, and ``collect_set``
+    drops them from the output array."""
+    from pyspark.sql import Window
+
+    _check_k(k)
+    out = out_col or sketch_col
+    ex = df.select(
+        *key_cols, F.explode_outer(F.col(sketch_col)).alias("_h")
+    )
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col("_h").asc_nulls_last()
+    )
+    ranked = ex.withColumn("_r", F.dense_rank().over(w)).filter(
+        F.col("_r") <= k
+    )
+    return ranked.groupBy(*key_cols).agg(
+        F.array_sort(F.collect_set("_h")).alias(out)
+    )
+
+
+def kmv_union(a: Column, b: Column, k: int = KMV_K) -> Column:
+    """Two sketch columns → the union sketch: zero-shuffle column
+    math (distinct-merge, sort, keep the k smallest). Exact while
+    the union still has < k distinct hashes — the same exactness
+    contract as the build."""
+    _check_k(k)
+    return F.slice(F.array_sort(F.array_distinct(F.concat(a, b))), 1, k)
+
+
+def kmv_theta(sketch: Column, k: int = KMV_K) -> Column:
+    """The sketch's θ as an INTEGER hash bound: the k-th smallest
+    hash when the sketch is full (k distinct values were seen), else
+    the whole domain ``KMV_SPACE`` (the sketch is exact). Every hash
+    h < θ was retained — the theta-sketch invariant that makes
+    intersection estimable."""
+    _check_k(k)
+    return F.when(
+        F.size(sketch) >= k, F.element_at(sketch, k)
+    ).otherwise(F.lit(KMV_SPACE))
+
+
+def kmv_estimate(
+    sketch: Column, k: int = KMV_K, decimals: int | None = 4
+) -> Column:
+    """Distinct-count estimate: EXACT ``|sketch|`` while under k
+    distinct values; else the classic unbiased ``(k−1)·U/h_(k)``
+    (U = hash domain). The only float op is one multiply of exactly-
+    representable doubles (k−1 and the power-of-two U) and one
+    divide — deterministic IEEE, replayed verbatim by the DuckDB
+    oracle; ``decimals`` rounds for hash-stable contracts."""
+    _check_k(k)
+    n = F.size(sketch)
+    est = F.when(n < k, n.cast("double")).otherwise(
+        F.lit(float(k - 1))
+        * F.lit(float(KMV_SPACE))
+        / F.element_at(sketch, k).cast("double")
+    )
+    return est if decimals is None else F.round(est, decimals)
+
+
+def kmv_intersect_estimate(
+    a: Column,
+    b: Column,
+    k: int = KMV_K,
+    decimals: int | None = 4,
+) -> Column:
+    """Distinct-count estimate of A ∩ B from the two sketches alone
+    (Dasgupta et al. 2016 theta intersection): θ = min(θ_a, θ_b);
+    the retained intersection sample is every shared hash < θ; the
+    estimate scales the sample by 1/θ (as a domain fraction). When
+    NEITHER sketch is full θ covers the whole domain and the result
+    is the EXACT overlap count. Integer algebra until the final
+    scale — zero-shuffle column math over two ≤ k arrays."""
+    _check_k(k)
+    theta = F.least(kmv_theta(a, k), kmv_theta(b, k))
+    cnt = F.size(
+        F.filter(F.array_intersect(a, b), lambda h: h < theta)
+    )
+    est = F.when(theta == F.lit(KMV_SPACE), cnt.cast("double")).otherwise(
+        cnt.cast("double") * F.lit(float(KMV_SPACE)) / theta.cast("double")
+    )
+    return est if decimals is None else F.round(est, decimals)
+
+
+def py_kmv(values, k: int = KMV_K):
+    """Pure-Python bottom-k build — same 56-bit md5 prefix hash as
+    ``_kmv_hash`` bit for bit. Test reference and driver-side
+    consumer of sketch state; NULL/NaN values are skipped."""
+    import hashlib
+
+    _check_k(k)
+    hs = set()
+    for v in values:
+        if v is None or v != v:
+            continue
+        hs.add(int(hashlib.md5(str(v).encode()).hexdigest()[:14], 16))
+    return sorted(hs)[:k]
+
+
+def py_kmv_estimate(sketch, k: int = KMV_K, decimals: int | None = 4):
+    """Pure-Python mirror of ``kmv_estimate`` — same branch, same
+    float op order."""
+    _check_k(k)
+    if len(sketch) < k:
+        est = float(len(sketch))
+    else:
+        est = float(k - 1) * float(KMV_SPACE) / float(sketch[k - 1])
+    return est if decimals is None else round(est, decimals)
+
+
+def py_kmv_intersect_estimate(a, b, k: int = KMV_K, decimals=4):
+    """Pure-Python mirror of ``kmv_intersect_estimate``."""
+    _check_k(k)
+    ta = a[k - 1] if len(a) >= k else KMV_SPACE
+    tb = b[k - 1] if len(b) >= k else KMV_SPACE
+    theta = min(ta, tb)
+    cnt = sum(1 for h in set(a) & set(b) if h < theta)
+    if theta == KMV_SPACE:
+        est = float(cnt)
+    else:
+        est = float(cnt) * float(KMV_SPACE) / float(theta)
+    return est if decimals is None else round(est, decimals)

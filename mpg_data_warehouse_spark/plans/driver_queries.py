@@ -426,7 +426,7 @@ def string_agg_top3_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "span_duplication_stats",
     r"""
-    WITH aug AS (
+    WITH aug0 AS (
       SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + 1000000 AS doc_id,
@@ -434,6 +434,21 @@ def string_agg_top3_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
                (regexp_split_to_array(trim(text), '\s+'))[1:10], ' ')
                || ' ' || upper(text) AS text
       FROM documents WHERE doc_id % 10 = 0
+    ),
+    -- every 3rd doc gains two identical trailing lines (its first 5
+    -- tokens) so the INTRA-doc line/ngram repetition signals see
+    -- real duplicates (operators/text.py::repetition_signals fold)
+    aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN
+               text || chr(10)
+                 || array_to_string(
+                      (regexp_split_to_array(trim(text), '\s+'))[1:5], ' ')
+                 || chr(10)
+                 || array_to_string(
+                      (regexp_split_to_array(trim(text), '\s+'))[1:5], ' ')
+             ELSE text END AS text
+      FROM aug0
     ),
     toked AS (
       SELECT doc_id,
@@ -450,14 +465,39 @@ def string_agg_top3_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     counts AS (
       SELECT span_hash, count(*) AS n_occ FROM spans GROUP BY span_hash
+    ),
+    lines AS (
+      SELECT doc_id, regexp_split_to_array(text, chr(10)) AS ls FROM aug
+    ),
+    linestats AS (
+      SELECT doc_id,
+             round((len(ls) - len(list_distinct(ls))) * 1.0 / len(ls), 4)
+               AS dup_line_frac
+      FROM lines
+    ),
+    bg AS (
+      SELECT doc_id, toks[CAST(i AS INT)] || ' '
+               || toks[CAST(i AS INT) + 1] AS g
+      FROM toked, UNNEST(range(1, len(toks))) AS u(i)
+      WHERE len(toks) >= 2
+    ),
+    bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+    bstats AS (
+      SELECT doc_id, round(max(c) * 1.0 / sum(c), 4) AS top_bigram_frac
+      FROM bgc GROUP BY doc_id
     )
     SELECT s.doc_id,
            count(*) AS n_spans,
            CAST(sum(CASE WHEN c.n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_dup_spans,
            round(sum(CASE WHEN c.n_occ >= 2 THEN 1 ELSE 0 END) * 1.0
-                 / count(*), 4) AS dup_span_frac
-    FROM spans s JOIN counts c USING (span_hash)
+                 / count(*), 4) AS dup_span_frac,
+           any_value(l.dup_line_frac) AS dup_line_frac,
+           COALESCE(any_value(b.top_bigram_frac), 0.0) AS top_bigram_frac
+    FROM spans s
+    JOIN counts c USING (span_hash)
+    JOIN linestats l ON l.doc_id = s.doc_id
+    LEFT JOIN bstats b ON b.doc_id = s.doc_id
     GROUP BY s.doc_id
     """,
 )
@@ -465,7 +505,15 @@ def span_duplication_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc duplicated-passage fraction over a deterministic
     injected-duplicate corpus (operators.dedup.span_duplication_stats:
     tile → 32-byte window hashes → one hash-keyed aggregate → per-doc
-    rollup; span text never shuffles past the map stage)."""
+    rollup; span text never shuffles past the map stage).
+
+    r8 folds the Gopher-rule INTRA-doc repetition family (Rae et al.
+    2021 Table A1; operators/text.py::repetition_signals →
+    duplicate_line_fraction in-row array math + top-bigram share)
+    under this hash: every 3rd aug doc gains two identical trailing
+    lines, so the line-dup signal is exercised against real
+    duplicates while the oracle recomputes both signals from plain
+    unnest+GROUP BY SQL."""
     from mpg_data_warehouse_spark.operators import dedup as D
     from mpg_data_warehouse_spark.operators import text as X
 
@@ -478,10 +526,25 @@ def span_duplication_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.upper(F.col("text")),
         ).alias("text"),
     )
-    aug = docs.unionByName(donated)
-    return D.span_duplication_stats(
+    head5 = F.concat_ws(" ", F.slice(X.tokens("text"), 1, 5))
+    aug = docs.unionByName(donated).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit("\n"),
+                head5,
+                F.lit("\n"),
+                head5,
+            ),
+        ).otherwise(F.col("text")),
+    )
+    spans = D.span_duplication_stats(
         aug, id_col="doc_id", text_col="text", span_tokens=10, stride=10
     )
+    rep = X.repetition_signals(aug, id_col="doc_id", text_col="text")
+    return spans.join(rep, "doc_id")
 
 
 # --- W1: analytic partition count over a CASE category ---
@@ -599,20 +662,66 @@ def date_repair_from_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "regex_sentinel_filter",
-    """
-    SELECT doc_id, lang, source
-    FROM documents
-    WHERE regexp_matches(lang, '^[a-z]{2}$') AND lang <> 'zh'
+    r"""
+    WITH base AS (
+      SELECT doc_id, lang, source,
+             text || CASE WHEN doc_id % 2 = 0
+                          THEN ' contact u' || CAST(doc_id AS VARCHAR)
+                               || '@ex.com'
+                          ELSE '' END
+                  || ' ref ' || CAST(doc_id + 10000000 AS VARCHAR) AS pt
+      FROM documents
+      WHERE regexp_matches(lang, '^[a-z]{2}$') AND lang <> 'zh'
+    )
+    SELECT doc_id, lang, source,
+           CAST(len(regexp_extract_all(pt,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}|\b\d{4,}\b'))
+             AS BIGINT) AS pii_hits,
+           md5(regexp_replace(pt,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}|\b\d{4,}\b',
+             '[REDACTED]', 'g')) AS clean_fp
+    FROM base
     """,
 )
 def regex_sentinel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Format validation (reference P10 ^[NSEW]\\d{1,2}$) + sentinel
     value removal (P6 key_plant_code != 'NV') — 3-valued-logic `!=`
-    drops NULLs on both engines, matching the dplyr/SQL sites."""
+    drops NULLs on both engines, matching the dplyr/SQL sites.
+
+    r8 folds PII redaction (operators/text.py::redact /
+    redaction_count — RE2-safe email + long-digit patterns, a pure
+    narrow-map scrub) under this hash: deterministic synthetic PII
+    (an email on every even doc, a numeric ref on all) is appended,
+    counted, scrubbed, and fingerprinted; the oracle replays the
+    identical regex in DuckDB's RE2, proving the pattern dialect is
+    engine-portable — the property the scrub relies on when the same
+    policy file drives Spark and downstream scanners."""
+    from mpg_data_warehouse_spark.operators import text as X
+
     docs = _t(spark, sf_dir, "documents")
-    return docs.filter(
+    kept = docs.filter(
         F.col("lang").rlike(r"^[a-z]{2}$") & (F.col("lang") != "zh")
-    ).select("doc_id", "lang", "source")
+    )
+    pii_text = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit(" contact u"),
+                F.col("doc_id").cast("string"),
+                F.lit("@ex.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit(" ref "),
+        (F.col("doc_id") + 10000000).cast("string"),
+    )
+    return kept.withColumn("_pt", pii_text).select(
+        "doc_id",
+        "lang",
+        "source",
+        X.redaction_count(F.col("_pt")).alias("pii_hits"),
+        F.md5(X.redact(F.col("_pt"))).alias("clean_fp"),
+    )
 
 
 # --- A10/F2 frequency tables: date-component value counts AND a
@@ -3007,29 +3116,180 @@ def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ev e JOIN fa ON fa.usr = e.usr
       WHERE e.event_type = 'purchase' AND e.s >= fa.a_s
       GROUP BY e.usr
+    ),
+    users AS (
+      SELECT 'user' AS kind, fa.usr AS user_id, fa.a_s, fb.b_s,
+             (fb.b_s IS NOT NULL AND fb.b_s - fa.a_s <= 3600) AS converted,
+             CAST(NULL AS BIGINT) AS n_clickers,
+             CAST(NULL AS BIGINT) AS n_purchasers,
+             CAST(NULL AS BIGINT) AS n_overlap,
+             CAST(NULL AS DOUBLE) AS kmv_clickers,
+             CAST(NULL AS DOUBLE) AS kmv_purchasers,
+             CAST(NULL AS DOUBLE) AS kmv_overlap
+      FROM fa LEFT JOIN fb ON fa.usr = fb.usr
+    ),
+    -- KMV bottom-64 replay (operators/sketch.py): 56-bit hash = first
+    -- 14 md5 hex chars; the k-set is the 64 smallest DISTINCT hashes
+    -- per step; theta = min over full sketches of the kth hash (else
+    -- the whole 2^56 domain); intersection sample = shared hashes
+    -- below theta, scaled by the domain/theta ratio
+    hashes AS (
+      SELECT DISTINCT event_type,
+             CAST('0x' || substr(md5(CAST(usr AS VARCHAR)), 1, 14)
+                  AS BIGINT) AS h
+      FROM ev WHERE usr IS NOT NULL
+    ),
+    ranked AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS r
+      FROM hashes
+    ),
+    ka AS (SELECT h FROM ranked WHERE event_type = 'click' AND r <= 64),
+    kb AS (SELECT h FROM ranked WHERE event_type = 'purchase' AND r <= 64),
+    stats AS (
+      SELECT (SELECT count(*) FROM ka) AS cnt_a,
+             (SELECT max(h) FROM ka) AS kth_a,
+             (SELECT count(*) FROM kb) AS cnt_b,
+             (SELECT max(h) FROM kb) AS kth_b
+    ),
+    theta AS (
+      SELECT cnt_a, kth_a, cnt_b, kth_b,
+             least(CASE WHEN cnt_a >= 64 THEN kth_a
+                        ELSE 72057594037927936 END,
+                   CASE WHEN cnt_b >= 64 THEN kth_b
+                        ELSE 72057594037927936 END) AS th
+      FROM stats
+    ),
+    inter AS (
+      SELECT count(*) AS ci
+      FROM ka JOIN kb USING (h) CROSS JOIN theta WHERE h < theta.th
+    ),
+    flags AS (
+      SELECT usr,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+      FROM ev WHERE usr IS NOT NULL GROUP BY usr
+    ),
+    exact AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS n_clickers,
+             CAST(sum(cb) AS BIGINT) AS n_purchasers,
+             CAST(sum(ca * cb) AS BIGINT) AS n_overlap
+      FROM flags
+    ),
+    audience AS (
+      SELECT 'audience' AS kind,
+             CAST(NULL AS BIGINT) AS user_id,
+             CAST(NULL AS BIGINT) AS a_s,
+             CAST(NULL AS BIGINT) AS b_s,
+             CAST(NULL AS BOOLEAN) AS converted,
+             e.n_clickers, e.n_purchasers, e.n_overlap,
+             round(CASE WHEN t.cnt_a < 64 THEN CAST(t.cnt_a AS DOUBLE)
+                        ELSE CAST(63 AS DOUBLE)
+                             * CAST(72057594037927936 AS DOUBLE)
+                             / CAST(t.kth_a AS DOUBLE) END, 4)
+               AS kmv_clickers,
+             round(CASE WHEN t.cnt_b < 64 THEN CAST(t.cnt_b AS DOUBLE)
+                        ELSE CAST(63 AS DOUBLE)
+                             * CAST(72057594037927936 AS DOUBLE)
+                             / CAST(t.kth_b AS DOUBLE) END, 4)
+               AS kmv_purchasers,
+             round(CASE WHEN t.th = 72057594037927936
+                        THEN CAST(i.ci AS DOUBLE)
+                        ELSE CAST(i.ci AS DOUBLE)
+                             * CAST(72057594037927936 AS DOUBLE)
+                             / CAST(t.th AS DOUBLE) END, 4)
+               AS kmv_overlap
+      FROM exact e CROSS JOIN theta t CROSS JOIN inter i
     )
-    SELECT fa.usr AS user_id, fa.a_s, fb.b_s,
-           (fb.b_s IS NOT NULL AND fb.b_s - fa.a_s <= 3600) AS converted
-    FROM fa LEFT JOIN fb ON fa.usr = fb.usr
+    SELECT * FROM users UNION ALL SELECT * FROM audience
     """,
 )
 def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered two-step funnel (first click → first purchase at or
     after it, 1-hour conversion window) — cost proportional to the
     two step types' volume, not the event stream. Timestamps emitted
-    as epoch seconds (truncating cast on both engines)."""
+    as epoch seconds (truncating cast on both engines).
+
+    r8 folds the KMV/theta bottom-k sketch family
+    (operators/sketch.py::kmv_sketch / kmv_estimate /
+    kmv_intersect_estimate) under this hash via an ``audience``
+    summary leg: per-step distinct-user sketches built in ONE events
+    pass (grouped by step, map-side WindowGroupLimit top-k), the
+    clicker∩purchaser overlap estimated FROM THE SKETCHES ALONE next
+    to the exact overlap — the segment-overlap question HLL registers
+    cannot answer without the raw rows. At sf0.001 (15 users < k=64)
+    the contract pins the exact branch; at sf0.01/0.1 (150/1500
+    users) the estimator branch — both replayed hash-exactly by the
+    oracle."""
+    from mpg_data_warehouse_spark.operators import sketch as S
     from mpg_data_warehouse_spark.operators.temporal import funnel_conversion
 
+    _K = S.KMV_K  # 64; the oracle inlines it
     ev = _events(spark, sf_dir)
+    steps = ev.filter(F.col("event_type").isin("click", "purchase"))
     out = funnel_conversion(
         ev, "user_id", "ts", "event_type", "click", "purchase", 3600
     )
-    return out.select(
+    _nulls = [
+        F.lit(None).cast("long").alias("n_clickers"),
+        F.lit(None).cast("long").alias("n_purchasers"),
+        F.lit(None).cast("long").alias("n_overlap"),
+        F.lit(None).cast("double").alias("kmv_clickers"),
+        F.lit(None).cast("double").alias("kmv_purchasers"),
+        F.lit(None).cast("double").alias("kmv_overlap"),
+    ]
+    users = out.select(
+        F.lit("user").alias("kind"),
         F.col("user").alias("user_id"),
         F.col("a_ts").cast("long").alias("a_s"),
         F.col("b_ts").cast("long").alias("b_s"),
         "converted",
+        *_nulls,
     )
+    # one pass builds BOTH step sketches (grouped by step), pivoted to
+    # one row of two array columns — never a per-step rescan
+    per_step = S.kmv_sketch(steps, ["event_type"], "user_id", k=_K)
+    wide = per_step.groupBy().agg(
+        F.first(
+            F.when(F.col("event_type") == "click", F.col(S.KMV_COL)),
+            ignorenulls=True,
+        ).alias("_a"),
+        F.first(
+            F.when(F.col("event_type") == "purchase", F.col(S.KMV_COL)),
+            ignorenulls=True,
+        ).alias("_b"),
+    )
+    exact = (
+        steps.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "click").cast("int")).alias("ca"),
+            F.max((F.col("event_type") == "purchase").cast("int")).alias(
+                "cb"
+            ),
+        )
+        .agg(
+            F.sum("ca").alias("n_clickers"),
+            F.sum("cb").alias("n_purchasers"),
+            F.sum(F.col("ca") * F.col("cb")).alias("n_overlap"),
+        )
+    )
+    audience = exact.crossJoin(F.broadcast(wide)).select(
+        F.lit("audience").alias("kind"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.lit(None).cast("long").alias("a_s"),
+        F.lit(None).cast("long").alias("b_s"),
+        F.lit(None).cast("boolean").alias("converted"),
+        "n_clickers",
+        "n_purchasers",
+        "n_overlap",
+        S.kmv_estimate(F.col("_a"), k=_K).alias("kmv_clickers"),
+        S.kmv_estimate(F.col("_b"), k=_K).alias("kmv_purchasers"),
+        S.kmv_intersect_estimate(F.col("_a"), F.col("_b"), k=_K).alias(
+            "kmv_overlap"
+        ),
+    )
+    return users.unionByName(audience)
 
 
 @_q(

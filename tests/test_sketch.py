@@ -343,3 +343,174 @@ def test_cms_param_bounds(spark):
     for kw in ({"width": 8}, {"depth": 0}, {"depth": 9}):
         with pytest.raises(ValueError):
             cms_sketch(df, ["grp"], "val", **kw)
+
+
+# --- KMV / bottom-k (theta) distinct sketch ---
+
+
+def _kmv_df(spark, vals, key="g"):
+    return spark.createDataFrame(
+        [(key, v) for v in vals], ["g", "v"]
+    )
+
+
+def test_kmv_sketch_matches_python_reference(spark):
+    from mpg_data_warehouse_spark.operators.sketch import kmv_sketch, py_kmv
+
+    vals = _values(300) + [None, "dup", "dup"]
+    got = kmv_sketch(_kmv_df(spark, vals), ["g"], "v").collect()
+    assert len(got) == 1
+    assert list(got[0]["kmv_minima"]) == py_kmv(vals)
+
+
+def test_kmv_exact_branch_under_k(spark):
+    from mpg_data_warehouse_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    vals = _values(20)
+    sk = kmv_sketch(_kmv_df(spark, vals), ["g"], "v")
+    row = sk.select(
+        F.size("kmv_minima").alias("n"),
+        kmv_estimate(F.col("kmv_minima")).alias("est"),
+    ).collect()[0]
+    assert row["n"] == 20 and row["est"] == 20.0
+
+
+def test_kmv_estimator_accuracy(spark):
+    from mpg_data_warehouse_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_sketch,
+        py_kmv,
+        py_kmv_estimate,
+    )
+
+    vals = _values(5000)
+    sk = kmv_sketch(_kmv_df(spark, vals), ["g"], "v")
+    est = sk.select(kmv_estimate(F.col("kmv_minima")).alias("e")).collect()[
+        0
+    ]["e"]
+    assert est == py_kmv_estimate(py_kmv(vals))
+    assert abs(est - 5000) / 5000 < 0.35  # 1/sqrt(64) ≈ 12.5% std err
+
+
+def test_kmv_merge_equals_direct_build(spark):
+    from mpg_data_warehouse_spark.operators.sketch import kmv_merge, kmv_sketch
+
+    a, b = _values(200, "a"), _values(150, "b")
+    parts = kmv_sketch(
+        _kmv_df(spark, a).unionByName(_kmv_df(spark, b, key="g2")).withColumn(
+            "part", F.col("g")
+        ),
+        ["g"],
+        "v",
+    )
+    # direct: one build over everything, grouped to ONE key
+    direct = kmv_sketch(
+        _kmv_df(spark, a + b).withColumn("g", F.lit("all")), ["g"], "v"
+    ).collect()[0]["kmv_minima"]
+    merged = kmv_merge(
+        parts.withColumn("g", F.lit("all")), ["g"]
+    ).collect()[0]["kmv_minima"]
+    assert list(merged) == list(direct)
+
+
+def test_kmv_union_column_equals_merge(spark):
+    from mpg_data_warehouse_spark.operators.sketch import (
+        kmv_sketch,
+        kmv_union,
+        py_kmv,
+    )
+
+    a, b = _values(100, "a"), _values(90, "b") + _values(10, "a")
+    sa = kmv_sketch(_kmv_df(spark, a), ["g"], "v").withColumnRenamed(
+        "kmv_minima", "sa"
+    )
+    sb = kmv_sketch(_kmv_df(spark, b), ["g"], "v").withColumnRenamed(
+        "kmv_minima", "sb"
+    )
+    got = (
+        sa.join(sb, "g")
+        .select(kmv_union(F.col("sa"), F.col("sb")).alias("u"))
+        .collect()[0]["u"]
+    )
+    assert list(got) == py_kmv(a + b)
+
+
+def test_kmv_intersect_exact_and_estimated(spark):
+    from mpg_data_warehouse_spark.operators.sketch import (
+        kmv_intersect_estimate,
+        kmv_sketch,
+        py_kmv,
+        py_kmv_intersect_estimate,
+    )
+
+    # exact branch: both sides under k distinct
+    a, b = _values(30, "x"), _values(20, "x") + _values(25, "y")
+    sa = kmv_sketch(_kmv_df(spark, a), ["g"], "v").withColumnRenamed(
+        "kmv_minima", "sa"
+    )
+    sb = kmv_sketch(_kmv_df(spark, b), ["g"], "v").withColumnRenamed(
+        "kmv_minima", "sb"
+    )
+    got = (
+        sa.join(sb, "g")
+        .select(
+            kmv_intersect_estimate(F.col("sa"), F.col("sb")).alias("i")
+        )
+        .collect()[0]["i"]
+    )
+    assert got == 20.0  # exact overlap when neither sketch is full
+    # estimator branch: shared 1000, each side +1500 unique
+    shared = _values(1000, "s")
+    a2, b2 = shared + _values(1500, "p"), shared + _values(1500, "q")
+    sa2 = kmv_sketch(_kmv_df(spark, a2), ["g"], "v").withColumnRenamed(
+        "kmv_minima", "sa"
+    )
+    sb2 = kmv_sketch(_kmv_df(spark, b2), ["g"], "v").withColumnRenamed(
+        "kmv_minima", "sb"
+    )
+    got2 = (
+        sa2.join(sb2, "g")
+        .select(
+            kmv_intersect_estimate(F.col("sa"), F.col("sb")).alias("i")
+        )
+        .collect()[0]["i"]
+    )
+    assert got2 == py_kmv_intersect_estimate(py_kmv(a2), py_kmv(b2))
+    assert abs(got2 - 1000) / 1000 < 0.6  # intersection error compounds
+
+
+def test_kmv_merge_keeps_all_empty_group(spark):
+    from mpg_data_warehouse_spark.operators.sketch import kmv_merge
+
+    df = spark.createDataFrame(
+        [("g1", [1, 5, 9]), ("g1", [3, 5]), ("g2", []), ("g2", [])],
+        "g string, kmv_minima array<long>",
+    )
+    got = {r["g"]: list(r["kmv_minima"]) for r in kmv_merge(df, ["g"]).collect()}
+    assert got == {"g1": [1, 3, 5, 9], "g2": []}
+
+
+def test_kmv_all_null_group_absent(spark):
+    from mpg_data_warehouse_spark.operators.sketch import kmv_sketch
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", None), ("b", None)], ["g", "v"]
+    )
+    got = {r["g"] for r in kmv_sketch(df, ["g"], "v").collect()}
+    assert got == {"a"}
+
+
+def test_kmv_k_bounds_rejected(spark):
+    from mpg_data_warehouse_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    df = _kmv_df(spark, ["x"])
+    with pytest.raises(ValueError):
+        kmv_sketch(df, ["g"], "v", k=4)
+    with pytest.raises(ValueError):
+        kmv_estimate(F.col("c"), k=1 << 17)
