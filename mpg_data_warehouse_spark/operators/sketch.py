@@ -654,3 +654,22 @@ def py_kmv_intersect_estimate(a, b, k: int = KMV_K, decimals=4):
     else:
         est = float(cnt) * float(KMV_SPACE) / float(theta)
     return est if decimals is None else round(est, decimals)
+
+
+def py_kmv_update(sketch, values, k: int = KMV_K):
+    """Pure-Python incremental bottom-k update — merge new values'
+    hashes into an existing sorted sketch, keeping the k smallest
+    distinct. Insert-only KMV is exactly maintainable this way: an
+    evicted hash exceeded the k-th smallest, which only DECREASES as
+    values arrive, so it can never re-enter. Streaming state operator
+    (`streaming/events.py::running_distinct_kmv_stream`) and test
+    reference; NULL/NaN skipped."""
+    import hashlib
+
+    _check_k(k)
+    hs = set(sketch)
+    for v in values:
+        if v is None or v != v:
+            continue
+        hs.add(int(hashlib.md5(str(v).encode()).hexdigest()[:14], 16))
+    return sorted(hs)[:k]

@@ -1305,3 +1305,100 @@ def diff_versions(
         if c not in new.columns:
             new = new.withColumn(c, F.lit(None).cast(old.schema[c].dataType))
     return table_diff(old, new, keys)
+
+
+def incremental_sketch_rollup(
+    spark: SparkSession,
+    table: str,
+    rollup_path: str,
+    group_cols: list[str],
+    value_col: str,
+    kind: str = "hll",
+) -> int:
+    """Maintain per-group DISTINCT sketches of a txlog table
+    incrementally under APPEND-ONLY growth: each call sketches ONLY
+    the files added since the last processed version (recorded in the
+    rollup's own commit metadata, like ``incremental_rollup``) and
+    merges the delta into the rollup — ``hll_merge`` register max for
+    ``kind="hll"``, ``kmv_merge`` bottom-k for ``kind="kmv"``.
+
+    Why a separate op from ``incremental_rollup``: sums decompose
+    under BOTH inserts and deletes (negated partials); sketch state is
+    monotone under inserts only — a register max / bottom-k minimum
+    cannot be retracted. So insert-only is load-bearing: delta
+    maintenance ≡ full rescan EXACTLY (pinned by test), and a file
+    REMOVAL inside the catch-up window raises instead of silently
+    over-counting — rebuild the rollup (drop + re-bootstrap) after
+    merge/delete/restore rewrite history.
+
+    At 100 TB: the raw-corpus shuffle happens once per increment over
+    just the new files; every coarser grain and every segment-overlap
+    question afterwards merges |groups| × fixed-width sketch rows
+    (``kind="kmv"`` keeps intersection open — audience overlap across
+    rollup groups without raw rows). Returns the source version the
+    rollup now reflects."""
+    from mpg_data_warehouse_spark.operators import sketch as SK
+
+    if kind == "hll":
+        build = lambda df: SK.hll_sketch(df, group_cols, value_col)  # noqa: E731
+        merge = lambda df: SK.hll_merge(df, group_cols)  # noqa: E731
+    elif kind == "kmv":
+        build = lambda df: SK.kmv_sketch(df, group_cols, value_col)  # noqa: E731
+        merge = lambda df: SK.kmv_merge(df, group_cols)  # noqa: E731
+    else:
+        raise ValueError(f"kind={kind!r} not in ('hll', 'kmv')")
+
+    src_head = latest_version(table)
+    last = None
+    if latest_version(rollup_path) >= 0:
+        for v in range(latest_version(rollup_path), -1, -1):
+            meta = _read_commit(rollup_path, v).get("rollup_src_version")
+            if meta is not None:
+                last = meta
+                break
+    state = snapshot_state(table)
+
+    if last is None:
+        built = build(_read_files(spark, table, state))
+        create(spark, rollup_path, built)
+        _commit_retry(
+            rollup_path,
+            lambda _s: {
+                "op": "sketch-rollup-stamp",
+                "rollup_src_version": src_head,
+                "actions": [],
+            },
+        )
+        return src_head
+
+    added, removed = files_changed_between(table, last, src_head)
+    if removed:
+        raise ValueError(
+            "incremental_sketch_rollup: files were removed since the "
+            f"last processed version ({sorted(removed)[:3]}…) — sketch "
+            "state cannot retract rows; rebuild the rollup from scratch"
+        )
+    if not added:
+        return last
+    delta = build(_read_files(spark, table, state, added))
+    current = read(spark, rollup_path)
+    merged = merge(current.unionByName(delta))
+    rstate = snapshot_state(rollup_path)
+    adds = _write_data_files(merged, rollup_path, rstate["partition_by"])
+    removed_files = set(rstate["files"])
+
+    def build_commit(s: dict) -> dict:
+        gone = removed_files - set(s["files"])
+        if gone:
+            raise TxConflict(
+                f"files rewritten by a concurrent commit: {sorted(gone)}"
+            )
+        return {
+            "op": "sketch-rollup-refresh",
+            "rollup_src_version": src_head,
+            "actions": [{"remove": {"path": p}} for p in sorted(removed_files)]
+            + [{"add": a} for a in adds],
+        }
+
+    _commit_retry(rollup_path, build_commit)
+    return src_head

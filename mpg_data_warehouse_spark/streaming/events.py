@@ -251,6 +251,82 @@ def running_distinct_users_stream(
     )
 
 
+def running_distinct_kmv_stream(
+    events: DataFrame, watermark: str = "2 hours", k: int = 64
+) -> DataFrame:
+    """Streaming bottom-k distinct via KMV state: per event_type, the
+    sorted k-smallest-hash array (``operators/sketch.py`` algebra,
+    bit-identical — stream and batch ``kmv_sketch`` produce the SAME
+    array, pinned by the batch-agreement test) is the
+    ``applyInPandasWithState`` state, updated per micro-batch and
+    emitted with the estimate.
+
+    The HLL twin (``running_distinct_users_stream``) answers "how
+    many"; this one keeps SET ALGEBRA open on the emitted state:
+    per-segment streamed sketches intersect (`kmv_intersect_estimate`)
+    and union with each other AND with batch-built sketches — live
+    audience-overlap dashboards from fixed-size state. Insert-only
+    streams maintain the bottom-k EXACTLY (an evicted hash exceeded
+    the k-th smallest, which only decreases, so it can never
+    re-enter); state is ≤ k longs per key, forever."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from mpg_data_warehouse_spark.operators.sketch import (
+        py_kmv_estimate,
+        py_kmv_update,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("kmv_users", DoubleType()),
+            StructField("kmv_minima", ArrayType(LongType())),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("minima", ArrayType(LongType()))]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        sk = list(state.get[0]) if state.exists else []
+        for pdf in pdfs:
+            # string projection (see the HLL twin): object dtype is
+            # the only one that survives null-bearing batches without
+            # int64->float64 coercion corrupting ids above 2^53
+            sk = py_kmv_update(sk, pdf["_uid"].tolist(), k)
+        if not sk:
+            # all values so far were NULL: no row, no state — the
+            # batch kmv_sketch drops the all-null group the same way
+            return
+        state.update((sk,))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "kmv_users": [py_kmv_estimate(sk, k)],
+                "kmv_minima": [sk],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .select(
+            "ts",
+            "event_type",
+            F.col("user_id").cast("string").alias("_uid"),
+        )
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def _sink_exists(spark: SparkSession, path: str) -> bool:
     """Existence probe through the Hadoop FileSystem API — works for
     any scheme Spark can read (local, HDFS, object stores), unlike an

@@ -398,3 +398,91 @@ def test_streaming_hll_skips_null_users_like_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_kmv_minima_match_batch_sketch(spark, events_dir):
+    """running_distinct_kmv_stream: after draining the input, the
+    streamed per-type bottom-k arrays must be BIT-IDENTICAL to the
+    batch kmv_sketch over the same rows, the estimate must match the
+    column form, and the streamed state must stay intersectable with
+    a batch sketch (the live audience-overlap claim)."""
+    from mpg_data_warehouse_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_sketch,
+        py_kmv_intersect_estimate,
+    )
+
+    stream = S.running_distinct_kmv_stream(
+        S.read_events_stream(spark, events_dir)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("kmv_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r.event_type: (list(r.kmv_minima), r.kmv_users)
+        for r in spark.table("kmv_t").collect()
+    }
+    batch = kmv_sketch(
+        spark.read.parquet(events_dir), ["event_type"], "user_id"
+    )
+    want = {
+        r.event_type: (list(r.kmv_minima), r.est)
+        for r in batch.select(
+            "event_type",
+            "kmv_minima",
+            kmv_estimate(F.col("kmv_minima")).alias("est"),
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for t in want:
+        assert got[t][0] == want[t][0], f"minima diverge for {t}"
+        assert got[t][1] == pytest.approx(want[t][1], abs=1e-4)
+    # streamed state intersects with a batch sketch of another segment
+    types = sorted(want)
+    if len(types) >= 2:
+        est = py_kmv_intersect_estimate(got[types[0]][0], want[types[1]][0])
+        assert est >= 0.0
+
+
+def test_streaming_kmv_skips_null_users_like_batch(spark, tmp_path):
+    """Null-bearing batches must not desync stream from batch: NULLs
+    skipped, >2^53 ids sharing a batch survive exactly, and an
+    all-null group emits nothing (batch absence parity)."""
+    from mpg_data_warehouse_spark.operators.sketch import kmv_sketch
+
+    src = str(tmp_path / "null_events_kmv")
+    rows = [(i, i % 7 if i % 5 else None, "click", 1.0) for i in range(60)]
+    rows += [(100, None, "click", 1.0), (101, (1 << 53) + 1, "click", 1.0)]
+    rows += [(102, None, "beacon", 1.0)]
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double"
+    ).withColumn("ts", F.timestamp_seconds(F.col("event_id") + 1_700_000_000)) \
+     .withColumn("props", F.lit("{}")) \
+     .write.parquet(src)
+    stream = S.running_distinct_kmv_stream(
+        S.read_events_stream(spark, src)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("kmv_null_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r.event_type: list(r.kmv_minima)
+        for r in spark.table("kmv_null_t").collect()
+    }
+    want = {
+        r.event_type: list(r.kmv_minima)
+        for r in kmv_sketch(
+            spark.read.parquet(src), ["event_type"], "user_id"
+        ).collect()
+    }
+    assert got == want

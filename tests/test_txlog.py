@@ -1006,3 +1006,100 @@ def test_cdf_diff_null_payload_is_layout_independent(spark, tmp_path):
     ).eqNullSafe(F.col("r.balance"))
     changed = ins.join(dels, cond, "left_anti")
     assert {r.cust_id for r in changed.collect()} == {1}
+
+
+def test_incremental_sketch_rollup_hll_matches_fresh_build(spark, tmp_path):
+    """Bootstrap + two append increments: the maintained HLL rollup's
+    registers must be BIT-IDENTICAL to a fresh hll_sketch over the
+    live table (delta maintenance ≡ full rescan — register max is
+    monotone under inserts)."""
+    from mpg_data_warehouse_spark.operators.sketch import hll_sketch
+
+    t = str(tmp_path / "t")
+    roll = str(tmp_path / "roll")
+    txlog.create(spark, t, _mk(spark, range(20)))
+    v = txlog.incremental_sketch_rollup(
+        spark, t, roll, ["segment"], "cust_id", kind="hll"
+    )
+    assert v == 0
+    txlog.append(spark, t, _mk(spark, range(100, 140), seg="b"))
+    txlog.append(spark, t, _mk(spark, range(15, 30)))  # overlaps seg a
+    v = txlog.incremental_sketch_rollup(
+        spark, t, roll, ["segment"], "cust_id", kind="hll"
+    )
+    assert v == 2
+    got = {
+        r.segment: list(r.hll_registers)
+        for r in txlog.read(spark, roll).collect()
+    }
+    want = {
+        r.segment: list(r.hll_registers)
+        for r in hll_sketch(
+            txlog.read(spark, t), ["segment"], "cust_id"
+        ).collect()
+    }
+    assert got == want
+    # no-op cycle returns the already-processed version
+    assert (
+        txlog.incremental_sketch_rollup(
+            spark, t, roll, ["segment"], "cust_id", kind="hll"
+        )
+        == 2
+    )
+
+
+def test_incremental_sketch_rollup_kmv_matches_fresh_build(spark, tmp_path):
+    """Same contract for the bottom-k kind: maintained minima arrays
+    bit-identical to a fresh kmv_sketch of the live table."""
+    from mpg_data_warehouse_spark.operators.sketch import kmv_sketch
+
+    t = str(tmp_path / "t")
+    roll = str(tmp_path / "roll")
+    txlog.create(spark, t, _mk(spark, range(30)))
+    txlog.incremental_sketch_rollup(
+        spark, t, roll, ["segment"], "cust_id", kind="kmv"
+    )
+    txlog.append(spark, t, _mk(spark, range(200, 290), seg="b"))
+    txlog.incremental_sketch_rollup(
+        spark, t, roll, ["segment"], "cust_id", kind="kmv"
+    )
+    got = {
+        r.segment: list(r.kmv_minima)
+        for r in txlog.read(spark, roll).collect()
+    }
+    want = {
+        r.segment: list(r.kmv_minima)
+        for r in kmv_sketch(
+            txlog.read(spark, t), ["segment"], "cust_id"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_incremental_sketch_rollup_refuses_removals(spark, tmp_path):
+    """Sketch state cannot retract rows: any file removal inside the
+    catch-up window (delete/merge/compact) must raise, not silently
+    over-count."""
+    t = str(tmp_path / "t")
+    roll = str(tmp_path / "roll")
+    txlog.create(spark, t, _mk(spark, range(10)).coalesce(1))
+    txlog.incremental_sketch_rollup(
+        spark, t, roll, ["segment"], "cust_id", kind="hll"
+    )
+    txlog.delete(spark, t, "cust_id >= 5")
+    with pytest.raises(ValueError, match="removed"):
+        txlog.incremental_sketch_rollup(
+            spark, t, roll, ["segment"], "cust_id", kind="hll"
+        )
+
+
+def test_incremental_sketch_rollup_bad_kind(spark, tmp_path):
+    with pytest.raises(ValueError, match="kind"):
+        txlog.incremental_sketch_rollup(
+            spark,
+            str(tmp_path / "t"),
+            str(tmp_path / "roll"),
+            ["segment"],
+            "cust_id",
+            kind="cms",
+        )
