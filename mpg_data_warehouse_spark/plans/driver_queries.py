@@ -734,6 +734,34 @@ def regex_sentinel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "frequency_tables",
     """
+    WITH zb AS (
+      SELECT CAST(min(l_suppkey) AS DOUBLE) AS lo1,
+             CAST(max(l_suppkey) AS DOUBLE) AS hi1,
+             CAST(min(l_partkey) AS DOUBLE) AS lo2,
+             CAST(max(l_partkey) AS DOUBLE) AS hi2
+      FROM lineitem
+    ),
+    -- Morton replay (writers.py::zorder_value, bits=16): min-max
+    -- normalize each key into 16 bits (truncating cast, clamped),
+    -- interleave via shift-mask terms — bits are disjoint so the
+    -- bit-OR chain equals this sum
+    zn AS (
+      SELECT least(65535, greatest(0, CAST(trunc(
+               (l_suppkey - lo1)
+               / (CASE WHEN hi1 - lo1 = 0 THEN 1.0 ELSE hi1 - lo1 END)
+               * 65535) AS BIGINT))) AS n1,
+             least(65535, greatest(0, CAST(trunc(
+               (l_partkey - lo2)
+               / (CASE WHEN hi2 - lo2 = 0 THEN 1.0 ELSE hi2 - lo2 END)
+               * 65535) AS BIGINT))) AS n2
+      FROM lineitem CROSS JOIN zb
+    ),
+    zv AS (
+      SELECT list_sum(list_transform(range(0, 16),
+               i -> (((n1 >> i) & 1) << (2 * i))
+                    + (((n2 >> i) & 1) << (2 * i + 1)))) AS z
+      FROM zn
+    )
     SELECT 'month' AS kind,
            CAST(year(o_orderdate) AS BIGINT)  AS k1,
            CAST(month(o_orderdate) AS BIGINT) AS k2,
@@ -746,10 +774,24 @@ def regex_sentinel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n
     FROM lineitem
     GROUP BY 2
+    UNION ALL
+    SELECT 'zorder_bucket' AS kind,
+           CAST(z >> 22 AS BIGINT) AS k1,
+           CAST(NULL AS BIGINT) AS k2,
+           count(*) AS n
+    FROM zv
+    GROUP BY 1, 2
     """,
 )
 def frequency_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r8 adds a third leg: a histogram over the Morton
+    (Z-order) key of (l_suppkey, l_partkey) — the bit-interleave
+    algebra `writers.zorder_value` clusters files by, externally
+    verified (the oracle replays normalize → truncating cast → clamp
+    → 32 shift-mask terms exactly). Bounds come from one min/max
+    aggregate, same as `write_zordered`."""
     from mpg_data_warehouse_spark.operators.aggregates import histogram_fixed
+    from mpg_data_warehouse_spark.sources.writers import zorder_value
 
     orders = _t(spark, sf_dir, "orders")
     months = (
@@ -767,7 +809,33 @@ def frequency_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("k2"),
         "n",
     )
-    return months.unionByName(hist)
+    b = lineitem.agg(
+        F.min("l_suppkey").alias("lo1"),
+        F.max("l_suppkey").alias("hi1"),
+        F.min("l_partkey").alias("lo2"),
+        F.max("l_partkey").alias("hi2"),
+    ).first()
+    zbuckets = (
+        lineitem.select(
+            zorder_value(
+                F.col("l_suppkey"),
+                float(b["lo1"]),
+                float(b["hi1"]),
+                F.col("l_partkey"),
+                float(b["lo2"]),
+                float(b["hi2"]),
+            ).alias("_z")
+        )
+        .groupBy(F.shiftright("_z", 22).cast("long").alias("k1"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("zorder_bucket").alias("kind"),
+            "k1",
+            F.lit(None).cast("long").alias("k2"),
+            "n",
+        )
+    )
+    return months.unionByName(hist).unionByName(zbuckets)
 
 
 # --- O1-O3: deterministic top-k ---
