@@ -1,0 +1,227 @@
+"""Per-FILE Bloom skipping for txlog point lookups.
+
+The 100 TB point-lookup problem: footer min/max skipping
+(``txlog.read_pruned``) is decisive only when the table is CLUSTERED
+on the probed column — on any other column every file's [min, max]
+straddles the value and nothing prunes. A per-file Bloom filter
+answers "this file definitely does not contain v" regardless of
+layout (Delta Lake's bloom filter index plays the same role; Bloom,
+CACM 1970 — both public).
+
+Design — a maintained SIDECAR TABLE, not a write-path tax:
+
+- ``build_file_blooms`` scans the table ONCE with the engine's
+  blocked-bloom column math (`operators/bloom.py`): explode each
+  value into k (block, mask) draws, aggregate ``bit_or`` per
+  (file, block) — one shuffle of fixed-width rows keyed by the file
+  the row physically lives in (``input_file_name()``). The sidecar is
+  plain parquet ``(file, block, bits)`` written CLUSTERED BY block
+  plus a JSON meta (params + covered files + source version), and is
+  installed atomically through the storage backend.
+- Maintenance is incremental like the sketch rollups: a refresh
+  re-sketches only files added since the stamp and drops rows of
+  files no longer live — removals are SAFE here (per-file state dies
+  with its file), so unlike ``incremental_sketch_rollup`` no rebuild
+  is ever forced.
+- ``read_bloom_pruned`` hashes the probe value into its ≤ k
+  (block, mask) pairs, joins them (broadcast) against the sidecar —
+  clustered by block, so parquet row-group pushdown touches only the
+  probed blocks' slices — and keeps a file iff EVERY probe block's
+  bits cover the mask. Files the sidecar does not cover yet (added
+  after the last refresh) are ALWAYS kept: false negatives stay
+  impossible by construction, the invariant pruning must never
+  break. The residual ``col == v`` filter still applies inside the
+  survivors, so answers are exact at any false-positive rate.
+
+Sizing: FPR ≈ (1 − e^(−k·n/m))^k per file. The default m = 2^17 bits
+(16 KiB ≤ 2 Ki block rows) holds ~9 K distinct keys per file at ~1%
+FPR with k = 7; at 100 TB with ~10 K-row files the sidecar is ~0.1%
+of the data and the probe scans k row-group slices of it instead of
+the corpus.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mpg_data_warehouse_spark.operators.bloom import _block_masks
+from mpg_data_warehouse_spark.sources.storage import (
+    get_storage_backend,
+    read_json,
+    write_json_atomic,
+)
+from mpg_data_warehouse_spark.sources.txlog import (
+    _read_files,
+    latest_version,
+    snapshot_state,
+)
+
+BLOOM_DIR = "_file_blooms"
+META_FILE = "_bloom_index_meta.json"
+DEFAULT_N_BITS = 1 << 17
+DEFAULT_K = 7
+
+
+def _sidecar(table: str, col: str) -> str:
+    return os.path.join(table, BLOOM_DIR, col)
+
+
+def _rel_file(table: str) -> "F.Column":
+    """Strip everything through the table root from
+    ``input_file_name()``'s URI, leaving the commit-relative path the
+    txlog state keys files by."""
+    root = re.escape(os.path.abspath(table))
+    return F.regexp_replace(F.input_file_name(), f"^.*{root}/", "")
+
+
+def build_file_blooms(
+    spark: SparkSession,
+    table: str,
+    col: str,
+    n_bits: int = DEFAULT_N_BITS,
+    k: int = DEFAULT_K,
+    seed: int = 0,
+) -> int:
+    """Create or incrementally refresh the per-file Bloom sidecar for
+    ``col``. Only files not yet covered are scanned; rows of files no
+    longer live are dropped. Returns the source version the sidecar
+    now reflects."""
+    if n_bits % 64 != 0:
+        raise ValueError(f"n_bits must be a multiple of 64, got {n_bits}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    side = _sidecar(table, col)
+    meta_path = os.path.join(side, META_FILE)
+    state = snapshot_state(table)
+    src_head = latest_version(table)
+    live = set(state["files"])
+
+    prev = None
+    backend = get_storage_backend()
+    if backend.exists(meta_path):
+        prev = read_json(meta_path)
+        if (prev["n_bits"], prev["k"], prev["seed"]) != (n_bits, k, seed):
+            prev = None  # parameter change: full rebuild
+    covered = set(prev["files"]) if prev else set()
+    todo = sorted(live - covered)
+    kept = covered & live
+    if not todo and kept == covered:
+        return prev["src_version"]
+
+    parts = []
+    if todo:
+        rows = (
+            _read_files(spark, table, state, todo)
+            .select(F.col(col).alias("_v"))
+            .withColumn("file", _rel_file(table))
+            .filter(F.col("_v").isNotNull())
+        )
+        parts.append(
+            _block_masks(rows, "_v", n_bits, k, seed)
+            .groupBy("file", "_block")
+            .agg(F.bit_or("_mask").alias("bits"))
+            .select("file", F.col("_block").alias("block"), "bits")
+        )
+    if prev is not None and kept:
+        old = spark.read.parquet(side)
+        # semi-join, not isin(): the kept-file list is |files|-sized —
+        # an IN expression that long breaks codegen at fleet scale
+        kept_df = spark.createDataFrame(
+            [(f,) for f in sorted(kept)], "file string"
+        )
+        parts.append(old.join(F.broadcast(kept_df), "file", "left_semi"))
+    new = parts[0]
+    for p in parts[1:]:
+        new = new.unionByName(p)
+    # cluster by block so a probe's k block values map to a few
+    # pushdown-prunable row-group slices of the sidecar
+    staged = side + "__staged"
+    (
+        new.repartitionByRange(8, "block")
+        .sortWithinPartitions("block", "file")
+        .write.mode("overwrite")
+        .parquet(staged)
+    )
+    backend.install_dir(staged, side)
+    write_json_atomic(
+        meta_path,
+        {
+            "col": col,
+            "n_bits": n_bits,
+            "k": k,
+            "seed": seed,
+            "src_version": src_head,
+            "files": sorted(live),
+        },
+    )
+    return src_head
+
+
+def read_bloom_pruned(
+    spark: SparkSession,
+    table: str,
+    col: str,
+    value,
+    version: int | None = None,
+) -> DataFrame:
+    """Point lookup ``col == value`` with FILE-level Bloom skipping:
+    files whose sidecar bloom proves absence never enter the scan.
+    Files added after the last ``build_file_blooms`` refresh are
+    always kept (no false negatives, ever); the residual equality
+    filter applies inside the survivors, so results are exact. Same
+    answers as ``read().where(col == value)``."""
+    side = _sidecar(table, col)
+    meta_path = os.path.join(side, META_FILE)
+    if not get_storage_backend().exists(meta_path):
+        raise FileNotFoundError(
+            f"no bloom sidecar for {col!r} at {table!r} — run "
+            "build_file_blooms first"
+        )
+    meta = read_json(meta_path)
+    state = snapshot_state(table, version)
+    live = list(state["files"])
+    covered = set(meta["files"])
+
+    # one tiny JVM job derives the value's probe pairs with the SAME
+    # hash draws the build used (the JVM casts the probe to string
+    # exactly as it cast the column values — no Python str() drift);
+    # position collisions collapse via bit_or
+    pairs = (
+        _block_masks(
+            spark.createDataFrame([(value,)], ["_v"]),
+            "_v",
+            meta["n_bits"],
+            meta["k"],
+            meta["seed"],
+        )
+        .groupBy("_block")
+        .agg(F.bit_or("_mask").alias("_mask"))
+        .collect()
+    )
+    n_blocks = len(pairs)
+    pair_df = spark.createDataFrame(
+        [(r["_block"], r["_mask"]) for r in pairs], "block long, _mask long"
+    )
+    sidecar = spark.read.parquet(side)
+    hits = (
+        sidecar.join(F.broadcast(pair_df), "block")
+        .groupBy("file")
+        .agg(
+            F.sum(
+                (
+                    F.col("bits").bitwiseAND(F.col("_mask")) == F.col("_mask")
+                ).cast("int")
+            ).alias("_ok")
+        )
+        .filter(F.col("_ok") == n_blocks)
+        .select("file")
+        .collect()
+    )
+    maybe = {r["file"] for r in hits}
+    keep = [f for f in live if f in maybe or f not in covered]
+    df = _read_files(spark, table, state, keep)
+    return df.where(F.col(col) == F.lit(value))

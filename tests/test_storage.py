@@ -284,7 +284,7 @@ def test_no_direct_filesystem_io_in_index_modules():
         versioned,
     )
     from mpg_data_warehouse_spark.plans import retrieval
-    from mpg_data_warehouse_spark.sources import writers
+    from mpg_data_warehouse_spark.sources import bloom_skip, writers
 
     seam_modules = (
         search,
@@ -294,6 +294,7 @@ def test_no_direct_filesystem_io_in_index_modules():
         versioned,
         retrieval,
         writers,
+        bloom_skip,
     )
     for mod in seam_modules:
         src = inspect.getsource(mod)
