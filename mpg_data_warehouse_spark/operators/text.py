@@ -555,16 +555,217 @@ def doc_logprob_score(
     score); callers gate on ``n_tokens`` anyway.
     """
     dtc = doc_term_counts(df, id_col, text_col)
+    # token logps accumulate as INTEGER micro-nats (the model's round-6
+    # logp × 1e6 is integer-valued, so the quantization is exact): the
+    # per-doc sum is then order-independent exact integer algebra and
+    # the only float op is one final division — without this, double
+    # summation ORDER (Spark partial aggs vs a replaying engine's
+    # sequential sum) shifts the sum by an ulp and flips the rounded
+    # score at .5e-6 boundaries (caught by the contract hash).
+    lp_u = F.round(
+        F.coalesce(F.col("logp"), F.lit(oov_logp)) * F.lit(1e6)
+    ).cast("long")
     scored = dtc.join(F.broadcast(model), "term", "left").select(
+        F.col(id_col), F.col("tf"), (F.col("tf") * lp_u).alias("_nll_u")
+    )
+    # the mean is half-up-rounded IN INTEGER SPACE — sum_µ/n hits an
+    # exact decimal midpoint whenever sum_µ ≡ n/2 (mod n), where a
+    # float division + engine round() disagree across engines on
+    # which side of the midpoint the quotient double fell; the
+    # integer form (2a+n) div (2n) is the same half-up value computed
+    # exactly, and r/1e6 is one deterministic division of exact ints
+    agg = (
+        scored.groupBy(id_col)
+        .agg(F.sum("tf").alias("n_tokens"), F.sum("_nll_u").alias("_s"))
+        .withColumn(
+            "_num", (F.lit(-2) * F.col("_s") + F.col("n_tokens")).cast("long")
+        )
+        .withColumn("_den", (F.lit(2) * F.col("n_tokens")).cast("long"))
+    )
+    return agg.select(
         F.col(id_col),
-        F.col("tf"),
-        (F.col("tf") * F.coalesce(F.col("logp"), F.lit(oov_logp))).alias(
-            "_nll"
+        "n_tokens",
+        (F.expr("_num div _den").cast("double") / F.lit(1e6)).alias(
+            "nll_per_token"
         ),
     )
-    return scored.groupBy(id_col).agg(
-        F.sum("tf").alias("n_tokens"),
-        F.round(-F.sum("_nll") / F.sum("tf"), 6).alias("nll_per_token"),
+
+
+def bigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 50_000,
+    bigram_size: int = 200_000,
+    alpha: float = 0.5,
+) -> tuple[DataFrame, DataFrame, float]:
+    """Jelinek–Mercer-ready bigram model: capped bigram ML
+    probabilities plus the Lidstone unigram base the scorer
+    interpolates against (Jelinek & Mercer 1980; the CCNet gate's
+    KenLM n-gram stand-in one order up from ``unigram_lm``).
+
+    Returns ``(bi_model, uni_model, p_oov)``:
+    - ``bi_model``: top-``bigram_size`` ``(w1, w2)`` pairs by corpus
+      count (ties by pair, so the table is a pure function of the
+      corpus) with ``p_ml = round(c(w1,w2) / c(w1,·), 12)`` — the ML
+      conditional, with the CONTEXT total taken before capping so
+      kept pairs keep their true conditionals;
+    - ``uni_model``: ``(term, p_uni)`` with the same smoothed base
+      distribution as ``unigram_lm`` but in PROBABILITY space
+      (rounded 12), because the interpolation is linear in p, not in
+      log p;
+    - ``p_oov``: the shared out-of-vocabulary probability.
+
+    Both tables are cap-bounded → broadcastable by construction, so
+    scoring 100 TB is two map-side joins. Probabilities are rounded
+    at the model boundary (same policy as ``unigram_lm``'s logp) so a
+    replaying engine consumes identical doubles."""
+    # bigrams stay WITHIN a document: zip the token array against its
+    # own tail in-row (no window, no cross-doc phantom pairs)
+    toked = df.select(norm_tokens(text_col).alias("_toks")).filter(
+        F.size("_toks") >= 2
+    )
+    pairs = toked.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("_toks"), 1, F.size("_toks") - 1),
+                F.slice(F.col("_toks"), 2, F.size("_toks") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("_p")
+    ).select(F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    bcounts = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    ).persist()
+    try:
+        ctx = bcounts.groupBy("w1").agg(F.sum("c12").alias("c1"))
+        top = (
+            bcounts.orderBy(F.col("c12").desc(), "w1", "w2")
+            .limit(bigram_size)
+            .join(ctx, "w1")
+            .select(
+                "w1",
+                "w2",
+                F.round(F.col("c12") / F.col("c1"), 12).alias("p_ml"),
+            )
+        )
+        # materialize before unpersisting the counts it derives from
+        bi_rows = top.collect()
+    finally:
+        bcounts.unpersist()
+    spark = df.sparkSession
+    bi_model = spark.createDataFrame(
+        bi_rows or [], "w1 string, w2 string, p_ml double"
+    )
+    # unigram base computed directly in probability space (no
+    # exp(round(ln(p))) round-trip — the scorer and any replaying
+    # engine consume one rounding of the exact count ratio)
+    tcounts = term_counts(df, text_col).persist()
+    try:
+        vocab_rows = (
+            tcounts.orderBy(F.col("n").desc(), F.col("term"))
+            .limit(vocab_size)
+            .collect()
+        )
+        total_row = tcounts.agg(F.sum("n").alias("total")).collect()[0]
+    finally:
+        tcounts.unpersist()
+    denom = float(int(total_row["total"] or 0)) + alpha * (
+        len(vocab_rows) + 1
+    )
+    uni_model = spark.createDataFrame(
+        [(r["term"], r["n"]) for r in vocab_rows] or [("", 0)],
+        "term string, n long",
+    ).select(
+        "term",
+        F.round((F.col("n") + F.lit(alpha)) / F.lit(denom), 12).alias(
+            "p_uni"
+        ),
+    )
+    if not vocab_rows:
+        uni_model = uni_model.limit(0)
+    return bi_model, uni_model, round(alpha / denom, 12)
+
+
+def doc_logprob_score_bigram(
+    df: DataFrame,
+    bi_model: DataFrame,
+    uni_model: DataFrame,
+    p_oov: float,
+    lam: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean negative bigram log-probability under the
+    interpolated model: each in-doc bigram (w1, w2) scores
+    ``ln(λ·p_ml(w2|w1) + (1−λ)·p_uni(w2))`` with ``p_ml = 0`` for
+    pairs outside the capped table and ``p_uni`` falling back to the
+    OOV mass — the word-ORDER-sensitive fluency gate the unigram
+    scorer cannot be (shuffling a document's words leaves its unigram
+    score untouched and tanks this one; pinned in tests).
+
+    Output: ``(id, n_bigrams, nll_per_token)``. Plan: in-row bigram
+    zip → one (doc, w1, w2) hash-agg → two BROADCAST joins
+    (cap-bounded models) → doc-grain agg. Documents with fewer than
+    two tokens have no bigram and don't appear, matching
+    ``doc_logprob_score``'s zero-token rule."""
+    toked = df.select(
+        F.col(id_col), norm_tokens(text_col).alias("_toks")
+    ).filter(F.size("_toks") >= 2)
+    grams = toked.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("_toks"), 1, F.size("_toks") - 1),
+                F.slice(F.col("_toks"), 2, F.size("_toks") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("_p"),
+    ).select(
+        F.col(id_col),
+        F.col("_p.w1").alias("w1"),
+        F.col("_p.w2").alias("w2"),
+    )
+    dbc = grams.groupBy(id_col, "w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    # per-pair log-prob quantized to INTEGER micro-nats before the doc
+    # sum — same exact-integer-sum policy as doc_logprob_score (the
+    # quantization costs ≤ 0.5 µnat/pair, far under the round-6 emit;
+    # what it buys is an order-independent sum no replaying engine can
+    # drift from by an addition-order ulp)
+    ll_u = F.round(
+        F.log(
+            F.lit(lam) * F.coalesce(F.col("p_ml"), F.lit(0.0))
+            + F.lit(1.0 - lam) * F.coalesce(F.col("p_uni"), F.lit(p_oov))
+        )
+        * F.lit(1e6)
+    ).cast("long")
+    scored = (
+        dbc.join(F.broadcast(bi_model), ["w1", "w2"], "left")
+        .join(
+            F.broadcast(uni_model.withColumnRenamed("term", "w2")),
+            "w2",
+            "left",
+        )
+        .select(F.col(id_col), "tf", (F.col("tf") * ll_u).alias("_ll_u"))
+    )
+    # same exact-integer half-up mean as doc_logprob_score (see the
+    # midpoint note there)
+    agg = (
+        scored.groupBy(id_col)
+        .agg(F.sum("tf").alias("n_bigrams"), F.sum("_ll_u").alias("_s"))
+        .withColumn(
+            "_num",
+            (F.lit(-2) * F.col("_s") + F.col("n_bigrams")).cast("long"),
+        )
+        .withColumn("_den", (F.lit(2) * F.col("n_bigrams")).cast("long"))
+    )
+    return agg.select(
+        F.col(id_col),
+        "n_bigrams",
+        (F.expr("_num div _den").cast("double") / F.lit(1e6)).alias(
+            "nll_per_token"
+        ),
     )
 
 

@@ -3946,28 +3946,154 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
       LEFT JOIN weights w ON w.term = d.term
       GROUP BY d.doc_id
     )
-    SELECT t.doc_id,
-           round(COALESCE(dw.w_sum, 0.0)
-                 + (SELECT ln(CAST(n_pos AS DOUBLE) / n_neg) FROM sizes),
-                 6) AS quality_logit,
-           (COALESCE(dw.w_sum, 0.0)
-            + (SELECT ln(CAST(n_pos AS DOUBLE) / n_neg) FROM sizes))
-             >= 0.0 AS quality_keep
-    FROM toks t LEFT JOIN doc_w dw ON dw.doc_id = t.doc_id
+    ,nb AS (
+      SELECT 'nb' AS kind, t.doc_id,
+             round(COALESCE(dw.w_sum, 0.0)
+                   + (SELECT ln(CAST(n_pos AS DOUBLE) / n_neg) FROM sizes),
+                   6) AS score,
+             (COALESCE(dw.w_sum, 0.0)
+              + (SELECT ln(CAST(n_pos AS DOUBLE) / n_neg) FROM sizes))
+               >= 0.0 AS keep
+      FROM toks t LEFT JOIN doc_w dw ON dw.doc_id = t.doc_id
+    ),
+    -- unigram LM replay (text.py::unigram_lm, vocab 200, alpha 0.5,
+    -- trained on the English slice; model logp rounded 6 at the
+    -- model boundary, exactly like the operator)
+    ut AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(
+               regexp_split_to_array(lower(trim(text)), '\s+'),
+               x -> x <> '')) AS term
+      FROM documents
+    ),
+    ucounts AS (
+      SELECT term, count(*) AS n FROM ut WHERE lang = 'en' GROUP BY term
+    ),
+    uvocab AS (SELECT term, n FROM ucounts ORDER BY n DESC, term LIMIT 200),
+    ustats AS (
+      SELECT (SELECT sum(n) FROM ucounts) AS n_total,
+             (SELECT count(*) FROM uvocab) AS v
+    ),
+    umodel AS (
+      SELECT term,
+             round(ln((n + CAST(0.5 AS DOUBLE))
+                      / (CAST(n_total AS DOUBLE)
+                         + CAST(0.5 AS DOUBLE) * (v + 1))), 6) AS logp
+      FROM uvocab CROSS JOIN ustats
+    ),
+    uoov AS (
+      SELECT round(ln(CAST(0.5 AS DOUBLE)
+                      / (CAST(n_total AS DOUBLE)
+                         + CAST(0.5 AS DOUBLE) * (v + 1))), 6) AS logp
+      FROM ustats
+    ),
+    udtc AS (SELECT doc_id, term, count(*) AS tf FROM ut GROUP BY doc_id, term),
+    -- micro-nat quantization before the doc sum (exact integer
+    -- algebra; mirrors doc_logprob_score's order-independent sum)
+    uscore AS (
+      SELECT doc_id,
+             CAST((-2 * sum(tf * CAST(round(
+                     COALESCE(m.logp, (SELECT logp FROM uoov)) * 1000000)
+                     AS BIGINT)) + sum(tf)) // (2 * sum(tf))
+                  AS DOUBLE) / 1000000 AS score
+      FROM udtc LEFT JOIN umodel m USING (term)
+      GROUP BY doc_id
+    ),
+    lmu AS (
+      SELECT 'lm_uni' AS kind, doc_id, score, score <= 3.45 AS keep
+      FROM uscore
+    ),
+    -- bigram LM replay (text.py::bigram_lm + doc_logprob_score_bigram,
+    -- bigram table 400, lambda 0.75 — dyadic, so 1-lambda is exact in
+    -- every IEEE engine; p's rounded 12 at the model boundary)
+    bt AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS ts
+      FROM documents
+    ),
+    bpairs AS (
+      SELECT doc_id, lang,
+             ts[CAST(i AS INT)] AS w1, ts[CAST(i AS INT) + 1] AS w2
+      FROM bt, UNNEST(range(1, len(ts))) AS u(i)
+      WHERE len(ts) >= 2
+    ),
+    bc AS (
+      SELECT w1, w2, count(*) AS c12 FROM bpairs
+      WHERE lang = 'en' GROUP BY w1, w2
+    ),
+    bctx AS (SELECT w1, sum(c12) AS c1 FROM bc GROUP BY w1),
+    btop AS (SELECT w1, w2, c12 FROM bc ORDER BY c12 DESC, w1, w2 LIMIT 400),
+    bmodel AS (
+      SELECT t.w1, t.w2,
+             round(CAST(t.c12 AS DOUBLE) / x.c1, 12) AS p_ml
+      FROM btop t JOIN bctx x USING (w1)
+    ),
+    bprob AS (
+      SELECT term,
+             round((n + CAST(0.5 AS DOUBLE))
+                   / (CAST(n_total AS DOUBLE)
+                      + CAST(0.5 AS DOUBLE) * (v + 1)), 12) AS p_uni
+      FROM uvocab CROSS JOIN ustats
+    ),
+    boov AS (
+      SELECT round(CAST(0.5 AS DOUBLE)
+                   / (CAST(n_total AS DOUBLE)
+                      + CAST(0.5 AS DOUBLE) * (v + 1)), 12) AS p FROM ustats
+    ),
+    bdtc AS (
+      SELECT doc_id, w1, w2, count(*) AS tf FROM bpairs
+      GROUP BY doc_id, w1, w2
+    ),
+    bscore AS (
+      SELECT d.doc_id,
+             CAST((-2 * sum(d.tf * CAST(round(ln(
+               CAST(0.75 AS DOUBLE) * COALESCE(m.p_ml, 0.0)
+               + CAST(0.25 AS DOUBLE)
+                 * COALESCE(p.p_uni, (SELECT p FROM boov))
+             ) * 1000000) AS BIGINT)) + sum(d.tf)) // (2 * sum(d.tf))
+                  AS DOUBLE) / 1000000 AS score
+      FROM bdtc d
+      LEFT JOIN bmodel m ON m.w1 = d.w1 AND m.w2 = d.w2
+      LEFT JOIN bprob p ON p.term = d.w2
+      GROUP BY d.doc_id
+    ),
+    lmb AS (
+      SELECT 'lm_bi' AS kind, doc_id, score, score <= 3.9 AS keep
+      FROM bscore
+    )
+    SELECT * FROM nb
+    UNION ALL SELECT * FROM lmu
+    UNION ALL SELECT * FROM lmb
     """,
 )
 def quality_classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NB quality classifier under external verification
-    (operators/text.py::nb_term_weights + quality_classifier_scores):
-    train closed-form log-odds weights with pos = the English slice
-    and neg = the Chinese slice, then score EVERY document. The
-    oracle recomputes binarized per-class document frequencies, the
-    smoothed log-odds weights, the class-prior bias, and the per-doc
-    logit sum. ``quality_keep`` at threshold 0.5 is logit >= 0 —
-    computed on the unrounded logit on both sides."""
+    """The trained quality-gate family as one tagged union, every
+    model under external verification:
+
+    - ``nb``: closed-form Naive-Bayes log-odds (pos = English slice,
+      neg = Chinese slice; operators/text.py::nb_term_weights +
+      quality_classifier_scores) — the oracle recomputes binarized
+      per-class document frequencies, smoothed weights, prior bias,
+      and the per-doc logit sum; ``keep`` is the unrounded logit ≥ 0.
+    - ``lm_uni`` (folded r8): the CCNet-style unigram perplexity gate
+      (unigram_lm vocab 200 trained on English + doc_logprob_score
+      over every doc) — vocabulary cap with deterministic ties,
+      Lidstone smoothing, OOV mass, and the tf-weighted mean NLL all
+      replayed.
+    - ``lm_bi`` (new r8): the Jelinek–Mercer interpolated bigram
+      upgrade (bigram_lm, table 400 / λ = 0.75 — dyadic so both
+      engines' 1−λ is exact) — the word-ORDER-sensitive gate; the
+      oracle replays in-doc pair extraction, the capped conditional
+      table with pre-cap context totals, the probability-space
+      interpolation, and the mean NLL."""
     from mpg_data_warehouse_spark.operators.text import (
+        bigram_lm,
+        doc_logprob_score,
+        doc_logprob_score_bigram,
         nb_term_weights,
         quality_classifier_scores,
+        unigram_lm,
     )
 
     docs = _docs(spark, sf_dir, cols=("doc_id", "lang", "text"))
@@ -3977,11 +4103,31 @@ def quality_classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = quality_classifier_scores(
         docs, weights, bias=bias, threshold=0.5
     )
-    return scored.select(
+    nb = scored.select(
+        F.lit("nb").alias("kind"),
         "doc_id",
-        F.round("quality_logit", 6).alias("quality_logit"),
-        "quality_keep",
+        F.round("quality_logit", 6).alias("score"),
+        F.col("quality_keep").alias("keep"),
     )
+    umodel, uoov = unigram_lm(pos, vocab_size=200, alpha=0.5)
+    lmu = doc_logprob_score(docs, umodel, uoov).select(
+        F.lit("lm_uni").alias("kind"),
+        "doc_id",
+        F.col("nll_per_token").alias("score"),
+        (F.col("nll_per_token") <= 3.45).alias("keep"),
+    )
+    bmodel, bprob, boov = bigram_lm(
+        pos, vocab_size=200, bigram_size=400, alpha=0.5
+    )
+    lmb = doc_logprob_score_bigram(
+        docs, bmodel, bprob, boov, lam=0.75
+    ).select(
+        F.lit("lm_bi").alias("kind"),
+        "doc_id",
+        F.col("nll_per_token").alias("score"),
+        (F.col("nll_per_token") <= 3.9).alias("keep"),
+    )
+    return nb.unionByName(lmu).unionByName(lmb)
 
 
 # ---------------------------------------------------------------------------

@@ -212,3 +212,145 @@ def test_semantic_dedup_high_offset_ids(spark):
         shifted, threshold=0.99, n_centroids=3, refine_iters=1
     )
     assert {r.vec_id for r in kept.collect()} == {base, base + 3, base + 5}
+
+
+# --- bigram LM (Jelinek-Mercer interpolated) ---
+
+
+def _bi_py_model(texts, vocab_size=200, bigram_size=400, alpha=0.5):
+    """Pure-Python mirror of bigram_lm's algebra."""
+    from collections import Counter
+
+    toks = [t.strip().lower().split() for t in texts]
+    uni = Counter(w for ts in toks for w in ts)
+    vocab = sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+    n_total = sum(uni.values())
+    denom = float(n_total) + alpha * (len(vocab) + 1)
+    p_uni = {w: round((c + alpha) / denom, 12) for w, c in vocab}
+    p_oov = round(alpha / denom, 12)
+    bc = Counter()
+    for ts in toks:
+        for a, b in zip(ts, ts[1:]):
+            bc[(a, b)] += 1
+    ctx = Counter()
+    for (a, _b), c in bc.items():
+        ctx[a] += c
+    top = sorted(bc.items(), key=lambda kv: (-kv[1], kv[0]))[:bigram_size]
+    p_ml = {k: round(c / ctx[k[0]], 12) for k, c in top}
+    return p_ml, p_uni, p_oov
+
+
+def test_bigram_lm_matches_python_reference(spark):
+    from mpg_data_warehouse_spark.operators.text import bigram_lm
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ran",
+        "a dog sat on the cat",
+        "the mat sat",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["doc_id", "text"])
+    bi, uni, p_oov = bigram_lm(df, vocab_size=5, bigram_size=6)
+    want_bi, want_uni, want_oov = _bi_py_model(
+        texts, vocab_size=5, bigram_size=6
+    )
+    got_bi = {(r.w1, r.w2): r.p_ml for r in bi.collect()}
+    got_uni = {r.term: r.p_uni for r in uni.collect()}
+    assert got_bi == want_bi
+    assert got_uni == want_uni
+    assert p_oov == want_oov
+
+
+def test_bigram_score_matches_python_reference(spark):
+    from mpg_data_warehouse_spark.operators.text import (
+        bigram_lm,
+        doc_logprob_score_bigram,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ran fast today",
+        "a dog sat on the cat",
+        "mat the on sat cat the",  # reversed word order
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["doc_id", "text"])
+    bi, uni, p_oov = bigram_lm(df, vocab_size=20, bigram_size=50)
+    got = {
+        r.doc_id: (r.n_bigrams, r.nll_per_token)
+        for r in doc_logprob_score_bigram(df, bi, uni, p_oov, lam=0.7)
+        .collect()
+    }
+    p_ml, p_uni, want_oov = _bi_py_model(texts, 20, 50)
+    lam = 0.7
+    for i, t in enumerate(texts):
+        ts = t.split()
+        # micro-nat quantization + exact integer half-up mean — the
+        # operator's algebra (see doc_logprob_score's midpoint note)
+        lls_u = [
+            round(
+                math.log(
+                    lam * p_ml.get((a, b), 0.0)
+                    + (1 - lam) * p_uni.get(b, want_oov)
+                )
+                * 1e6
+            )
+            for a, b in zip(ts, ts[1:])
+        ]
+        n = len(lls_u)
+        want = ((-2 * sum(lls_u) + n) // (2 * n)) / 1e6
+        assert got[i][0] == n
+        assert got[i][1] == want
+
+
+def test_bigram_score_is_word_order_sensitive(spark):
+    """Shuffling a doc's words must leave the unigram score fixed and
+    worsen the bigram score — the property that justifies the model
+    order upgrade."""
+    from mpg_data_warehouse_spark.operators.text import (
+        bigram_lm,
+        doc_logprob_score,
+        doc_logprob_score_bigram,
+        unigram_lm,
+    )
+
+    train = spark.createDataFrame(
+        [(i, "the cat sat on the mat while the dog ran fast") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    probe = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat"),
+            (1, "mat the on sat cat the"),  # same bag of words, reversed
+        ],
+        ["doc_id", "text"],
+    )
+    bi, uni, p_oov = bigram_lm(train, vocab_size=50, bigram_size=100)
+    bs = {
+        r.doc_id: r.nll_per_token
+        for r in doc_logprob_score_bigram(probe, bi, uni, p_oov).collect()
+    }
+    assert bs[1] > bs[0], "reversed word order must score worse"
+    um, oov = unigram_lm(train, vocab_size=50)
+    us = {
+        r.doc_id: r.nll_per_token
+        for r in doc_logprob_score(probe, um, oov).collect()
+    }
+    assert us[0] == us[1], "unigram score is order-invariant"
+
+
+def test_bigram_short_docs_absent(spark):
+    from mpg_data_warehouse_spark.operators.text import (
+        bigram_lm,
+        doc_logprob_score_bigram,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "hello world again"), (1, "single"), (2, "")],
+        ["doc_id", "text"],
+    )
+    bi, uni, p_oov = bigram_lm(df, vocab_size=10, bigram_size=10)
+    got = {r.doc_id for r in
+           doc_logprob_score_bigram(df, bi, uni, p_oov).collect()}
+    assert got == {0}
