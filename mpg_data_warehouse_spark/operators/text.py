@@ -213,26 +213,41 @@ def norm_tokens(col: Column | str) -> Column:
 
 
 def doc_term_counts(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-(document, term) frequency: explode normalized tokens, one
     hash-agg on (doc, term). At 100 TB the explode is a narrow map; the
     agg shuffles (doc, term) pairs — partial aggregation collapses
     within-partition repeats first, so the wire carries distinct pairs,
-    not raw tokens."""
+    not raw tokens. ``tokens_col`` consumes an already-tokenized
+    array column instead (compositions that score one corpus several
+    ways tokenize ONCE and share the persisted arrays — the regex
+    split is the map-side CPU hog, not the agg)."""
+    toks = (
+        F.col(tokens_col) if tokens_col else norm_tokens(text_col)
+    )
     return (
-        df.select(F.col(id_col), F.explode(norm_tokens(text_col)).alias("term"))
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
 
 
-def term_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+def term_counts(
+    df: DataFrame, text_col: str = "text", tokens_col: str | None = None
+) -> DataFrame:
     """Corpus vocabulary with total occurrence counts. One explode +
     one agg keyed by term; map-side combine absorbs the Zipf head, so
-    shuffle volume ≈ vocabulary size per partition, not token count."""
+    shuffle volume ≈ vocabulary size per partition, not token count.
+    ``tokens_col``: see ``doc_term_counts``."""
+    toks = (
+        F.col(tokens_col) if tokens_col else norm_tokens(text_col)
+    )
     return (
-        df.select(F.explode(norm_tokens(text_col)).alias("term"))
+        df.select(F.explode(toks).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -250,7 +265,7 @@ def tfidf(
     real-world vocabularies (≤ a few GB); Spark's AQE converts the
     join to broadcast-hash at runtime when it fits.
     """
-    dtc = doc_term_counts(df, id_col, text_col)
+    dtc = doc_term_counts(df, id_col, text_col, tokens_col=tokens_col)
     n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
     docfreq = dtc.groupBy("term").agg(
         F.count(F.lit(1)).alias("doc_freq")
@@ -478,6 +493,7 @@ def unigram_lm(
     text_col: str = "text",
     vocab_size: int = 50_000,
     alpha: float = 0.5,
+    tokens_col: str | None = None,
 ) -> tuple[DataFrame, float]:
     """Lidstone-smoothed unigram language model over the corpus: the
     top-``vocab_size`` terms by frequency (ties broken by term, so the
@@ -497,7 +513,7 @@ def unigram_lm(
     # the top-K, the total, and the kept-vocab size don't each re-run
     # the corpus-wide explode+agg — unpersisted, the model build cost
     # three full scans.
-    counts = term_counts(df, text_col).persist()
+    counts = term_counts(df, text_col, tokens_col=tokens_col).persist()
     try:
         # orderBy().limit() compiles to TakeOrderedAndProject —
         # per-partition partial top-K then a driver merge of K-row
@@ -539,6 +555,7 @@ def doc_logprob_score(
     oov_logp: float,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-document mean negative token log-probability under a
     unigram model — low scores ≈ fluent in-distribution text, high
@@ -554,7 +571,7 @@ def doc_logprob_score(
     partial aggregation. Zero-token documents don't appear (nothing to
     score); callers gate on ``n_tokens`` anyway.
     """
-    dtc = doc_term_counts(df, id_col, text_col)
+    dtc = doc_term_counts(df, id_col, text_col, tokens_col=tokens_col)
     # token logps accumulate as INTEGER micro-nats (the model's round-6
     # logp × 1e6 is integer-valued, so the quantization is exact): the
     # per-doc sum is then order-independent exact integer algebra and
@@ -597,6 +614,7 @@ def bigram_lm(
     vocab_size: int = 50_000,
     bigram_size: int = 200_000,
     alpha: float = 0.5,
+    tokens_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame, float]:
     """Jelinek–Mercer-ready bigram model: capped bigram ML
     probabilities plus the Lidstone unigram base the scorer
@@ -621,7 +639,10 @@ def bigram_lm(
     replaying engine consumes identical doubles."""
     # bigrams stay WITHIN a document: zip the token array against its
     # own tail in-row (no window, no cross-doc phantom pairs)
-    toked = df.select(norm_tokens(text_col).alias("_toks")).filter(
+    toks_expr = (
+        F.col(tokens_col) if tokens_col else norm_tokens(text_col)
+    )
+    toked = df.select(toks_expr.alias("_toks")).filter(
         F.size("_toks") >= 2
     )
     pairs = toked.select(
@@ -659,7 +680,7 @@ def bigram_lm(
     # unigram base computed directly in probability space (no
     # exp(round(ln(p))) round-trip — the scorer and any replaying
     # engine consume one rounding of the exact count ratio)
-    tcounts = term_counts(df, text_col).persist()
+    tcounts = term_counts(df, text_col, tokens_col=tokens_col).persist()
     try:
         vocab_rows = (
             tcounts.orderBy(F.col("n").desc(), F.col("term"))
@@ -694,6 +715,7 @@ def doc_logprob_score_bigram(
     lam: float = 0.7,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-document mean negative bigram log-probability under the
     interpolated model: each in-doc bigram (w1, w2) scores
@@ -708,8 +730,11 @@ def doc_logprob_score_bigram(
     (cap-bounded models) → doc-grain agg. Documents with fewer than
     two tokens have no bigram and don't appear, matching
     ``doc_logprob_score``'s zero-token rule."""
+    toks_expr = (
+        F.col(tokens_col) if tokens_col else norm_tokens(text_col)
+    )
     toked = df.select(
-        F.col(id_col), norm_tokens(text_col).alias("_toks")
+        F.col(id_col), toks_expr.alias("_toks")
     ).filter(F.size("_toks") >= 2)
     grams = toked.select(
         F.col(id_col),
@@ -836,6 +861,7 @@ def nb_term_weights(
     neg: DataFrame,
     text_col: str = "text",
     alpha: float = 1.0,
+    tokens_col: str | None = None,
 ) -> tuple[DataFrame, float]:
     """Train a linear quality classifier in closed form: per-term
     Naive-Bayes log-odds weights over binarized document frequencies
@@ -857,12 +883,13 @@ def nb_term_weights(
     """
 
     def docfreq(df: DataFrame) -> DataFrame:
+        toks = (
+            F.col(tokens_col) if tokens_col else norm_tokens(text_col)
+        )
         # binarized: a term counts once per document (NBSVM's binarize)
         return (
             df.select(
-                F.explode(
-                    F.array_distinct(norm_tokens(text_col))
-                ).alias("term")
+                F.explode(F.array_distinct(toks)).alias("term")
             )
             .groupBy("term")
             .agg(F.count(F.lit(1)).alias("df"))
@@ -907,6 +934,7 @@ def quality_classifier_scores(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Score documents with a linear term-weight model: logit =
     bias + Σ weight(term) over the document's DISTINCT terms (matching
@@ -920,9 +948,12 @@ def quality_classifier_scores(
     left join to re-attach docs with no in-vocabulary terms. No UDFs,
     no iteration; scoring cost is one pass over the token stream.
     """
+    toks_expr = (
+        F.col(tokens_col) if tokens_col else norm_tokens(text_col)
+    )
     toks = df.select(
         F.col(id_col),
-        F.explode(F.array_distinct(norm_tokens(text_col))).alias("term"),
+        F.explode(F.array_distinct(toks_expr)).alias("term"),
     )
     logits = (
         toks.join(F.broadcast(weights), "term", "left")

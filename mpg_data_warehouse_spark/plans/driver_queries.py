@@ -4096,12 +4096,23 @@ def quality_classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         unigram_lm,
     )
 
-    docs = _docs(spark, sf_dir, cols=("doc_id", "lang", "text"))
+    from mpg_data_warehouse_spark.operators.text import norm_tokens
+
+    # three models train and score over ONE corpus: tokenize once into
+    # a persisted array column and let every leg consume it via
+    # tokens_col — without the share each train/score leg re-runs the
+    # regex split over the full token stream (6-8 corpus tokenizations
+    # measured ≈ 3× this query's wall at sf0.1)
+    docs = (
+        _docs(spark, sf_dir, cols=("doc_id", "lang", "text"))
+        .withColumn("_toks", norm_tokens("text"))
+        .persist()
+    )
     pos = docs.filter(F.col("lang") == "en")
     neg = docs.filter(F.col("lang") == "zh")
-    weights, bias = nb_term_weights(pos, neg, alpha=1.0)
+    weights, bias = nb_term_weights(pos, neg, alpha=1.0, tokens_col="_toks")
     scored = quality_classifier_scores(
-        docs, weights, bias=bias, threshold=0.5
+        docs, weights, bias=bias, threshold=0.5, tokens_col="_toks"
     )
     nb = scored.select(
         F.lit("nb").alias("kind"),
@@ -4109,18 +4120,22 @@ def quality_classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("quality_logit", 6).alias("score"),
         F.col("quality_keep").alias("keep"),
     )
-    umodel, uoov = unigram_lm(pos, vocab_size=200, alpha=0.5)
-    lmu = doc_logprob_score(docs, umodel, uoov).select(
+    umodel, uoov = unigram_lm(
+        pos, vocab_size=200, alpha=0.5, tokens_col="_toks"
+    )
+    lmu = doc_logprob_score(
+        docs, umodel, uoov, tokens_col="_toks"
+    ).select(
         F.lit("lm_uni").alias("kind"),
         "doc_id",
         F.col("nll_per_token").alias("score"),
         (F.col("nll_per_token") <= 3.45).alias("keep"),
     )
     bmodel, bprob, boov = bigram_lm(
-        pos, vocab_size=200, bigram_size=400, alpha=0.5
+        pos, vocab_size=200, bigram_size=400, alpha=0.5, tokens_col="_toks"
     )
     lmb = doc_logprob_score_bigram(
-        docs, bmodel, bprob, boov, lam=0.75
+        docs, bmodel, bprob, boov, lam=0.75, tokens_col="_toks"
     ).select(
         F.lit("lm_bi").alias("kind"),
         "doc_id",
