@@ -673,3 +673,22 @@ def py_kmv_update(sketch, values, k: int = KMV_K):
             continue
         hs.add(int(hashlib.md5(str(v).encode()).hexdigest()[:14], 16))
     return sorted(hs)[:k]
+
+
+def py_cms_update(counters, values, width=CMS_WIDTH, depth=CMS_DEPTH, w=1):
+    """Pure-Python incremental Count-Min update — the same
+    seed-prefixed md5 bucket draw as ``_cms_bucket`` bit for bit.
+    Counters are sums, so incremental maintenance is exact and
+    order-independent (unlike the bottom-k/register families there is
+    nothing to evict). Streaming state operator and test reference;
+    NULL/NaN skipped. Mutates and returns ``counters``."""
+    import hashlib
+
+    _check_cms(width, depth)
+    for v in values:
+        if v is None or v != v:
+            continue
+        for d in range(depth):
+            hx = hashlib.md5(f"cms{d}|{v}".encode()).hexdigest()
+            counters[d * width + int(hx[:8], 16) % width] += w
+    return counters

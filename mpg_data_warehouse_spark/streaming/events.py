@@ -327,6 +327,75 @@ def running_distinct_kmv_stream(
     )
 
 
+def running_term_freq_stream(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    width: int = 256,
+    depth: int = 4,
+) -> DataFrame:
+    """Streaming mergeable FREQUENCY state: per event_type, the flat
+    Count-Min counter array (``operators/sketch.py`` algebra,
+    bit-identical — counters are SUMS, so the drained stream state
+    equals the batch ``cms_sketch`` exactly regardless of batch
+    order, the strongest of the three sketch families' agreement
+    guarantees) is the ``applyInPandasWithState`` state.
+
+    Completes the streaming sketch triple (HLL "how many distinct",
+    KMV "which segments overlap", CMS "how often") — all three emit
+    state that merges with batch-built sketches, so a lambda
+    architecture reconciles hot streamed counters against cold batch
+    rebuilds with element-wise sums, never a raw-row replay. State is
+    width·depth longs per key, fixed forever."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from mpg_data_warehouse_spark.operators.sketch import py_cms_update
+
+    out_schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("cms_counters", ArrayType(LongType())),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("counters", ArrayType(LongType()))]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        counters = (
+            list(state.get[0]) if state.exists else [0] * (width * depth)
+        )
+        for pdf in pdfs:
+            # string projection: see the HLL twin's dtype note
+            py_cms_update(counters, pdf["_uid"].tolist(), width, depth)
+        if not any(counters):
+            # all values so far were NULL — no row, no state (batch
+            # cms_sketch drops the all-null group the same way)
+            return
+        state.update((counters,))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "cms_counters": [counters]}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .select(
+            "ts",
+            "event_type",
+            F.col("user_id").cast("string").alias("_uid"),
+        )
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def _sink_exists(spark: SparkSession, path: str) -> bool:
     """Existence probe through the Hadoop FileSystem API — works for
     any scheme Spark can read (local, HDFS, object stores), unlike an

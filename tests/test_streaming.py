@@ -486,3 +486,38 @@ def test_streaming_kmv_skips_null_users_like_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_cms_counters_match_batch_sketch(spark, events_dir):
+    """running_term_freq_stream: drained counters must be
+    BIT-IDENTICAL to the batch cms_sketch over the same rows —
+    counters are sums, so agreement holds regardless of micro-batch
+    boundaries or order."""
+    from mpg_data_warehouse_spark.operators.sketch import cms_sketch
+
+    stream = S.running_term_freq_stream(
+        S.read_events_stream(spark, events_dir), width=256, depth=4
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("cms_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r.event_type: list(r.cms_counters)
+        for r in spark.table("cms_t").collect()
+    }
+    want = {
+        r.event_type: list(r.cms_counters)
+        for r in cms_sketch(
+            spark.read.parquet(events_dir),
+            ["event_type"],
+            "user_id",
+            width=256,
+            depth=4,
+        ).collect()
+    }
+    assert got == want
