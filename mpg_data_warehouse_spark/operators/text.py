@@ -254,9 +254,13 @@ def term_counts(
 
 
 def tfidf(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """TF-IDF per (document, term): tf × ln(N / df).
+    ``tokens_col``: see ``doc_term_counts``.
 
     Plan shape: one (doc, term) agg → a term-keyed doc-frequency agg
     derived FROM it (no second pass over raw text) → term-keyed join
