@@ -100,13 +100,15 @@ def main() -> None:
     # rep of many queries instead of all reps of one query.
     samples: dict[str, list[float]] = {name: [] for name in names}
     for rep in range(reps):
-        # Operators that .cache() intermediates would otherwise be
-        # served from the previous rep's cached relation (Spark's
-        # CacheManager matches identical analyzed plans), making
-        # repeat reps measure cache reads instead of the plan.
-        if rep:
-            spark.catalog.clearCache()
         for name in names:
+            # Cold cache per MEASUREMENT, not per rep: (a) operators
+            # that .cache()/.persist() intermediates must not be
+            # served from a previous rep's identical analyzed plan
+            # (CacheManager matches those), and (b) a query's leaked
+            # persists must not squeeze storage/GC for every LATER
+            # query in the sweep — measured as a uniform cross-query
+            # slowdown before this was per-query (r8).
+            spark.catalog.clearCache()
             t0 = time.time()
             # noop sink: full execution of every operator, zero sink cost.
             QUERIES[name](spark, sf_dir).write.format("noop").mode(
