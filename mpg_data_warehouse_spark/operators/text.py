@@ -448,23 +448,36 @@ def repetition_signals(
     sf0.1 that was the difference between 0.9 s and 2.3 s for the
     span-stats contract query, and at 100 TB it is a corpus-sized
     shuffle bought for a per-doc statistic)."""
-    from mpg_data_warehouse_spark.operators.dedup import shingles_from_tokens
-
     toked = df.select(
         F.col(id_col),
         duplicate_line_fraction(F.col(text_col)).alias("dup_line_frac"),
         tokens(text_col).alias("_toks"),
     )
-    grams = toked.withColumn(
-        "_grams",
-        F.array_sort(shingles_from_tokens(F.col("_toks"), 2, distinct=False)),
+    return toked.select(
+        F.col(id_col),
+        "dup_line_frac",
+        top_bigram_fraction_from(F.col("_toks")).alias("top_bigram_frac"),
     )
+
+
+def top_bigram_fraction_from(toks: Column) -> Column:
+    """Share of a doc's word bigrams taken by its single most
+    frequent one — in-row array math (sort the doc's own bigrams,
+    walk the longest equal-run with one ``aggregate()`` fold): zero
+    Exchange, usable as a straight filter predicate in curation
+    plans. Docs under 2 tokens (no real bigram — the shingle builder
+    emits one truncated gram that would read as 100% repetition)
+    score 0.0. ``toks`` must be a PLAIN column reference (see
+    ``shingles_from_tokens``)."""
+    from mpg_data_warehouse_spark.operators.dedup import shingles_from_tokens
+
+    grams = F.array_sort(shingles_from_tokens(toks, 2, distinct=False))
     zero = F.lit(0).cast("long")
     run_next = lambda acc, x: (  # noqa: E731 — shared by run and best
         F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
     )
     best = F.aggregate(
-        F.col("_grams"),
+        grams,
         F.struct(
             F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
         ),
@@ -475,15 +488,9 @@ def repetition_signals(
         ),
         lambda acc: acc["best"],
     )
-    # Docs under 2 tokens have no real bigram (the shingle builder
-    # emits one truncated gram for them, which would read as 100%
-    # repetition): 0.0, matching the oracle's absent-group coalesce.
-    return grams.select(
-        F.col(id_col),
-        "dup_line_frac",
-        F.when(F.size("_toks") < 2, F.lit(0.0))
-        .otherwise(F.round(best / F.size("_grams"), 4))
-        .alias("top_bigram_frac"),
+    return (
+        F.when(F.size(toks) < 2, F.lit(0.0))
+        .otherwise(F.round(best / F.size(grams), 4))
     )
 
 

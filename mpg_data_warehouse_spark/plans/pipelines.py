@@ -312,6 +312,8 @@ def curate_corpus_pipeline(
     docs: DataFrame,
     normalize: bool = True,
     min_quality: float = 0.5,
+    max_dup_line_frac: float | None = None,
+    max_top_bigram_frac: float | None = None,
     jaccard_threshold: float = 0.5,
     max_tokens: int = 64,
     overlap: int = 8,
@@ -319,6 +321,8 @@ def curate_corpus_pipeline(
     max_line_df: int | None = None,
     lm_model: tuple[DataFrame, float] | None = None,
     max_nll_per_token: float | None = None,
+    lm_bigram: tuple[DataFrame, DataFrame, float] | None = None,
+    max_bigram_nll: float | None = None,
     mixture_temperature: float | None = None,
     mixture_target_total: float | None = None,
     strip_spans_tokens: int | None = None,
@@ -344,6 +348,8 @@ def curate_corpus_pipeline(
         NBSP / zero-width variants of identical text must hash
         identically or every downstream dedup stage misses them) →
         [optional line-level boilerplate strip] → quality filter →
+        [optional Gopher repetition gates (``max_dup_line_frac`` /
+        ``max_top_bigram_frac`` — in-row predicates, zero Exchange)] →
         [optional trained-classifier gate (``classifier`` NB weights +
         ``min_classifier_p``)] → [optional unigram-LM perplexity
         gate] → [optional eval-set decontamination (``eval_set``,
@@ -366,6 +372,11 @@ def curate_corpus_pipeline(
     shared nav/footer lines would otherwise both depress quality
     scores and create spurious near-dup pairs downstream.
 
+    ``lm_bigram`` + ``max_bigram_nll`` add the word-ORDER-sensitive
+    fluency gate on top: pass a pre-trained ``text.bigram_lm`` triple
+    (bi_model, uni_model, p_oov); shuffled/templated text the
+    order-invariant unigram gate passes is dropped here.
+
     ``lm_model`` + ``max_nll_per_token`` enable the CCNet-style
     perplexity gate: pass a pre-trained ``text.unigram_lm`` (the model
     is trained OFFLINE on a reference corpus, exactly as CCNet uses a
@@ -375,7 +386,8 @@ def curate_corpus_pipeline(
 
     ``funnel``: optional ``{stage: Observation}`` map (build with
     ``observability.stage_metrics([...])``; stages: ``quality``,
-    ``lm``, ``decontaminated``, ``exact_dedup``, ``near_dedup``) —
+    ``repetition``, ``classifier``, ``lm``, ``lm_bigram``,
+    ``decontaminated``, ``exact_dedup``, ``near_dedup``) —
     per-gate survivor counts arrive with the job's single action, so
     the curation funnel ("how many docs survived each gate?") costs
     zero extra passes.
@@ -475,6 +487,35 @@ def curate_corpus_pipeline(
         "quality",
     )
 
+    if max_dup_line_frac is not None or max_top_bigram_frac is not None:
+        # Gopher-rule repetition gates (Rae et al. 2021 Table A1) —
+        # pure in-row predicates (operators/text.py), zero Exchange:
+        # repetitive docs drop BEFORE the expensive dedup stages.
+        from mpg_data_warehouse_spark.operators.text import (
+            duplicate_line_fraction,
+            top_bigram_fraction_from,
+            tokens as _ws_tokens,
+        )
+
+        cond = F.lit(True)
+        if max_dup_line_frac is not None:
+            cond = cond & (
+                duplicate_line_fraction(F.col("text"))
+                <= F.lit(max_dup_line_frac)
+            )
+        if max_top_bigram_frac is not None:
+            gated = kept.withColumn("_rt", _ws_tokens("text"))
+            cond2 = top_bigram_fraction_from(F.col("_rt")) <= F.lit(
+                max_top_bigram_frac
+            )
+            kept = _obs(
+                gated.filter(cond & cond2).drop("_rt"),
+                funnel,
+                "repetition",
+            )
+        else:
+            kept = _obs(kept.filter(cond), funnel, "repetition")
+
     if classifier is not None and min_classifier_p is not None:
         # Trained quality gate (NB log-odds weights): broadcast weight
         # join, map-side over the corpus — same stage the curation
@@ -502,6 +543,26 @@ def curate_corpus_pipeline(
             kept.join(fluent.select("doc_id"), "doc_id", "left_semi"),
             funnel,
             "lm",
+        )
+
+    if lm_bigram is not None and max_bigram_nll is not None:
+        # Word-ORDER-sensitive fluency gate: the interpolated bigram
+        # model (text.bigram_lm) catches shuffled/templated text the
+        # order-invariant unigram gate scores as fluent. Same shape:
+        # pre-trained model input, broadcast scoring, doc-keyed
+        # semi-join back.
+        from mpg_data_warehouse_spark.operators.text import (
+            doc_logprob_score_bigram,
+        )
+
+        bi_model, uni_model, p_oov = lm_bigram
+        ordered = doc_logprob_score_bigram(
+            kept, bi_model, uni_model, p_oov
+        ).filter(F.col("nll_per_token") <= max_bigram_nll)
+        kept = _obs(
+            kept.join(ordered.select("doc_id"), "doc_id", "left_semi"),
+            funnel,
+            "lm_bigram",
         )
 
     if eval_set is not None:

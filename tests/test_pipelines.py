@@ -624,3 +624,73 @@ def test_curate_corpus_pipeline_classifier_cap_and_dsir_stages(spark):
     kept2 = {r.doc_id for r in out2.select("doc_id").distinct().collect()}
     assert len(kept2) == 3
     assert 50 not in kept2
+
+
+def test_curation_repetition_gates_drop_repetitive_docs(spark):
+    """Gopher-rule gates: a doc that is one bigram repeated and a doc
+    with duplicated lines must drop; normal docs survive."""
+    from mpg_data_warehouse_spark.plans.pipelines import (
+        curate_corpus_pipeline,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and runs far"
+    rows = [
+        (1, base + " every single day", "a"),
+        (2, "spam ham " * 30, "a"),  # one repeated bigram
+        (3, base + "\nline two\nline two\nline two", "a"),  # dup lines
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = curate_corpus_pipeline(
+        docs,
+        min_quality=0.0,
+        jaccard_threshold=0.9,
+        max_tokens=64,
+        overlap=0,
+        max_dup_line_frac=0.3,
+        max_top_bigram_frac=0.5,
+    )
+    kept = {r.doc_id for r in out.select("doc_id").distinct().collect()}
+    assert kept == {1}
+
+
+def test_curation_bigram_gate_drops_shuffled_text(spark):
+    """The bigram gate must drop word-shuffled text the unigram gate
+    cannot distinguish from its fluent source."""
+    from mpg_data_warehouse_spark.operators.text import bigram_lm
+    from mpg_data_warehouse_spark.plans.pipelines import (
+        curate_corpus_pipeline,
+    )
+
+    fluent = "the cat sat on the mat while the dog ran fast today"
+    shuffled = "today mat the fast on while sat ran the dog cat the"
+    train = spark.createDataFrame(
+        [(i, fluent, "a") for i in range(5)], ["doc_id", "text", "source"]
+    )
+    bi = bigram_lm(train, vocab_size=50, bigram_size=100)
+    docs = spark.createDataFrame(
+        [(1, fluent, "a"), (2, shuffled, "a")],
+        ["doc_id", "text", "source"],
+    )
+    # threshold between the two scores: fluent scores near the model,
+    # shuffled pays the (1-lambda)-only backoff on most bigrams
+    from mpg_data_warehouse_spark.operators.text import (
+        doc_logprob_score_bigram,
+    )
+
+    scores = {
+        r.doc_id: r.nll_per_token
+        for r in doc_logprob_score_bigram(docs, *bi).collect()
+    }
+    assert scores[2] > scores[1]
+    cut = (scores[1] + scores[2]) / 2
+    out = curate_corpus_pipeline(
+        docs,
+        min_quality=0.0,
+        jaccard_threshold=0.9,
+        max_tokens=64,
+        overlap=0,
+        lm_bigram=bi,
+        max_bigram_nll=cut,
+    )
+    kept = {r.doc_id for r in out.select("doc_id").distinct().collect()}
+    assert kept == {1}
