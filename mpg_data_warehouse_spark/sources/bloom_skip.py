@@ -165,15 +165,27 @@ def read_bloom_pruned(
     spark: SparkSession,
     table: str,
     col: str,
-    value,
+    value=None,
     version: int | None = None,
+    values: list | None = None,
 ) -> DataFrame:
-    """Point lookup ``col == value`` with FILE-level Bloom skipping:
-    files whose sidecar bloom proves absence never enter the scan.
-    Files added after the last ``build_file_blooms`` refresh are
-    always kept (no false negatives, ever); the residual equality
-    filter applies inside the survivors, so results are exact. Same
-    answers as ``read().where(col == value)``."""
+    """Point lookup ``col == value`` (or batched ``col IN values``)
+    with FILE-level Bloom skipping: files whose sidecar bloom proves
+    absence OF EVERY probed value never enter the scan. Files added
+    after the last ``build_file_blooms`` refresh are always kept (no
+    false negatives, ever); the residual equality/IN filter applies
+    inside the survivors, so results are exact. Same answers as
+    ``read().where(...)``.
+
+    The IN form probes all values in ONE sidecar pass (a file
+    survives if any value's every block-mask is covered) — the shape
+    for key-batch lookups (reconciliation worklists, CDC key replays)
+    where per-value calls would re-scan the sidecar |values| times."""
+    if (value is None) == (values is None):
+        raise ValueError("pass exactly one of value / values")
+    probes = values if values is not None else [value]
+    if not probes:
+        raise ValueError("values is empty")
     side = _sidecar(table, col)
     meta_path = os.path.join(side, META_FILE)
     if not get_storage_backend().exists(meta_path):
@@ -186,30 +198,38 @@ def read_bloom_pruned(
     live = list(state["files"])
     covered = set(meta["files"])
 
-    # one tiny JVM job derives the value's probe pairs with the SAME
-    # hash draws the build used (the JVM casts the probe to string
-    # exactly as it cast the column values — no Python str() drift);
-    # position collisions collapse via bit_or
+    # one tiny JVM job derives every probe value's block/mask pairs
+    # with the SAME hash draws the build used (the JVM casts the
+    # probe to string exactly as it cast the column values — no
+    # Python str() drift); per-value position collisions collapse
+    # via bit_or
     pairs = (
         _block_masks(
-            spark.createDataFrame([(value,)], ["_v"]),
+            spark.createDataFrame([(i, v) for i, v in enumerate(probes)],
+                                  ["_pid", "_v"]),
             "_v",
             meta["n_bits"],
             meta["k"],
             meta["seed"],
         )
-        .groupBy("_block")
+        .groupBy("_pid", "_block")
         .agg(F.bit_or("_mask").alias("_mask"))
         .collect()
     )
-    n_blocks = len(pairs)
+    n_blocks = {}
+    for r in pairs:
+        n_blocks[r["_pid"]] = n_blocks.get(r["_pid"], 0) + 1
     pair_df = spark.createDataFrame(
-        [(r["_block"], r["_mask"]) for r in pairs], "block long, _mask long"
+        [(r["_pid"], r["_block"], r["_mask"]) for r in pairs],
+        "pid long, block long, _mask long",
+    )
+    nb_df = spark.createDataFrame(
+        [(pid, n) for pid, n in n_blocks.items()], "pid long, _need long"
     )
     sidecar = spark.read.parquet(side)
     hits = (
         sidecar.join(F.broadcast(pair_df), "block")
-        .groupBy("file")
+        .groupBy("file", "pid")
         .agg(
             F.sum(
                 (
@@ -217,11 +237,15 @@ def read_bloom_pruned(
                 ).cast("int")
             ).alias("_ok")
         )
-        .filter(F.col("_ok") == n_blocks)
+        .join(F.broadcast(nb_df), "pid")
+        .filter(F.col("_ok") == F.col("_need"))
         .select("file")
+        .distinct()
         .collect()
     )
     maybe = {r["file"] for r in hits}
     keep = [f for f in live if f in maybe or f not in covered]
     df = _read_files(spark, table, state, keep)
+    if values is not None:
+        return df.where(F.col(col).isin(*values))
     return df.where(F.col(col) == F.lit(value))

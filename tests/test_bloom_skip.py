@@ -100,3 +100,29 @@ def test_bad_params_rejected(spark, tmp_path):
         build_file_blooms(spark, t, "cust_id", n_bits=100)
     with pytest.raises(ValueError, match="k must be"):
         build_file_blooms(spark, t, "cust_id", k=0)
+
+
+def test_in_list_probe_exact_and_pruned(spark, table):
+    """Batched IN-list lookup: one sidecar pass for all values; files
+    proven absent of EVERY probed value are skipped, results exact."""
+    df = read_bloom_pruned(
+        spark, table, "cust_id", values=[500, 2500, 999_999]
+    )
+    assert {r["cust_id"] for r in df.collect()} == {500, 2500}
+    # values live in 2 of 4 files (± FPR)
+    assert len(df.inputFiles()) <= 3
+    want = (
+        txlog.read(spark, table)
+        .where(F.col("cust_id").isin(500, 2500, 999_999))
+        .count()
+    )
+    assert df.count() == want
+
+
+def test_probe_arg_validation(spark, table):
+    with pytest.raises(ValueError, match="exactly one"):
+        read_bloom_pruned(spark, table, "cust_id")
+    with pytest.raises(ValueError, match="exactly one"):
+        read_bloom_pruned(spark, table, "cust_id", 1, values=[2])
+    with pytest.raises(ValueError, match="empty"):
+        read_bloom_pruned(spark, table, "cust_id", values=[])
