@@ -36,10 +36,11 @@ zero-shuffle ``zip_with`` for two columns (``hll_union``). No UDFs,
 no driver state; estimates are per-row column math over a bounded
 array.
 
-Reference parity: extends the reference's profiling surface
-(`src/vegetation_cover_summaries.py` group-count family) with the
-re-aggregatable form its BigQuery scripts get from ``APPROX_COUNT_
-DISTINCT`` / ``HLL_COUNT.MERGE``.
+Reference parity: extends the reference's profiling surface (the
+group-count family of `notebooks/gridVeg_groundCover_intercepts_
+WRANGLE.ipynb:301-313` and its `n_distinct` per-group sites) with
+the re-aggregatable form its BigQuery scripts get from
+``APPROX_COUNT_DISTINCT`` / ``HLL_COUNT.MERGE``.
 
 Only the final estimate touches floats: the raw estimator divides two
 exactly-derived quantities (``alpha·m²·2^(w+1)`` and the integer

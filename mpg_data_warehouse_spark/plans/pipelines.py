@@ -536,11 +536,15 @@ def curate_corpus_pipeline(
 
     if lm_model is not None and max_nll_per_token is not None:
         model, oov_logp = lm_model
-        fluent = doc_logprob_score(kept, model, oov_logp).filter(
-            F.col("nll_per_token") <= max_nll_per_token
+        # anti-join on failures (see the lm_bigram gate below): docs
+        # with zero tokens are unscoreable and pass the gate
+        influent_uni = doc_logprob_score(kept, model, oov_logp).filter(
+            F.col("nll_per_token") > max_nll_per_token
         )
         kept = _obs(
-            kept.join(fluent.select("doc_id"), "doc_id", "left_semi"),
+            kept.join(
+                influent_uni.select("doc_id"), "doc_id", "left_anti"
+            ),
             funnel,
             "lm",
         )
@@ -556,11 +560,16 @@ def curate_corpus_pipeline(
         )
 
         bi_model, uni_model, p_oov = lm_bigram
-        ordered = doc_logprob_score_bigram(
+        # ANTI-join on gate FAILURES, not semi-join on passes: docs
+        # with fewer than two tokens have no bigram, are absent from
+        # the scorer's output, and must PASS (they are not repetitive
+        # or influent — a semi-join on passes would silently drop
+        # every sub-2-token doc regardless of max_bigram_nll).
+        influent = doc_logprob_score_bigram(
             kept, bi_model, uni_model, p_oov
-        ).filter(F.col("nll_per_token") <= max_bigram_nll)
+        ).filter(F.col("nll_per_token") > max_bigram_nll)
         kept = _obs(
-            kept.join(ordered.select("doc_id"), "doc_id", "left_semi"),
+            kept.join(influent.select("doc_id"), "doc_id", "left_anti"),
             funnel,
             "lm_bigram",
         )

@@ -73,9 +73,22 @@ def _sidecar(table: str, col: str) -> str:
 def _rel_file(table: str) -> "F.Column":
     """Strip everything through the table root from
     ``input_file_name()``'s URI, leaving the commit-relative path the
-    txlog state keys files by."""
+    txlog state keys files by.
+
+    ``input_file_name()`` is PERCENT-ENCODED (a space in a partition
+    value arrives as ``%20`` — same fact txlog's ``_uri_to_path``
+    unquotes around), so the raw URI must be decoded BEFORE the
+    table-root strip or any path containing an encoded character
+    never matches and every sidecar row keys by full URI. Decode
+    JVM-side with ``url_decode`` after shielding literal ``+`` (a
+    legal, unencoded path char that URLDecoder would otherwise turn
+    into a space — pre-escaping it to ``%2B`` reproduces Python
+    ``unquote`` semantics exactly)."""
     root = re.escape(os.path.abspath(table))
-    return F.regexp_replace(F.input_file_name(), f"^.*{root}/", "")
+    decoded = F.url_decode(
+        F.regexp_replace(F.input_file_name(), r"\+", "%2B")
+    )
+    return F.regexp_replace(decoded, f"^.*{root}/", "")
 
 
 def build_file_blooms(
@@ -109,7 +122,7 @@ def build_file_blooms(
     covered = set(prev["files"]) if prev else set()
     todo = sorted(live - covered)
     kept = covered & live
-    if not todo and kept == covered:
+    if prev is not None and not todo and kept == covered:
         return prev["src_version"]
 
     parts = []
@@ -134,6 +147,13 @@ def build_file_blooms(
             [(f,) for f in sorted(kept)], "file string"
         )
         parts.append(old.join(F.broadcast(kept_df), "file", "left_semi"))
+    if not parts:
+        # empty table on first build, or a refresh after every covered
+        # file was removed: install an empty (but well-typed) sidecar
+        # so probes work and the meta stamp still advances
+        parts.append(
+            spark.createDataFrame([], "file string, block long, bits long")
+        )
     new = parts[0]
     for p in parts[1:]:
         new = new.unionByName(p)
@@ -199,14 +219,41 @@ def read_bloom_pruned(
     covered = set(meta["files"])
 
     # one tiny JVM job derives every probe value's block/mask pairs
-    # with the SAME hash draws the build used (the JVM casts the
-    # probe to string exactly as it cast the column values — no
-    # Python str() drift); per-value position collisions collapse
-    # via bit_or
+    # with the SAME hash draws the build used. The build hashed the
+    # column under the TABLE's type, so the probe must be cast to
+    # that exact type BEFORE hashing — a Python int 2500 probed
+    # against a double column would otherwise render "2500" while
+    # the build rendered "2500.0", hash to different bits, and
+    # silently prune matching files (a false negative the residual
+    # filter would have matched via numeric coercion). Un-castable
+    # probes raise rather than prune.
+    from pyspark.sql.types import _parse_datatype_string
+
+    col_type = dict(
+        (f.name, f.dataType)
+        for f in _parse_datatype_string(state["schema"]).fields
+    )[col]
+    # ship probes as STRINGS (sidesteps createDataFrame inference on
+    # mixed int/float lists) and let the JVM cast string → column
+    # type — one rendering path for every probe type
+    probe_df = spark.createDataFrame(
+        [(i, None if v is None else str(v)) for i, v in enumerate(probes)],
+        "_pid long, _raw string",
+    ).withColumn(
+        "_v",
+        F.expr(f"try_cast(_raw as {col_type.simpleString()})"),
+    )
+    bad = probe_df.filter(
+        F.col("_v").isNull() & F.col("_raw").isNotNull()
+    ).collect()
+    if bad:
+        raise TypeError(
+            f"probe value(s) {[r['_raw'] for r in bad]!r} cannot be cast "
+            f"to {col!r}'s type {col_type.simpleString()}"
+        )
     pairs = (
         _block_masks(
-            spark.createDataFrame([(i, v) for i, v in enumerate(probes)],
-                                  ["_pid", "_v"]),
+            probe_df.drop("_raw"),
             "_v",
             meta["n_bits"],
             meta["k"],

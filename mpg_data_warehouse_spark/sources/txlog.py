@@ -409,22 +409,27 @@ def create(
     table: str,
     df: DataFrame,
     partition_by: list[str] | None = None,
+    extra_commit_meta: dict | None = None,
 ) -> int:
-    """Create the table at version 0."""
+    """Create the table at version 0. ``extra_commit_meta`` rides the
+    create commit itself so derived-table stamps (e.g. the sketch
+    rollup's ``rollup_src_version``) are ATOMIC with the data — a
+    crash can never leave a created-but-unstamped table."""
     if latest_version(table) >= 0:
         raise FileExistsError(f"transaction log already exists at {table}")
     partition_by = list(partition_by or [])
     adds = _write_data_files(df, table, partition_by)
-    committed = _try_commit(
-        table,
-        0,
-        {
-            "op": "create",
-            "schema": df.schema.simpleString(),
-            "partition_by": partition_by,
-            "actions": [{"add": a} for a in adds],
-        },
-    )
+    commit = {
+        "op": "create",
+        "schema": df.schema.simpleString(),
+        "partition_by": partition_by,
+        "actions": [{"add": a} for a in adds],
+    }
+    if extra_commit_meta:
+        for k in commit.keys() & extra_commit_meta.keys():
+            raise ValueError(f"extra_commit_meta would shadow {k!r}")
+        commit.update(extra_commit_meta)
+    committed = _try_commit(table, 0, commit)
     if not committed:
         raise TxConflict(f"concurrent create at {table}")
     return 0
@@ -1360,15 +1365,37 @@ def incremental_sketch_rollup(
 
     if last is None:
         built = build(_read_files(spark, table, state))
-        create(spark, rollup_path, built)
-        _commit_retry(
-            rollup_path,
-            lambda _s: {
-                "op": "sketch-rollup-stamp",
-                "rollup_src_version": src_head,
-                "actions": [],
-            },
-        )
+        if latest_version(rollup_path) >= 0:
+            # a rollup table exists with NO stamp in its history —
+            # either a legacy two-commit bootstrap that crashed
+            # between create and stamp, or a foreign table at this
+            # path. Its content is unattributable, so REPLACE it with
+            # the fresh full build, stamp riding the same commit
+            # (calling create() here would raise FileExistsError
+            # forever — the wedge this branch unwedges).
+            rstate = snapshot_state(rollup_path)
+            adds = _write_data_files(built, rollup_path,
+                                     rstate["partition_by"])
+            stale = sorted(rstate["files"])
+            _commit_retry(
+                rollup_path,
+                lambda s: {
+                    "op": "sketch-rollup-rebuild",
+                    "schema": built.schema.simpleString(),
+                    "rollup_src_version": src_head,
+                    "actions": [{"remove": {"path": p}} for p in stale]
+                    + [{"add": a} for a in adds],
+                },
+            )
+        else:
+            # stamp rides the create commit: bootstrap is ONE atomic
+            # commit — no crash window can leave an unstamped rollup
+            create(
+                spark,
+                rollup_path,
+                built,
+                extra_commit_meta={"rollup_src_version": src_head},
+            )
         return src_head
 
     added, removed = files_changed_between(table, last, src_head)

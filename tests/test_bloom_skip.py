@@ -126,3 +126,75 @@ def test_probe_arg_validation(spark, table):
         read_bloom_pruned(spark, table, "cust_id", 1, values=[2])
     with pytest.raises(ValueError, match="empty"):
         read_bloom_pruned(spark, table, "cust_id", values=[])
+
+
+def test_typed_column_probe_no_false_negative(spark, table):
+    """r8 ADVICE medium: the build hashes the column under the TABLE's
+    type; a probe of a different Python type (int against a double
+    column) must be cast to the column type before hashing, or it
+    renders '2500' vs the build's '2500.0' and silently prunes the
+    matching file."""
+    build_file_blooms(spark, table, "balance")
+    got = read_bloom_pruned(spark, table, "balance", 2500)
+    assert [r["cust_id"] for r in got.collect()] == [2500]
+    assert len(got.inputFiles()) <= 2  # and the pruning still works
+    # IN-list form, mixed int/float probes against the double column
+    got = read_bloom_pruned(spark, table, "balance", values=[500, 2500.0])
+    assert {r["cust_id"] for r in got.collect()} == {500, 2500}
+
+
+def test_uncastable_probe_raises(spark, table):
+    build_file_blooms(spark, table, "balance")
+    with pytest.raises(TypeError, match="cannot be cast"):
+        read_bloom_pruned(spark, table, "balance", "not-a-number")
+
+
+def test_table_path_with_space(spark, tmp_path):
+    """r8 ADVICE medium: input_file_name() is percent-encoded — a
+    space in the table path arrives as %20 and the table-root strip
+    must still key sidecar rows by commit-relative path (a raw-URI
+    key fails every maybe-set lookup and the query returns empty)."""
+    t = str(tmp_path / "dir with space" / "t")
+    txlog.create(spark, t, _mk(spark, range(0, 100)).coalesce(1))
+    txlog.append(spark, t, _mk(spark, range(100, 200)).coalesce(1))
+    build_file_blooms(spark, t, "cust_id")
+    got = read_bloom_pruned(spark, t, "cust_id", 150)
+    assert [r["cust_id"] for r in got.collect()] == [150]
+    assert len(got.inputFiles()) <= 1  # sidecar keys matched → pruned
+
+
+def test_partition_value_with_space(spark, tmp_path):
+    """Hive partition VALUES are percent-encoded in the URI too."""
+    t = str(tmp_path / "tp")
+    df = spark.createDataFrame(
+        [Row(cust_id=i, segment=("big spender" if i % 2 else "basic"))
+         for i in range(100)]
+    )
+    txlog.create(spark, t, df, partition_by=["segment"])
+    build_file_blooms(spark, t, "cust_id")
+    got = read_bloom_pruned(spark, t, "cust_id", 51)
+    rows = got.collect()
+    assert len(rows) == 1 and rows[0]["segment"] == "big spender"
+
+
+def test_build_on_empty_table(spark, tmp_path):
+    """r8 ADVICE low: first build over an empty table must install an
+    empty sidecar (not TypeError on prev=None), and a refresh after
+    every covered file was removed must not IndexError."""
+    t = str(tmp_path / "te")
+    empty = spark.createDataFrame(
+        [], "cust_id bigint, segment string, balance double"
+    )
+    txlog.create(spark, t, empty)
+    v = build_file_blooms(spark, t, "cust_id")
+    assert read_bloom_pruned(spark, t, "cust_id", 1).count() == 0
+    # append after the empty bootstrap: uncovered file always kept
+    txlog.append(spark, t, _mk(spark, [42]).coalesce(1))
+    assert read_bloom_pruned(spark, t, "cust_id", 42).count() == 1
+    v2 = build_file_blooms(spark, t, "cust_id")
+    assert v2 > v
+    assert read_bloom_pruned(spark, t, "cust_id", 42).count() == 1
+    # remove EVERY live file, refresh → empty sidecar again, no crash
+    txlog.delete(spark, t, "cust_id >= 0")
+    build_file_blooms(spark, t, "cust_id")
+    assert read_bloom_pruned(spark, t, "cust_id", 42).count() == 0

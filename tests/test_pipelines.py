@@ -694,3 +694,42 @@ def test_curation_bigram_gate_drops_shuffled_text(spark):
     )
     kept = {r.doc_id for r in out.select("doc_id").distinct().collect()}
     assert kept == {1}
+
+
+def test_lm_gates_keep_unscoreable_short_docs(spark):
+    """r8 ADVICE low: docs with fewer than 2 tokens have no bigram
+    (and 0-token docs no unigram) — they are absent from the scorer's
+    output and must PASS the fluency gates, not be silently dropped
+    by a semi-join on scored passes."""
+    from mpg_data_warehouse_spark.operators.text import (
+        bigram_lm,
+        unigram_lm,
+    )
+    from mpg_data_warehouse_spark.plans.pipelines import (
+        curate_corpus_pipeline,
+    )
+
+    fluent = "the cat sat on the mat while the dog ran fast today"
+    train = spark.createDataFrame(
+        [(i, fluent, "a") for i in range(5)], ["doc_id", "text", "source"]
+    )
+    bi = bigram_lm(train, vocab_size=50, bigram_size=100)
+    uni = unigram_lm(train, vocab_size=50)
+    docs = spark.createDataFrame(
+        [(1, fluent, "a"), (2, "solitary", "a")],
+        ["doc_id", "text", "source"],
+    )
+    out = curate_corpus_pipeline(
+        docs,
+        min_quality=0.0,
+        jaccard_threshold=0.9,
+        max_tokens=64,
+        overlap=0,
+        lm_model=uni,
+        max_nll_per_token=1e9,
+        lm_bigram=bi,
+        max_bigram_nll=1e9,
+    )
+    kept = {r.doc_id for r in out.select("doc_id").distinct().collect()}
+    assert 2 in kept, "sub-2-token doc dropped by the lm gates"
+    assert kept == {1, 2}

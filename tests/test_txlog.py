@@ -1103,3 +1103,58 @@ def test_incremental_sketch_rollup_bad_kind(spark, tmp_path):
             "cust_id",
             kind="cms",
         )
+
+
+def test_sketch_rollup_bootstrap_is_single_commit(spark, tmp_path):
+    """r8 ADVICE low: the bootstrap stamp must ride the CREATE commit
+    itself — a two-commit bootstrap that crashed between them left a
+    rollup with no rollup_src_version, re-entering the bootstrap
+    branch and raising FileExistsError forever."""
+    t = str(tmp_path / "t")
+    roll = str(tmp_path / "roll")
+    txlog.create(spark, t, _mk(spark, range(10)))
+    txlog.incremental_sketch_rollup(
+        spark, t, roll, ["segment"], "cust_id", kind="hll"
+    )
+    # version 0 (the create) carries the stamp — no second commit
+    assert txlog.latest_version(roll) == 0
+    assert txlog._read_commit(roll, 0)["rollup_src_version"] == 0
+
+
+def test_sketch_rollup_recovers_unstamped_table(spark, tmp_path):
+    """A rollup table that exists WITHOUT any stamp in its history
+    (legacy crashed bootstrap) must be rebuilt-and-stamped in place,
+    not wedge on FileExistsError."""
+    from mpg_data_warehouse_spark.operators.sketch import hll_sketch
+
+    t = str(tmp_path / "t")
+    roll = str(tmp_path / "roll")
+    txlog.create(spark, t, _mk(spark, range(10)))
+    # simulate the legacy crash: rollup data committed, stamp never
+    # landed (create it with correct content but no stamp)
+    txlog.create(
+        spark, roll, hll_sketch(txlog.read(spark, t), ["segment"], "cust_id")
+    )
+    txlog.append(spark, t, _mk(spark, range(10, 30), seg="b"))
+    v = txlog.incremental_sketch_rollup(
+        spark, t, roll, ["segment"], "cust_id", kind="hll"
+    )
+    assert v == 1
+    got = {
+        r.segment: list(r.hll_registers)
+        for r in txlog.read(spark, roll).collect()
+    }
+    want = {
+        r.segment: list(r.hll_registers)
+        for r in hll_sketch(
+            txlog.read(spark, t), ["segment"], "cust_id"
+        ).collect()
+    }
+    assert got == want
+    # and the recovery stamped it: the next call is a clean no-op
+    assert (
+        txlog.incremental_sketch_rollup(
+            spark, t, roll, ["segment"], "cust_id", kind="hll"
+        )
+        == 1
+    )
