@@ -3268,8 +3268,52 @@ def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
                              / CAST(t.th AS DOUBLE) END, 4)
                AS kmv_overlap
       FROM exact e CROSS JOIN theta t CROSS JOIN inter i
+    ),
+    -- Count-Min replay for the STREAMED frequency sketch (r9): per
+    -- step, probe = the smallest user id; exact count next to the
+    -- CMS point estimate (min over 4 seeded-md5 bucket-match counts,
+    -- width 256) — operators/sketch.py::_cms_bucket bit for bit
+    cprobe AS (
+      SELECT event_type, min(usr) AS pu
+      FROM ev WHERE usr IS NOT NULL GROUP BY event_type
+    ),
+    cexact AS (
+      SELECT e.event_type, p.pu, count(*) AS exact_n
+      FROM ev e JOIN cprobe p
+        ON e.event_type = p.event_type AND e.usr = p.pu
+      GROUP BY e.event_type, p.pu
+    ),
+    cbuck AS (
+      SELECT e.event_type, d.d, count(*) AS cnt
+      FROM ev e
+      JOIN cprobe p ON e.event_type = p.event_type
+      CROSS JOIN (VALUES (0), (1), (2), (3)) AS d(d)
+      WHERE e.usr IS NOT NULL
+        AND CAST('0x' || substr(md5('cms' || d.d || '|'
+                                    || CAST(e.usr AS VARCHAR)), 1, 8)
+                 AS BIGINT) % 256
+          = CAST('0x' || substr(md5('cms' || d.d || '|'
+                                    || CAST(p.pu AS VARCHAR)), 1, 8)
+                 AS BIGINT) % 256
+      GROUP BY e.event_type, d.d
+    ),
+    cest AS (SELECT event_type, min(cnt) AS est FROM cbuck GROUP BY event_type),
+    cmsrows AS (
+      SELECT 'cms_' || x.event_type AS kind,
+             x.pu AS user_id,
+             CAST(x.exact_n AS BIGINT) AS a_s,
+             CAST(e.est AS BIGINT) AS b_s,
+             CAST(NULL AS BOOLEAN) AS converted,
+             CAST(NULL AS BIGINT) AS n_clickers,
+             CAST(NULL AS BIGINT) AS n_purchasers,
+             CAST(NULL AS BIGINT) AS n_overlap,
+             CAST(NULL AS DOUBLE) AS kmv_clickers,
+             CAST(NULL AS DOUBLE) AS kmv_purchasers,
+             CAST(NULL AS DOUBLE) AS kmv_overlap
+      FROM cexact x JOIN cest e ON x.event_type = e.event_type
     )
     SELECT * FROM users UNION ALL SELECT * FROM audience
+    UNION ALL SELECT * FROM cmsrows
     """,
 )
 def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3288,7 +3332,17 @@ def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot answer without the raw rows. At sf0.001 (15 users < k=64)
     the contract pins the exact branch; at sf0.01/0.1 (150/1500
     users) the estimator branch — both replayed hash-exactly by the
-    oracle."""
+    oracle.
+
+    Round 9 routes BOTH streaming sketch twins through this hash: the
+    per-step KMV sketches now come from running_distinct_kmv_stream
+    (a real availableNow file stream over the staged steps, two
+    micro-batches via maxFilesPerTrigger=1) with the oracle unchanged
+    — the streamed bottom-k state must be bit-identical to the batch
+    build or every estimate drifts; and running_term_freq_stream's
+    drained Count-Min counters answer a per-step point probe
+    (smallest user id) emitted as ``cms_*`` rows next to the exact
+    count, replayed bucket-for-bucket by the oracle."""
     from mpg_data_warehouse_spark.operators import sketch as S
     from mpg_data_warehouse_spark.operators.temporal import funnel_conversion
 
@@ -3314,9 +3368,66 @@ def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "converted",
         *_nulls,
     )
-    # one pass builds BOTH step sketches (grouped by step), pivoted to
-    # one row of two array columns — never a per-step rescan
-    per_step = S.kmv_sketch(steps, ["event_type"], "user_id", k=_K)
+    # r9: the per-step sketches come from the STREAMING twin
+    # (streaming/events.py::running_distinct_kmv_stream) instead of
+    # the batch kmv_sketch — the steps are staged as a 2-file parquet
+    # dir and drained as a real availableNow file stream with
+    # maxFilesPerTrigger=1, so TWO genuine micro-batches flow through
+    # applyInPandasWithState before the final bottom-k state feeds
+    # the estimates below. The oracle is UNCHANGED: the hash is the
+    # external proof the streamed state is bit-identical to the batch
+    # build (one drifted long in kmv_minima breaks kmv_estimate /
+    # kmv_intersect_estimate and the slot goes red).
+    import tempfile
+    import uuid
+
+    from mpg_data_warehouse_spark.streaming import events as SE
+
+    staged = tempfile.mkdtemp(prefix="funnel_kmv_stream_")
+    steps.repartition(2).write.mode("overwrite").parquet(staged)
+    mem = f"funnel_kmv_{uuid.uuid4().hex}"
+    stream_q = (
+        SE.running_distinct_kmv_stream(
+            SE.read_events_stream(spark, staged, max_files_per_trigger=1),
+            k=_K,
+        )
+        .writeStream.format("memory")
+        .queryName(mem)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    # start the CMS twin's drain BEFORE awaiting the KMV one — the two
+    # availableNow queries run concurrently, so the slot pays one
+    # stream-lifecycle latency, not two
+    memc = f"funnel_cms_{uuid.uuid4().hex}"
+    cms_q = (
+        SE.running_term_freq_stream(
+            SE.read_events_stream(spark, staged, max_files_per_trigger=1),
+            width=256,
+            depth=4,
+        )
+        .writeStream.format("memory")
+        .queryName(memc)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream_q.awaitTermination(300)
+    cms_q.awaitTermination(300)
+    # update mode emits a key's state once per micro-batch it appears
+    # in; the FINAL state is the row with the most minima (sub-k
+    # growth phase) then the smallest k-th hash (at-k shrink phase) —
+    # a tie on both means the emitted sets are bit-identical
+    wfin = W.partitionBy("event_type").orderBy(
+        F.size(S.KMV_COL).desc(), F.array_max(F.col(S.KMV_COL)).asc()
+    )
+    per_step = (
+        spark.table(mem)
+        .withColumn("_rk", F.row_number().over(wfin))
+        .filter(F.col("_rk") == 1)
+        .select("event_type", S.KMV_COL)
+    )
     wide = per_step.groupBy().agg(
         F.first(
             F.when(F.col("event_type") == "click", F.col(S.KMV_COL)),
@@ -3357,7 +3468,52 @@ def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kmv_overlap"
         ),
     )
-    return users.unionByName(audience)
+    # r9: the CMS streaming twin (running_term_freq_stream, drained
+    # above concurrently with the KMV one over the SAME staged steps):
+    # per step the smallest user id is probed against the streamed
+    # counters — exact count next to the CMS point estimate, both
+    # replayed by the oracle, so the hash proves the drained counter
+    # array equals the batch algebra end-to-end.
+    # counters are sums → the final emission per key has the largest
+    # counter total (strictly monotone across micro-batches)
+    wcms = W.partitionBy("event_type").orderBy(
+        F.aggregate(
+            "cms_counters", F.lit(0).cast("long"), lambda a, x: a + x
+        ).desc()
+    )
+    counters = (
+        spark.table(memc)
+        .withColumn("_rk", F.row_number().over(wcms))
+        .filter(F.col("_rk") == 1)
+        .select("event_type", "cms_counters")
+    )
+    probe = (
+        steps.filter(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.min("user_id").alias("_pu"))
+    )
+    cexact = (
+        steps.join(probe, "event_type")
+        .filter(F.col("user_id") == F.col("_pu"))
+        .groupBy("event_type", "_pu")
+        .agg(F.count(F.lit(1)).alias("_exact"))
+    )
+    cms_rows = cexact.join(counters, "event_type").select(
+        F.concat(F.lit("cms_"), F.col("event_type")).alias("kind"),
+        F.col("_pu").alias("user_id"),
+        F.col("_exact").cast("long").alias("a_s"),
+        S.cms_query(
+            F.col("cms_counters"),
+            F.col("_pu").cast("string"),
+            width=256,
+            depth=4,
+        )
+        .cast("long")
+        .alias("b_s"),
+        F.lit(None).cast("boolean").alias("converted"),
+        *_nulls,
+    )
+    return users.unionByName(audience).unionByName(cms_rows)
 
 
 @_q(
@@ -3513,6 +3669,54 @@ def user_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
            'rollup_n=' || CAST(count(*) AS VARCHAR) AS change_tag
     FROM head
     GROUP BY s_suppkey % 10
+    -- r9: Bloom file-skipping IN-probe, stale then refreshed sidecar —
+    -- both must equal the plain IN over the head (no false negatives,
+    -- residual filter exact)
+    UNION ALL
+    SELECT h.s_suppkey, h.s_name, h.s_acctbal,
+           'bloom_probe_stale' AS change_tag
+    FROM head h WHERE h.s_suppkey IN (3, 4, 1000001, 999999999)
+    UNION ALL
+    SELECT h.s_suppkey, h.s_name, h.s_acctbal,
+           'bloom_probe_fresh' AS change_tag
+    FROM head h WHERE h.s_suppkey IN (3, 4, 1000001, 999999999)
+    -- r9: incremental HLL sketch rollup replay (operators/sketch.py
+    -- register algebra, p=8) over the full supplier key set per grp —
+    -- the maintained rollup (bootstrap + one delta) must match
+    UNION ALL
+    SELECT grp AS s_suppkey,
+           'HLL_' || CAST(grp AS VARCHAR) AS s_name,
+           round(CASE WHEN raw <= 640.0 AND v > 0
+                      THEN 256.0 * ln(256.0 / v)
+                      ELSE raw END, 4) AS s_acctbal,
+           'sketch_rollup_hll' AS change_tag
+    FROM (
+      SELECT grp, 256 - count(*) AS v,
+             (0.7213 / (1 + 1.079 / 256)) * 256 * 256
+               * 144115188075855872
+               / CAST(sum(1::BIGINT << (57 - mr))
+                      + (256 - count(*)) * (1::HUGEINT << 57)
+                      AS DOUBLE) AS raw
+      FROM (
+        SELECT grp, bucket, max(r) AS mr FROM (
+          SELECT s_suppkey % 10 AS grp,
+                 hi // 16777216 AS bucket,
+                 57 - CASE WHEN (hi % 16777216) * 4294967296 + lo = 0
+                           THEN 0
+                           ELSE length(bin((hi % 16777216) * 4294967296
+                                           + lo))
+                      END AS r
+          FROM (
+            SELECT s_suppkey,
+                   CAST('0x' || substr(md5(CAST(s_suppkey AS VARCHAR)),
+                                       1, 8) AS BIGINT) AS hi,
+                   CAST('0x' || substr(md5(CAST(s_suppkey AS VARCHAR)),
+                                       9, 8) AS BIGINT) AS lo
+            FROM supplier
+          )
+        ) GROUP BY grp, bucket
+      ) GROUP BY grp
+    )
     """,
 )
 def txlog_merge_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3536,6 +3740,19 @@ def txlog_merge_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY over the reconstructed head — the hash match is the
     external proof that bootstrap + delta maintenance ≡ full rescan.
 
+    Round 9 folds two more maintenance families under this hash:
+    (1) per-file Bloom skipping (sources/bloom_skip.py) — the sidecar
+    is built pre-merge, probed post-merge with a batched IN list
+    (stale: merged files uncovered, always kept), then incrementally
+    refreshed and probed again (fresh: dead files dropped, pruning
+    real); both probes must equal the oracle's plain IN over the
+    reconstructed head. (2) incremental_sketch_rollup — a second
+    txlog table takes the same supplier rows in two commits
+    (even-key create, odd-key append) with an HLL rollup bootstrapped
+    then delta-maintained between them; the per-grp estimates are
+    replayed register-for-register by the oracle, proving sketch
+    bootstrap + delta ≡ full rescan.
+
     Each invocation builds its table in a fresh temp dir: commits,
     data-file writes, log replay, and both snapshot reads all execute
     for real; the returned frame lazily reads the committed files."""
@@ -3552,6 +3769,16 @@ def txlog_merge_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = tempfile.mkdtemp(prefix="txlog_contract_")
     rollup_path = tempfile.mkdtemp(prefix="txlog_rollup_")
     txlog.create(spark, table, supplier)
+    # r9 fold: per-file Bloom sidecar built over the PRE-merge files —
+    # the merge below rewrites/adds files the sidecar does not cover,
+    # so the stale probe exercises the always-keep-uncovered invariant
+    # before the refreshed probe exercises real pruning
+    from mpg_data_warehouse_spark.sources.bloom_skip import (
+        build_file_blooms,
+        read_bloom_pruned,
+    )
+
+    build_file_blooms(spark, table, "s_suppkey")
     rollup_args = (["grp"], {"key_sum": "s_suppkey", "n": "1"})
     # bootstrap the rollup over version 0 (full scan)...
     txlog.incremental_rollup(spark, table, rollup_path, *rollup_args)
@@ -3571,6 +3798,52 @@ def txlog_merge_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ...then maintain it through the CDF-delta path: only the files
     # the MERGE added/removed are read, deletes as negated partials
     txlog.incremental_rollup(spark, table, rollup_path, *rollup_args)
+
+    # r9 fold: batched IN-list Bloom point lookup (bloom_skip.py),
+    # TWICE under the hash — first against the stale (pre-merge)
+    # sidecar, where every merged file is uncovered and must be kept
+    # (false negatives impossible), then after an incremental refresh
+    # (dead files dropped, new files sketched) where pruning is real.
+    # The residual IN filter keeps both exact; the oracle reconstructs
+    # the same IN over the head — one silently pruned row goes red.
+    probe_keys = [3, 4, 1000001, 999999999]
+
+    def _bloom_rows(tag: str) -> DataFrame:
+        return read_bloom_pruned(
+            spark, table, "s_suppkey", values=probe_keys
+        ).select(
+            "s_suppkey", "s_name", "s_acctbal", F.lit(tag).alias("change_tag")
+        )
+
+    bloom_stale = _bloom_rows("bloom_probe_stale")
+    # read_bloom_pruned decides the file list eagerly (driver-side
+    # maybe-set), so the stale probe is already resolved before the
+    # refresh mutates the sidecar
+    build_file_blooms(spark, table, "s_suppkey")
+    bloom_fresh = _bloom_rows("bloom_probe_fresh")
+
+    # r9 fold: incremental HLL sketch rollup (txlog.py) on a second
+    # txlog table built from the SAME supplier rows in two commits —
+    # bootstrap over the even-key half, one incremental catch-up after
+    # the odd-key append. The emitted per-grp estimates are replayed
+    # register-for-register by the oracle over the full supplier set,
+    # so the hash proves bootstrap + delta maintenance ≡ full rescan
+    # for sketch state (the monotone sibling of the SUM rollup above).
+    from mpg_data_warehouse_spark.operators.sketch import hll_estimate
+
+    t2 = tempfile.mkdtemp(prefix="txlog_sketch_src_")
+    roll2 = tempfile.mkdtemp(prefix="txlog_sketch_roll_")
+    sk_args = (["grp"], "s_suppkey")
+    txlog.create(spark, t2, supplier.filter(F.col("s_suppkey") % 2 == 0))
+    txlog.incremental_sketch_rollup(spark, t2, roll2, *sk_args, kind="hll")
+    txlog.append(spark, t2, supplier.filter(F.col("s_suppkey") % 2 != 0))
+    txlog.incremental_sketch_rollup(spark, t2, roll2, *sk_args, kind="hll")
+    sketch_rows = txlog.read(spark, roll2).select(
+        F.col("grp").cast("bigint").alias("s_suppkey"),
+        F.concat(F.lit("HLL_"), F.col("grp").cast("string")).alias("s_name"),
+        hll_estimate(F.col("hll_registers")).alias("s_acctbal"),
+        F.lit("sketch_rollup_hll").alias("change_tag"),
+    )
     rollup = txlog.read(spark, rollup_path).select(
         F.col("grp").alias("s_suppkey"),
         F.concat(F.lit("ROLLUP_"), F.col("grp").cast("string")).alias(
@@ -3629,7 +3902,13 @@ def txlog_merge_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_acctbal",
         F.lit("replaced").alias("change_tag"),
     )
-    return new_or_changed.unionByName(replaced).unionByName(rollup)
+    return (
+        new_or_changed.unionByName(replaced)
+        .unionByName(rollup)
+        .unionByName(bloom_stale)
+        .unionByName(bloom_fresh)
+        .unionByName(sketch_rows)
+    )
 
 
 @_q(
