@@ -45,9 +45,43 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
 
-def _q(name: str, oracle: str | None = None):
+# Queries whose builders hold corpus-sized storage internally
+# (persist / cache / localCheckpoint): measured as the RDD-storage
+# leak set at r9 (every other contract query leaves storage clean).
+_SCOPED_QUERIES = {
+    "minhash_near_dup_pairs",  # verify-stage shingle-set checkpoint
+    "bm25_incremental_index",  # index lifecycle postings caches
+    "near_dup_retention",  # exact-pass base + CC round checkpoints
+    "dsir_select",  # feature-table persist
+    "quality_classifier_scores",  # shared tokenization persist
+    "retrieval_dense_topk",  # chunk-embedding persist
+    "hybrid_rrf_retrieval",  # chunk-embedding persist
+}
+
+
+def _q(name: str, oracle: str | None = None, scoped: bool = False):
+    """Register a contract query (+ its DuckDB oracle). ``scoped=True``
+    (or membership in ``_SCOPED_QUERIES``) routes the build through
+    ``session.run_scoped``: the query's internal persists / caches /
+    localCheckpoints are released deterministically once the (small)
+    result is materialized — the scoped-caching contract for builders
+    with corpus-sized cached intermediates, so a long-lived driver
+    composing many queries never accumulates dead storage (the r8
+    session-age artifact)."""
+
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
+        if scoped or name in _SCOPED_QUERIES:
+            from functools import wraps
+
+            from mpg_data_warehouse_spark.session import run_scoped
+
+            @wraps(fn)
+            def scoped_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+                return run_scoped(spark, lambda: fn(spark, sf_dir))
+
+            QUERIES[name] = scoped_fn
+        else:
+            QUERIES[name] = fn
         if oracle is not None:
             ORACLE[name] = oracle
         return fn

@@ -60,3 +60,96 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+# ---------------------------------------------------------------------------
+# Scoped RDD storage: deterministic release of persist()/cache()/
+# localCheckpoint blocks a computation creates.
+# ---------------------------------------------------------------------------
+
+
+def persistent_rdd_ids(spark: SparkSession) -> set[int]:
+    """Ids of every RDD currently holding storage (cache, persist, and
+    localCheckpoint blocks all register here)."""
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in m.keySet().toArray()}
+
+
+def release_rdd_storage(
+    spark: SparkSession, ids: set[int], blocking: bool = False
+) -> int:
+    """Unpersist the RDDs with the given ids (no-op for ids already
+    gone). Returns how many were released."""
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    n = 0
+    it = m.entrySet().iterator()
+    while it.hasNext():
+        e = it.next()
+        if int(e.getKey()) in ids:
+            e.getValue().unpersist(blocking)
+            n += 1
+    return n
+
+
+def checkpoint_rdd_id(df) -> int | None:
+    """The storage id backing an (eagerly) localCheckpointed frame —
+    the id ``run_scoped`` must NOT release (truncated lineage means
+    the blocks are the only copy of the data)."""
+    plan = df._jdf.queryExecution().analyzed()
+    try:
+        return int(plan.rdd().id())
+    except Exception:
+        return None
+
+
+def run_scoped(spark: SparkSession, build) -> "DataFrame":
+    """Execute ``build()`` (a zero-arg callable returning a DataFrame),
+    materialize its result via an eager localCheckpoint, and release
+    every piece of RDD storage the build created — leaked persists,
+    caches, and abandoned localCheckpoint blocks alike — keeping only
+    the result's own (small) checkpoint.
+
+    This is the scoped-caching contract for query builders whose
+    internals persist corpus-sized intermediates: a long-lived driver
+    running hundreds of such queries (a 100 TB pipeline driver, the
+    bench sweep) must not accumulate dead storage at the mercy of GC /
+    ContextCleaner timing — the measured single-JVM session-age
+    artifact (BENCH_SCALE.md). Results here are reports (pairs,
+    top-k, scores), orders of magnitude smaller than the
+    intermediates, so the one retained checkpoint is cheap; on a real
+    cluster the same pattern holds with a reliable checkpoint dir."""
+    before = persistent_rdd_ids(spark)
+    out = build().localCheckpoint(eager=True)
+    keep = checkpoint_rdd_id(out)
+    stray = persistent_rdd_ids(spark) - before - ({keep} if keep else set())
+    if stray:
+        # A leaked DataFrame.persist() holds TWO pieces of state: the
+        # RDD blocks (released below) and the SQL CacheManager entry
+        # (plan -> InMemoryRelation). Dropping only the blocks would
+        # leave a dead entry that later identical plans re-match and
+        # re-cache into — clear the SQL cache first. Scoped builders
+        # own every cache entry alive at this point by contract (the
+        # engine keeps no cross-query SQL caches), so the global clear
+        # is safe. localCheckpoint blocks (including `out`'s) are NOT
+        # CacheManager entries and are untouched by it.
+        spark.catalog.clearCache()
+        release_rdd_storage(spark, stray)
+    return out
+
+
+def release_session_debris(spark: SparkSession) -> None:
+    """Pressure relief for a LONG-LIVED driver: drop dead Python→JVM
+    references and force one JVM GC so ContextCleaner releases the
+    broadcast variables and shuffle registrations dead jobs left
+    behind. Spark only cleans those when the JVM garbage-collects the
+    driver-side handles; a driver that runs hundreds of jobs between
+    natural full GCs accumulates executor-side debris that measurably
+    degrades Arrow/Python-boundary stages (pinned at r9:
+    multimodal_frame_sample at sf1.0 ran 5.8 s after 17 predecessor
+    queries and returned to its 2.9 s solo time — permanently — after
+    one such pulse). Call between pipeline stages, not inside them;
+    a full GC on a large heap costs a few hundred ms."""
+    import gc
+
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()

@@ -1,0 +1,68 @@
+"""Scoped RDD storage (session.run_scoped): query builders that
+persist/cache/localCheckpoint corpus-sized intermediates must release
+them deterministically once the result is materialized — the
+long-lived-driver contract bench.py relies on now that it runs with
+no per-measurement clearCache (the r8 session-age artifact's fix)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mpg_data_warehouse_spark.session import (
+    persistent_rdd_ids,
+    release_rdd_storage,
+    run_scoped,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_run_scoped_releases_build_storage(spark):
+    before = persistent_rdd_ids(spark)
+
+    def build():
+        big = spark.range(10_000).withColumn("y", F.col("id") * 2).persist()
+        mid = big.filter("id % 2 = 0").localCheckpoint(eager=True)
+        return mid.groupBy((F.col("id") % 10).alias("g")).count()
+
+    out = run_scoped(spark, build)
+    after = persistent_rdd_ids(spark)
+    new = after - before
+    # exactly the result's own checkpoint survives
+    assert len(new) == 1
+    assert out.count() == 5  # and the result is still readable
+    release_rdd_storage(spark, new)
+
+
+def test_scoped_queries_leave_storage_clean(spark):
+    """Every _SCOPED_QUERIES entry must leave at most its own result
+    checkpoint behind, and the scoped result must equal the raw
+    builder's output (scoping is a storage contract, not a semantic
+    one)."""
+    from mpg_data_warehouse_spark.plans import driver_queries as dq
+
+    for name in sorted(dq._SCOPED_QUERIES):
+        assert name in dq.QUERIES, name
+        before = persistent_rdd_ids(spark)
+        df = dq.QUERIES[name](spark, SF)
+        n = df.count()
+        new = persistent_rdd_ids(spark) - before
+        assert len(new) <= 1, f"{name} leaked storage: {sorted(new)}"
+        raw = dq.QUERIES[name].__wrapped__(spark, SF)
+        assert n == raw.count(), f"{name}: scoped result drifted"
+        release_rdd_storage(spark, persistent_rdd_ids(spark) - before)
+
+
+def test_unscoped_queries_do_not_hold_storage(spark):
+    """The scoped set IS the leak set: a cheap unscoped
+    representative must run storage-clean (guards against new
+    un-registered persists creeping into query builders)."""
+    from mpg_data_warehouse_spark.plans import driver_queries as dq
+
+    for name in ("ground_cover_pct_complete", "membership_semi_anti",
+                  "window_partition_count", "simhash_near_dup_pairs"):
+        before = persistent_rdd_ids(spark)
+        dq.QUERIES[name](spark, SF).count()
+        new = persistent_rdd_ids(spark) - before
+        assert not new, f"{name} now holds storage: register it scoped"
