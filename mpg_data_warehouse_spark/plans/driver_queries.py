@@ -4767,6 +4767,12 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = tempfile.mkdtemp(prefix="hybrid_contract_")
     docs = _docs(spark, sf_dir)
+    # refine_iters=0: with nprobe = n_centroids the probe is
+    # exhaustive, so centroid refinement cannot change a single output
+    # row (it only shapes the partition layout) — the Lloyd iteration
+    # itself stays oracle-verified under ivf_ann_topk's hash, where
+    # nprobe < n_centroids makes it load-bearing. Skipping it here
+    # removes two corpus passes from the contract slot's build.
     build_hybrid_index(
         docs,
         f"{base}/idx",
@@ -4777,6 +4783,7 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         overlap=8,
         n_centroids=8,
         hash_fn="md5",
+        refine_iters=0,
     )
     pool = hybrid_retrieve(
         spark,

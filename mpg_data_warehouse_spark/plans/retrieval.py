@@ -224,23 +224,18 @@ def hashed_feature_embedding(
     ).drop("_txt")
 
 
-def build_retrieval_index(
+def _write_chunk_store(
     docs: DataFrame,
-    index_path: str,
     chunks_path: str,
-    dim: int = 64,
-    max_tokens: int = 64,
-    overlap: int = 8,
-    n_centroids: int = 8,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    hash_fn: str = "xxhash64",
-) -> None:
-    """Offline half: chunk the corpus, embed each chunk, persist the
-    chunk store (id → text, for hydration) and the IVF index over the
-    chunk embeddings. Chunk ids are dense ``doc_id * 2^20 + chunk_id``
+    max_tokens: int,
+    overlap: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Chunk the corpus and persist the chunk store (id → text, for
+    hydration). Chunk ids are dense ``doc_id * 2^20 + chunk_id``
     composites — deterministic, reversible, collision-free for docs
-    under 2^20 chunks."""
+    under 2^20 chunks. Returns a reader over the written store."""
     chunks = pack_sequences(
         docs, id_col, text_col, max_tokens=max_tokens, overlap=overlap
     ).withColumn(
@@ -251,10 +246,18 @@ def build_retrieval_index(
     chunks.select(
         "chunk_key", id_col, "chunk_id", "chunk_text"
     ).write.mode("overwrite").parquet(chunks_path)
-    # embed from the just-written store: the corpus-wide chunking
-    # explode runs once, and the index is built from exactly the bytes
-    # the chunk store serves at query time
-    stored = chunks.sparkSession.read.parquet(chunks_path)
+    return docs.sparkSession.read.parquet(chunks_path)
+
+
+def _build_dense_index(
+    stored: DataFrame,
+    index_path: str,
+    dim: int,
+    n_centroids: int,
+    hash_fn: str,
+    refine_iters: int = 1,
+) -> None:
+    """Embed the chunk store and lay down the IVF index over it."""
     # Persist the embedded corpus before the IVF build: k-means
     # seeding, each Lloyd iteration, and the final cell assignment
     # all consume it, and without reuse the encoder's multi-shuffle
@@ -277,12 +280,35 @@ def build_retrieval_index(
             embedded,
             index_path,
             n_centroids=n_centroids,
+            refine_iters=refine_iters,
             id_col="chunk_key",
             vec_col="embedding",
         )
     finally:
         embedded.unpersist()
     _write_retrieval_meta(index_path, dim, hash_fn)
+
+
+def build_retrieval_index(
+    docs: DataFrame,
+    index_path: str,
+    chunks_path: str,
+    dim: int = 64,
+    max_tokens: int = 64,
+    overlap: int = 8,
+    n_centroids: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+) -> None:
+    """Offline half: chunk the corpus, embed each chunk, persist the
+    chunk store (id → text, for hydration) and the IVF index over the
+    chunk embeddings — the index is built from exactly the bytes the
+    chunk store serves at query time."""
+    stored = _write_chunk_store(
+        docs, chunks_path, max_tokens, overlap, id_col, text_col
+    )
+    _build_dense_index(stored, index_path, dim, n_centroids, hash_fn)
 
 
 def _probe_chunk_ranks(
@@ -385,31 +411,41 @@ def build_hybrid_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_fn: str = "xxhash64",
+    refine_iters: int = 1,
 ) -> None:
     """Offline half of hybrid retrieval: the dense chunk index (IVF
     over hashed-feature embeddings) plus a BM25 ranked index over the
     SAME chunk store, so both retrievers score identical chunk_keys
-    and fusion is a pure key join."""
+    and fusion is a pure key join.
+
+    The two index builds are independent consumers of the written
+    chunk store, so they are SUBMITTED CONCURRENTLY (Spark schedules
+    jobs from multiple driver threads freely): the wall cost is
+    max(dense, bm25) instead of their sum — these builds are
+    commit-latency-bound at small scale (partitioned-write directory
+    fan-out) and shuffle-bound at large scale, and in both regimes
+    the cluster has idle capacity one build alone leaves unused.
+    Exceptions propagate; both builds are awaited before return."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from mpg_data_warehouse_spark.operators.search import (
         build_ranked_index,
     )
 
-    build_retrieval_index(
-        docs,
-        index_path,
-        chunks_path,
-        dim=dim,
-        max_tokens=max_tokens,
-        overlap=overlap,
-        n_centroids=n_centroids,
-        id_col=id_col,
-        text_col=text_col,
-        hash_fn=hash_fn,
+    stored = _write_chunk_store(
+        docs, chunks_path, max_tokens, overlap, id_col, text_col
     )
-    chunks = docs.sparkSession.read.parquet(chunks_path)
-    build_ranked_index(
-        chunks, bm25_path, id_col="chunk_key", text_col="chunk_text"
-    )
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        dense = pool.submit(
+            _build_dense_index, stored, index_path, dim, n_centroids,
+            hash_fn, refine_iters,
+        )
+        lexical = pool.submit(
+            build_ranked_index, stored, bm25_path,
+            id_col="chunk_key", text_col="chunk_text",
+        )
+        dense.result()
+        lexical.result()
 
 
 def hybrid_retrieve(
