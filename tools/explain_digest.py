@@ -103,7 +103,11 @@ def main() -> None:
     failures: list[str] = []
     for name in sorted(QUERIES):
         try:
-            df = QUERIES[name](spark, sf_dir)
+            # storage-scoped queries (session.run_scoped) return an
+            # eagerly checkpointed frame whose plan is one LogicalRDD
+            # scan — digest the UNDERLYING builder's plan instead
+            fn = getattr(QUERIES[name], "__wrapped__", QUERIES[name])
+            df = fn(spark, sf_dir)
             plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as exc:  # streaming-only or env-gated entries
             failures.append(f"{name}: {type(exc).__name__}")
