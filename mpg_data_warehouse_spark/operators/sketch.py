@@ -693,3 +693,165 @@ def py_cms_update(counters, values, width=CMS_WIDTH, depth=CMS_DEPTH, w=1):
             hx = hashlib.md5(f"cms{d}|{v}".encode()).hexdigest()
             counters[d * width + int(hx[:8], 16) % width] += w
     return counters
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k quantile sketch — the mergeable ORDER-STATISTICS sibling.
+#
+# A per-group uniform ROW sample keyed by a 56-bit hash of the row's
+# unique id (bottom-k sampling, Cohen & Kaplan 2007 — public): the k
+# rows with the smallest id-hashes, each carrying its value. Because
+# hash order is a fixed random-looking permutation of the rows, the
+# retained set is a uniform k-sample, and merging sketches over
+# DISJOINT row sets (hour→day, shard→global) is just bottom-k of the
+# union — the same re-aggregation property as HLL/KMV/CMS, here for
+# quantiles/medians where registers and counters cannot answer.
+# BigQuery's APPROX_QUANTILES has no mergeable at-rest form; this
+# column representation is the rollup-friendly analog.
+#
+# Everything is deterministic given the data: the hash fixes WHICH
+# rows are sampled, so the estimate is exactly reproducible by any
+# engine with md5 — the DuckDB oracle replays sample AND estimate
+# bit for bit (no statistical tolerance needed in the contract).
+# Exactness contract: a group with ≤ k rows keeps ALL of them and
+# every quantile is EXACT — the sketch degrades gracefully into the
+# true order statistics, same two-branch story as KMV's estimator.
+#
+# Plan shape at 100 TB: one row_number() ≤ k window on (hash, value)
+# — InferWindowGroupLimit inserts the map-side partial top-k, so the
+# shuffle carries ≤ tasks × k rows per group — then a keys-grain
+# collect of ≤ k (h, v) structs. Merge re-grains |groups| × k
+# fixed-width rows, never raw data.
+# ---------------------------------------------------------------------------
+
+QS_K = 256
+QS_COL = "qs_sample"
+
+
+def _qs_id_hash(id_cols: list[str]) -> Column:
+    """56-bit row-id hash: md5 of the '|'-joined id columns (cast to
+    string) — ``CAST('0x' || substr(md5(a || '|' || b), 1, 14) AS
+    BIGINT)`` in DuckDB. The id columns must UNIQUELY identify a row
+    (the caller's contract): duplicate ids would collapse under the
+    hash order and bias the sample toward their shared position."""
+    joined = F.concat_ws(
+        "|", *[F.col(c).cast("string") for c in id_cols]
+    )
+    return F.conv(F.substring(F.md5(joined), 1, 14), 16, 10).cast("long")
+
+
+def quantile_sketch(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    id_cols: list[str],
+    k: int = QS_K,
+    out_col: str = QS_COL,
+) -> DataFrame:
+    """Per-group bottom-k quantile sketch: the k rows with the
+    smallest id-hashes, as a sorted ``array<struct<h, v>>`` (by hash,
+    then value — ties only under md5 collision). NULL values are
+    skipped (quantiles are over the non-null population, matching
+    ``quantile_cont``); an all-null group emits no row, matching the
+    other sketch families."""
+    from pyspark.sql import Window
+
+    _check_k(k)
+    rows = df.filter(F.col(value_col).isNotNull()).select(
+        *key_cols,
+        _qs_id_hash(id_cols).alias("_h"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    w = Window.partitionBy(*key_cols).orderBy("_h", "_v")
+    ranked = rows.withColumn("_r", F.row_number().over(w)).filter(
+        F.col("_r") <= k
+    )
+    return ranked.groupBy(*key_cols).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_h").alias("h"),
+                                    F.col("_v").alias("v")))
+        ).alias(out_col)
+    )
+
+
+def quantile_merge(
+    df: DataFrame,
+    key_cols: list[str],
+    sketch_col: str = QS_COL,
+    k: int = QS_K,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Merge many sketch rows per group: bottom-k by hash of the
+    union — EXACTLY the sketch a direct build over the union of the
+    underlying (disjoint) row sets produces, because hash order is a
+    property of the rows, not of the grouping (pinned by test). Same
+    explode → row_number ≤ k shape as the build over |groups| × k
+    fixed-width rows; a group whose sketches are all empty keeps its
+    (empty-array) row via explode_outer + nulls-last, matching
+    ``kmv_merge``."""
+    from pyspark.sql import Window
+
+    _check_k(k)
+    out = out_col or sketch_col
+    ex = df.select(
+        *key_cols, F.explode_outer(F.col(sketch_col)).alias("_s")
+    )
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col("_s.h").asc_nulls_last(), F.col("_s.v").asc_nulls_last()
+    )
+    ranked = ex.withColumn("_r", F.row_number().over(w)).filter(
+        F.col("_r") <= k
+    )
+    # collect_list skips NULL structs, so an all-empty group keeps its
+    # row with an empty (correctly typed) array — kmv_merge's rule
+    return ranked.groupBy(*key_cols).agg(
+        F.array_sort(F.collect_list("_s")).alias(out)
+    )
+
+
+def quantile_estimate(sketch: Column, q: float) -> Column:
+    """The q-quantile estimate: the lower order statistic of the
+    sample's values at 0-based index ``floor(q·(n−1))`` — an element
+    SELECTION, not an interpolation, so the result is one of the
+    sampled values verbatim and the oracle replay is exact with no
+    float arithmetic beyond the one deterministic IEEE product
+    ``q·(n−1)``. EXACT (the true population quantile under the same
+    definition) whenever the group had ≤ k rows."""
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q={q} outside [0, 1]")
+    vs = F.array_sort(F.transform(sketch, lambda s: s["v"]))
+    idx = (
+        F.floor(F.lit(float(q)) * (F.size(vs) - 1).cast("double"))
+        .cast("int")
+        + 1
+    )
+    return F.element_at(vs, idx)
+
+
+def py_qs_update(sample, pairs, k: int = QS_K):
+    """Pure-Python incremental bottom-k sample update — same id-hash
+    as ``_qs_id_hash`` bit for bit. ``sample`` is a list of (h, v)
+    tuples; ``pairs`` is an iterable of (id_str, value) with id_str
+    the '|'-joined id columns. Insert-only streams maintain the
+    bottom-k EXACTLY (an evicted row's hash exceeded the k-th
+    smallest, which only decreases — the KMV twin's argument).
+    Streaming state operator and test reference; NULL/NaN values
+    skipped. Returns the new sorted sample."""
+    import hashlib
+
+    _check_k(k)
+    s = {(h, v) for h, v in sample}
+    for id_str, v in pairs:
+        if id_str is None or v is None or v != v:
+            continue
+        h = int(hashlib.md5(id_str.encode()).hexdigest()[:14], 16)
+        s.add((h, float(v)))
+    return sorted(s)[:k]
+
+
+def py_qs_estimate(sample, q: float):
+    """Pure-Python mirror of ``quantile_estimate``."""
+    if not sample:
+        return None
+    vs = sorted(v for _, v in sample)
+    return vs[int(q * (len(vs) - 1))]

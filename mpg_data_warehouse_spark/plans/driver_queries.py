@@ -385,29 +385,72 @@ def group_multiples_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "lineitem_flag_profile",
     """
-    SELECT l_returnflag,
-           count(*) FILTER (WHERE l_discount > 0.05) AS n_high_discount,
-           count(*) FILTER (WHERE l_tax = 0)         AS n_no_tax,
-           count(*) AS n_rows,
-           count(DISTINCT l_suppkey) AS n_suppliers,
-           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
-           round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
-           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
-           round(corr(l_quantity, l_extendedprice), 6) AS corr_xy,
-           round(covar_samp(l_quantity, l_extendedprice), 6) AS covar_xy,
-           round(stddev_samp(l_quantity), 6) AS stddev_x,
-           round(stddev_samp(l_extendedprice), 6) AS stddev_y
-    FROM lineitem GROUP BY l_returnflag
+    WITH prof AS (
+      SELECT l_returnflag,
+             count(*) FILTER (WHERE l_discount > 0.05) AS n_high_discount,
+             count(*) FILTER (WHERE l_tax = 0)         AS n_no_tax,
+             count(*) AS n_rows,
+             count(DISTINCT l_suppkey) AS n_suppliers,
+             round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+             round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+             round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+             round(corr(l_quantity, l_extendedprice), 6) AS corr_xy,
+             round(covar_samp(l_quantity, l_extendedprice), 6) AS covar_xy,
+             round(stddev_samp(l_quantity), 6) AS stddev_x,
+             round(stddev_samp(l_extendedprice), 6) AS stddev_y
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    -- bottom-256 quantile-sketch replay (operators/sketch.py): the
+    -- sample is the 256 rows with the smallest 56-bit id-hashes,
+    -- the estimate the lower order statistic of its values
+    qs_ranked AS (
+      SELECT l_returnflag, v,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY h, v) AS r
+      FROM (
+        SELECT l_returnflag,
+               CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)
+                                        || '|'
+                                        || CAST(l_linenumber AS VARCHAR)),
+                                   1, 14) AS BIGINT) AS h,
+               l_extendedprice AS v
+        FROM lineitem WHERE l_extendedprice IS NOT NULL
+      )
+    ),
+    qsamp AS (
+      SELECT l_returnflag, list(v ORDER BY v) AS vs
+      FROM qs_ranked WHERE r <= 256 GROUP BY l_returnflag
+    ),
+    qest AS (
+      SELECT l_returnflag,
+             vs[CAST(floor(0.5 * (len(vs) - 1)) AS INT) + 1] AS qs_p50
+      FROM qsamp
+    )
+    SELECT p.*, q.qs_p50
+    FROM prof p LEFT JOIN qest q USING (l_returnflag)
     """,
 )
 def lineitem_flag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 univariate profiling, plus (r9) the mergeable bottom-k
+    QUANTILE sketch under the same hash: per-flag sketches are built
+    at a FINER grain (flag × l_linenumber%4) and quantile_merge'd up
+    to the flag — the emitted ``qs_p50`` next to the exact ``p50`` is
+    the oracle-replayed proof that sketch merge ≡ direct build for
+    the order-statistics family (the hour→day re-aggregation HLL/KMV/
+    CMS already prove for theirs), and that the deterministic
+    bottom-k sample (md5 id-hash order) is engine-portable."""
     from mpg_data_warehouse_spark.operators.aggregates import (
         corr_aggs,
         quantile_aggs,
     )
+    from mpg_data_warehouse_spark.operators.sketch import (
+        quantile_estimate,
+        quantile_merge,
+        quantile_sketch,
+    )
 
     lineitem = _t(spark, sf_dir, "lineitem")
-    return lineitem.groupBy("l_returnflag").agg(
+    prof = lineitem.groupBy("l_returnflag").agg(
         F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_high_discount"),
         F.count(F.when(F.col("l_tax") == 0, 1)).alias("n_no_tax"),
         F.count(F.lit(1)).alias("n_rows"),
@@ -417,6 +460,18 @@ def lineitem_flag_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         *quantile_aggs("l_extendedprice"),
         *corr_aggs("l_quantity", "l_extendedprice"),
     )
+    fine = quantile_sketch(
+        lineitem.withColumn("_sub", (F.col("l_linenumber") % 4).cast("int")),
+        ["l_returnflag", "_sub"],
+        "l_extendedprice",
+        ["l_orderkey", "l_linenumber"],
+        k=256,
+    )
+    qs = quantile_merge(fine.drop("_sub"), ["l_returnflag"], k=256).select(
+        "l_returnflag",
+        quantile_estimate(F.col("qs_sample"), 0.5).alias("qs_p50"),
+    )
+    return prof.join(qs, "l_returnflag", "left")
 
 
 # --- A6: ordered, limited string agg ---
@@ -4223,7 +4278,7 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "quality_classifier_scores",
-    """
+    r"""
     WITH toks AS (
       SELECT doc_id, lang,
              list_distinct(list_filter(

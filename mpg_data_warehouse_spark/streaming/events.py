@@ -327,6 +327,104 @@ def running_distinct_kmv_stream(
     )
 
 
+def running_quantile_stream(
+    events: DataFrame, watermark: str = "2 hours", k: int = 256
+) -> DataFrame:
+    """Streaming quantiles via bottom-k ROW-sample state: per
+    event_type, the k (id-hash, value) pairs with the smallest hashes
+    (``operators/sketch.py`` quantile-sketch algebra, bit-identical —
+    stream and batch ``quantile_sketch`` keep the SAME sample, pinned
+    by the batch-agreement test) are the ``applyInPandasWithState``
+    state, updated per micro-batch and emitted with the running
+    median estimate.
+
+    Completes the streaming sketch QUADRUPLE (HLL "how many
+    distinct", KMV "which segments overlap", CMS "how often",
+    bottom-k sample "what does the distribution look like") — the
+    emitted state merges with batch-built sketches
+    (``quantile_merge``), so a live latency/price-quantile dashboard
+    reconciles hot streamed samples against cold batch rebuilds
+    without raw-row replays. Insert-only streams maintain the
+    bottom-k EXACTLY (the KMV twin's eviction argument, applied to
+    (hash, value) pairs); state is ≤ k (long, double) pairs per key,
+    forever."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from mpg_data_warehouse_spark.operators.sketch import (
+        py_qs_estimate,
+        py_qs_update,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("qs_p50", DoubleType()),
+            StructField(
+                "qs_sample",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("h", LongType()),
+                            StructField("v", DoubleType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("hs", ArrayType(LongType())),
+            StructField("vs", ArrayType(DoubleType())),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        sample = (
+            list(zip(state.get[0], state.get[1])) if state.exists else []
+        )
+        for pdf in pdfs:
+            # string projections (see the HLL twin's dtype note): the
+            # id crosses as exact object strings; the value column is
+            # float64-native so it crosses as-is
+            pairs = zip(pdf["_eid"].tolist(), pdf["_val"].tolist())
+            sample = py_qs_update(sample, pairs, k)
+        if not sample:
+            # every value so far was NULL: no row, no state — batch
+            # quantile_sketch drops the all-null group the same way
+            return
+        state.update(([h for h, _ in sample], [v for _, v in sample]))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "qs_p50": [py_qs_estimate(sample, 0.5)],
+                # dict rows: the Arrow boundary maps them onto the
+                # struct<h, v> element type (tuples don't)
+                "qs_sample": [[{"h": h, "v": v} for h, v in sample]],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .select(
+            "ts",
+            "event_type",
+            F.col("event_id").cast("string").alias("_eid"),
+            F.col("value").cast("double").alias("_val"),
+        )
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def running_term_freq_stream(
     events: DataFrame,
     watermark: str = "2 hours",

@@ -514,3 +514,134 @@ def test_kmv_k_bounds_rejected(spark):
         kmv_sketch(df, ["g"], "v", k=4)
     with pytest.raises(ValueError):
         kmv_estimate(F.col("c"), k=1 << 17)
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k quantile sketch (the mergeable order-statistics member).
+# ---------------------------------------------------------------------------
+
+
+def _qs_rows(spark, n=500, types=("a", "b")):
+    from pyspark.sql import Row
+
+    rows = [
+        Row(grp=t, rid=i, val=float((i * 37) % 101))
+        for t in types
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_quantile_sketch_matches_python_reference(spark):
+    from mpg_data_warehouse_spark.operators.sketch import (
+        py_qs_update,
+        quantile_sketch,
+    )
+
+    df = _qs_rows(spark, n=500)
+    got = {
+        r.grp: [(s["h"], s["v"]) for s in r.qs_sample]
+        for r in quantile_sketch(df, ["grp"], "val", ["rid"], k=64).collect()
+    }
+    for t in ("a", "b"):
+        want = py_qs_update(
+            [], [(str(i), float((i * 37) % 101)) for i in range(500)], k=64
+        )
+        assert got[t] == want, t
+
+
+def test_quantile_exact_under_k(spark):
+    """A group with ≤ k rows keeps every row: the estimate IS the
+    true lower order statistic for every q."""
+    from mpg_data_warehouse_spark.operators.sketch import (
+        quantile_estimate,
+        quantile_sketch,
+    )
+
+    df = _qs_rows(spark, n=50, types=("a",))
+    sk = quantile_sketch(df, ["grp"], "val", ["rid"], k=256)
+    vals = sorted(float((i * 37) % 101) for i in range(50))
+    row = sk.select(
+        *[
+            quantile_estimate(F.col("qs_sample"), q).alias(f"q{int(q*100)}")
+            for q in (0.0, 0.25, 0.5, 0.75, 1.0)
+        ]
+    ).first()
+    for q in (0.0, 0.25, 0.5, 0.75, 1.0):
+        assert row[f"q{int(q*100)}"] == vals[int(q * 49)], q
+
+
+def test_quantile_merge_equals_direct_build(spark):
+    """Sketches built at a finer grain merge to EXACTLY the sketch a
+    direct build over the union produces (hash order is a property of
+    the rows, not the grouping) — the hour→day re-aggregation
+    property."""
+    from pyspark.sql import functions as F
+
+    from mpg_data_warehouse_spark.operators.sketch import (
+        quantile_merge,
+        quantile_sketch,
+    )
+
+    df = _qs_rows(spark, n=400).withColumn(
+        "sub", (F.col("rid") % 4).cast("int")
+    )
+    fine = quantile_sketch(df, ["grp", "sub"], "val", ["rid"], k=64)
+    merged = {
+        r.grp: [(s["h"], s["v"]) for s in r.qs_sample]
+        for r in quantile_merge(fine.drop("sub"), ["grp"], k=64).collect()
+    }
+    direct = {
+        r.grp: [(s["h"], s["v"]) for s in r.qs_sample]
+        for r in quantile_sketch(df, ["grp"], "val", ["rid"], k=64).collect()
+    }
+    assert merged == direct
+
+
+def test_quantile_nulls_skipped_and_all_null_group_absent(spark):
+    from pyspark.sql import Row
+
+    from mpg_data_warehouse_spark.operators.sketch import quantile_sketch
+
+    df = spark.createDataFrame(
+        [Row(grp="a", rid=1, val=1.0), Row(grp="a", rid=2, val=None),
+         Row(grp="b", rid=3, val=None)]
+    )
+    got = quantile_sketch(df, ["grp"], "val", ["rid"], k=64).collect()
+    assert {r.grp for r in got} == {"a"}
+    assert len(got[0].qs_sample) == 1
+
+
+def test_quantile_estimate_bounds_and_k_bounds(spark):
+    import pytest
+
+    from mpg_data_warehouse_spark.operators.sketch import (
+        quantile_estimate,
+        quantile_sketch,
+    )
+
+    with pytest.raises(ValueError, match="q="):
+        quantile_estimate(F.lit(None), 1.5)
+    with pytest.raises(ValueError, match="k="):
+        quantile_sketch(_qs_rows(spark, 5), ["grp"], "val", ["rid"], k=4)
+
+
+def test_quantile_sample_estimate_near_truth(spark):
+    """Statistical sanity (not a determinism pin): the k=256 sample
+    median of 5000 uniform-ish values lands within a few percentiles
+    of the true median."""
+    from mpg_data_warehouse_spark.operators.sketch import (
+        quantile_estimate,
+        quantile_sketch,
+    )
+
+    df = _qs_rows(spark, n=5000, types=("a",))
+    est = (
+        quantile_sketch(df, ["grp"], "val", ["rid"], k=256)
+        .select(quantile_estimate(F.col("qs_sample"), 0.5).alias("m"))
+        .first()["m"]
+    )
+    vals = sorted(float((i * 37) % 101) for i in range(5000))
+    true_med = vals[len(vals) // 2]
+    # 101 distinct values; allow ±10 value-units (~±10 percentiles)
+    assert abs(est - true_med) <= 10.0

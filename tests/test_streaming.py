@@ -521,3 +521,49 @@ def test_streaming_cms_counters_match_batch_sketch(spark, events_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_quantile_sample_matches_batch_sketch(spark, events_dir):
+    """running_quantile_stream: the drained per-type bottom-k (hash,
+    value) sample must be BIT-IDENTICAL to the batch quantile_sketch
+    over the same rows, and the emitted running median must equal the
+    column-form estimate."""
+    from mpg_data_warehouse_spark.operators.sketch import (
+        quantile_estimate,
+        quantile_sketch,
+    )
+
+    stream = S.running_quantile_stream(
+        S.read_events_stream(spark, events_dir), k=64
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("qs_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r.event_type: ([(s["h"], s["v"]) for s in r.qs_sample], r.qs_p50)
+        for r in spark.table("qs_t").collect()
+    }
+    batch = quantile_sketch(
+        spark.read.parquet(events_dir),
+        ["event_type"],
+        "value",
+        ["event_id"],
+        k=64,
+    )
+    want = {
+        r.event_type: ([(s["h"], s["v"]) for s in r.qs_sample], r.m)
+        for r in batch.select(
+            "event_type",
+            "qs_sample",
+            quantile_estimate(F.col("qs_sample"), 0.5).alias("m"),
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for t in want:
+        assert got[t][0] == want[t][0], f"sample diverges for {t}"
+        assert got[t][1] == want[t][1], f"median diverges for {t}"

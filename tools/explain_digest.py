@@ -46,6 +46,11 @@ _VOLATILE = [
     (re.compile(r"plan_id=\d+"), "plan_id=_"),
     (re.compile(r"\[id=#?\d+\]"), "[id=_]"),
     (re.compile(r"Statistics\([^)]*\)"), "Statistics(_)"),
+    # HOF lambda variable ids come from a SESSION-GLOBAL counter, so
+    # the same plan hashes differently depending on how many lambda-
+    # bearing plans the session built before it — normalize or the
+    # digest is capture-order-dependent
+    (re.compile(r"\b(lambda )?x_\d+"), r"\1x_"),
 ]
 
 
