@@ -4282,7 +4282,7 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
       SELECT doc_id, lang,
              list_distinct(list_filter(
-               regexp_split_to_array(lower(trim(text)), '\\s+'),
+               regexp_split_to_array(lower(trim(text)), '\s+'),
                t -> t <> '')) AS t
       FROM documents
     ),
