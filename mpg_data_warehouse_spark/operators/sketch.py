@@ -733,11 +733,22 @@ def _qs_id_hash(id_cols: list[str]) -> Column:
     string) — ``CAST('0x' || substr(md5(a || '|' || b), 1, 14) AS
     BIGINT)`` in DuckDB. The id columns must UNIQUELY identify a row
     (the caller's contract): duplicate ids would collapse under the
-    hash order and bias the sample toward their shared position."""
-    joined = F.concat_ws(
-        "|", *[F.col(c).cast("string") for c in id_cols]
-    )
-    return F.conv(F.substring(F.md5(joined), 1, 14), 16, 10).cast("long")
+    hash order and bias the sample toward their shared position.
+
+    NULL-PROPAGATING join (``F.concat``, matching SQL ``||``), not
+    ``concat_ws``: concat_ws silently skips null components, so the
+    distinct id tuples (1, NULL) and (NULL, 1) would both render "1"
+    and collide — and would diverge from the documented SQL replay,
+    which nulls out. Rows with any null id component hash to NULL and
+    are dropped from the sample on both engines."""
+    parts: list[Column] = []
+    for i, c in enumerate(id_cols):
+        if i:
+            parts.append(F.lit("|"))
+        parts.append(F.col(c).cast("string"))
+    return F.conv(
+        F.substring(F.md5(F.concat(*parts)), 1, 14), 16, 10
+    ).cast("long")
 
 
 def quantile_sketch(
@@ -757,10 +768,16 @@ def quantile_sketch(
     from pyspark.sql import Window
 
     _check_k(k)
-    rows = df.filter(F.col(value_col).isNotNull()).select(
-        *key_cols,
-        _qs_id_hash(id_cols).alias("_h"),
-        F.col(value_col).cast("double").alias("_v"),
+    rows = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            *key_cols,
+            _qs_id_hash(id_cols).alias("_h"),
+            F.col(value_col).cast("double").alias("_v"),
+        )
+        # null-id rows carry a NULL hash (see _qs_id_hash) — skipped,
+        # same rule both engines replay
+        .filter(F.col("_h").isNotNull())
     )
     w = Window.partitionBy(*key_cols).orderBy("_h", "_v")
     ranked = rows.withColumn("_r", F.row_number().over(w)).filter(
@@ -825,7 +842,10 @@ def quantile_estimate(sketch: Column, q: float) -> Column:
         .cast("int")
         + 1
     )
-    return F.element_at(vs, idx)
+    # the empty-array rows quantile_merge preserves (all-empty
+    # groups) estimate as NULL, not an element_at(_, 0) error —
+    # py_qs_estimate's None, mirrored
+    return F.when(F.size(vs) > 0, F.element_at(vs, idx))
 
 
 def py_qs_update(sample, pairs, k: int = QS_K):

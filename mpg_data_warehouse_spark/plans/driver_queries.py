@@ -3502,8 +3502,13 @@ def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    stream_q.awaitTermination(300)
-    cms_q.awaitTermination(300)
+    # awaitTermination returns False on timeout WITHOUT raising — a
+    # partial drain would silently feed first-batch-only state into
+    # the estimates below, so fail loudly instead
+    for qh, qname in ((stream_q, "kmv"), (cms_q, "cms")):
+        if not qh.awaitTermination(300):
+            qh.stop()
+            raise TimeoutError(f"funnel {qname} stream drain timed out")
     # update mode emits a key's state once per micro-batch it appears
     # in; the FINAL state is the row with the most minima (sub-k
     # growth phase) then the smallest k-th hash (at-k shrink phase) —
@@ -3511,11 +3516,17 @@ def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     wfin = W.partitionBy("event_type").orderBy(
         F.size(S.KMV_COL).desc(), F.array_max(F.col(S.KMV_COL)).asc()
     )
+    # materialize the (per-step-sized) final states eagerly, then drop
+    # the uuid-named memory-sink tables — leaving them registered
+    # would pin every drained emission in driver memory per
+    # invocation, exactly the long-lived-driver debris run_scoped
+    # exists to prevent
     per_step = (
         spark.table(mem)
         .withColumn("_rk", F.row_number().over(wfin))
         .filter(F.col("_rk") == 1)
         .select("event_type", S.KMV_COL)
+        .localCheckpoint(eager=True)
     )
     wide = per_step.groupBy().agg(
         F.first(
@@ -3575,7 +3586,10 @@ def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_rk", F.row_number().over(wcms))
         .filter(F.col("_rk") == 1)
         .select("event_type", "cms_counters")
+        .localCheckpoint(eager=True)
     )
+    spark.catalog.dropTempView(mem)
+    spark.catalog.dropTempView(memc)
     probe = (
         steps.filter(F.col("user_id").isNotNull())
         .groupBy("event_type")

@@ -121,7 +121,13 @@ def run_scoped(spark: SparkSession, build) -> "DataFrame":
     before = persistent_rdd_ids(spark)
     out = build().localCheckpoint(eager=True)
     keep = checkpoint_rdd_id(out)
-    stray = persistent_rdd_ids(spark) - before - ({keep} if keep else set())
+    if keep is None:
+        # can't identify the result's own blocks (unexpected plan
+        # shape): releasing ANYTHING could free the checkpointed
+        # result — the only copy of the data — so fail safe by
+        # leaking this scope instead of corrupting it
+        return out
+    stray = persistent_rdd_ids(spark) - before - {keep}
     if stray:
         # A leaked DataFrame.persist() holds TWO pieces of state: the
         # RDD blocks (released below) and the SQL CacheManager entry

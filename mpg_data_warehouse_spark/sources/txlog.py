@@ -417,6 +417,12 @@ def create(
     crash can never leave a created-but-unstamped table."""
     if latest_version(table) >= 0:
         raise FileExistsError(f"transaction log already exists at {table}")
+    # validate BEFORE writing data files — a key-shadowing raise after
+    # the write would orphan a full set of never-referenced files
+    reserved = {"op", "schema", "partition_by", "actions"}
+    if extra_commit_meta:
+        for k in reserved & extra_commit_meta.keys():
+            raise ValueError(f"extra_commit_meta would shadow {k!r}")
     partition_by = list(partition_by or [])
     adds = _write_data_files(df, table, partition_by)
     commit = {
@@ -426,8 +432,6 @@ def create(
         "actions": [{"add": a} for a in adds],
     }
     if extra_commit_meta:
-        for k in commit.keys() & extra_commit_meta.keys():
-            raise ValueError(f"extra_commit_meta would shadow {k!r}")
         commit.update(extra_commit_meta)
     committed = _try_commit(table, 0, commit)
     if not committed:

@@ -183,11 +183,16 @@ def curated_append_stream(
             kept = kept.join(liked.select(id_col), id_col, "left_semi")
         if lm_model is not None and max_nll_per_token is not None:
             model, oov_logp = lm_model
-            fluent = doc_logprob_score(
+            # anti-join on scored FAILURES (batch-parity with
+            # curate_corpus_pipeline's r9 fix): zero-token docs are
+            # absent from the scorer's output and must PASS — a
+            # semi-join on passes would drop them here while the
+            # batch pipeline keeps them, and the two corpora diverge
+            influent = doc_logprob_score(
                 kept, model, oov_logp, id_col=id_col, text_col=text_col
-            ).filter(F.col("nll_per_token") <= max_nll_per_token)
+            ).filter(F.col("nll_per_token") > max_nll_per_token)
             kept = kept.join(
-                fluent.select(id_col), id_col, "left_semi"
+                influent.select(id_col), id_col, "left_anti"
             )
         canon = (
             kept.withColumn("_h", content_hash(text_col))

@@ -645,3 +645,44 @@ def test_quantile_sample_estimate_near_truth(spark):
     true_med = vals[len(vals) // 2]
     # 101 distinct values; allow ±10 value-units (~±10 percentiles)
     assert abs(est - true_med) <= 10.0
+
+
+def test_quantile_null_id_components_skipped_not_collapsed(spark):
+    """r9 review: concat_ws would silently SKIP null id components,
+    colliding distinct id tuples like (1, NULL) and (NULL, 1) onto one
+    hash — the null-propagating join instead drops null-id rows on
+    both engines."""
+    from pyspark.sql import Row
+
+    from mpg_data_warehouse_spark.operators.sketch import quantile_sketch
+
+    df = spark.createDataFrame(
+        [
+            Row(grp="a", i1=1, i2=None, val=10.0),
+            Row(grp="a", i1=None, i2=1, val=20.0),
+            Row(grp="a", i1=1, i2=2, val=30.0),
+        ]
+    )
+    got = quantile_sketch(df, ["grp"], "val", ["i1", "i2"], k=64).collect()
+    assert len(got) == 1
+    # only the fully-identified row enters the sample
+    assert [s["v"] for s in got[0].qs_sample] == [30.0]
+
+
+def test_quantile_estimate_empty_sketch_is_null(spark):
+    """The empty-array rows quantile_merge preserves estimate as
+    NULL, mirroring py_qs_estimate's None — not element_at(_, 0)."""
+    from mpg_data_warehouse_spark.operators.sketch import (
+        py_qs_estimate,
+        quantile_estimate,
+    )
+
+    row = spark.sql(
+        "SELECT array() AS e"
+    ).select(
+        quantile_estimate(
+            F.expr("CAST(e AS array<struct<h: bigint, v: double>>)"), 0.5
+        ).alias("m")
+    ).first()
+    assert row["m"] is None
+    assert py_qs_estimate([], 0.5) is None

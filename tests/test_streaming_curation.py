@@ -327,3 +327,46 @@ def test_curated_stream_txlog_replayed_batch_adds_zero_rows(
     _run_txlog(spark, src, paths, app_id="curation-reborn")
     assert txlog.read(spark, paths["sink"]).count() == before
     assert txlog.latest_version(paths["sink"]) == head
+
+
+def test_curated_stream_lm_gate_keeps_unscoreable_docs(spark, tmp_path):
+    """r9 review: the stream's LM gate must match the batch
+    pipeline's anti-join-on-failures semantics — a zero-token doc has
+    no unigram score, is absent from the scorer's output, and must
+    PASS the gate (it is not influent), not be dropped by a semi-join
+    on scored passes."""
+    from pyspark.sql import Row
+
+    from mpg_data_warehouse_spark.operators.text import unigram_lm
+
+    train = spark.createDataFrame(
+        [Row(doc_id=i, text=BASE + f" variant {i}") for i in range(3)]
+    )
+    model = unigram_lm(train, vocab_size=50)
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [
+            Row(doc_id=1, text=BASE + " fresh words", source="a"),
+            Row(doc_id=2, text="", source="a"),  # zero tokens
+        ],
+        DOCS_SCHEMA,
+    ).write.parquet(src)
+    paths = {
+        "sink": str(tmp_path / "sink"),
+        "sigs": str(tmp_path / "sigs"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+    q = curated_append_stream(
+        _stream(spark, src),
+        paths["sink"],
+        paths["sigs"],
+        paths["ckpt"],
+        min_quality=0.0,
+        lm_model=model,
+        max_nll_per_token=1e9,
+    )
+    q.awaitTermination(180)
+    kept = {r.doc_id for r in spark.read.parquet(paths["sink"]).collect()}
+    assert 2 in kept, "zero-token doc dropped by the stream's lm gate"
+    assert kept == {1, 2}
