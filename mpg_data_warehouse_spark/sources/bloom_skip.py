@@ -296,3 +296,48 @@ def read_bloom_pruned(
     if values is not None:
         return df.where(F.col(col).isin(*values))
     return df.where(F.col(col) == F.lit(value))
+
+
+def bloom_sidecar_columns(table: str) -> list[str]:
+    """Columns with an installed Bloom sidecar under ``table`` —
+    discovered from the sidecar layout itself (one dir per column
+    under ``_file_blooms/``, each self-describing via its meta).
+    Discovery goes through the storage backend's recursive listing
+    (the one primitive every backend has), filtering for meta files
+    one level under the bloom root."""
+    backend = get_storage_backend()
+    root = os.path.join(table, BLOOM_DIR)
+    if not backend.exists(root):
+        return []
+    cols = set()
+    for p in backend.list_files(root):
+        rel = os.path.relpath(p, root)
+        parts = rel.split(os.sep)
+        if len(parts) == 2 and parts[1] == META_FILE:
+            cols.add(parts[0])
+    return sorted(cols)
+
+
+def refresh_all_blooms(spark: SparkSession, table: str) -> dict[str, int]:
+    """Incrementally refresh EVERY Bloom sidecar the table carries
+    (each under its own recorded n_bits/k/seed), returning
+    {column: source version covered}.
+
+    The operational gap this closes: ``compact()`` / MERGE rewrite
+    live rows into fresh files the sidecars do not cover, and the
+    no-false-negative rule then keeps every uncovered file — correct,
+    but the reads silently degrade to full scans until a refresh.
+    Maintenance cadences that rewrite files should end with this call
+    (``maintain_table`` does)."""
+    out = {}
+    for col in bloom_sidecar_columns(table):
+        meta = read_json(os.path.join(_sidecar(table, col), META_FILE))
+        out[col] = build_file_blooms(
+            spark,
+            table,
+            col,
+            n_bits=meta["n_bits"],
+            k=meta["k"],
+            seed=meta["seed"],
+        )
+    return out

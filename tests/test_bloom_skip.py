@@ -198,3 +198,40 @@ def test_build_on_empty_table(spark, tmp_path):
     txlog.delete(spark, t, "cust_id >= 0")
     build_file_blooms(spark, t, "cust_id")
     assert read_bloom_pruned(spark, t, "cust_id", 42).count() == 0
+
+
+def test_refresh_all_blooms_discovers_every_sidecar(spark, table):
+    from mpg_data_warehouse_spark.sources.bloom_skip import (
+        bloom_sidecar_columns,
+        refresh_all_blooms,
+    )
+
+    build_file_blooms(spark, table, "balance", n_bits=1 << 16, k=5)
+    assert bloom_sidecar_columns(table) == ["balance", "cust_id"]
+    txlog.append(spark, table, _mk(spark, [50_000]).coalesce(1))
+    out = refresh_all_blooms(spark, table)
+    assert set(out) == {"balance", "cust_id"}
+    # refreshed under each sidecar's OWN recorded params: both probe
+    # exactly after the refresh
+    got = read_bloom_pruned(spark, table, "cust_id", 50_000)
+    assert got.count() == 1 and len(got.inputFiles()) <= 2
+    assert read_bloom_pruned(spark, table, "balance", 50_000.0).count() == 1
+
+
+def test_maintain_table_compact_then_bloom_refresh(spark, table):
+    """OPTIMIZE + index upkeep as one call: compaction rewrites every
+    live file (all uncovered), maintain_table re-covers them — probes
+    prune again instead of silently full-scanning."""
+    from mpg_data_warehouse_spark.sources.maintenance import maintain_table
+
+    out = maintain_table(
+        spark, table, target_partitions=4, cluster_by=["cust_id"]
+    )
+    assert out["blooms"]["cust_id"] == out["compacted_version"]
+    got = read_bloom_pruned(spark, table, "cust_id", 2500)
+    assert [r["cust_id"] for r in got.collect()] == [2500]
+    # post-compaction the table is 4 clustered files; the probe must
+    # scan fewer than all of them
+    all_files = txlog.read(spark, table).inputFiles()
+    assert len(all_files) == 4
+    assert len(got.inputFiles()) < len(all_files)
