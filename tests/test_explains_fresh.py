@@ -44,10 +44,14 @@ def test_explains_md_matches_live_plans(spark):
 
     recorded = _recorded_hashes()
     stale = []
-    # plan text embeds the shuffle-partition count: capture under the
-    # digest tool's setting (get_spark default, 32), then restore
+    # plan text embeds the shuffle-partition count AND truncates scan
+    # metadata at maxMetadataStringLength (where the cut falls depends
+    # on expression-id width, i.e. session age): capture under the
+    # digest tool's settings, then restore
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_meta = spark.conf.get("spark.sql.maxMetadataStringLength")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
     try:
         for name in SAMPLE:
             assert name in recorded, f"{name} missing from EXPLAINS.md"
@@ -62,6 +66,7 @@ def test_explains_md_matches_live_plans(spark):
                 )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev_meta)
     assert not stale, (
         "EXPLAINS.md is stale — regenerate with "
         "`python tools/explain_digest.py`:\n" + "\n".join(stale)

@@ -74,6 +74,12 @@ def main() -> None:
         "EXPLAINS.md",
     )
     spark = get_spark("explain-digest")
+    # scan-metadata blobs (DataFilters/PushedFilters/...) truncate at
+    # maxMetadataStringLength (default 100) — and the truncation point
+    # depends on EXPRESSION-ID WIDTH, which grows with session age, so
+    # the same plan hashed differently in young vs old sessions. Raise
+    # the budget so the normalizer sees the whole expression.
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
 
     shown = [op for op in OPS]
     lines = [
