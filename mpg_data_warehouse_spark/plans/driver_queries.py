@@ -3400,9 +3400,45 @@ def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(NULL AS DOUBLE) AS kmv_purchasers,
              CAST(NULL AS DOUBLE) AS kmv_overlap
       FROM cexact x JOIN cest e ON x.event_type = e.event_type
+    ),
+    -- bottom-64 quantile-sketch replay (operators/sketch.py) for the
+    -- STREAMED sample of each step's value distribution: the sample
+    -- is the 64 rows with the smallest event-id hashes, the estimate
+    -- the lower order statistic of its values
+    qsr AS (
+      SELECT event_type, value AS v,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY h, value) AS r
+      FROM (
+        SELECT event_type, value,
+               CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 14)
+                    AS BIGINT) AS h
+        FROM events
+        WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+      )
+    ),
+    qsamp AS (
+      SELECT event_type, list(v ORDER BY v) AS vs
+      FROM qsr WHERE r <= 64 GROUP BY event_type
+    ),
+    qsrows AS (
+      SELECT 'qs_' || event_type AS kind,
+             CAST(NULL AS BIGINT) AS user_id,
+             CAST(len(vs) AS BIGINT) AS a_s,
+             CAST(NULL AS BIGINT) AS b_s,
+             CAST(NULL AS BOOLEAN) AS converted,
+             CAST(NULL AS BIGINT) AS n_clickers,
+             CAST(NULL AS BIGINT) AS n_purchasers,
+             CAST(NULL AS BIGINT) AS n_overlap,
+             vs[CAST(floor(0.5 * (len(vs) - 1)) AS INT) + 1]
+               AS kmv_clickers,
+             CAST(NULL AS DOUBLE) AS kmv_purchasers,
+             CAST(NULL AS DOUBLE) AS kmv_overlap
+      FROM qsamp
     )
     SELECT * FROM users UNION ALL SELECT * FROM audience
     UNION ALL SELECT * FROM cmsrows
+    UNION ALL SELECT * FROM qsrows
     """,
 )
 def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3423,15 +3459,18 @@ def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     users) the estimator branch — both replayed hash-exactly by the
     oracle.
 
-    Round 9 routes BOTH streaming sketch twins through this hash: the
-    per-step KMV sketches now come from running_distinct_kmv_stream
-    (a real availableNow file stream over the staged steps, two
-    micro-batches via maxFilesPerTrigger=1) with the oracle unchanged
-    — the streamed bottom-k state must be bit-identical to the batch
-    build or every estimate drifts; and running_term_freq_stream's
-    drained Count-Min counters answer a per-step point probe
-    (smallest user id) emitted as ``cms_*`` rows next to the exact
-    count, replayed bucket-for-bucket by the oracle."""
+    Round 9 routes THREE streaming sketch twins through this hash,
+    drained concurrently over the same staged steps (real availableNow
+    file streams, two micro-batches via maxFilesPerTrigger=1): the
+    per-step KMV sketches come from running_distinct_kmv_stream with
+    the oracle unchanged — the streamed bottom-k state must be
+    bit-identical to the batch build or every estimate drifts;
+    running_term_freq_stream's drained Count-Min counters answer a
+    per-step point probe (smallest user id) emitted as ``cms_*`` rows
+    next to the exact count, replayed bucket-for-bucket; and
+    running_quantile_stream's drained bottom-k value sample emits
+    ``qs_*`` rows (sample size + median estimate), replayed
+    sample-for-sample."""
     from mpg_data_warehouse_spark.operators import sketch as S
     from mpg_data_warehouse_spark.operators.temporal import funnel_conversion
 
@@ -3502,10 +3541,26 @@ def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
+    # third concurrent drain (r9): the QUANTILE twin
+    # (running_quantile_stream) samples each step's VALUE distribution
+    # keyed by event_id hash — its final bottom-k state feeds qs_*
+    # rows below, replayed sample-for-sample by the oracle
+    memq = f"funnel_qs_{uuid.uuid4().hex}"
+    qs_q = (
+        SE.running_quantile_stream(
+            SE.read_events_stream(spark, staged, max_files_per_trigger=1),
+            k=64,
+        )
+        .writeStream.format("memory")
+        .queryName(memq)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
     # awaitTermination returns False on timeout WITHOUT raising — a
     # partial drain would silently feed first-batch-only state into
     # the estimates below, so fail loudly instead
-    for qh, qname in ((stream_q, "kmv"), (cms_q, "cms")):
+    for qh, qname in ((stream_q, "kmv"), (cms_q, "cms"), (qs_q, "qs")):
         if not qh.awaitTermination(300):
             qh.stop()
             raise TimeoutError(f"funnel {qname} stream drain timed out")
@@ -3588,8 +3643,23 @@ def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "cms_counters")
         .localCheckpoint(eager=True)
     )
+    # quantile twin's final state: bottom-k by id-hash grows while
+    # sub-k, then its largest retained hash only shrinks — same
+    # selection logic as the KMV dedup above, on the (h, v) structs
+    wqs = W.partitionBy("event_type").orderBy(
+        F.size("qs_sample").desc(),
+        F.expr("element_at(qs_sample, -1).h").asc(),
+    )
+    qs_state = (
+        spark.table(memq)
+        .withColumn("_rk", F.row_number().over(wqs))
+        .filter(F.col("_rk") == 1)
+        .select("event_type", "qs_sample")
+        .localCheckpoint(eager=True)
+    )
     spark.catalog.dropTempView(mem)
     spark.catalog.dropTempView(memc)
+    spark.catalog.dropTempView(memq)
     probe = (
         steps.filter(F.col("user_id").isNotNull())
         .groupBy("event_type")
@@ -3616,7 +3686,28 @@ def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("boolean").alias("converted"),
         *_nulls,
     )
-    return users.unionByName(audience).unionByName(cms_rows)
+    # qs_* rows (r9): per step, the STREAMED sample's size and its
+    # median estimate of the event VALUE distribution. Tagged-union
+    # column reuse (the txlog_merge_diff rollup pattern): a_s carries
+    # the sample size, kmv_clickers the double-typed qs_p50.
+    qs_rows = qs_state.select(
+        F.concat(F.lit("qs_"), F.col("event_type")).alias("kind"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.size("qs_sample").cast("long").alias("a_s"),
+        F.lit(None).cast("long").alias("b_s"),
+        F.lit(None).cast("boolean").alias("converted"),
+        F.lit(None).cast("long").alias("n_clickers"),
+        F.lit(None).cast("long").alias("n_purchasers"),
+        F.lit(None).cast("long").alias("n_overlap"),
+        S.quantile_estimate(F.col("qs_sample"), 0.5).alias("kmv_clickers"),
+        F.lit(None).cast("double").alias("kmv_purchasers"),
+        F.lit(None).cast("double").alias("kmv_overlap"),
+    )
+    return (
+        users.unionByName(audience)
+        .unionByName(cms_rows)
+        .unionByName(qs_rows)
+    )
 
 
 @_q(
