@@ -61,9 +61,11 @@ def main() -> int:
 
     qs, oracles = queries(), oracle_sql()
     failures = []
+    checked = 0
     for name, fn in sorted(qs.items()):
         if only and name not in only:
             continue
+        checked += 1
         t0 = time.time()
         sdf = fn(spark, sf_dir).toPandas()
         s_n, s_cols, s_hash = normalize(sdf)
@@ -84,7 +86,7 @@ def main() -> int:
             if s_cols != d_cols:
                 print(f"    cols spark={s_cols}\n    cols duck ={d_cols}")
             failures.append(name)
-    print(f"{len(qs) - len(failures)}/{len(qs)} matched")
+    print(f"{checked - len(failures)}/{checked} matched")
     spark.stop()
     return 1 if failures else 0
 
