@@ -29,6 +29,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from mpg_data_warehouse_spark.plans.driver_queries import QUERIES
 from mpg_data_warehouse_spark.session import (
     get_spark,
@@ -75,6 +77,37 @@ HEADLINE = [
     "bm25_incremental_index",
     "hybrid_rrf_retrieval",
 ]
+
+
+def host_ref_sec(spark, reps: int = 5) -> float:
+    """Fixed micro-reference workload: 400 M synthetic rows hashed,
+    bucketed, aggregated and sorted — CONSTANT work independent of the
+    scale factor and of every engine code path, so its median time is
+    a pure host-speed probe. Recorded next to the sweep total, it
+    lets a reader separate plan regressions from ambient host drift
+    across rounds (r9 VERDICT item 1: the r8→r9 sweep moved ~1.17×
+    uniformly on unchanged plan digests — with no fixed reference the
+    gate metric absorbed the host). Compare totals across rounds as
+    ``value / ref_sec`` when the hosts may differ."""
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        (
+            spark.range(0, 400_000_000, 1, 32)
+            .select(F.xxhash64("id").alias("h"))
+            .withColumn("b", F.pmod("h", F.lit(1024)))
+            .groupBy("b")
+            .agg(
+                F.sum(F.pmod("h", F.lit(1_000_000))).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .orderBy("b")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        ts.append(time.time() - t0)
+    return round(statistics.median(ts), 3)
 
 
 def main() -> None:
@@ -150,6 +183,10 @@ def main() -> None:
         n: [round(min(ts), 3), round(max(ts), 3)] for n, ts in samples.items()
     }
 
+    # host-speed probe AFTER the sweep (the sweep is the deliverable;
+    # the probe's 5 constant-size jobs would otherwise warm it)
+    ref = host_ref_sec(spark)
+
     total = round(sum(timings.values()), 3)
     record = {
         "metric": "headline_queries_total",
@@ -159,6 +196,8 @@ def main() -> None:
         "spread": spread,
         "reps": reps,
         "sf": sf,
+        "ref_sec": ref,
+        "total_over_ref": round(total / ref, 2) if ref else None,
     }
     line = json.dumps(record)
     # Durable copy FIRST: the driver's stdout-tail capture is capped

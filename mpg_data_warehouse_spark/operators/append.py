@@ -214,9 +214,13 @@ def overwrite_partitions(
     """Dynamic partition overwrite: replace ONLY the partitions
     present in ``df``, leaving all others' files untouched — the scale
     path for the repair flows (a date fix touching 3 seasons rewrites
-    3 partitions of a 100 TB table, not the table). Uses Spark's
-    ``partitionOverwriteMode=dynamic`` session conf scoped to the
-    write.
+    3 partitions of a 100 TB table, not the table). Uses the
+    PER-WRITE ``partitionOverwriteMode=dynamic`` writer option (takes
+    precedence over the session conf, SPARK-25313) rather than
+    toggling the session conf: a set/restore around the write is a
+    data-loss race under concurrent writer threads — thread B's
+    overwrite planned after thread A's restore would run STATIC and
+    delete every partition it didn't carry.
 
     ``cluster`` (default) first hash-repartitions on the partition
     columns so each output partition is written by ONE task — without
@@ -224,16 +228,11 @@ def overwrite_partitions(
     touches (tasks × partitions small files; measured 4× wall on the
     BM25 index maintenance path). Disable for a giant single
     partition whose write parallelism matters more than file count."""
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     if cluster:
         df = df.repartition(*[F.col(c) for c in partition_cols])
-    try:
-        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(
-            table_path
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    df.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy(*partition_cols).parquet(table_path)
 
 
 def truncate_replace(

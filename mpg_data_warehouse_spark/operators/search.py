@@ -65,6 +65,24 @@ def _write_meta(path: str, meta: dict) -> None:
     write_json_atomic(os.path.join(path, META_FILE), meta)
 
 
+def _await_all(*thunks) -> None:
+    """Run independent Spark write legs from separate driver threads
+    (Spark schedules jobs from multiple threads freely): wall cost is
+    max(legs), not their sum — the index lifecycle's postings and
+    manifest writes are commit-latency-bound at small scale, so the
+    overlap is pure win (the hybrid-retrieval playbook,
+    plans/retrieval.py). All legs are awaited; the first exception
+    propagates after every leg has settled (no half-awaited writes
+    left running against a path the caller may then clean up)."""
+    from concurrent.futures import ThreadPoolExecutor, wait
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futs = [pool.submit(t) for t in thunks]
+        wait(futs)
+        for f in futs:
+            f.result()
+
+
 def _check_n_buckets(
     requested: int | None, stored, index_path: str
 ) -> int:
@@ -278,16 +296,35 @@ def build_ranked_index(
         postings = postings.withColumn(
             "bucket", term_bucket(F.col("term"), n_buckets)
         ).persist()
-        (
-            postings.repartition("bucket")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(path)
-        )
-        _ensure_readable(path, postings.drop("bucket"))
-        _write_manifest(
-            postings, dl, path, id_col, mode="overwrite",
-            capped=max_df is not None, n_idb=n_idb,
+
+        # The postings and manifest writes are independent consumers
+        # of the persisted tf lineage — run them concurrently (wall =
+        # max, not sum; both are commit-latency-bound at small scale).
+        # Pre-clean the destination explicitly, then write postings
+        # with a DYNAMIC partition overwrite: a static overwrite
+        # deletes the whole index dir at job start, which would race
+        # the concurrent _docs/ manifest write; dynamic touches only
+        # its own bucket=* dirs. The explicit delete keeps
+        # rebuild-over-existing-index semantics (no stale bucket dirs
+        # from a previous, wider layout survive).
+        get_storage_backend().delete_prefix(path)
+
+        def _postings_leg() -> None:
+            (
+                postings.repartition("bucket")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket")
+                .parquet(path)
+            )
+            _ensure_readable(path, postings.drop("bucket"))
+
+        _await_all(
+            _postings_leg,
+            lambda: _write_manifest(
+                postings, dl, path, id_col, mode="overwrite",
+                capped=max_df is not None, n_idb=n_idb,
+            ),
         )
         postings.unpersist()
     finally:
@@ -518,12 +555,18 @@ def bm25_append_index(
         # co-locate each bucket into one task before the partitioned
         # append — an unclustered write fans every shuffle task into
         # every bucket it touches (tasks × buckets small files per
-        # APPEND, compounding across batches)
-        postings.repartition("bucket").write.mode("append").partitionBy(
-            "bucket"
-        ).parquet(path)
-        _write_manifest(
-            postings, fresh_dl, path, id_col, mode="append", n_idb=n_idb
+        # APPEND, compounding across batches). The postings and
+        # manifest appends touch disjoint directories and share only
+        # the persisted tf lineage — concurrent, wall = max not sum.
+        _await_all(
+            lambda: postings.repartition("bucket")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(path),
+            lambda: _write_manifest(
+                postings, fresh_dl, path, id_col, mode="append",
+                n_idb=n_idb,
+            ),
         )
         postings.unpersist()
         old_sum = stats.get("dl_sum", stats["avgdl"] * stats["n_docs"])
@@ -588,24 +631,35 @@ def bm25_delete_index(
     man_scoped = spark.read.parquet(_manifest_path(path)).filter(
         F.col("idb").isin(idbs)
     )
-    gone = man_scoped.join(F.broadcast(del_ids), id_col, "left_semi").persist()
-    gone_row = gone.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
-    ).first()
+    # ONE job answers all three driver-side questions (victim count,
+    # dl retreat, union of hit posting buckets) — collect_list of the
+    # victims' bucket arrays, flattened and deduped as an expression
+    gone_row = (
+        man_scoped.join(F.broadcast(del_ids), id_col, "left_semi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("dl").alias("s"),
+            F.array_distinct(F.flatten(F.collect_list("buckets"))).alias(
+                "bs"
+            ),
+        )
+        .first()
+    )
     n_gone = int(gone_row["n"] or 0)
     if n_gone == 0:
-        gone.unpersist()
         return 0
     # union of the victims' posting buckets — ≤ N_BUCKETS values
-    buckets = sorted(
-        r["b"]
-        for r in gone.select(F.explode("buckets").alias("b"))
-        .distinct()
-        .collect()
-    )
-    gone.unpersist()
+    buckets = sorted(gone_row["bs"] or [])
 
-    if buckets:
+    # The postings rewrite and the manifest retreat touch disjoint
+    # directory trees (bucket=* vs _docs/idb=*) and both anti-join the
+    # same broadcast del_ids — run them concurrently (wall = max, not
+    # sum; each leg keeps its own checkpoint-before-overwrite ordering
+    # internally, and overwrite_partitions uses the per-write dynamic
+    # option, so there is no shared session conf to race on).
+    def _postings_leg() -> None:
+        if not buckets:
+            return
         postings = spark.read.parquet(path)
         scoped = postings.filter(F.col("bucket").isin(buckets))
         # Survivors are materialized (localCheckpoint) before the
@@ -625,24 +679,28 @@ def bm25_delete_index(
         # a wipe that removed every posting must leave the index readable
         _ensure_readable(path, survivors.drop("bucket"))
 
-    # manifest retreat: rewrite only the hit id-partitions
-    man_survivors = man_scoped.join(
-        F.broadcast(del_ids), id_col, "left_anti"
-    ).localCheckpoint()
-    man_kept = {
-        r["idb"] for r in man_survivors.select("idb").distinct().collect()
-    }
-    overwrite_partitions(
-        spark, man_survivors, _manifest_path(path), ("idb",)
-    )
-    for i in idbs:
-        if i not in man_kept:
-            backend.delete_prefix(
-                os.path.join(_manifest_path(path), f"idb={i}")
-            )
-    _ensure_readable(
-        _manifest_path(path), man_survivors.drop("idb"), part_dir="idb=0"
-    )
+    def _manifest_leg() -> None:
+        man_survivors = man_scoped.join(
+            F.broadcast(del_ids), id_col, "left_anti"
+        ).localCheckpoint()
+        man_kept = {
+            r["idb"]
+            for r in man_survivors.select("idb").distinct().collect()
+        }
+        overwrite_partitions(
+            spark, man_survivors, _manifest_path(path), ("idb",)
+        )
+        for i in idbs:
+            if i not in man_kept:
+                backend.delete_prefix(
+                    os.path.join(_manifest_path(path), f"idb={i}")
+                )
+        _ensure_readable(
+            _manifest_path(path), man_survivors.drop("idb"),
+            part_dir="idb=0",
+        )
+
+    _await_all(_postings_leg, _manifest_leg)
 
     old_sum = stats.get("dl_sum", stats["avgdl"] * stats["n_docs"])
     n_docs = stats["n_docs"] - n_gone

@@ -761,10 +761,11 @@ def quantile_sketch(
 ) -> DataFrame:
     """Per-group bottom-k quantile sketch: the k rows with the
     smallest id-hashes, as a sorted ``array<struct<h, v>>`` (by hash,
-    then value — ties only under md5 collision). NULL values are
-    skipped (quantiles are over the non-null population, matching
-    ``quantile_cont``); an all-null group emits no row, matching the
-    other sketch families."""
+    then value — ties only under md5 collision). NULL and NaN values
+    are skipped (quantiles are over the non-null population, matching
+    ``quantile_cont``; NaN matches ``py_qs_update``'s v != v rule so
+    batch and streaming state stay bit-identical); an all-null group
+    emits no row, matching the other sketch families."""
     from pyspark.sql import Window
 
     _check_k(k)
@@ -778,6 +779,11 @@ def quantile_sketch(
         # null-id rows carry a NULL hash (see _qs_id_hash) — skipped,
         # same rule both engines replay
         .filter(F.col("_h").isNotNull())
+        # NaN skipped too — py_qs_update (the streaming twin's state
+        # update) drops NaN (v != v), so the batch build must apply
+        # the identical rule or the bit-identical batch↔stream state
+        # contract breaks on NaN inputs
+        .filter(~F.isnan(F.col("_v")))
     )
     w = Window.partitionBy(*key_cols).orderBy("_h", "_v")
     ranked = rows.withColumn("_r", F.row_number().over(w)).filter(

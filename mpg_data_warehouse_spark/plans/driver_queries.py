@@ -56,6 +56,7 @@ _SCOPED_QUERIES = {
     "quality_classifier_scores",  # shared tokenization persist
     "retrieval_dense_topk",  # chunk-embedding persist
     "hybrid_rrf_retrieval",  # chunk-embedding persist
+    "funnel_click_to_purchase",  # 3 drained-stream state checkpoints
 }
 
 
@@ -2254,6 +2255,37 @@ def temporal_asof_range(spark: SparkSession, sf_dir: str) -> DataFrame:
                       + (256 - count(*)) * (1::HUGEINT << 57)
                       AS DOUBLE) AS raw
       FROM dreg GROUP BY d, t
+    ),
+    -- r10: bottom-256 quantile-sketch replay over VALUE (md5 56-bit
+    -- event_id hash order) at both grains — the Spark side builds the
+    -- DAY grain by quantile_merge of the HOUR sketches, so the hash
+    -- proves merge ≡ direct build for the order-statistics family in
+    -- the multi-grain rollup path
+    qsrows AS (
+      SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
+             event_type AS t,
+             CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 14)
+                  AS BIGINT) AS qh,
+             value AS v
+      FROM events
+      WHERE value IS NOT NULL AND NOT isnan(value)
+        AND event_id IS NOT NULL
+    ),
+    hqs AS (
+      SELECT h, d, t, list(v ORDER BY v) AS vs
+      FROM (SELECT h, d, t, v,
+                   row_number() OVER (PARTITION BY h, d, t
+                                      ORDER BY qh, v) AS r
+            FROM qsrows)
+      WHERE r <= 256 GROUP BY h, d, t
+    ),
+    dqs AS (
+      SELECT d, t, list(v ORDER BY v) AS vs
+      FROM (SELECT d, t, v,
+                   row_number() OVER (PARTITION BY d, t
+                                      ORDER BY qh, v) AS r
+            FROM qsrows)
+      WHERE r <= 256 GROUP BY d, t
     )
     SELECT CAST(CAST(r.h AS TIMESTAMP) AS VARCHAR) AS hour_ts,
            CAST(CAST(r.d AS TIMESTAMP) AS VARCHAR) AS day_ts,
@@ -2266,12 +2298,20 @@ def temporal_asof_range(spark: SparkSession, sf_dir: str) -> DataFrame:
                        AND COALESCE(hf.v, df.v) > 0
                       THEN 256.0 * ln(256.0 / COALESCE(hf.v, df.v))
                       ELSE COALESCE(hf.raw, df.raw) END, 4) AS hll_users,
-           CAST(COALESCE(hf.v, df.v) AS BIGINT) AS hll_zero_regs
+           CAST(COALESCE(hf.v, df.v) AS BIGINT) AS hll_zero_regs,
+           COALESCE(hq.vs, dq.vs)[
+             CAST(floor(0.5 * (len(COALESCE(hq.vs, dq.vs)) - 1)) AS INT)
+             + 1] AS qs_p50_value,
+           CAST(len(COALESCE(hq.vs, dq.vs)) AS BIGINT) AS qs_n
     FROM roll r
     LEFT JOIN hfin hf
       ON r.is_day_grain = 0 AND r.h = hf.h AND r.d = hf.d AND r.t = hf.t
     LEFT JOIN dfin df
       ON r.is_day_grain = 1 AND r.d = df.d AND r.t = df.t
+    LEFT JOIN hqs hq
+      ON r.is_day_grain = 0 AND r.h = hq.h AND r.d = hq.d AND r.t = hq.t
+    LEFT JOIN dqs dq
+      ON r.is_day_grain = 1 AND r.d = dq.d AND r.t = dq.t
     """,
 )
 def events_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2287,12 +2327,23 @@ def events_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     BOTH grains' registers directly from the rows — so the hash
     additionally proves merge ≡ direct build, the re-aggregation
     property continuous rollups rely on at 100 TB (BigQuery's
-    ``HLL_COUNT.MERGE`` analog on the reference's platform)."""
+    ``HLL_COUNT.MERGE`` analog on the reference's platform).
+
+    r10: the QUANTILE sketch family joins the same composition — the
+    HOUR grain samples each group's VALUE distribution (bottom-256 by
+    event_id hash), the DAY grain is ``quantile_merge`` of the hour
+    sketches, and the oracle rebuilds both grains' samples directly
+    from the rows: merge ≡ direct build now holds oracle-verified for
+    order statistics in the rollup path, not just in
+    lineitem_flag_profile's flat merge."""
     from mpg_data_warehouse_spark.operators.sketch import (
         hll_estimate,
         hll_merge,
         hll_sketch,
         hll_zero_regs,
+        quantile_estimate,
+        quantile_merge,
+        quantile_sketch,
     )
 
     events = _events(spark, sf_dir).select(
@@ -2301,6 +2352,7 @@ def events_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
         "user_id",
+        "event_id",
     )
     h, d, t = F.col("_hour"), F.col("_day"), F.col("event_type")
     grouped = events.groupingSets([[h, d, t], [d, t]], h, d, t)
@@ -2312,11 +2364,21 @@ def events_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hour_sk = hll_sketch(events, ["_hour", "_day", "event_type"], "user_id")
     day_sk = hll_merge(hour_sk.drop("_hour"), ["_day", "event_type"])
-    hour_leg = roll.filter(F.col("is_day_grain") == 0).join(
-        hour_sk, ["_hour", "_day", "event_type"], "left"
+    # quantile siblings: hour grain sampled from rows, day grain
+    # MERGED from the hour sketches (never re-reads raw rows)
+    hour_qs = quantile_sketch(
+        events, ["_hour", "_day", "event_type"], "value", ["event_id"]
     )
-    day_leg = roll.filter(F.col("is_day_grain") == 1).join(
-        day_sk, ["_day", "event_type"], "left"
+    day_qs = quantile_merge(hour_qs.drop("_hour"), ["_day", "event_type"])
+    hour_leg = (
+        roll.filter(F.col("is_day_grain") == 0)
+        .join(hour_sk, ["_hour", "_day", "event_type"], "left")
+        .join(hour_qs, ["_hour", "_day", "event_type"], "left")
+    )
+    day_leg = (
+        roll.filter(F.col("is_day_grain") == 1)
+        .join(day_sk, ["_day", "event_type"], "left")
+        .join(day_qs, ["_day", "event_type"], "left")
     )
     return hour_leg.unionByName(day_leg).select(
         F.col("_hour").cast("string").alias("hour_ts"),
@@ -2328,6 +2390,8 @@ def events_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         hll_estimate(F.col("hll_registers")).alias("hll_users"),
         hll_zero_regs(F.col("hll_registers")).alias("hll_zero_regs"),
+        quantile_estimate(F.col("qs_sample"), 0.5).alias("qs_p50_value"),
+        F.size("qs_sample").cast("long").alias("qs_n"),
     )
 
 
@@ -3660,6 +3724,14 @@ def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.catalog.dropTempView(mem)
     spark.catalog.dropTempView(memc)
     spark.catalog.dropTempView(memq)
+    # the staged 2-file parquet dir has been fully drained by all
+    # three streams and the final states are checkpointed — remove it
+    # now, or every invocation leaves a temp dir behind (the scoped
+    # registration above releases the checkpoints; this releases the
+    # disk)
+    import shutil
+
+    shutil.rmtree(staged, ignore_errors=True)
     probe = (
         steps.filter(F.col("user_id").isNotNull())
         .groupBy("event_type")
@@ -3874,6 +3946,42 @@ def user_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT h.s_suppkey, h.s_name, h.s_acctbal,
            'bloom_probe_fresh' AS change_tag
     FROM head h WHERE h.s_suppkey IN (3, 4, 1000001, 999999999)
+    -- r10: second sidecar (s_name) probed after maintain_table
+    -- compacted the table and refreshed BOTH sidecars — one merge-
+    -- inserted name, one untouched name, one guaranteed miss
+    UNION ALL
+    SELECT h.s_suppkey, h.s_name, h.s_acctbal,
+           'bloom_probe_name' AS change_tag
+    FROM head h WHERE h.s_name IN (
+      SELECT 'NEW_' || s_name FROM supplier WHERE s_suppkey = 1
+      UNION ALL SELECT s_name FROM supplier WHERE s_suppkey = 2
+      UNION ALL SELECT 'NO_SUCH_SUPPLIER'
+    )
+    -- r10: incremental QUANTILE sketch rollup replay — the rollup
+    -- bootstrapped on the even-key half and delta-maintained after
+    -- the odd-key append must equal the bottom-256-by-id-hash sample
+    -- over the FULL supplier set (merge ≡ direct build), its p50 the
+    -- lower order statistic of the sample's values
+    UNION ALL
+    SELECT grp AS s_suppkey,
+           'QS_' || CAST(grp AS VARCHAR) AS s_name,
+           vs[CAST(floor(0.5 * (len(vs) - 1)) AS INT) + 1] AS s_acctbal,
+           'sketch_rollup_qs_n=' || CAST(len(vs) AS VARCHAR) AS change_tag
+    FROM (
+      SELECT grp, list(v ORDER BY v) AS vs
+      FROM (
+        SELECT grp, v,
+               row_number() OVER (PARTITION BY grp ORDER BY h, v) AS r
+        FROM (
+          SELECT s_suppkey % 10 AS grp,
+                 CAST('0x' || substr(md5(CAST(s_suppkey AS VARCHAR)),
+                                     1, 14) AS BIGINT) AS h,
+                 s_acctbal AS v
+          FROM supplier WHERE s_acctbal IS NOT NULL
+        )
+      ) WHERE r <= 256
+      GROUP BY grp
+    )
     -- r9: incremental HLL sketch rollup replay (operators/sketch.py
     -- register algebra, p=8) over the full supplier key set per grp —
     -- the maintained rollup (bootstrap + one delta) must match
@@ -3947,6 +4055,18 @@ def txlog_merge_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     replayed register-for-register by the oracle, proving sketch
     bootstrap + delta ≡ full rescan.
 
+    Round 10 routes the refresh through ``maintain_table``
+    (sources/maintenance.py — reference surface: the backup/
+    maintenance lifecycle src/survey_metadata_update.py:202-221): one
+    call compacts the table and refreshes BOTH Bloom sidecars it now
+    carries (s_suppkey and s_name — the multi-column
+    refresh_all_blooms shape), and the fresh probe exercises
+    post-compaction pruning. A third probe hits the s_name sidecar
+    (merge-inserted name + untouched name + miss), replayed by the
+    oracle's IN-subquery. The CDF window is bounded to the merge head
+    so compaction churn stays out of the row-level change report —
+    the documented consumer contract for OPTIMIZE cadences.
+
     Each invocation builds its table in a fresh temp dir: commits,
     data-file writes, log replay, and both snapshot reads all execute
     for real; the returned frame lazily reads the committed files."""
@@ -3973,6 +4093,11 @@ def txlog_merge_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     build_file_blooms(spark, table, "s_suppkey")
+    # r10: a SECOND sidecar on s_name — the realistic maintenance
+    # shape is a table carrying sidecars on several point-lookup
+    # columns, all of which maintain_table below must refresh in one
+    # call (refresh_all_blooms multi-column, r9 VERDICT item 7)
+    build_file_blooms(spark, table, "s_name")
     rollup_args = (["grp"], {"key_sum": "s_suppkey", "n": "1"})
     # bootstrap the rollup over version 0 (full scan)...
     txlog.incremental_rollup(spark, table, rollup_path, *rollup_args)
@@ -3989,6 +4114,11 @@ def txlog_merge_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     txlog.merge(spark, table, updates, keys=["s_suppkey"])
+    # the CDF window below is bounded to the merge head: the
+    # maintain_table compaction further down is maintenance churn a
+    # row-level change consumer must NOT see (read_changes documents
+    # exactly this — bound the window, or snapshot-diff instead)
+    merge_head = txlog.latest_version(table)
     # ...then maintain it through the CDF-delta path: only the files
     # the MERGE added/removed are read, deletes as negated partials
     txlog.incremental_rollup(spark, table, rollup_path, *rollup_args)
@@ -4012,9 +4142,42 @@ def txlog_merge_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom_stale = _bloom_rows("bloom_probe_stale")
     # read_bloom_pruned decides the file list eagerly (driver-side
     # maybe-set), so the stale probe is already resolved before the
-    # refresh mutates the sidecar
-    build_file_blooms(spark, table, "s_suppkey")
+    # maintenance below rewrites files and sidecars (compaction only
+    # un-references data files from the log — it never deletes them —
+    # so the resolved stale file list stays readable).
+    # r10: the refresh routes through maintain_table (sources/
+    # maintenance.py) — ONE call compacts the table and refreshes
+    # EVERY sidecar it carries (s_suppkey AND s_name), the OPTIMIZE
+    # cadence a 100 TB table actually runs. The fresh probe below now
+    # exercises post-compaction pruning: dead files dropped, the two
+    # compacted files sketched fresh — and must still equal the
+    # oracle's plain IN over the reconstructed head.
+    from mpg_data_warehouse_spark.sources.maintenance import maintain_table
+
+    maintained = maintain_table(spark, table, target_partitions=2)
+    assert set(maintained["blooms"]) == {"s_suppkey", "s_name"}
     bloom_fresh = _bloom_rows("bloom_probe_fresh")
+    # second-sidecar probe (r10): one merge-inserted name (lives only
+    # in post-merge files), one untouched name, one miss — replayed by
+    # the oracle's IN-subquery over the same supplier rows
+    name1, name2 = (
+        r.s_name
+        for r in supplier.filter(F.col("s_suppkey").isin(1, 2))
+        .orderBy("s_suppkey")
+        .select("s_name")
+        .collect()
+    )
+    bloom_name = read_bloom_pruned(
+        spark,
+        table,
+        "s_name",
+        values=[f"NEW_{name1}", name2, "NO_SUCH_SUPPLIER"],
+    ).select(
+        "s_suppkey",
+        "s_name",
+        "s_acctbal",
+        F.lit("bloom_probe_name").alias("change_tag"),
+    )
 
     # r9 fold: incremental HLL sketch rollup (txlog.py) on a second
     # txlog table built from the SAME supplier rows in two commits —
@@ -4027,16 +4190,38 @@ def txlog_merge_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t2 = tempfile.mkdtemp(prefix="txlog_sketch_src_")
     roll2 = tempfile.mkdtemp(prefix="txlog_sketch_roll_")
+    roll3 = tempfile.mkdtemp(prefix="txlog_qs_roll_")
     sk_args = (["grp"], "s_suppkey")
+    # r10: a QUANTILE rollup rides the same two-commit lifecycle —
+    # bootstrapped on the even half, delta-maintained after the odd
+    # append (kind="quantile" reads ONLY the appended files; the
+    # bottom-k-by-id-hash sample is insert-monotone like KMV), its
+    # p50 + sample size replayed by the oracle over the full set
+    qs_kw = dict(kind="quantile", id_cols=["s_suppkey"])
     txlog.create(spark, t2, supplier.filter(F.col("s_suppkey") % 2 == 0))
     txlog.incremental_sketch_rollup(spark, t2, roll2, *sk_args, kind="hll")
+    txlog.incremental_sketch_rollup(spark, t2, roll3, ["grp"],
+                                    "s_acctbal", **qs_kw)
     txlog.append(spark, t2, supplier.filter(F.col("s_suppkey") % 2 != 0))
     txlog.incremental_sketch_rollup(spark, t2, roll2, *sk_args, kind="hll")
+    txlog.incremental_sketch_rollup(spark, t2, roll3, ["grp"],
+                                    "s_acctbal", **qs_kw)
     sketch_rows = txlog.read(spark, roll2).select(
         F.col("grp").cast("bigint").alias("s_suppkey"),
         F.concat(F.lit("HLL_"), F.col("grp").cast("string")).alias("s_name"),
         hll_estimate(F.col("hll_registers")).alias("s_acctbal"),
         F.lit("sketch_rollup_hll").alias("change_tag"),
+    )
+    from mpg_data_warehouse_spark.operators.sketch import quantile_estimate
+
+    qs_sketch_rows = txlog.read(spark, roll3).select(
+        F.col("grp").cast("bigint").alias("s_suppkey"),
+        F.concat(F.lit("QS_"), F.col("grp").cast("string")).alias("s_name"),
+        quantile_estimate(F.col("qs_sample"), 0.5).alias("s_acctbal"),
+        F.concat(
+            F.lit("sketch_rollup_qs_n="),
+            F.size("qs_sample").cast("string"),
+        ).alias("change_tag"),
     )
     rollup = txlog.read(spark, rollup_path).select(
         F.col("grp").alias("s_suppkey"),
@@ -4062,7 +4247,9 @@ def txlog_merge_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # derivation layout-independent — an untouched NULL row never
     # enters the feed and is correctly absent from the report, and a
     # rewritten-but-unchanged NULL row self-cancels.
-    changes = txlog.read_changes(spark, table, from_version=0)
+    changes = txlog.read_changes(
+        spark, table, from_version=0, to_version=merge_head
+    )
     ins = changes.filter(F.col("_change_type") == "insert").drop(
         "_change_type"
     )
@@ -4101,7 +4288,9 @@ def txlog_merge_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rollup)
         .unionByName(bloom_stale)
         .unionByName(bloom_fresh)
+        .unionByName(bloom_name)
         .unionByName(sketch_rows)
+        .unionByName(qs_sketch_rows)
     )
 
 

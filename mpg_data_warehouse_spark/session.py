@@ -119,6 +119,12 @@ def run_scoped(spark: SparkSession, build) -> "DataFrame":
     intermediates, so the one retained checkpoint is cheap; on a real
     cluster the same pattern holds with a reliable checkpoint dir."""
     before = persistent_rdd_ids(spark)
+    try:
+        cache_empty_before = bool(
+            spark._jsparkSession.sharedState().cacheManager().isEmpty()
+        )
+    except Exception:
+        cache_empty_before = False  # unknown → protect caller caches
     out = build().localCheckpoint(eager=True)
     keep = checkpoint_rdd_id(out)
     if keep is None:
@@ -133,12 +139,21 @@ def run_scoped(spark: SparkSession, build) -> "DataFrame":
         # RDD blocks (released below) and the SQL CacheManager entry
         # (plan -> InMemoryRelation). Dropping only the blocks would
         # leave a dead entry that later identical plans re-match and
-        # re-cache into — clear the SQL cache first. Scoped builders
-        # own every cache entry alive at this point by contract (the
-        # engine keeps no cross-query SQL caches), so the global clear
-        # is safe. localCheckpoint blocks (including `out`'s) are NOT
-        # CacheManager entries and are untouched by it.
-        spark.catalog.clearCache()
+        # lazily re-materialize into — so when the SQL cache was EMPTY
+        # at scope entry (the engine's own builders keep no
+        # cross-query SQL caches, so this is the common case) the
+        # global clear is exactly targeted and we use it. When the
+        # CALLER holds pre-existing cache entries (an application-
+        # cached shared dimension, say), a global clear would silently
+        # degrade the caller's later queries to recompute — there we
+        # release only the stray RDD blocks and leave the CacheManager
+        # entries in place: a dead entry costs a lazy recompute IF an
+        # identical plan is ever re-cached, which is strictly cheaper
+        # for the caller than losing its live caches. localCheckpoint
+        # blocks (including `out`'s) are NOT CacheManager entries and
+        # are untouched either way.
+        if cache_empty_before:
+            spark.catalog.clearCache()
         release_rdd_storage(spark, stray)
     return out
 

@@ -1323,13 +1323,18 @@ def incremental_sketch_rollup(
     group_cols: list[str],
     value_col: str,
     kind: str = "hll",
+    id_cols: list[str] | None = None,
 ) -> int:
     """Maintain per-group DISTINCT sketches of a txlog table
     incrementally under APPEND-ONLY growth: each call sketches ONLY
     the files added since the last processed version (recorded in the
     rollup's own commit metadata, like ``incremental_rollup``) and
     merges the delta into the rollup — ``hll_merge`` register max for
-    ``kind="hll"``, ``kmv_merge`` bottom-k for ``kind="kmv"``.
+    ``kind="hll"``, ``kmv_merge`` bottom-k for ``kind="kmv"``,
+    ``quantile_merge`` bottom-k-by-id-hash for ``kind="quantile"``
+    (requires ``id_cols``: the row-identity columns whose hash orders
+    the uniform sample — per-group value quantiles maintained without
+    ever rescanning old files).
 
     Why a separate op from ``incremental_rollup``: sums decompose
     under BOTH inserts and deletes (negated partials); sketch state is
@@ -1354,8 +1359,21 @@ def incremental_sketch_rollup(
     elif kind == "kmv":
         build = lambda df: SK.kmv_sketch(df, group_cols, value_col)  # noqa: E731
         merge = lambda df: SK.kmv_merge(df, group_cols)  # noqa: E731
+    elif kind == "quantile":
+        # same insert-monotonicity argument as KMV: the bottom-k rows
+        # by id-hash over a union of disjoint row sets IS the merge of
+        # the per-set bottom-k samples — delta ≡ full rescan exactly
+        if not id_cols:
+            raise ValueError(
+                "kind='quantile' requires id_cols (the row-identity "
+                "columns whose hash orders the sample)"
+            )
+        build = lambda df: SK.quantile_sketch(  # noqa: E731
+            df, group_cols, value_col, id_cols
+        )
+        merge = lambda df: SK.quantile_merge(df, group_cols)  # noqa: E731
     else:
-        raise ValueError(f"kind={kind!r} not in ('hll', 'kmv')")
+        raise ValueError(f"kind={kind!r} not in ('hll', 'kmv', 'quantile')")
 
     src_head = latest_version(table)
     last = None
@@ -1380,14 +1398,20 @@ def incremental_sketch_rollup(
             rstate = snapshot_state(rollup_path)
             adds = _write_data_files(built, rollup_path,
                                      rstate["partition_by"])
-            stale = sorted(rstate["files"])
+            # removals derive from the RETRIED state ``s``, not the
+            # pre-write snapshot: on a lost commit race the rebuild
+            # must also remove files a concurrent writer added in
+            # between, or its stale rows would survive alongside the
+            # replacement — overwrite()'s rule, mirrored
             _commit_retry(
                 rollup_path,
                 lambda s: {
                     "op": "sketch-rollup-rebuild",
                     "schema": built.schema.simpleString(),
                     "rollup_src_version": src_head,
-                    "actions": [{"remove": {"path": p}} for p in stale]
+                    "actions": [
+                        {"remove": {"path": p}} for p in sorted(s["files"])
+                    ]
                     + [{"add": a} for a in adds],
                 },
             )

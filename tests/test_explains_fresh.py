@@ -34,6 +34,45 @@ def _recorded_hashes() -> dict[str, str]:
     return out
 
 
+def test_explains_meta_header_fresh():
+    """The digest-meta header binds EXPLAINS.md to the generating
+    tree: `queries` must equal the live registry size (a registry
+    add/remove without regeneration fails), `rows` must equal the
+    number of recorded digest rows (internal consistency), and
+    `plans-fingerprint` must equal a live sha256 of plans/*.py — so
+    ANY plan-file edit without `python tools/explain_digest.py`
+    fails, not just edits to the six sampled queries below."""
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from explain_digest import plans_fingerprint
+
+    from mpg_data_warehouse_spark.plans.driver_queries import QUERIES
+
+    with open(os.path.join(REPO, "EXPLAINS.md")) as fh:
+        text = fh.read()
+    m = re.search(
+        r"<!-- digest-meta queries=(\d+) rows=(\d+) "
+        r"plans-fingerprint=([0-9a-f]{16}) -->",
+        text,
+    )
+    assert m, "EXPLAINS.md lacks a digest-meta header — regenerate"
+    queries, rows, fp = int(m.group(1)), int(m.group(2)), m.group(3)
+    assert queries == len(QUERIES), (
+        f"registry has {len(QUERIES)} queries but EXPLAINS.md was "
+        f"generated against {queries} — regenerate"
+    )
+    assert rows == len(_recorded_hashes()), (
+        "digest-meta row count disagrees with the table — regenerate"
+    )
+    live = plans_fingerprint()
+    assert fp == live, (
+        f"plans/ changed since EXPLAINS.md was generated "
+        f"(recorded {fp}, live {live}) — regenerate with "
+        "`python tools/explain_digest.py`"
+    )
+
+
 def test_explains_md_matches_live_plans(spark):
     import sys
 

@@ -35,6 +35,36 @@ def test_run_scoped_releases_build_storage(spark):
     release_rdd_storage(spark, new)
 
 
+def test_run_scoped_preserves_caller_sql_cache(spark):
+    """A pre-existing caller cache (an application-cached shared
+    dimension) must SURVIVE a scope that leaks its own cache — the
+    global clearCache shortcut is only legal when the SQL cache was
+    empty at scope entry (r9 ADVICE finding)."""
+    dim = spark.range(100).withColumn("d", F.col("id") * 3).cache()
+    dim.count()
+    assert dim.is_cached
+    before = persistent_rdd_ids(spark)
+    try:
+
+        def build():
+            leak = spark.range(5_000).withColumn("y", F.col("id") + 1)
+            leak = leak.cache()
+            leak.count()
+            return leak.groupBy((F.col("id") % 7).alias("g")).count()
+
+        out = run_scoped(spark, build)
+        assert out.count() == 7
+        # the caller's cache entry is untouched
+        assert dim.is_cached, "run_scoped dropped a pre-existing cache"
+        # and the scope's stray RDD blocks were still released: only
+        # the result checkpoint is new
+        new = persistent_rdd_ids(spark) - before
+        assert len(new) == 1, f"scope leaked blocks: {sorted(new)}"
+        release_rdd_storage(spark, new)
+    finally:
+        dim.unpersist()
+
+
 def test_scoped_queries_leave_storage_clean(spark):
     """Every _SCOPED_QUERIES entry must leave at most its own result
     checkpoint behind, and the scoped result must equal the raw

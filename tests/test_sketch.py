@@ -612,6 +612,38 @@ def test_quantile_nulls_skipped_and_all_null_group_absent(spark):
     assert len(got[0].qs_sample) == 1
 
 
+def test_quantile_nan_skipped_batch_matches_python_twin(spark):
+    """NaN values must be skipped by the BATCH build exactly as
+    py_qs_update (the streaming twin's state update) skips them —
+    otherwise the bit-identical batch↔stream contract breaks on NaN
+    inputs (r9 ADVICE finding)."""
+    from pyspark.sql import Row
+
+    from mpg_data_warehouse_spark.operators.sketch import (
+        py_qs_update,
+        quantile_sketch,
+    )
+
+    rows = [
+        Row(grp="a", rid=1, val=1.0),
+        Row(grp="a", rid=2, val=float("nan")),
+        Row(grp="a", rid=3, val=2.5),
+        Row(grp="b", rid=4, val=float("nan")),
+    ]
+    got = {
+        r.grp: [(s["h"], s["v"]) for s in r.qs_sample]
+        for r in quantile_sketch(df := spark.createDataFrame(rows),
+                                 ["grp"], "val", ["rid"], k=64).collect()
+    }
+    # group b is all-NaN → no row, matching the all-null rule
+    assert set(got) == {"a"}
+    want = py_qs_update(
+        [], [(str(r.rid), r.val) for r in rows if r.grp == "a"], k=64
+    )
+    assert got["a"] == want
+    assert len(got["a"]) == 2  # the NaN row was dropped
+
+
 def test_quantile_estimate_bounds_and_k_bounds(spark):
     import pytest
 

@@ -1076,6 +1076,50 @@ def test_incremental_sketch_rollup_kmv_matches_fresh_build(spark, tmp_path):
     assert got == want
 
 
+def test_incremental_sketch_rollup_quantile_matches_fresh_build(
+    spark, tmp_path
+):
+    """kind='quantile': the maintained bottom-k-by-id-hash sample must
+    be bit-identical to a fresh quantile_sketch of the live table —
+    the insert-monotonicity argument shared with KMV, on (h, v)
+    structs."""
+    from mpg_data_warehouse_spark.operators.sketch import quantile_sketch
+
+    t = str(tmp_path / "t")
+    roll = str(tmp_path / "roll")
+    txlog.create(spark, t, _mk(spark, range(30)))
+    txlog.incremental_sketch_rollup(
+        spark, t, roll, ["segment"], "balance",
+        kind="quantile", id_cols=["cust_id"],
+    )
+    txlog.append(spark, t, _mk(spark, range(200, 290), seg="b"))
+    txlog.incremental_sketch_rollup(
+        spark, t, roll, ["segment"], "balance",
+        kind="quantile", id_cols=["cust_id"],
+    )
+    got = {
+        r.segment: [(s["h"], s["v"]) for s in r.qs_sample]
+        for r in txlog.read(spark, roll).collect()
+    }
+    want = {
+        r.segment: [(s["h"], s["v"]) for s in r.qs_sample]
+        for r in quantile_sketch(
+            txlog.read(spark, t), ["segment"], "balance", ["cust_id"]
+        ).collect()
+    }
+    assert got == want
+
+
+def test_incremental_sketch_rollup_quantile_requires_id_cols(
+    spark, tmp_path
+):
+    with pytest.raises(ValueError, match="id_cols"):
+        txlog.incremental_sketch_rollup(
+            spark, str(tmp_path / "t"), str(tmp_path / "roll"),
+            ["segment"], "balance", kind="quantile",
+        )
+
+
 def test_incremental_sketch_rollup_refuses_removals(spark, tmp_path):
     """Sketch state cannot retract rows: any file removal inside the
     catch-up window (delete/merge/compact) must raise, not silently

@@ -17,7 +17,31 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from mpg_data_warehouse_spark.plans.driver_queries import QUERIES
-from mpg_data_warehouse_spark.session import get_spark
+from mpg_data_warehouse_spark.session import (
+    get_spark,
+    persistent_rdd_ids,
+    release_rdd_storage,
+)
+
+
+def plans_fingerprint() -> str:
+    """sha256 over every ``plans/*.py`` source file (sorted relpath +
+    content) — bound into the EXPLAINS.md header so ANY plan-file edit
+    without a digest regeneration fails ``test_explains_fresh``, not
+    just edits to the six sampled queries (r9 VERDICT item 5)."""
+    plans_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "mpg_data_warehouse_spark",
+        "plans",
+    )
+    h = hashlib.sha256()
+    for fname in sorted(os.listdir(plans_dir)):
+        if not fname.endswith(".py"):
+            continue
+        h.update(fname.encode())
+        with open(os.path.join(plans_dir, fname), "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()[:16]
 
 # Operators whose counts form the digest row. Exchange is the shuffle
 # count; the join columns catch a broadcast silently degrading to SMJ;
@@ -85,6 +109,13 @@ def main() -> None:
     lines = [
         "# EXPLAINS — physical-plan digests",
         "",
+        # machine-checked freshness header (test_explains_fresh):
+        # queries= the registry size at generation time, rows= plans
+        # actually captured, plans-fingerprint= sha256 of plans/*.py —
+        # any registry growth or plan-file edit without regeneration
+        # fails the guard, not just edits to the sampled queries
+        "__DIGEST_META_PLACEHOLDER__",
+        "",
         f"Plans captured at `{sf_dir}` (plan *shape* is sf-invariant for",
         "these queries; AQE may re-split at runtime). `hash` is a sha256",
         "prefix of the normalized executed plan — a changed hash with an",
@@ -95,6 +126,12 @@ def main() -> None:
         "`ngram_jaccard_pairs`'s replica-collapse map) count its",
         "exchanges per reference; at runtime the cached stage executes",
         "once. Cross-check `imts` (InMemoryTableScan) for reuse.",
+        "Capture state: since r10 every query's storage AND SQL cache",
+        "is released after its capture, so each plan is captured",
+        "cache-clean — deterministic across sessions (verified by",
+        "back-to-back full regenerations), but hashes are NOT",
+        "comparable to pre-r10 digests captured under accumulated",
+        "cache state (r10 one-time drift on ~9 unchanged-op rows).",
         "Regenerate: `python tools/explain_digest.py`.",
         "",
         "| query | " + " | ".join(
@@ -112,7 +149,9 @@ def main() -> None:
     ]
 
     failures: list[str] = []
+    planned = 0
     for name in sorted(QUERIES):
+        ids0 = persistent_rdd_ids(spark)
         try:
             # storage-scoped queries (session.run_scoped) return an
             # eagerly checkpointed frame whose plan is one LogicalRDD
@@ -123,7 +162,17 @@ def main() -> None:
         except Exception as exc:  # streaming-only or env-gated entries
             failures.append(f"{name}: {type(exc).__name__}")
             continue
+        finally:
+            # unwrapped scoped builders persist/cache/checkpoint
+            # corpus-sized intermediates with no run_scoped to free
+            # them — digesting 50 such plans in one session would
+            # accumulate exactly the storage debris run_scoped exists
+            # to prevent, so release the diff after each capture
+            # (bench.py's pattern)
+            release_rdd_storage(spark, persistent_rdd_ids(spark) - ids0)
+            spark.catalog.clearCache()  # + their CacheManager entries
         counts, h = digest(plan)
+        planned += 1
         lines.append(
             f"| {name} | "
             + " | ".join(str(counts[op]) for op in shown)
@@ -135,9 +184,14 @@ def main() -> None:
             f"- {f}" for f in failures
         ]
     lines.append("")
+    meta = (
+        f"<!-- digest-meta queries={len(QUERIES)} rows={planned} "
+        f"plans-fingerprint={plans_fingerprint()} -->"
+    )
+    lines[lines.index("__DIGEST_META_PLACEHOLDER__")] = meta
     with open(out, "w") as f:
         f.write("\n".join(lines))
-    print(f"wrote {out} ({len(QUERIES) - len(failures)} plans)")
+    print(f"wrote {out} ({planned} plans)")
     spark.stop()
 
 
