@@ -499,37 +499,39 @@ def bm25_append_index(
     no stored state to refresh.
 
     Replay guard: batch ids already present in the index are dropped
-    before writing, so at-least-once upstream delivery cannot
-    double-insert a document. The guard probes the ``_docs`` manifest
-    by ID-hash partition (reads ≤ |batch| of its 64 partitions) — an
-    exact membership check that holds even if the redelivered batch
-    carries MUTATED text, which the previous term-bucket probe could
-    miss. ``max_df`` capping is a BUILD-time decision and is not
-    re-applied here — recap on the periodic rebuild cadence, like IVF
-    centroid refresh. Returns the number of documents appended."""
+    BEFORE tokenization (r10 — a fully-replayed delivery costs the
+    manifest probe plus one scan of the batch, never the explode+agg
+    tokenize pass, which dominates the lifecycle at corpus scale), so
+    at-least-once upstream delivery cannot double-insert a document.
+    The guard probes the ``_docs`` manifest by ID-hash partition
+    (reads ≤ |batch| of its 64 partitions) — an exact membership
+    check that holds even if the redelivered batch carries MUTATED
+    text, which the previous term-bucket probe could miss. ``max_df``
+    capping is a BUILD-time decision and is not re-applied here —
+    recap on the periodic rebuild cadence, like IVF centroid refresh.
+    Returns the number of documents appended."""
     spark = docs.sparkSession
     stats = read_json(os.path.join(path, STATS_FILE))
     n_buckets = _check_n_buckets(None, stats.get("n_buckets"), path)
     n_idb = int(stats.get("n_idb", N_IDB))
     _require_manifest(path)
 
-    toks = docs.select(
-        F.col(id_col), F.explode(norm_tokens(text_col)).alias("term")
-    ).filter(F.length("term") >= min_term_len)
-    tf = (
-        toks.groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
-        .persist()
-    )
+    # The replay guard runs BEFORE tokenization (r10): the guard needs
+    # only document IDS, and tokenizing the batch first made a fully-
+    # replayed delivery pay the batch's whole explode+agg cost to
+    # learn it has nothing to do — at corpus scale the tokenize pass
+    # dominates the lifecycle. The batch is PERSISTED first so the
+    # probe and the (post-guard) tokenize read ONE materialization of
+    # the input — a nondeterministic upstream (sample/limit)
+    # re-evaluated between them could otherwise yield ids the guard
+    # never probed. The persisted projection is the delta batch
+    # (id + text), bounded by the arrival, not the corpus.
+    batch = docs.select(F.col(id_col), F.col(text_col)).persist()
+    pinned = [batch]  # released in finally even on a failed write
     try:
-        # idb probe set derived from the PERSISTED tf lineage (via dl),
-        # never from a re-execution of the raw input: a
-        # nondeterministic upstream (sample/limit) re-evaluated here
-        # could yield ids the guard then fails to probe
-        dl = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
         idbs = sorted(
             r["i"]
-            for r in dl.select(_idb(id_col, n_idb).alias("i"))
+            for r in batch.select(_idb(id_col, n_idb).alias("i"))
             .distinct()
             .collect()
         )
@@ -539,19 +541,32 @@ def bm25_append_index(
             .select(id_col)
             .distinct()
         )
-        fresh_dl = dl.join(existing, id_col, "left_anti").persist()
+        fresh = batch.join(existing, id_col, "left_anti")
+
+        toks = fresh.select(
+            F.col(id_col), F.explode(norm_tokens(text_col)).alias("term")
+        ).filter(F.length("term") >= min_term_len)
+        tf = (
+            toks.groupBy(id_col, "term")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+            .persist()
+        )
+        pinned.append(tf)
+        dl = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
+        fresh_dl = dl.persist()
+        pinned.append(fresh_dl)
         batch_row = fresh_dl.agg(
             F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
         ).first()
         n_new = int(batch_row["n"] or 0)
         if n_new == 0:
-            fresh_dl.unpersist()
             return 0
         postings = (
             tf.join(fresh_dl, id_col)
             .withColumn("bucket", term_bucket(F.col("term"), n_buckets))
             .persist()
         )
+        pinned.append(postings)
         # co-locate each bucket into one task before the partitioned
         # append — an unclustered write fans every shuffle task into
         # every bucket it touches (tasks × buckets small files per
@@ -568,7 +583,6 @@ def bm25_append_index(
                 n_idb=n_idb,
             ),
         )
-        postings.unpersist()
         old_sum = stats.get("dl_sum", stats["avgdl"] * stats["n_docs"])
         n_docs = stats["n_docs"] + n_new
         dl_sum = old_sum + int(batch_row["s"])
@@ -576,10 +590,10 @@ def bm25_append_index(
             {"n_docs": n_docs, "avgdl": dl_sum / n_docs, "dl_sum": dl_sum}
         )
         write_json_atomic(os.path.join(path, STATS_FILE), stats)
-        fresh_dl.unpersist()
         return n_new
     finally:
-        tf.unpersist()
+        for df in pinned:
+            df.unpersist()
 
 
 def _require_manifest(path: str) -> None:

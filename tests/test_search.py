@@ -143,6 +143,45 @@ def test_bm25_matches_reference_formula(spark, tmp_path):
         assert abs(got[d] - ref[d]) < 1e-5, (d, got[d], ref[d])
 
 
+def test_build_rebuild_over_existing_index_leaves_no_stale_state(
+    spark, tmp_path
+):
+    """Rebuilding an index AT THE SAME PATH over a smaller corpus must
+    leave no stale bucket dirs, postings, manifest rows, or stats from
+    the previous (wider) build — pins the r10 explicit-pre-clean +
+    dynamic-overwrite build path (a dynamic overwrite alone would let
+    bucket dirs the new build doesn't touch survive)."""
+    from mpg_data_warehouse_spark.operators.search import (
+        bm25_search,
+        build_ranked_index,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=d, text=f"term{d} shared word") for d in range(40)]
+    )
+    idx = str(tmp_path / "ridx")
+    build_ranked_index(docs, idx)
+    # rebuild over a 5-doc corpus at the same path
+    small = docs.filter("doc_id < 5")
+    build_ranked_index(small, idx)
+    # postings: only the 5 docs' terms survive
+    ids = {
+        r.doc_id
+        for r in spark.read.parquet(idx).select("doc_id").distinct().collect()
+    }
+    assert ids == set(range(5)), ids
+    # manifest: same
+    man = spark.read.parquet(os.path.join(idx, "_docs"))
+    assert {r.doc_id for r in man.select("doc_id").collect()} == set(range(5))
+    # a term only the old corpus had scores nothing
+    assert bm25_search(spark, idx, "term30", k=10).count() == 0
+    # stats retreated with the rebuild
+    import json as _json
+
+    with open(os.path.join(idx, "_corpus_stats.json")) as fh:
+        assert _json.load(fh)["n_docs"] == 5
+
+
 def test_bm25_rank_is_deterministic_and_k_capped(spark, tmp_path):
     from mpg_data_warehouse_spark.operators.search import (
         bm25_search_many,
