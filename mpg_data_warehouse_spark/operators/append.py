@@ -227,7 +227,10 @@ def overwrite_partitions(
     it every shuffle task fans out a file into every partition it
     touches (tasks × partitions small files; measured 4× wall on the
     BM25 index maintenance path). Disable for a giant single
-    partition whose write parallelism matters more than file count."""
+    partition whose write parallelism matters more than file count.
+
+    ``spark`` is retained for signature stability (every call site
+    passes it); the write derives session and conf from ``df``."""
     if cluster:
         df = df.repartition(*[F.col(c) for c in partition_cols])
     df.write.mode("overwrite").option(

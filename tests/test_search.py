@@ -143,6 +143,28 @@ def test_bm25_matches_reference_formula(spark, tmp_path):
         assert abs(got[d] - ref[d]) < 1e-5, (d, got[d], ref[d])
 
 
+def test_await_all_settles_every_leg_before_raising():
+    """_await_all must wait for EVERY leg before propagating the first
+    exception — a caller may clean up the paths the legs write to, so
+    returning with a leg still running would race that cleanup."""
+    import time
+
+    from mpg_data_warehouse_spark.operators.search import _await_all
+
+    settled = []
+
+    def slow_ok():
+        time.sleep(0.3)
+        settled.append("slow")
+
+    def fast_boom():
+        raise ValueError("boom")
+
+    with pytest.raises(ValueError, match="boom"):
+        _await_all(slow_ok, fast_boom)
+    assert settled == ["slow"]
+
+
 def test_build_rebuild_over_existing_index_leaves_no_stale_state(
     spark, tmp_path
 ):

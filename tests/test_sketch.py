@@ -630,10 +630,10 @@ def test_quantile_nan_skipped_batch_matches_python_twin(spark):
         Row(grp="a", rid=3, val=2.5),
         Row(grp="b", rid=4, val=float("nan")),
     ]
+    df = spark.createDataFrame(rows)
     got = {
         r.grp: [(s["h"], s["v"]) for s in r.qs_sample]
-        for r in quantile_sketch(df := spark.createDataFrame(rows),
-                                 ["grp"], "val", ["rid"], k=64).collect()
+        for r in quantile_sketch(df, ["grp"], "val", ["rid"], k=64).collect()
     }
     # group b is all-NaN → no row, matching the all-null rule
     assert set(got) == {"a"}
