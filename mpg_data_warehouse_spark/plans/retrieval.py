@@ -476,27 +476,44 @@ def hybrid_retrieve(
     / query-term hash buckets); fusion joins two ≤|queries|·pool-row
     frames on (query_id, chunk_key) — negligible next to either
     probe."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from mpg_data_warehouse_spark.operators.search import bm25_search_many
 
-    # dense ranks come UNHYDRATED from the shared probe core — the
-    # chunk store is scanned once, for the fused winners only
-    dense = _probe_chunk_ranks(
-        spark, index_path, query_texts, pool, dim, nprobe, hash_fn
-    ).select("query_id", "chunk_key", F.col("rank").alias("_rank_d"))
-    # Lexical half degrades gracefully: queries with no non-empty
-    # terms (the dense encoder defines them via the e_0 zero-guard)
-    # contribute an empty lexical side rather than poisoning the
-    # whole call with bm25_search_many's no-terms raise — exactly the
-    # missing-side-0 case RRF's full-outer fusion is built for.
-    has_terms = any((q or "").strip() for q in query_texts)
-    if has_terms:
-        lex = bm25_search_many(
-            spark, bm25_path, query_texts, k=pool, id_col="chunk_key"
-        ).select("query_id", "chunk_key", F.col("rank").alias("_rank_l"))
-    else:
-        lex = spark.createDataFrame(
+    # Each retriever's PREP runs one driver-side planning job (the IVF
+    # probe collects its cell set, the BM25 probe its term buckets) —
+    # independent work against disjoint indexes, so the two legs are
+    # constructed from separate driver threads (the build-side pattern
+    # of build_hybrid_index, applied to the probe side): the slot pays
+    # max(prep_d, prep_l), not their sum. Both frames are fully
+    # constructed before fusion; exceptions propagate.
+    def _dense_leg() -> DataFrame:
+        # dense ranks come UNHYDRATED from the shared probe core — the
+        # chunk store is scanned once, for the fused winners only
+        return _probe_chunk_ranks(
+            spark, index_path, query_texts, pool, dim, nprobe, hash_fn
+        ).select("query_id", "chunk_key", F.col("rank").alias("_rank_d"))
+
+    def _lex_leg() -> DataFrame:
+        # Lexical half degrades gracefully: queries with no non-empty
+        # terms (the dense encoder defines them via the e_0
+        # zero-guard) contribute an empty lexical side rather than
+        # poisoning the whole call with bm25_search_many's no-terms
+        # raise — exactly the missing-side-0 case RRF's full-outer
+        # fusion is built for.
+        if any((q or "").strip() for q in query_texts):
+            return bm25_search_many(
+                spark, bm25_path, query_texts, k=pool, id_col="chunk_key"
+            ).select(
+                "query_id", "chunk_key", F.col("rank").alias("_rank_l")
+            )
+        return spark.createDataFrame(
             [], "query_id long, chunk_key long, _rank_l long"
         )
+
+    with ThreadPoolExecutor(max_workers=2) as tp:
+        fut_d, fut_l = tp.submit(_dense_leg), tp.submit(_lex_leg)
+        dense, lex = fut_d.result(), fut_l.result()
     contrib_d = F.lit(1.0) / (F.lit(float(k_rrf)) + F.col("_rank_d"))
     contrib_l = F.lit(1.0) / (F.lit(float(k_rrf)) + F.col("_rank_l"))
     fused = (
