@@ -73,6 +73,36 @@ def test_explains_meta_header_fresh():
     )
 
 
+def test_plans_fingerprint_trips_on_any_plan_edit(tmp_path):
+    """Demonstrates the guard's sensitivity end-to-end: a byte-exact
+    copy of plans/ fingerprints identically, and ONE appended byte to
+    ANY plan file — including a comment-only change to a query nobody
+    samples — changes the fingerprint, which is what fails
+    test_explains_meta_header_fresh until the digest is regenerated."""
+    import shutil
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from explain_digest import plans_fingerprint
+
+    src = os.path.join(REPO, "mpg_data_warehouse_spark", "plans")
+    copy = str(tmp_path / "plans")
+    shutil.copytree(
+        src, copy, ignore=shutil.ignore_patterns("__pycache__")
+    )
+    assert plans_fingerprint(copy) == plans_fingerprint(), (
+        "a byte-exact copy must fingerprint identically"
+    )
+    victim = sorted(
+        f for f in os.listdir(copy) if f.endswith(".py")
+    )[-1]
+    with open(os.path.join(copy, victim), "a") as fh:
+        fh.write("\n# one comment byte\n")
+    assert plans_fingerprint(copy) != plans_fingerprint(), (
+        f"an edit to {victim} did not change the fingerprint"
+    )
+
+
 def test_explains_md_matches_live_plans(spark):
     import sys
 

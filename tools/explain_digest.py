@@ -24,12 +24,14 @@ from mpg_data_warehouse_spark.session import (
 )
 
 
-def plans_fingerprint() -> str:
+def plans_fingerprint(plans_dir: str | None = None) -> str:
     """sha256 over every ``plans/*.py`` source file (sorted relpath +
     content) — bound into the EXPLAINS.md header so ANY plan-file edit
     without a digest regeneration fails ``test_explains_fresh``, not
-    just edits to the six sampled queries (r9 VERDICT item 5)."""
-    plans_dir = os.path.join(
+    just edits to the six sampled queries (r9 VERDICT item 5).
+    ``plans_dir`` is injectable so the guard's edit-sensitivity is
+    itself testable against a tampered copy."""
+    plans_dir = plans_dir or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "mpg_data_warehouse_spark",
         "plans",
