@@ -57,6 +57,7 @@ _SCOPED_QUERIES = {
     "retrieval_dense_topk",  # chunk-embedding persist
     "hybrid_rrf_retrieval",  # chunk-embedding persist
     "funnel_click_to_purchase",  # 3 drained-stream state checkpoints
+    "ingest_transform_rename",  # quarantine scan cache + read-back checkpoint
 }
 
 
@@ -226,18 +227,142 @@ def ground_cover_pct_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ingest_transform_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ingest transform shape (reference P1 rename map + F10
-    survey_sequence derivation, src/survey_metadata_update.py:45-81)."""
-    orders = _t(spark, sf_dir, "orders")
-    year = F.year("o_orderdate").cast("long")
-    return orders.select(
-        F.col("o_orderkey").alias("survey_id"),
-        F.col("o_custkey").alias("grid_point"),
-        year.alias("year"),
-        F.when(year.isin(1995, 1996), F.lit("1995-96"))
-        .otherwise(year.cast("string"))
-        .alias("survey_sequence"),
-        F.col("o_orderpriority").alias("surveyor"),
+    survey_sequence derivation, src/survey_metadata_update.py:45-81).
+
+    r10 folds the full FileMaker-shaped INGEST LIFECYCLE under this
+    query's UNCHANGED oracle (plain SQL over the parquet orders
+    table), contract-verifying the previously unit-only source/sink
+    families in one lineage:
+
+    - **S14 local CSV sink**: the orders slice is exported to a real
+      CSV directory with dates formatted ``M/d/yy`` (the FileMaker
+      export shape, reference src/survey_metadata_update.py:35-42);
+    - **S2 quarantine split**: a deliberately malformed line is
+      injected into the staged export and the re-read runs through
+      ``read_csv_with_quarantine`` — the hash can only match if the
+      quarantine catches EXACTLY the injected line (a missed bad row
+      adds a row; an over-eager split drops one);
+    - **S1/S3/F1 CSV scan + M/d/yy parse with the pandas 69-pivot**:
+      two-digit years 92-98 must land back on the original 19xx dates
+      for the hash to hold; the 20xx side of the pivot is checked
+      in-query on a +30-year shadow column (22-28 → 2022-2028) read
+      back through the **S2 encoding-fallback** reader;
+    - **S15 read-through cache**: the transform materializes through
+      ``cached_or_compute`` twice — miss (compute + persist) then hit
+      (the recompute thunk RAISES, so a hit that recomputes fails);
+    - **S12 truncate-replace**: a decoy table is pre-written at the
+      live path and overwritten via ``write_overwrite``; any decoy
+      row surviving breaks the hash;
+    - the returned frame is read back from the replaced table (S4),
+      eagerly checkpointed, and the staging directory removed (no
+      temp-dir debris per invocation; registered scoped so the
+      quarantine scan cache and the checkpoint are released too).
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from mpg_data_warehouse_spark.functions.dates import parse_date_mdyy
+    from mpg_data_warehouse_spark.sources.readers import (
+        cached_or_compute,
+        read_csv_with_fallback,
+        read_csv_with_quarantine,
+        read_table,
     )
+    from mpg_data_warehouse_spark.sources.writers import write_overwrite
+
+    orders = _t(spark, sf_dir, "orders")
+    staged = tempfile.mkdtemp(prefix="ingest_lifecycle_")
+    export_dir = os.path.join(staged, "export_csv")
+    try:
+        # --- S14: local CSV sink, FileMaker M/d/yy date encoding ---
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            F.date_format("o_orderdate", "M/d/yy").alias("o_orderdate"),
+            F.date_format(
+                F.add_months("o_orderdate", 360), "M/d/yy"
+            ).alias("o_shifted"),
+            "o_orderpriority",
+        ).write.mode("overwrite").option("header", "true").csv(export_dir)
+        # inject one malformed line (non-numeric key) as an extra part
+        # file — the quarantine split must catch exactly this row
+        with open(os.path.join(export_dir, "part-malformed.csv"), "w") as fh:
+            fh.write("o_orderkey,o_custkey,o_orderdate,o_shifted,o_orderpriority\n")
+            # keys malformed (the quarantine trigger); dates stay
+            # parseable so Catalyst may evaluate the shadow-column
+            # parse before the null-key filter without an ANSI raise
+            fh.write("not_a_key,42,6/1/95,6/1/25,0-BROKEN\n")
+        schema = T.StructType(
+            [
+                T.StructField("o_orderkey", T.LongType()),
+                T.StructField("o_custkey", T.LongType()),
+                T.StructField("o_orderdate", T.StringType()),
+                T.StructField("o_shifted", T.StringType()),
+                T.StructField("o_orderpriority", T.StringType()),
+            ]
+        )
+        # --- S2 (quarantine split) + S1 CSV scan ---
+        good, bad = read_csv_with_quarantine(spark, export_dir, schema)
+        n_bad = bad.count()
+        if n_bad != 1:
+            raise AssertionError(
+                f"quarantine caught {n_bad} rows, expected exactly the "
+                "1 injected malformed line"
+            )
+        # --- S2 (encoding fallback) + F1 20xx pivot side: the shadow
+        # column's years 22-28 must parse to 2022-2028, i.e. exactly
+        # original date + 360 months (the 19xx side is proven by the
+        # oracle hash on the main column) ---
+        probe = read_csv_with_fallback(
+            spark, export_dir, schema=schema,
+            encodings=("UTF-8", "ISO-8859-1"),
+        ).filter(F.col("o_orderkey").isNotNull())
+        n_pivot_bad = probe.filter(
+            parse_date_mdyy("o_shifted")
+            != F.add_months(parse_date_mdyy("o_orderdate"), 360)
+        ).count()
+        if n_pivot_bad:
+            raise AssertionError(
+                f"{n_pivot_bad} rows mis-pivoted on the 20xx side of "
+                "the M/d/yy two-digit-year parse"
+            )
+        # --- S3/F1: date parse (19xx pivot side, under the hash) +
+        # the P1/F10 transform itself ---
+        year = F.year(parse_date_mdyy("o_orderdate")).cast("long")
+        transformed = good.select(
+            F.col("o_orderkey").alias("survey_id"),
+            F.col("o_custkey").alias("grid_point"),
+            year.alias("year"),
+            F.when(year.isin(1995, 1996), F.lit("1995-96"))
+            .otherwise(year.cast("string"))
+            .alias("survey_sequence"),
+            F.col("o_orderpriority").alias("surveyor"),
+        )
+        # --- S15: read-through cache — miss branch computes and
+        # persists, hit branch must NOT invoke the thunk ---
+        cache_path = os.path.join(staged, "interim_cache")
+        cached_or_compute(spark, cache_path, lambda: transformed)
+
+        def _must_not_recompute() -> DataFrame:
+            raise AssertionError(
+                "read-through cache HIT recomputed despite the cache "
+                "file existing"
+            )
+
+        interim = cached_or_compute(spark, cache_path, _must_not_recompute)
+        # --- S12: truncate-replace over a pre-existing decoy table ---
+        live_path = os.path.join(staged, "live_table")
+        interim.limit(7).withColumn(
+            "surveyor", F.lit("__decoy__")
+        ).write.parquet(live_path)
+        write_overwrite(interim, live_path)
+        # --- S4 read-back; materialize so the staging dir can go ---
+        out = read_table(spark, live_path).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+    return out
 
 
 # --- J6 signature anti-join + P9/J9 semi-join membership as one
@@ -303,6 +428,45 @@ def membership_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("entity_key"),
         F.col("c_name").alias("entity_name"),
     )
+    # r10: fold the A11 APPEND-RECONCILIATION lifecycle under this
+    # hash (reference row-count reconciliation
+    # notebooks/update_gridVeg_survey_metadata.ipynb:1257-1278). The
+    # warehouse table is staged with exactly the NOT-new customers
+    # (those with pre-1996 activity), the full customer batch is
+    # delivered through operators.append.anti_join_append, and the
+    # AppendResult must (a) reconcile (prev + appended == actual),
+    # (b) append exactly the rows the oracle-verified Bloom branch
+    # emits, and (c) append ZERO on redelivery (the idempotence
+    # guarantee, §5). Any drift in the append/anti-join arithmetic
+    # fails the slot even though the returned rows come from the
+    # Bloom path — the binding is the count equality.
+    import shutil
+    import tempfile
+
+    from mpg_data_warehouse_spark.operators.append import anti_join_append
+
+    # counted lazily (NOT checkpointed): the digest keeps the Bloom
+    # branch's executed plan visible, at the cost of one extra
+    # evaluation of the (dim-sized) branch when the result collects
+    n_new = new_keys.count()
+    staged = tempfile.mkdtemp(prefix="append_recon_")
+    table = os.path.join(staged, "customer_warehouse")
+    try:
+        batch = customer.select("c_custkey", "c_name")
+        batch.join(
+            existing_keys.distinct(), on="c_custkey", how="left_semi"
+        ).write.parquet(table)
+        res = anti_join_append(spark, batch, table, keys=["c_custkey"])
+        replay = anti_join_append(spark, batch, table, keys=["c_custkey"])
+        if not (res.reconciled and replay.reconciled):
+            raise AssertionError(f"append reconciliation failed: {res} / {replay}")
+        if res.appended_rows != n_new or replay.appended_rows != 0:
+            raise AssertionError(
+                f"append lifecycle drift: appended {res.appended_rows} "
+                f"(bloom branch says {n_new}), replay {replay.appended_rows}"
+            )
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
     part = _t(spark, sf_dir, "part")
     lineitem = _t(spark, sf_dir, "lineitem")
     in_lineitem = (
@@ -692,17 +856,49 @@ def window_partition_count(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) FILTER (WHERE event_type IS NULL) AS event_type_nulls,
            count(*) FILTER (WHERE value IS NULL)      AS value_nulls,
            count(*) FILTER (WHERE props IS NULL)      AS props_nulls,
-           count(*) AS total_rows
+           count(*) AS total_rows,
+           count(*) FILTER (WHERE event_id IS NULL OR ts IS NULL
+                               OR user_id IS NULL OR event_type IS NULL
+                               OR value IS NULL OR props IS NULL)
+             AS any_null_rows_n,
+           CAST(count(*) FILTER (WHERE event_id IS NULL)
+                + count(*) FILTER (WHERE ts IS NULL)
+                + count(*) FILTER (WHERE event_type IS NULL) AS BIGINT)
+             AS required_violations
     FROM events
     """,
 )
 def null_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 per-column null audit (one pass, map-side partials). r10
+    folds the remaining null-gate families under this oracle:
+
+    - **P12 any-null row filter** (``sources.readers.any_null_rows``,
+      reference fix_gridVeg_additional_species_na_rows.ipynb:453-454):
+      the filter's row count is emitted as ``any_null_rows_n`` and
+      replayed by the oracle's OR-of-nulls count;
+    - **P13 required-field gate** (``operators.validate.validate``,
+      reference src/survey_metadata_update.py:103-114): the gate runs
+      over (event_id, ts, event_type) and its total violation count —
+      the per-column sums the reference loops for — is emitted as
+      ``required_violations``.
+    """
+    from mpg_data_warehouse_spark.operators.validate import validate
+    from mpg_data_warehouse_spark.sources.readers import any_null_rows
+
     events = _events(spark, sf_dir)
     aggs = [
         F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}_nulls")
         for c in events.columns
     ]
-    return events.agg(*aggs, F.count(F.lit(1)).alias("total_rows"))
+    audit = events.agg(*aggs, F.count(F.lit(1)).alias("total_rows"))
+    anyn = any_null_rows(events).agg(
+        F.count(F.lit(1)).alias("any_null_rows_n")
+    )
+    report = validate(events, required=["event_id", "ts", "event_type"])
+    return audit.crossJoin(anyn).withColumn(
+        "required_violations",
+        F.lit(sum(report.null_violations.values())).cast("long"),
+    )
 
 
 # --- J4/J5: date repair from authoritative dimension ---
@@ -4772,7 +4968,34 @@ def quality_classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pos = docs.filter(F.col("lang") == "en")
     neg = docs.filter(F.col("lang") == "zh")
-    weights, bias = nb_term_weights(pos, neg, alpha=1.0, tokens_col="_toks")
+    # materialize the shared tokenization ONCE, then train the three
+    # models from separate driver threads (the hybrid-retrieval /
+    # BM25-lifecycle playbook): each training is an independent
+    # driver-side collect over the same persisted cache, so wall cost
+    # is max(leg) not sum — r10 measured the sequential form paying
+    # ~2× the slowest training. The pre-count keeps the threads from
+    # racing to compute the persist itself.
+    docs.count()
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_nb = pool.submit(
+            nb_term_weights, pos, neg, alpha=1.0, tokens_col="_toks"
+        )
+        f_uni = pool.submit(
+            unigram_lm, pos, vocab_size=200, alpha=0.5, tokens_col="_toks"
+        )
+        f_bi = pool.submit(
+            bigram_lm,
+            pos,
+            vocab_size=200,
+            bigram_size=400,
+            alpha=0.5,
+            tokens_col="_toks",
+        )
+        weights, bias = f_nb.result()
+        umodel, uoov = f_uni.result()
+        bmodel, bprob, boov = f_bi.result()
     scored = quality_classifier_scores(
         docs, weights, bias=bias, threshold=0.5, tokens_col="_toks"
     )
@@ -4782,9 +5005,6 @@ def quality_classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("quality_logit", 6).alias("score"),
         F.col("quality_keep").alias("keep"),
     )
-    umodel, uoov = unigram_lm(
-        pos, vocab_size=200, alpha=0.5, tokens_col="_toks"
-    )
     lmu = doc_logprob_score(
         docs, umodel, uoov, tokens_col="_toks"
     ).select(
@@ -4792,9 +5012,6 @@ def quality_classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("nll_per_token").alias("score"),
         (F.col("nll_per_token") <= 3.45).alias("keep"),
-    )
-    bmodel, bprob, boov = bigram_lm(
-        pos, vocab_size=200, bigram_size=400, alpha=0.5, tokens_col="_toks"
     )
     lmb = doc_logprob_score_bigram(
         docs, bmodel, bprob, boov, lam=0.75, tokens_col="_toks"
