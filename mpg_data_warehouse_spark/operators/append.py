@@ -72,6 +72,15 @@ def anti_join_append(
 
     Idempotent by construction — re-running with the same batch
     appends 0 rows (the reference's operational guarantee, §5).
+
+    The anti-join is evaluated ONCE: its (usually batch-sized, never
+    table-sized) result is persisted, counted, written, and released —
+    the naive form pays the join three times (duplicate count,
+    appended count, write), which at 100 TB is two full extra passes
+    over the join for bookkeeping. ``duplicate_rows`` derives from
+    ``new.count() − appended`` (one scan of the batch);
+    ``reconciled`` stays an INDEPENDENT check because ``actual_rows``
+    is re-counted from the table after the write, not derived.
     """
     existing = spark.read.parquet(table_path)
 
@@ -83,15 +92,17 @@ def anti_join_append(
         years = [r[0] for r in new.select("year").distinct().collect()]
         anti_target = existing.filter(F.col("year").isin(years))
 
-    to_append = new_only(new, anti_target, keys)
-    dup_count = new.count() - to_append.count()
-
-    prev = existing.count()
-    appended = to_append.count()
-    w = to_append.write.mode("append")
-    if partition_by:
-        w = w.partitionBy(*partition_by)
-    w.parquet(table_path)
+    to_append = new_only(new, anti_target, keys).persist()
+    try:
+        appended = to_append.count()
+        dup_count = new.count() - appended
+        prev = existing.count()
+        w = to_append.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(table_path)
+    finally:
+        to_append.unpersist()
     actual = spark.read.parquet(table_path).count()
 
     return AppendResult(
