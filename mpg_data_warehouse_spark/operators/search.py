@@ -66,21 +66,14 @@ def _write_meta(path: str, meta: dict) -> None:
 
 
 def _await_all(*thunks) -> None:
-    """Run independent Spark write legs from separate driver threads
-    (Spark schedules jobs from multiple threads freely): wall cost is
-    max(legs), not their sum — the index lifecycle's postings and
-    manifest writes are commit-latency-bound at small scale, so the
-    overlap is pure win (the hybrid-retrieval playbook,
-    plans/retrieval.py). All legs are awaited; the first exception
-    propagates after every leg has settled (no half-awaited writes
-    left running against a path the caller may then clean up)."""
-    from concurrent.futures import ThreadPoolExecutor, wait
+    """Run independent Spark write legs concurrently (wall = max, not
+    sum). Thin void wrapper over the shared engine helper — ONE
+    implementation of the settle-before-raise contract (see
+    mpg_data_warehouse_spark/concurrency.py; pinned by
+    test_await_all_settles_every_leg_before_raising)."""
+    from mpg_data_warehouse_spark.concurrency import await_all
 
-    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
-        futs = [pool.submit(t) for t in thunks]
-        wait(futs)
-        for f in futs:
-            f.result()
+    await_all(*thunks)
 
 
 def _check_n_buckets(
@@ -570,18 +563,22 @@ def bm25_append_index(
         # co-locate each bucket into one task before the partitioned
         # append — an unclustered write fans every shuffle task into
         # every bucket it touches (tasks × buckets small files per
-        # APPEND, compounding across batches). The postings and
-        # manifest appends touch disjoint directories and share only
-        # the persisted tf lineage — concurrent, wall = max not sum.
-        _await_all(
-            lambda: postings.repartition("bucket")
-            .write.mode("append")
-            .partitionBy("bucket")
-            .parquet(path),
-            lambda: _write_manifest(
-                postings, fresh_dl, path, id_col, mode="append",
-                n_idb=n_idb,
-            ),
+        # APPEND, compounding across batches). COMMIT ORDER IS LOAD-
+        # BEARING: the manifest is the replay guard, so it must only
+        # ever list docs whose postings are already durable — postings
+        # first, manifest after. (The r10 concurrent form could lose a
+        # batch PERMANENTLY: a failed postings leg after a committed
+        # manifest leg made the retry see every id 'already indexed'
+        # and drop the redelivery.) In this order a crash between the
+        # two commits leaves orphaned postings — rows whose id is
+        # absent from the manifest — which the retry would duplicate;
+        # run ``bm25_repair_index`` before retrying a crashed append
+        # (one scoped scrub pass; see its docstring).
+        postings.repartition("bucket").write.mode("append").partitionBy(
+            "bucket"
+        ).parquet(path)
+        _write_manifest(
+            postings, fresh_dl, path, id_col, mode="append", n_idb=n_idb
         )
         old_sum = stats.get("dl_sum", stats["avgdl"] * stats["n_docs"])
         n_docs = stats["n_docs"] + n_new
@@ -665,20 +662,22 @@ def bm25_delete_index(
     # union of the victims' posting buckets — ≤ N_BUCKETS values
     buckets = sorted(gone_row["bs"] or [])
 
-    # The postings rewrite and the manifest retreat touch disjoint
-    # directory trees (bucket=* vs _docs/idb=*) and both anti-join the
-    # same broadcast del_ids — run them concurrently (wall = max, not
-    # sum; each leg keeps its own checkpoint-before-overwrite ordering
-    # internally, and overwrite_partitions uses the per-write dynamic
-    # option, so there is no shared session conf to race on).
-    def _postings_leg() -> None:
+    # The expensive phase of each leg — materializing the survivor
+    # sets (localCheckpoint, because their lineage READS the paths
+    # about to be rewritten) — is read-only and runs CONCURRENTLY
+    # (wall = max, not sum). The COMMITS are sequential and ordered:
+    # postings rewrite FIRST, manifest retreat SECOND, because the
+    # manifest is what a retry probes — in this order a crash between
+    # the commits leaves the victims still listed, so re-running the
+    # delete rewrites the (already-clean) buckets idempotently and
+    # completes the retreat; the reverse/concurrent order (r10 form)
+    # stranded deleted docs' postings forever: the retry saw n_gone=0
+    # and returned while BM25 queries kept surfacing the victims.
+    def _postings_prep():
         if not buckets:
-            return
+            return None, set()
         postings = spark.read.parquet(path)
         scoped = postings.filter(F.col("bucket").isin(buckets))
-        # Survivors are materialized (localCheckpoint) before the
-        # overwrite because their lineage READS the path being
-        # rewritten — bounded by the hit buckets' volume.
         survivors = scoped.join(
             F.broadcast(del_ids), id_col, "left_anti"
         ).select("term", id_col, "tf", "dl", "bucket").localCheckpoint()
@@ -686,14 +685,9 @@ def bm25_delete_index(
             r["bucket"]
             for r in survivors.select("bucket").distinct().collect()
         }
-        overwrite_partitions(spark, survivors, path, ("bucket",))
-        for b in buckets:
-            if b not in kept:
-                backend.delete_prefix(os.path.join(path, f"bucket={b}"))
-        # a wipe that removed every posting must leave the index readable
-        _ensure_readable(path, survivors.drop("bucket"))
+        return survivors, kept
 
-    def _manifest_leg() -> None:
+    def _manifest_prep():
         man_survivors = man_scoped.join(
             F.broadcast(del_ids), id_col, "left_anti"
         ).localCheckpoint()
@@ -701,20 +695,33 @@ def bm25_delete_index(
             r["idb"]
             for r in man_survivors.select("idb").distinct().collect()
         }
-        overwrite_partitions(
-            spark, man_survivors, _manifest_path(path), ("idb",)
-        )
-        for i in idbs:
-            if i not in man_kept:
-                backend.delete_prefix(
-                    os.path.join(_manifest_path(path), f"idb={i}")
-                )
-        _ensure_readable(
-            _manifest_path(path), man_survivors.drop("idb"),
-            part_dir="idb=0",
-        )
+        return man_survivors, man_kept
 
-    _await_all(_postings_leg, _manifest_leg)
+    from mpg_data_warehouse_spark.concurrency import await_all
+
+    (survivors, kept), (man_survivors, man_kept) = await_all(
+        _postings_prep, _manifest_prep
+    )
+
+    if survivors is not None:
+        overwrite_partitions(spark, survivors, path, ("bucket",))
+        for b in buckets:
+            if b not in kept:
+                backend.delete_prefix(os.path.join(path, f"bucket={b}"))
+        # a wipe that removed every posting must leave the index readable
+        _ensure_readable(path, survivors.drop("bucket"))
+
+    overwrite_partitions(
+        spark, man_survivors, _manifest_path(path), ("idb",)
+    )
+    for i in idbs:
+        if i not in man_kept:
+            backend.delete_prefix(
+                os.path.join(_manifest_path(path), f"idb={i}")
+            )
+    _ensure_readable(
+        _manifest_path(path), man_survivors.drop("idb"), part_dir="idb=0"
+    )
 
     old_sum = stats.get("dl_sum", stats["avgdl"] * stats["n_docs"])
     n_docs = stats["n_docs"] - n_gone
@@ -728,3 +735,60 @@ def bm25_delete_index(
     )
     write_json_atomic(os.path.join(path, STATS_FILE), stats)
     return n_gone
+
+
+def bm25_repair_index(
+    spark: SparkSession,
+    path: str,
+    id_col: str = "doc_id",
+) -> int:
+    """Scrub ORPHANED postings — rows whose id is absent from the
+    ``_docs`` manifest — and return how many documents were scrubbed.
+
+    Orphans are the one inconsistent state the append commit order can
+    leave: ``bm25_append_index`` commits postings FIRST and the
+    manifest (the replay guard) SECOND, so a crash between the two
+    leaves rows a blind retry would duplicate. Recovery contract:
+    run this once before retrying a crashed append — a clean index
+    answers with one manifest-vs-postings anti-join and returns 0;
+    a dirty one additionally rewrites only the orphans' buckets
+    (dynamic partition overwrite, survivors checkpointed first
+    because their lineage reads the path being rewritten). Stats are
+    untouched either way: they only ever count manifest-listed docs,
+    and orphans were never added to them."""
+    from mpg_data_warehouse_spark.operators.append import (
+        overwrite_partitions,
+    )
+
+    _require_manifest(path)
+    backend = get_storage_backend()
+    postings = spark.read.parquet(path)
+    man_ids = spark.read.parquet(_manifest_path(path)).select(id_col)
+    orphan_row = (
+        postings.select(id_col, "bucket")
+        .join(man_ids, id_col, "left_anti")
+        .agg(
+            F.countDistinct(id_col).alias("n"),
+            F.array_distinct(F.collect_list("bucket")).alias("bs"),
+        )
+        .first()
+    )
+    n_orphans = int(orphan_row["n"] or 0)
+    if n_orphans == 0:
+        return 0
+    buckets = sorted(orphan_row["bs"] or [])
+    survivors = (
+        postings.filter(F.col("bucket").isin(buckets))
+        .join(man_ids, id_col, "left_semi")
+        .select("term", id_col, "tf", "dl", "bucket")
+        .localCheckpoint()
+    )
+    kept = {
+        r["bucket"] for r in survivors.select("bucket").distinct().collect()
+    }
+    overwrite_partitions(spark, survivors, path, ("bucket",))
+    for b in buckets:
+        if b not in kept:
+            backend.delete_prefix(os.path.join(path, f"bucket={b}"))
+    _ensure_readable(path, survivors.drop("bucket"))
+    return n_orphans

@@ -445,17 +445,25 @@ def membership_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from mpg_data_warehouse_spark.operators.append import anti_join_append
 
-    # counted lazily (NOT checkpointed): the digest keeps the Bloom
-    # branch's executed plan visible, at the cost of one extra
-    # evaluation of the (dim-sized) branch when the result collects
-    n_new = new_keys.count()
     staged = tempfile.mkdtemp(prefix="append_recon_")
     table = os.path.join(staged, "customer_warehouse")
     try:
         batch = customer.select("c_custkey", "c_name")
-        batch.join(
-            existing_keys.distinct(), on="c_custkey", how="left_semi"
-        ).write.parquet(table)
+        # the Bloom-branch count and the staged-table write are
+        # independent jobs — overlap them (the shared engine helper)
+        # so the recon setup costs max(legs), not their sum. new_keys
+        # stays lazily counted (NOT checkpointed) so the digest keeps
+        # the Bloom branch's executed plan visible, at the cost of one
+        # extra evaluation of the (dim-sized) branch when the result
+        # collects.
+        from mpg_data_warehouse_spark.concurrency import await_all
+
+        n_new, _ = await_all(
+            new_keys.count,
+            lambda: batch.join(
+                existing_keys.distinct(), on="c_custkey", how="left_semi"
+            ).write.parquet(table),
+        )
         res = anti_join_append(spark, batch, table, keys=["c_custkey"])
         replay = anti_join_append(spark, batch, table, keys=["c_custkey"])
         if not (res.reconciled and replay.reconciled):
@@ -3772,162 +3780,164 @@ def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mpg_data_warehouse_spark.streaming import events as SE
 
     staged = tempfile.mkdtemp(prefix="funnel_kmv_stream_")
-    steps.repartition(2).write.mode("overwrite").parquet(staged)
-    mem = f"funnel_kmv_{uuid.uuid4().hex}"
-    stream_q = (
-        SE.running_distinct_kmv_stream(
-            SE.read_events_stream(spark, staged, max_files_per_trigger=1),
-            k=_K,
+    try:
+        steps.repartition(2).write.mode("overwrite").parquet(staged)
+        mem = f"funnel_kmv_{uuid.uuid4().hex}"
+        stream_q = (
+            SE.running_distinct_kmv_stream(
+                SE.read_events_stream(spark, staged, max_files_per_trigger=1),
+                k=_K,
+            )
+            .writeStream.format("memory")
+            .queryName(mem)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.format("memory")
-        .queryName(mem)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    # start the CMS twin's drain BEFORE awaiting the KMV one — the two
-    # availableNow queries run concurrently, so the slot pays one
-    # stream-lifecycle latency, not two
-    memc = f"funnel_cms_{uuid.uuid4().hex}"
-    cms_q = (
-        SE.running_term_freq_stream(
-            SE.read_events_stream(spark, staged, max_files_per_trigger=1),
-            width=256,
-            depth=4,
+        # start the CMS twin's drain BEFORE awaiting the KMV one — the two
+        # availableNow queries run concurrently, so the slot pays one
+        # stream-lifecycle latency, not two
+        memc = f"funnel_cms_{uuid.uuid4().hex}"
+        cms_q = (
+            SE.running_term_freq_stream(
+                SE.read_events_stream(spark, staged, max_files_per_trigger=1),
+                width=256,
+                depth=4,
+            )
+            .writeStream.format("memory")
+            .queryName(memc)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.format("memory")
-        .queryName(memc)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    # third concurrent drain (r9): the QUANTILE twin
-    # (running_quantile_stream) samples each step's VALUE distribution
-    # keyed by event_id hash — its final bottom-k state feeds qs_*
-    # rows below, replayed sample-for-sample by the oracle
-    memq = f"funnel_qs_{uuid.uuid4().hex}"
-    qs_q = (
-        SE.running_quantile_stream(
-            SE.read_events_stream(spark, staged, max_files_per_trigger=1),
-            k=64,
+        # third concurrent drain (r9): the QUANTILE twin
+        # (running_quantile_stream) samples each step's VALUE distribution
+        # keyed by event_id hash — its final bottom-k state feeds qs_*
+        # rows below, replayed sample-for-sample by the oracle
+        memq = f"funnel_qs_{uuid.uuid4().hex}"
+        qs_q = (
+            SE.running_quantile_stream(
+                SE.read_events_stream(spark, staged, max_files_per_trigger=1),
+                k=64,
+            )
+            .writeStream.format("memory")
+            .queryName(memq)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.format("memory")
-        .queryName(memq)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    # awaitTermination returns False on timeout WITHOUT raising — a
-    # partial drain would silently feed first-batch-only state into
-    # the estimates below, so fail loudly instead
-    for qh, qname in ((stream_q, "kmv"), (cms_q, "cms"), (qs_q, "qs")):
-        if not qh.awaitTermination(300):
-            qh.stop()
-            raise TimeoutError(f"funnel {qname} stream drain timed out")
-    # update mode emits a key's state once per micro-batch it appears
-    # in; the FINAL state is the row with the most minima (sub-k
-    # growth phase) then the smallest k-th hash (at-k shrink phase) —
-    # a tie on both means the emitted sets are bit-identical
-    wfin = W.partitionBy("event_type").orderBy(
-        F.size(S.KMV_COL).desc(), F.array_max(F.col(S.KMV_COL)).asc()
-    )
-    # materialize the (per-step-sized) final states eagerly, then drop
-    # the uuid-named memory-sink tables — leaving them registered
-    # would pin every drained emission in driver memory per
-    # invocation, exactly the long-lived-driver debris run_scoped
-    # exists to prevent
-    per_step = (
-        spark.table(mem)
-        .withColumn("_rk", F.row_number().over(wfin))
-        .filter(F.col("_rk") == 1)
-        .select("event_type", S.KMV_COL)
-        .localCheckpoint(eager=True)
-    )
-    wide = per_step.groupBy().agg(
-        F.first(
-            F.when(F.col("event_type") == "click", F.col(S.KMV_COL)),
-            ignorenulls=True,
-        ).alias("_a"),
-        F.first(
-            F.when(F.col("event_type") == "purchase", F.col(S.KMV_COL)),
-            ignorenulls=True,
-        ).alias("_b"),
-    )
-    exact = (
-        steps.filter(F.col("user_id").isNotNull())
-        .groupBy("user_id")
-        .agg(
-            F.max((F.col("event_type") == "click").cast("int")).alias("ca"),
-            F.max((F.col("event_type") == "purchase").cast("int")).alias(
-                "cb"
+        # awaitTermination returns False on timeout WITHOUT raising — a
+        # partial drain would silently feed first-batch-only state into
+        # the estimates below, so fail loudly instead
+        for qh, qname in ((stream_q, "kmv"), (cms_q, "cms"), (qs_q, "qs")):
+            if not qh.awaitTermination(300):
+                qh.stop()
+                raise TimeoutError(f"funnel {qname} stream drain timed out")
+        # update mode emits a key's state once per micro-batch it appears
+        # in; the FINAL state is the row with the most minima (sub-k
+        # growth phase) then the smallest k-th hash (at-k shrink phase) —
+        # a tie on both means the emitted sets are bit-identical
+        wfin = W.partitionBy("event_type").orderBy(
+            F.size(S.KMV_COL).desc(), F.array_max(F.col(S.KMV_COL)).asc()
+        )
+        # materialize the (per-step-sized) final states eagerly, then drop
+        # the uuid-named memory-sink tables — leaving them registered
+        # would pin every drained emission in driver memory per
+        # invocation, exactly the long-lived-driver debris run_scoped
+        # exists to prevent
+        per_step = (
+            spark.table(mem)
+            .withColumn("_rk", F.row_number().over(wfin))
+            .filter(F.col("_rk") == 1)
+            .select("event_type", S.KMV_COL)
+            .localCheckpoint(eager=True)
+        )
+        wide = per_step.groupBy().agg(
+            F.first(
+                F.when(F.col("event_type") == "click", F.col(S.KMV_COL)),
+                ignorenulls=True,
+            ).alias("_a"),
+            F.first(
+                F.when(F.col("event_type") == "purchase", F.col(S.KMV_COL)),
+                ignorenulls=True,
+            ).alias("_b"),
+        )
+        exact = (
+            steps.filter(F.col("user_id").isNotNull())
+            .groupBy("user_id")
+            .agg(
+                F.max((F.col("event_type") == "click").cast("int")).alias("ca"),
+                F.max((F.col("event_type") == "purchase").cast("int")).alias(
+                    "cb"
+                ),
+            )
+            .agg(
+                F.sum("ca").alias("n_clickers"),
+                F.sum("cb").alias("n_purchasers"),
+                F.sum(F.col("ca") * F.col("cb")).alias("n_overlap"),
+            )
+        )
+        audience = exact.crossJoin(F.broadcast(wide)).select(
+            F.lit("audience").alias("kind"),
+            F.lit(None).cast("long").alias("user_id"),
+            F.lit(None).cast("long").alias("a_s"),
+            F.lit(None).cast("long").alias("b_s"),
+            F.lit(None).cast("boolean").alias("converted"),
+            "n_clickers",
+            "n_purchasers",
+            "n_overlap",
+            S.kmv_estimate(F.col("_a"), k=_K).alias("kmv_clickers"),
+            S.kmv_estimate(F.col("_b"), k=_K).alias("kmv_purchasers"),
+            S.kmv_intersect_estimate(F.col("_a"), F.col("_b"), k=_K).alias(
+                "kmv_overlap"
             ),
         )
-        .agg(
-            F.sum("ca").alias("n_clickers"),
-            F.sum("cb").alias("n_purchasers"),
-            F.sum(F.col("ca") * F.col("cb")).alias("n_overlap"),
+        # r9: the CMS streaming twin (running_term_freq_stream, drained
+        # above concurrently with the KMV one over the SAME staged steps):
+        # per step the smallest user id is probed against the streamed
+        # counters — exact count next to the CMS point estimate, both
+        # replayed by the oracle, so the hash proves the drained counter
+        # array equals the batch algebra end-to-end.
+        # counters are sums → the final emission per key has the largest
+        # counter total (strictly monotone across micro-batches)
+        wcms = W.partitionBy("event_type").orderBy(
+            F.aggregate(
+                "cms_counters", F.lit(0).cast("long"), lambda a, x: a + x
+            ).desc()
         )
-    )
-    audience = exact.crossJoin(F.broadcast(wide)).select(
-        F.lit("audience").alias("kind"),
-        F.lit(None).cast("long").alias("user_id"),
-        F.lit(None).cast("long").alias("a_s"),
-        F.lit(None).cast("long").alias("b_s"),
-        F.lit(None).cast("boolean").alias("converted"),
-        "n_clickers",
-        "n_purchasers",
-        "n_overlap",
-        S.kmv_estimate(F.col("_a"), k=_K).alias("kmv_clickers"),
-        S.kmv_estimate(F.col("_b"), k=_K).alias("kmv_purchasers"),
-        S.kmv_intersect_estimate(F.col("_a"), F.col("_b"), k=_K).alias(
-            "kmv_overlap"
-        ),
-    )
-    # r9: the CMS streaming twin (running_term_freq_stream, drained
-    # above concurrently with the KMV one over the SAME staged steps):
-    # per step the smallest user id is probed against the streamed
-    # counters — exact count next to the CMS point estimate, both
-    # replayed by the oracle, so the hash proves the drained counter
-    # array equals the batch algebra end-to-end.
-    # counters are sums → the final emission per key has the largest
-    # counter total (strictly monotone across micro-batches)
-    wcms = W.partitionBy("event_type").orderBy(
-        F.aggregate(
-            "cms_counters", F.lit(0).cast("long"), lambda a, x: a + x
-        ).desc()
-    )
-    counters = (
-        spark.table(memc)
-        .withColumn("_rk", F.row_number().over(wcms))
-        .filter(F.col("_rk") == 1)
-        .select("event_type", "cms_counters")
-        .localCheckpoint(eager=True)
-    )
-    # quantile twin's final state: bottom-k by id-hash grows while
-    # sub-k, then its largest retained hash only shrinks — same
-    # selection logic as the KMV dedup above, on the (h, v) structs
-    wqs = W.partitionBy("event_type").orderBy(
-        F.size("qs_sample").desc(),
-        F.expr("element_at(qs_sample, -1).h").asc(),
-    )
-    qs_state = (
-        spark.table(memq)
-        .withColumn("_rk", F.row_number().over(wqs))
-        .filter(F.col("_rk") == 1)
-        .select("event_type", "qs_sample")
-        .localCheckpoint(eager=True)
-    )
-    spark.catalog.dropTempView(mem)
-    spark.catalog.dropTempView(memc)
-    spark.catalog.dropTempView(memq)
-    # the staged 2-file parquet dir has been fully drained by all
-    # three streams and the final states are checkpointed — remove it
-    # now, or every invocation leaves a temp dir behind (the scoped
-    # registration above releases the checkpoints; this releases the
-    # disk)
-    import shutil
+        counters = (
+            spark.table(memc)
+            .withColumn("_rk", F.row_number().over(wcms))
+            .filter(F.col("_rk") == 1)
+            .select("event_type", "cms_counters")
+            .localCheckpoint(eager=True)
+        )
+        # quantile twin's final state: bottom-k by id-hash grows while
+        # sub-k, then its largest retained hash only shrinks — same
+        # selection logic as the KMV dedup above, on the (h, v) structs
+        wqs = W.partitionBy("event_type").orderBy(
+            F.size("qs_sample").desc(),
+            F.expr("element_at(qs_sample, -1).h").asc(),
+        )
+        qs_state = (
+            spark.table(memq)
+            .withColumn("_rk", F.row_number().over(wqs))
+            .filter(F.col("_rk") == 1)
+            .select("event_type", "qs_sample")
+            .localCheckpoint(eager=True)
+        )
+        spark.catalog.dropTempView(mem)
+        spark.catalog.dropTempView(memc)
+        spark.catalog.dropTempView(memq)
+    finally:
+        # the staged 2-file parquet dir is removed on EVERY exit
+        # — drained or failed — or each failed invocation leaks a
+        # temp dir (r10 review finding); on the success path the
+        # final states are already eagerly checkpointed (the scoped
+        # registration above releases those; this releases the disk)
+        import shutil
 
-    shutil.rmtree(staged, ignore_errors=True)
+        shutil.rmtree(staged, ignore_errors=True)
     probe = (
         steps.filter(F.col("user_id").isNotNull())
         .groupBy("event_type")
@@ -4351,7 +4361,13 @@ def txlog_merge_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mpg_data_warehouse_spark.sources.maintenance import maintain_table
 
     maintained = maintain_table(spark, table, target_partitions=2)
-    assert set(maintained["blooms"]) == {"s_suppkey", "s_name"}
+    # explicit raise, not assert: the contract check must survive
+    # `python -O` (the sibling folds' rule)
+    if set(maintained["blooms"]) != {"s_suppkey", "s_name"}:
+        raise AssertionError(
+            f"maintain_table refreshed {sorted(maintained['blooms'])}, "
+            "expected both sidecars ['s_name', 's_suppkey']"
+        )
     bloom_fresh = _bloom_rows("bloom_probe_fresh")
     # second-sidecar probe (r10): one merge-inserted name (lives only
     # in post-merge files), one untouched name, one miss — replayed by
@@ -4976,26 +4992,21 @@ def quality_classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~2× the slowest training. The pre-count keeps the threads from
     # racing to compute the persist itself.
     docs.count()
-    from concurrent.futures import ThreadPoolExecutor
+    from mpg_data_warehouse_spark.concurrency import await_all
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        f_nb = pool.submit(
-            nb_term_weights, pos, neg, alpha=1.0, tokens_col="_toks"
-        )
-        f_uni = pool.submit(
-            unigram_lm, pos, vocab_size=200, alpha=0.5, tokens_col="_toks"
-        )
-        f_bi = pool.submit(
-            bigram_lm,
+    (weights, bias), (umodel, uoov), (bmodel, bprob, boov) = await_all(
+        lambda: nb_term_weights(pos, neg, alpha=1.0, tokens_col="_toks"),
+        lambda: unigram_lm(
+            pos, vocab_size=200, alpha=0.5, tokens_col="_toks"
+        ),
+        lambda: bigram_lm(
             pos,
             vocab_size=200,
             bigram_size=400,
             alpha=0.5,
             tokens_col="_toks",
-        )
-        weights, bias = f_nb.result()
-        umodel, uoov = f_uni.result()
-        bmodel, bprob, boov = f_bi.result()
+        ),
+    )
     scored = quality_classifier_scores(
         docs, weights, bias=bias, threshold=0.5, tokens_col="_toks"
     )

@@ -425,9 +425,9 @@ def build_hybrid_index(
     commit-latency-bound at small scale (partitioned-write directory
     fan-out) and shuffle-bound at large scale, and in both regimes
     the cluster has idle capacity one build alone leaves unused.
-    Exceptions propagate; both builds are awaited before return."""
-    from concurrent.futures import ThreadPoolExecutor
-
+    Exceptions propagate; both builds are awaited before return (the
+    shared settle-before-raise helper, concurrency.await_all)."""
+    from mpg_data_warehouse_spark.concurrency import await_all
     from mpg_data_warehouse_spark.operators.search import (
         build_ranked_index,
     )
@@ -435,17 +435,14 @@ def build_hybrid_index(
     stored = _write_chunk_store(
         docs, chunks_path, max_tokens, overlap, id_col, text_col
     )
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        dense = pool.submit(
-            _build_dense_index, stored, index_path, dim, n_centroids,
-            hash_fn, refine_iters,
-        )
-        lexical = pool.submit(
-            build_ranked_index, stored, bm25_path,
-            id_col="chunk_key", text_col="chunk_text",
-        )
-        dense.result()
-        lexical.result()
+    await_all(
+        lambda: _build_dense_index(
+            stored, index_path, dim, n_centroids, hash_fn, refine_iters
+        ),
+        lambda: build_ranked_index(
+            stored, bm25_path, id_col="chunk_key", text_col="chunk_text"
+        ),
+    )
 
 
 def hybrid_retrieve(
@@ -476,8 +473,7 @@ def hybrid_retrieve(
     / query-term hash buckets); fusion joins two ≤|queries|·pool-row
     frames on (query_id, chunk_key) — negligible next to either
     probe."""
-    from concurrent.futures import ThreadPoolExecutor
-
+    from mpg_data_warehouse_spark.concurrency import await_all
     from mpg_data_warehouse_spark.operators.search import bm25_search_many
 
     # Each retriever's PREP runs one driver-side planning job (the IVF
@@ -511,9 +507,7 @@ def hybrid_retrieve(
             [], "query_id long, chunk_key long, _rank_l long"
         )
 
-    with ThreadPoolExecutor(max_workers=2) as tp:
-        fut_d, fut_l = tp.submit(_dense_leg), tp.submit(_lex_leg)
-        dense, lex = fut_d.result(), fut_l.result()
+    dense, lex = await_all(_dense_leg, _lex_leg)
     contrib_d = F.lit(1.0) / (F.lit(float(k_rrf)) + F.col("_rank_d"))
     contrib_l = F.lit(1.0) / (F.lit(float(k_rrf)) + F.col("_rank_l"))
     fused = (

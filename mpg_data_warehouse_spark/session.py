@@ -119,12 +119,7 @@ def run_scoped(spark: SparkSession, build) -> "DataFrame":
     intermediates, so the one retained checkpoint is cheap; on a real
     cluster the same pattern holds with a reliable checkpoint dir."""
     before = persistent_rdd_ids(spark)
-    try:
-        cache_empty_before = bool(
-            spark._jsparkSession.sharedState().cacheManager().isEmpty()
-        )
-    except Exception:
-        cache_empty_before = False  # unknown → protect caller caches
+    cache_before = _cached_plan_handles(spark)
     out = build().localCheckpoint(eager=True)
     keep = checkpoint_rdd_id(out)
     if keep is None:
@@ -136,26 +131,68 @@ def run_scoped(spark: SparkSession, build) -> "DataFrame":
     stray = persistent_rdd_ids(spark) - before - {keep}
     if stray:
         # A leaked DataFrame.persist() holds TWO pieces of state: the
-        # RDD blocks (released below) and the SQL CacheManager entry
-        # (plan -> InMemoryRelation). Dropping only the blocks would
-        # leave a dead entry that later identical plans re-match and
-        # lazily re-materialize into — so when the SQL cache was EMPTY
-        # at scope entry (the engine's own builders keep no
-        # cross-query SQL caches, so this is the common case) the
-        # global clear is exactly targeted and we use it. When the
-        # CALLER holds pre-existing cache entries (an application-
-        # cached shared dimension, say), a global clear would silently
-        # degrade the caller's later queries to recompute — there we
-        # release only the stray RDD blocks and leave the CacheManager
-        # entries in place: a dead entry costs a lazy recompute IF an
-        # identical plan is ever re-cached, which is strictly cheaper
-        # for the caller than losing its live caches. localCheckpoint
-        # blocks (including `out`'s) are NOT CacheManager entries and
-        # are untouched either way.
-        if cache_empty_before:
+        # RDD blocks and the SQL CacheManager entry (plan →
+        # InMemoryRelation). BOTH must go, and ONLY for entries this
+        # scope created: dropping just the blocks leaves a ZOMBIE
+        # entry — a later identical .persist() hits Spark's
+        # already-cached short-circuit against the dead entry and
+        # never re-caches, silently recomputing per action — while a
+        # global clearCache() would drop the CALLER's live caches.
+        # So the scope's NEW entries are uncached individually
+        # (uncacheQuery also unpersists their RDDs); the remaining
+        # stray blocks (abandoned localCheckpoints — never
+        # CacheManager entries, `out`'s own checkpoint excluded) are
+        # released by id. If the CacheManager internals are
+        # unreachable (version drift), fall back to the r9 rule:
+        # global clear only when the cache was empty at entry.
+        released_sql = _uncache_new_entries(spark, cache_before)
+        if not released_sql and cache_before is not None and not cache_before:
             spark.catalog.clearCache()
-        release_rdd_storage(spark, stray)
+        release_rdd_storage(spark, persistent_rdd_ids(spark) - before - {keep})
     return out
+
+
+def _cached_plan_handles(spark: SparkSession) -> dict[int, object] | None:
+    """Live SQL-cache entries as {JVM identityHashCode: logical-plan
+    handle}. Identity keys are stable while an entry stays cached (the
+    manager holds the same plan object); a rebuilt entry changes
+    identity, which errs toward treating it as new — the safe
+    direction for a scope release. Returns None when the internals
+    are unreachable (CacheManager API drift)."""
+    try:
+        jvm = spark.sparkContext._jvm
+        cm = spark._jsparkSession.sharedState().cacheManager()
+        out: dict[int, object] = {}
+        it = cm.cachedData().iterator()
+        while it.hasNext():
+            p = it.next().plan()
+            out[int(jvm.java.lang.System.identityHashCode(p))] = p
+        return out
+    except Exception:
+        return None
+
+
+def _uncache_new_entries(
+    spark: SparkSession, cache_before: dict[int, object] | None
+) -> bool:
+    """Uncache every SQL-cache entry that did not exist at scope entry
+    (non-cascading: dependent caches the CALLER built over a scope's
+    frame are its own, and a scope never does that to itself).
+    Returns False when the entry set cannot be enumerated — the
+    caller then applies its conservative fallback."""
+    if cache_before is None:
+        return False
+    now = _cached_plan_handles(spark)
+    if now is None:
+        return False
+    try:
+        cm = spark._jsparkSession.sharedState().cacheManager()
+        for h, plan in now.items():
+            if h not in cache_before:
+                cm.uncacheQuery(spark._jsparkSession, plan, False)
+        return True
+    except Exception:
+        return False
 
 
 def release_session_debris(spark: SparkSession) -> None:

@@ -61,6 +61,30 @@ def test_run_scoped_preserves_caller_sql_cache(spark):
         new = persistent_rdd_ids(spark) - before
         assert len(new) == 1, f"scope leaked blocks: {sorted(new)}"
         release_rdd_storage(spark, new)
+        # NO ZOMBIE entries (r10 review finding): the scope's leaked
+        # CacheManager entry must be UNCACHED, not just have its RDD
+        # blocks dropped — a dead entry short-circuits a later
+        # identical .persist() into never caching again. Exactly the
+        # caller's one entry remains.
+        cm = spark._jsparkSession.sharedState().cacheManager()
+        n_entries = 0
+        it = cm.cachedData().iterator()
+        while it.hasNext():
+            it.next()
+            n_entries += 1
+        assert n_entries == 1, (
+            f"scope left {n_entries} CacheManager entries (want only "
+            "the caller's dim): zombie entries leaked"
+        )
+        # and the same plan re-persists for real: a fresh cache()
+        # materializes blocks again instead of no-op'ing on a zombie
+        releak = spark.range(5_000).withColumn("y", F.col("id") + 1).cache()
+        releak.count()
+        assert releak.storageLevel.useMemory, (
+            "re-persist of the scope's plan did not take — zombie "
+            "CacheManager entry intercepted it"
+        )
+        releak.unpersist()
     finally:
         dim.unpersist()
 

@@ -489,3 +489,65 @@ def test_capped_out_doc_still_in_manifest_and_deletable(spark, tmp_path):
     ) == 1
     stats = read_json(os.path.join(idx, STATS_FILE))
     assert stats["n_docs"] == 2 and stats["dl_sum"] == 4
+
+
+def test_bm25_repair_scrubs_orphans_from_crashed_append(
+    spark, tmp_path, monkeypatch
+):
+    """Crash-recovery contract for the append commit order (postings
+    first, manifest second): a crash between the two commits leaves
+    ORPHANED postings a blind retry would duplicate.
+    bm25_repair_index scrubs exactly those rows, after which the
+    retried append + search match a clean build over the union; a
+    clean index repairs to 0 and is untouched."""
+    from mpg_data_warehouse_spark.operators import search as S
+
+    batch1 = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha bravo charlie"),
+            Row(doc_id=2, text="alpha bravo echo"),
+        ]
+    )
+    batch2 = spark.createDataFrame(
+        [
+            Row(doc_id=3, text="charlie delta foxtrot"),
+            Row(doc_id=4, text="alpha alpha golf"),
+        ]
+    )
+    idx = str(tmp_path / "idx")
+    S.build_ranked_index(batch1, idx)
+
+    # repairing a CLEAN index is a no-op probe
+    assert S.bm25_repair_index(spark, idx) == 0
+
+    # simulate the crash window: postings commit, manifest write dies
+    real_write_manifest = S._write_manifest
+
+    def _boom(*a, **k):
+        raise RuntimeError("simulated crash before manifest commit")
+
+    monkeypatch.setattr(S, "_write_manifest", _boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        S.bm25_append_index(batch2, idx)
+    monkeypatch.setattr(S, "_write_manifest", real_write_manifest)
+
+    # batch2's postings are orphans: present in buckets, absent from
+    # the manifest — the repair finds and scrubs exactly those docs
+    assert S.bm25_repair_index(spark, idx) == 2
+    # the index is back to its pre-crash state; the retried delivery
+    # appends cleanly and scoring matches a one-shot build
+    assert S.bm25_append_index(batch2, idx) == 2
+    full = str(tmp_path / "full")
+    S.build_ranked_index(batch1.unionByName(batch2), full)
+    for q in ("alpha", "charlie delta", "golf"):
+        a = {
+            (r.doc_id, r.score)
+            for r in S.bm25_search(spark, idx, q).collect()
+        }
+        b = {
+            (r.doc_id, r.score)
+            for r in S.bm25_search(spark, full, q).collect()
+        }
+        assert a == b, q
+    # and the repaired+retried index is repair-clean again
+    assert S.bm25_repair_index(spark, idx) == 0
