@@ -166,9 +166,15 @@ def build_file_blooms(
         .write.mode("overwrite")
         .parquet(staged)
     )
-    backend.install_dir(staged, side)
+    # meta rides INSIDE the staged dir (underscore-prefixed: invisible
+    # to the parquet reader), so the install swap is atomic for
+    # data+meta together — writing it after the swap left a window
+    # where a crash destroyed the OLD meta (it lives in the dir the
+    # swap retires) before the new one existed, hard-breaking every
+    # read_bloom_pruned caller AND hiding the column from
+    # refresh_all_blooms, so maintain_table could never self-heal it
     write_json_atomic(
-        meta_path,
+        os.path.join(staged, META_FILE),
         {
             "col": col,
             "n_bits": n_bits,
@@ -178,6 +184,7 @@ def build_file_blooms(
             "files": sorted(live),
         },
     )
+    backend.install_dir(staged, side)
     return src_head
 
 
@@ -294,7 +301,19 @@ def read_bloom_pruned(
     keep = [f for f in live if f in maybe or f not in covered]
     df = _read_files(spark, table, state, keep)
     if values is not None:
-        return df.where(F.col(col).isin(*values))
+        if len(values) <= 64:
+            return df.where(F.col(col).isin(*values))
+        # big key batches (CDC replays, reconciliation worklists):
+        # a |values|-long IN expression breaks whole-stage codegen at
+        # fleet scale — the same rule the build path applies to its
+        # kept-file list. The typed probe frame already exists;
+        # broadcast-semi-join the survivors against it. Residual
+        # semantics match isin (null probes never match an equi-join,
+        # and isin's null contributes no TRUE either).
+        probe_vals = probe_df.select(F.col("_v").alias(col)).where(
+            F.col(col).isNotNull()
+        )
+        return df.join(F.broadcast(probe_vals), on=col, how="left_semi")
     return df.where(F.col(col) == F.lit(value))
 
 

@@ -92,6 +92,24 @@ def _read_commit(table: str, version: int) -> dict:
         return json.load(fh)
 
 
+def _last_stamped_version(rollup_path: str) -> int | None:
+    """The SOURCE version the rollup at ``rollup_path`` provably
+    reflects: the ``rollup_src_version`` stamp on its newest stamped
+    commit. None when no commit is stamped — a fresh path, a legacy
+    two-commit bootstrap that crashed between create and stamp, or a
+    foreign table; in all three cases the content is unattributable
+    and callers must (re)build, never merge into it. ONE
+    implementation, shared by both rollup maintainers (a past
+    divergence left the sum rollup without the sketch rollup's
+    unstamped-recovery fix)."""
+    head = latest_version(rollup_path)
+    for v in range(head, -1, -1):
+        meta = _read_commit(rollup_path, v).get("rollup_src_version")
+        if meta is not None:
+            return meta
+    return None
+
+
 def _checkpoint_path(table: str, version: int) -> str:
     return os.path.join(_log_path(table), f"{version:08d}.checkpoint.json")
 
@@ -231,17 +249,26 @@ def _try_commit(table: str, version: int, commit: dict) -> bool:
         return False
     if version % CHECKPOINT_EVERY == 0 and version > 0:
         state = snapshot_state(table, version)
-        tmp = _checkpoint_path(table, version) + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as fh:
-            json.dump(
+        # durable write (fsync file + dir before install): a crash
+        # that installs the checkpoint NAME without its blocks would
+        # wedge every later snapshot_state on a truncated JSON — the
+        # same ordering rule the commit backend itself enforces. The
+        # storage backend's atomic text write is the one
+        # implementation of that rule.
+        from mpg_data_warehouse_spark.sources.storage import (
+            get_storage_backend,
+        )
+
+        get_storage_backend().write_text_atomic(
+            _checkpoint_path(table, version),
+            json.dumps(
                 {
                     "files": state["files"],
                     "schema": state["schema"],
                     "partition_by": state["partition_by"],
-                },
-                fh,
-            )
-        os.replace(tmp, _checkpoint_path(table, version))
+                }
+            ),
+        )
     return True
 
 
@@ -292,22 +319,37 @@ def _scan_add_actions(
                 continue
             mins: dict[str, object] = {}
             maxs: dict[str, object] = {}
+            # a column gets FILE-level bounds only if EVERY row group
+            # contributed min/max — writers legally omit a chunk's
+            # statistics (oversized values, stats disabled), and
+            # bounds covering only some row groups would present as
+            # file-wide, letting read_pruned/merge wrongly skip a file
+            # whose stats-less row group holds a matching key (silent
+            # dropped rows / duplicate-key inserts). Partial stats →
+            # no bounds → the file is conservatively always scanned.
+            gapped: set[str] = set()
             for rg in range(meta.num_row_groups):
                 group = meta.row_group(rg)
                 for ci in range(group.num_columns):
                     col = group.column(ci)
+                    cname = col.path_in_schema
                     stats = col.statistics
                     if stats is None or not stats.has_min_max:
+                        gapped.add(cname)
                         continue
-                    cname = col.path_in_schema
                     lo, hi = stats.min, stats.max
                     if isinstance(lo, bytes):
-                        continue  # physical-binary stats: skip, stay conservative
+                        # physical-binary stats: skip, stay conservative
+                        gapped.add(cname)
+                        continue
                     lo, hi = _jsonable(lo), _jsonable(hi)
                     if cname not in mins or lo < mins[cname]:
                         mins[cname] = lo
                     if cname not in maxs or hi > maxs[cname]:
                         maxs[cname] = hi
+            for cname in gapped:
+                mins.pop(cname, None)
+                maxs.pop(cname, None)
             # hive-style partition values encoded in the path
             parts: dict[str, str] = {}
             for seg in os.path.relpath(dirpath, root).split(os.sep):
@@ -481,7 +523,7 @@ def append(
     the commit's ``schema`` field (log metadata — zero data rewritten;
     old files simply lack the column and read as null). Type CHANGES
     on existing columns are still rejected — silent coercion corrupts;
-    rewrite via ``overwrite`` for that."""
+    rewrite via ``overwrite(..., new_schema=True)`` for that."""
     state = snapshot_state(table)
     if merge_schema:
         _merge_schema_ddl(state["schema"], df)  # fail fast on conflicts
@@ -527,20 +569,38 @@ def _merge_schema_ddl(table_schema: str | None, df: DataFrame) -> str:
     return StructType(out).simpleString()
 
 
-def overwrite(spark: SparkSession, table: str, df: DataFrame) -> int:
+def overwrite(
+    spark: SparkSession,
+    table: str,
+    df: DataFrame,
+    new_schema: bool = False,
+) -> int:
     """Atomic truncate-replace: one commit removes every live file and
     adds the replacement — readers see old or new, never both. The
-    reference's WRITE_TRUNCATE with none of its visible-empty window."""
+    reference's WRITE_TRUNCATE with none of its visible-empty window.
+
+    ``new_schema=True`` additionally REPLACES the table schema with
+    ``df``'s via the commit's ``schema`` field — legal precisely here
+    because the same commit removes every old file, so no live data
+    constrains the new shape. This is the escape hatch for column
+    TYPE changes, which ``append(merge_schema=True)`` rightly rejects
+    (silent coercion corrupts); time travel still reads old versions
+    under their own schema. Without the flag a mismatched schema
+    raises, catching accidental drift."""
     state = snapshot_state(table)
-    _check_schema(state, df)
+    if not new_schema:
+        _check_schema(state, df)
     adds = _write_data_files(df, table, state["partition_by"])
 
     def build(s: dict) -> dict:
-        return {
+        commit = {
             "op": "overwrite",
             "actions": [{"remove": {"path": p}} for p in sorted(s["files"])]
             + [{"add": a} for a in adds],
         }
+        if new_schema:
+            commit["schema"] = df.schema.simpleString()
+        return commit
 
     return _commit_retry(table, build)
 
@@ -670,6 +730,16 @@ def _plan_merge(
         k: (_jsonable(chk[f"lo_{k}"]), _jsonable(chk[f"hi_{k}"]))
         for k in keys
     }
+    if chk is None or chk["_max_per_key"] is None:
+        # EMPTY batch (an idle CDC cycle / empty streaming micro-batch):
+        # nothing to touch, nothing to write. Without this early exit
+        # the all-None bounds keep every live file as a candidate and
+        # the level-2 probe key-scans the ENTIRE table against an
+        # empty frame — a full-table read per idle cycle at 10^5-file
+        # scale. Callers still commit (the streaming sink's epoch
+        # stamp must land for exactly-once bookkeeping); the commit
+        # just carries no actions.
+        return [], set(), bounds
     touched = _touched_files(
         spark, table, state, updates, keys, bounds, broadcast_updates
     )
@@ -751,6 +821,138 @@ def merge(
     return _commit_retry(table, build)
 
 
+def _literal_py(lit) -> object:
+    """Catalyst Literal → the Python value footer stats compare with
+    (the _jsonable encoding). None = unconvertible → no bound."""
+    import datetime
+
+    try:
+        dt = lit.dataType().simpleString()
+        v = lit.value()
+    except Exception:
+        return None
+    if v is None:
+        return None
+    if dt in ("tinyint", "smallint", "int", "bigint"):
+        return int(str(v))
+    if dt in ("float", "double") or dt.startswith("decimal"):
+        # SQL fractional literals default to DECIMAL — stats for
+        # float/double columns live as floats (_jsonable), so render
+        # the bound the same way
+        return float(str(v))
+    if dt == "string":
+        return str(v)
+    if dt == "date":  # internal repr: days since epoch
+        return _jsonable(
+            datetime.date(1970, 1, 1) + datetime.timedelta(days=int(str(v)))
+        )
+    if dt.startswith("timestamp"):  # internal repr: epoch micros
+        return _jsonable(
+            datetime.datetime(1970, 1, 1)
+            + datetime.timedelta(microseconds=int(str(v)))
+        )
+    return None  # decimals/binary/etc.: stay conservative
+
+
+def _predicate_bounds(spark: SparkSession, predicate: str) -> dict:
+    """SOUND per-column [lo, hi] bounds implied by a predicate's
+    TOP-LEVEL conjuncts — the file-skipping translation Delta does
+    for DELETE. Recognizes ``col <op> literal`` (=, <, <=, >, >=,
+    both operand orders), ``BETWEEN``, and ``IN (literals)``; any
+    unrecognized conjunct simply contributes nothing (a conjunction
+    only ever NARROWS the matching set, so partial extraction stays
+    sound — and an OR at the root yields no conjuncts and no
+    pruning). Returns {} when nothing usable is found."""
+    try:
+        expr = (
+            spark._jsparkSession.sessionState().sqlParser()
+            .parseExpression(predicate)
+        )
+    except Exception:
+        return {}
+
+    conjuncts = []
+    stack = [expr]
+    while stack:
+        e = stack.pop()
+        if e.getClass().getSimpleName() == "And":
+            stack.append(e.children().apply(0))
+            stack.append(e.children().apply(1))
+        else:
+            conjuncts.append(e)
+
+    def _attr_name(e) -> str | None:
+        if e.getClass().getSimpleName() == "UnresolvedAttribute":
+            return str(e.name()).split(".")[-1]
+        return None
+
+    bounds: dict[str, list] = {}
+
+    def narrow(col: str, lo=None, hi=None) -> None:
+        cur = bounds.setdefault(col, [None, None])
+        if lo is not None and (cur[0] is None or lo > cur[0]):
+            cur[0] = lo
+        if hi is not None and (cur[1] is None or hi < cur[1]):
+            cur[1] = hi
+
+    for c in conjuncts:
+        kind = c.getClass().getSimpleName()
+        kids = [c.children().apply(i) for i in range(c.children().size())]
+        if kind == "UnresolvedFunction" and str(c.nameParts()).find(
+            "between"
+        ) >= 0 and len(kids) == 3:
+            col = _attr_name(kids[0])
+            lo, hi = _literal_py(kids[1]), _literal_py(kids[2])
+            if col and lo is not None and hi is not None:
+                narrow(col, lo=lo, hi=hi)
+            continue
+        if kind == "In" and kids:
+            col = _attr_name(kids[0])
+            vals = [_literal_py(k) for k in kids[1:]]
+            if col and vals and all(v is not None for v in vals):
+                narrow(col, lo=min(vals), hi=max(vals))
+            continue
+        if kind not in (
+            "EqualTo",
+            "LessThan",
+            "LessThanOrEqual",
+            "GreaterThan",
+            "GreaterThanOrEqual",
+        ) or len(kids) != 2:
+            continue
+        col, lit = _attr_name(kids[0]), _literal_py(kids[1])
+        flipped = False
+        if col is None:  # literal <op> col form
+            col, lit = _attr_name(kids[1]), _literal_py(kids[0])
+            flipped = True
+        if col is None or lit is None:
+            continue
+        if kind == "EqualTo":
+            narrow(col, lo=lit, hi=lit)
+        elif (kind in ("LessThan", "LessThanOrEqual")) != flipped:
+            narrow(col, hi=lit)  # strict < keeps =v files: conservative
+        else:
+            narrow(col, lo=lit)
+    return {k: tuple(v) for k, v in bounds.items() if v != [None, None]}
+
+
+def _file_may_match(add: dict, bounds: dict) -> bool:
+    """Conservative footer check: False only when some bounded column's
+    file range is provably disjoint from the predicate's bounds."""
+    for col, (lo, hi) in bounds.items():
+        fmin, fmax = add["min"].get(col), add["max"].get(col)
+        if fmin is None or fmax is None:
+            continue  # no stats for this column: cannot prune on it
+        try:
+            if lo is not None and fmax < lo:
+                return False
+            if hi is not None and fmin > hi:
+                return False
+        except TypeError:
+            continue  # incomparable encodings: stay conservative
+    return True
+
+
 def delete(
     spark: SparkSession, table: str, predicate: str
 ) -> int:
@@ -759,11 +961,28 @@ def delete(
     are rewritten without the matching rows. SQL DELETE semantics:
     only rows where the predicate is TRUE are removed — rows where it
     evaluates to NULL survive (a bare ``NOT (pred)`` would silently
-    drop them, since NOT(NULL) filters out too)."""
+    drop them, since NOT(NULL) filters out too).
+
+    Footer-stats pruning runs BEFORE the hit scan: bounds implied by
+    the predicate's top-level conjuncts (``_predicate_bounds``) drop
+    files that provably contain no match, so a point-ish delete on a
+    clustered column costs O(touched files), not O(table) — the
+    module's stated contract, previously honored by MERGE only. The
+    extraction is conservative (unrecognized shapes scan everything)
+    and the full predicate still runs inside the surviving scan, so
+    answers never depend on it."""
     state = snapshot_state(table)
     if not state["files"]:
         return state["version"]
-    scan = _read_files(spark, table, state)
+    p_bounds = _predicate_bounds(spark, predicate)
+    candidates = [
+        p
+        for p, a in state["files"].items()
+        if not p_bounds or _file_may_match(a, p_bounds)
+    ]
+    if not candidates:
+        return state["version"]
+    scan = _read_files(spark, table, state, candidates)
     hit = (
         scan.where(predicate)
         .select(F.input_file_name().alias("_file"))
@@ -1149,13 +1368,7 @@ def incremental_rollup(
     if _NROWS in agg_exprs or _NROWS in group_cols:
         raise ValueError(f"{_NROWS!r} is reserved for rollup maintenance")
     src_head = latest_version(table)
-    last = None
-    if latest_version(rollup_path) >= 0:
-        for v in range(latest_version(rollup_path), -1, -1):
-            meta = _read_commit(rollup_path, v).get("rollup_src_version")
-            if meta is not None:
-                last = meta
-                break
+    last = _last_stamped_version(rollup_path)
     state = snapshot_state(table)
 
     out_cols = [*agg_exprs, _NROWS]
@@ -1183,18 +1396,42 @@ def incremental_rollup(
             *[F.sum(out).alias(out) for out in out_cols]
         )
 
-    if latest_version(rollup_path) < 0:
-        create(spark, rollup_path, delta)
-        # rewrite commit 0's metadata is not possible (immutable), so
-        # stamp via an empty follow-up commit
-        _commit_retry(
-            rollup_path,
-            lambda _s: {
-                "op": "rollup-stamp",
-                "rollup_src_version": src_head,
-                "actions": [],
-            },
-        )
+    if last is None:
+        if latest_version(rollup_path) >= 0:
+            # a rollup table exists with NO stamp in its history — a
+            # legacy two-commit bootstrap that crashed between create
+            # and stamp, or a foreign table at this path. Its content
+            # is unattributable: merging the full recompute into it
+            # would silently DOUBLE every sum, so REPLACE it with the
+            # fresh full build, stamp riding the same commit
+            # (the sketch rollup's r9 rule, mirrored; removals derive
+            # from the RETRIED state so a lost race can't leave a
+            # concurrent writer's rows alongside the rebuild).
+            rstate = snapshot_state(rollup_path)
+            adds = _write_data_files(
+                delta, rollup_path, rstate["partition_by"]
+            )
+            _commit_retry(
+                rollup_path,
+                lambda s: {
+                    "op": "rollup-rebuild",
+                    "schema": delta.schema.simpleString(),
+                    "rollup_src_version": src_head,
+                    "actions": [
+                        {"remove": {"path": p}} for p in sorted(s["files"])
+                    ]
+                    + [{"add": a} for a in adds],
+                },
+            )
+        else:
+            # stamp rides the create commit: bootstrap is ONE atomic
+            # commit — no crash window can leave an unstamped rollup
+            create(
+                spark,
+                rollup_path,
+                delta,
+                extra_commit_meta={"rollup_src_version": src_head},
+            )
         return src_head
 
     current = read(spark, rollup_path)
@@ -1255,15 +1492,21 @@ def read_pruned(
     if lo is None and hi is None:
         raise ValueError("at least one of lo/hi is required")
     state = snapshot_state(table, version)
+    # footer stats live JSON-serialized (_jsonable: dates/timestamps
+    # as ISO strings) — the caller's raw bounds must cross the same
+    # encoding before comparison, or a date bound raises
+    # `str < datetime.date` against the stored stats (the merge path
+    # already routes its bounds through _jsonable; same rule here)
+    j_lo, j_hi = _jsonable(lo), _jsonable(hi)
     keep = []
     for p, a in state["files"].items():
         fmin, fmax = a["min"].get(col), a["max"].get(col)
         if fmin is None or fmax is None:
             keep.append(p)  # no stats: cannot prune
             continue
-        if lo is not None and fmax < lo:
+        if j_lo is not None and fmax < j_lo:
             continue
-        if hi is not None and fmin > hi:
+        if j_hi is not None and fmin > j_hi:
             continue
         keep.append(p)
     df = _read_files(spark, table, state, keep)
@@ -1376,13 +1619,7 @@ def incremental_sketch_rollup(
         raise ValueError(f"kind={kind!r} not in ('hll', 'kmv', 'quantile')")
 
     src_head = latest_version(table)
-    last = None
-    if latest_version(rollup_path) >= 0:
-        for v in range(latest_version(rollup_path), -1, -1):
-            meta = _read_commit(rollup_path, v).get("rollup_src_version")
-            if meta is not None:
-                last = meta
-                break
+    last = _last_stamped_version(rollup_path)
     state = snapshot_state(table)
 
     if last is None:

@@ -235,3 +235,22 @@ def test_maintain_table_compact_then_bloom_refresh(spark, table):
     all_files = txlog.read(spark, table).inputFiles()
     assert len(all_files) == 4
     assert len(got.inputFiles()) < len(all_files)
+
+
+def test_large_in_batch_uses_semi_join_residual(spark, table):
+    """CDC-replay-sized batches (> 64 values): the residual switches
+    from an IN expression (whole-stage-codegen blowup at that length —
+    the same rule the build path applies to its kept-file list) to a
+    broadcast semi-join against the typed probe frame. Answers match
+    the plain filter exactly, including misses and a None probe."""
+    vals = list(range(400, 600)) + [999_999, None]
+    df = read_bloom_pruned(spark, table, "cust_id", values=vals)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, "large batch should semi-join, not isin"
+    want = {
+        r["cust_id"]
+        for r in txlog.read(spark, table)
+        .where(F.col("cust_id").isin([v for v in vals if v is not None]))
+        .collect()
+    }
+    assert {r["cust_id"] for r in df.collect()} == want == set(range(400, 600))

@@ -40,10 +40,14 @@ def test_run_scoped_preserves_caller_sql_cache(spark):
     dimension) must SURVIVE a scope that leaks its own cache — the
     global clearCache shortcut is only legal when the SQL cache was
     empty at scope entry (r9 ADVICE finding)."""
+    from mpg_data_warehouse_spark.session import _cached_plan_handles
+
     dim = spark.range(100).withColumn("d", F.col("id") * 3).cache()
     dim.count()
     assert dim.is_cached
     before = persistent_rdd_ids(spark)
+    entries_before = _cached_plan_handles(spark)
+    assert entries_before is not None
     try:
 
         def build():
@@ -64,17 +68,18 @@ def test_run_scoped_preserves_caller_sql_cache(spark):
         # NO ZOMBIE entries (r10 review finding): the scope's leaked
         # CacheManager entry must be UNCACHED, not just have its RDD
         # blocks dropped — a dead entry short-circuits a later
-        # identical .persist() into never caching again. Exactly the
-        # caller's one entry remains.
-        cm = spark._jsparkSession.sharedState().cacheManager()
-        n_entries = 0
-        it = cm.cachedData().iterator()
-        while it.hasNext():
-            it.next()
-            n_entries += 1
-        assert n_entries == 1, (
-            f"scope left {n_entries} CacheManager entries (want only "
-            "the caller's dim): zombie entries leaked"
+        # identical .persist() into never caching again. The entry
+        # COUNT returns to its pre-scope value (counted, not assumed
+        # 1: a shared test session carries ambient entries from other
+        # tests' frames).
+        from mpg_data_warehouse_spark.session import _cached_plan_handles
+
+        entries_after = _cached_plan_handles(spark)
+        assert entries_after is not None
+        leaked_entries = set(entries_after) - set(entries_before)
+        assert not leaked_entries, (
+            f"scope left {len(leaked_entries)} new CacheManager "
+            "entries registered: zombie entries leaked"
         )
         # and the same plan re-persists for real: a fresh cache()
         # materializes blocks again instead of no-op'ing on a zombie

@@ -1202,3 +1202,157 @@ def test_sketch_rollup_recovers_unstamped_table(spark, tmp_path):
         )
         == 1
     )
+
+
+def test_incremental_rollup_unstamped_bootstrap_rebuilds(spark, tmp_path):
+    """A rollup table with NO rollup_src_version stamp anywhere in its
+    history (a legacy two-commit bootstrap that crashed between create
+    and stamp, or a foreign table at the path) must be REPLACED by the
+    fresh full build — the old behavior merged the full recompute into
+    the existing content and silently DOUBLED every sum (the wedge the
+    sketch rollup closed in r9, now closed for the sum rollup too)."""
+    t = str(tmp_path / "t")
+    roll = str(tmp_path / "roll")
+    txlog.create(spark, t, _mk(spark, range(10)))
+    # simulate the crashed legacy bootstrap: rollup CONTENT exists
+    # (even with the maintenance column) but no commit is stamped
+    stale = (
+        _mk(spark, range(10))
+        .groupBy("segment")
+        .agg(
+            F.sum("balance").alias("total"),
+            F.sum(F.lit(1)).alias("n"),
+            F.sum(F.lit(1)).alias("__nrows"),
+        )
+    )
+    txlog.create(spark, roll, stale)
+    v = txlog.incremental_rollup(
+        spark, t, roll, ["segment"], {"total": "balance", "n": "1"}
+    )
+    assert v == 0
+    got = {r.segment: (r.total, r.n) for r in txlog.read(spark, roll).collect()}
+    assert got == {"a": (450.0, 10)}, f"double-counted: {got}"
+    # and the rebuild is stamped: the next cycle is an O(delta) no-op
+    assert (
+        txlog.incremental_rollup(
+            spark, t, roll, ["segment"], {"total": "balance", "n": "1"}
+        )
+        == 0
+    )
+
+
+def test_delete_predicate_bounds_extraction(spark):
+    """_predicate_bounds: sound bounds from top-level conjuncts only —
+    every recognized shape narrows, everything else contributes
+    nothing, OR at the root yields {}."""
+    b = txlog._predicate_bounds(
+        spark,
+        "cust_id BETWEEN 5 AND 10 AND segment = 'a' AND balance >= 20.0",
+    )
+    assert b["cust_id"] == (5, 10)
+    assert b["segment"] == ("a", "a")
+    assert b["balance"] == (20.0, None)
+    # reversed operands + strict ops narrow conservatively
+    b = txlog._predicate_bounds(spark, "100 > cust_id AND 3 <= cust_id")
+    assert b["cust_id"] == (3, 100)
+    # IN lists take min..max
+    b = txlog._predicate_bounds(spark, "cust_id IN (7, 2, 9)")
+    assert b["cust_id"] == (2, 9)
+    # date literals render to the footer-stats encoding (ISO strings)
+    b = txlog._predicate_bounds(spark, "d >= DATE'2024-01-02'")
+    assert b["d"] == ("2024-01-02", None)
+    # an OR at the root must extract NOTHING (pruning would be unsound)
+    assert txlog._predicate_bounds(spark, "cust_id = 1 OR segment = 'b'") == {}
+    # unrecognized conjuncts don't poison their siblings
+    b = txlog._predicate_bounds(
+        spark, "cust_id = 4 AND (segment = 'a' OR balance < 5)"
+    )
+    assert b == {"cust_id": (4, 4)}
+
+
+def test_delete_with_pruning_matches_full_semantics(spark, tmp_path):
+    """delete() answers identically with footer pruning active: rows
+    matching the range go, NULL-predicate rows survive, and untouched
+    files keep their original add actions (pruned files were never
+    rewritten)."""
+    t = str(tmp_path / "t")
+    txlog.create(spark, t, _mk(spark, range(0, 5)).coalesce(1))
+    txlog.append(spark, t, _mk(spark, range(100, 105)).coalesce(1))
+    before = set(txlog.snapshot_state(t)["files"])
+    txlog.delete(spark, t, "cust_id BETWEEN 100 AND 102")
+    got = sorted(r.cust_id for r in txlog.read(spark, t).collect())
+    assert got == [0, 1, 2, 3, 4, 103, 104]
+    after = set(txlog.snapshot_state(t)["files"])
+    # the low-range file is provably disjoint from [100, 102]: it was
+    # pruned before the hit scan and survives UNREWRITTEN
+    assert before & after, "pruned file should have survived untouched"
+
+
+def test_read_pruned_accepts_date_bounds(spark, tmp_path):
+    """read_pruned with datetime.date bounds: the caller's raw bound
+    crosses the stats' ISO-string encoding instead of raising
+    `str < date` (footer stats live JSON-serialized)."""
+    import datetime
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [
+            Row(k=1, d=datetime.date(2024, 1, 1)),
+            Row(k=2, d=datetime.date(2024, 6, 1)),
+            Row(k=3, d=datetime.date(2025, 1, 1)),
+        ]
+    )
+    txlog.create(spark, t, df.repartition(3, "k"))
+    got = sorted(
+        r.k
+        for r in txlog.read_pruned(
+            spark, t, "d",
+            lo=datetime.date(2024, 3, 1), hi=datetime.date(2024, 12, 31),
+        ).collect()
+    )
+    assert got == [2]
+
+
+def test_merge_empty_batch_is_cheap_noop(spark, tmp_path):
+    """An empty update batch (idle CDC cycle / empty micro-batch)
+    commits without touching or writing any file — the planning
+    early-exits instead of key-scanning the whole table against an
+    empty probe."""
+    t = str(tmp_path / "t")
+    txlog.create(spark, t, _mk(spark, range(6)))
+    files_before = set(txlog.snapshot_state(t)["files"])
+    v = txlog.merge(
+        spark, t, _mk(spark, range(1)).limit(0), keys=["cust_id"]
+    )
+    assert v == 1  # the commit still lands (epoch-stamp contract)
+    state = txlog.snapshot_state(t)
+    assert set(state["files"]) == files_before
+    assert txlog._read_commit(t, 1)["actions"] == []
+
+
+def test_overwrite_new_schema_replaces_column_type(spark, tmp_path):
+    """overwrite(new_schema=True) is the documented escape hatch for
+    column TYPE changes: the commit removes every old file, stamps the
+    new schema, and later appends are checked against it; without the
+    flag the mismatch still raises."""
+    t = str(tmp_path / "t")
+    txlog.create(spark, t, _mk(spark, range(3)))
+    retyped = spark.createDataFrame(
+        [Row(cust_id=str(i), segment="a", balance=float(i)) for i in range(3)]
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        txlog.overwrite(spark, t, retyped)
+    txlog.overwrite(spark, t, retyped, new_schema=True)
+    state = txlog.snapshot_state(t)
+    assert "cust_id:string" in state["schema"].replace(" ", "")
+    got = sorted(r.cust_id for r in txlog.read(spark, t).collect())
+    assert got == ["0", "1", "2"]
+    # appends now validate against the REPLACED schema
+    txlog.append(
+        spark,
+        t,
+        spark.createDataFrame(
+            [Row(cust_id="9", segment="b", balance=9.0)]
+        ),
+    )
+    assert txlog.row_count(t) == 4
