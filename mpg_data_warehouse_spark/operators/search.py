@@ -338,22 +338,20 @@ def _manifest_path(path: str) -> str:
     return os.path.join(path, DOCS_DIR)
 
 
-def _write_manifest(
+def _manifest_rows(
     postings: DataFrame,
     dl: DataFrame,
-    path: str,
     id_col: str,
-    mode: str,
     capped: bool = False,
     n_idb: int = N_IDB,
-) -> None:
-    """(id, dl, buckets) rows — one agg over the already-persisted
-    postings (which carry ``dl`` denormalized). Only a build with
-    ``max_df`` capping can produce a doc whose EVERY term was capped
-    away — still counted in the corpus stats but owning no posting
-    rows — so only then does the dl-side anti-join pick up those
-    empty-bucket rows (``capped=True``); the common path is one
-    |docs|-grain agg and nothing else."""
+) -> DataFrame:
+    """(id, dl, buckets, idb) manifest rows — one agg over the
+    already-persisted postings (which carry ``dl`` denormalized).
+    Only a build with ``max_df`` capping can produce a doc whose
+    EVERY term was capped away — still counted in the corpus stats
+    but owning no posting rows — so only then does the dl-side
+    anti-join pick up those empty-bucket rows (``capped=True``); the
+    common path is one |docs|-grain agg and nothing else."""
     bsets = postings.groupBy(id_col).agg(
         F.first("dl").alias("dl"),
         F.collect_set("bucket").alias("buckets"),
@@ -365,7 +363,28 @@ def _write_manifest(
                 "buckets", F.array().cast("array<bigint>")
             )
         )
-    man = bsets.withColumn("idb", _idb(id_col, n_idb))
+    return bsets.withColumn("idb", _idb(id_col, n_idb))
+
+
+def _write_manifest(
+    postings: DataFrame,
+    dl: DataFrame,
+    path: str,
+    id_col: str,
+    mode: str,
+    capped: bool = False,
+    n_idb: int = N_IDB,
+    rows: DataFrame | None = None,
+) -> None:
+    """Commit manifest rows (computed here, or pre-materialized
+    ``rows`` from ``_manifest_rows`` — the append path computes them
+    CONCURRENTLY with the postings write, then commits them strictly
+    after it)."""
+    man = (
+        rows
+        if rows is not None
+        else _manifest_rows(postings, dl, id_col, capped, n_idb)
+    )
     # co-locate each idb partition into one task: without this the
     # partitioned write fans out to (shuffle partitions × idb) tiny
     # files — small-file debt AND measurable write overhead
@@ -574,11 +593,31 @@ def bm25_append_index(
         # absent from the manifest — which the retry would duplicate;
         # run ``bm25_repair_index`` before retrying a crashed append
         # (one scoped scrub pass; see its docstring).
-        postings.repartition("bucket").write.mode("append").partitionBy(
-            "bucket"
-        ).parquet(path)
+        # The manifest's COMPUTE (a |batch|-grain agg) is safe to
+        # overlap with the postings write — only its COMMIT must
+        # wait: the rows materialize into a persisted frame
+        # concurrently, then install strictly after the postings are
+        # durable.
+        from mpg_data_warehouse_spark.concurrency import await_all
+
+        def _man_prep() -> DataFrame:
+            rows = _manifest_rows(
+                postings, fresh_dl, id_col, n_idb=n_idb
+            ).persist()
+            rows.count()
+            pinned.append(rows)
+            return rows
+
+        man_rows, _ = await_all(
+            _man_prep,
+            lambda: postings.repartition("bucket")
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(path),
+        )
         _write_manifest(
-            postings, fresh_dl, path, id_col, mode="append", n_idb=n_idb
+            postings, fresh_dl, path, id_col, mode="append",
+            n_idb=n_idb, rows=man_rows,
         )
         old_sum = stats.get("dl_sum", stats["avgdl"] * stats["n_docs"])
         n_docs = stats["n_docs"] + n_new
