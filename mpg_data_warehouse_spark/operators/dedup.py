@@ -769,8 +769,17 @@ def simhash_near_pairs(
     max_hamming: int = 3,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ k, blocked on
-    16-bit fingerprint chunks (pigeonhole: distance ≤3 ⇒ at least one
-    of 4 chunks identical) so the join is keyed, never O(n²)."""
+    fingerprint chunks (pigeonhole: distance ≤ k ⇒ at least one of
+    k+1 chunks identical) so the join is keyed, never O(n²). The
+    chunk count SCALES with ``max_hamming`` — a fixed 4-chunk split
+    silently dropped true pairs for k > 3 (their differing bits can
+    land in 4 distinct chunks); the default k=3 keeps the original
+    4 × 16-bit layout bit-for-bit."""
+    if not 0 <= max_hamming <= 31:
+        # k+1 chunks over 64 bits needs width ≥ 2 to stay selective
+        raise ValueError(f"max_hamming={max_hamming} not in [0, 31]")
+    nc = max_hamming + 1
+    width = 64 // nc
     fp = simhash_fingerprints(df, id_col, text_col)
     chunks = fp.select(
         id_col,
@@ -780,11 +789,11 @@ def simhash_near_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk"),
-                        F.shiftright(F.col("fp"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("fp"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("ckey"),
                     )
-                    for i in range(4)
+                    for i in range(nc)
                 ]
             )
         ).alias("c"),

@@ -703,14 +703,30 @@ def phash_near_dup_pairs(
 
     Output: (id_a, id_b, hamming), id_a < id_b."""
     nb = n_blocks or (max_hamming + 1)
+    if nb <= max_hamming:
+        # pigeonhole recall guarantee: > max_hamming blocks, or a pair
+        # whose differing bits spread across every block shares none
+        # and silently vanishes from the output
+        raise ValueError(
+            f"n_blocks={nb} must exceed max_hamming={max_hamming} for "
+            "the pigeonhole guarantee"
+        )
     width = 64 // nb
     h = F.col(hash_col)
+    # block value via unsigned shift + LOW mask: a high-block mask
+    # literal like 0xFFFFFFFF<<32 exceeds Long.MAX and F.lit raises
+    # NumberFormatException (any max_hamming+1 dividing 64 hit it);
+    # the low mask always fits — and a full-width block is the hash
     blocks = F.array(
         *[
             F.struct(
                 F.lit(i).alias("bi"),
-                h.bitwiseAND(
-                    F.lit(((1 << width) - 1) << (i * width))
+                (
+                    h
+                    if width >= 64
+                    else F.shiftrightunsigned(h, i * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
                 ).alias("bv"),
             )
             for i in range(nb)

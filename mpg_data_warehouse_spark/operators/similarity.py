@@ -154,9 +154,17 @@ def lsh_topk(
     multiprobe: int = 1,
 ) -> DataFrame:
     """Approximate top-k: score only corpus vectors in the query's LSH
-    bucket (and, with ``multiprobe``≥1, buckets at Hamming distance 1
-    — flipping each plane bit once — which sharply improves recall
-    for near-boundary vectors)."""
+    bucket plus every bucket within Hamming distance ``multiprobe``
+    of it (flipping up to that many plane bits — sharply improves
+    recall for near-boundary vectors; probe count is
+    Σ_d C(n_planes, d), so keep it small). Earlier revisions accepted
+    any int but silently probed distance 1 only — levels now do what
+    the parameter says."""
+    if not 0 <= multiprobe <= n_planes:
+        raise ValueError(
+            f"multiprobe={multiprobe} not in [0, {n_planes}] "
+            "(n_planes bit flips is already the full bucket space)"
+        )
     _check_dim(corpus, vec_col, dim)
     # the query side fails just as silently on a dim mismatch (null
     # buckets match nothing → empty result), so gate it too
@@ -173,17 +181,28 @@ def lsh_topk(
         l2_norm(F.col(vec_col)).alias("q_norm"),
         lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket0"),
     )
-    probes = [F.col("bucket0")]
-    if multiprobe >= 1:
-        probes += [
-            F.col("bucket0").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)
-        ]
+    from itertools import combinations
+
+    masks = [0] + [
+        sum(1 << p for p in combo)
+        for d in range(1, multiprobe + 1)
+        for combo in combinations(range(n_planes), d)
+    ]
+    probes = [
+        F.col("bucket0") if m == 0 else F.col("bucket0").bitwiseXOR(F.lit(m))
+        for m in masks
+    ]
     q = q_base.select(
         "query_id",
         "q_vec",
         "q_norm",
         F.explode(F.array(*probes)).alias("bucket"),
     )
+    # no distinct: a corpus row carries exactly ONE bucket and a
+    # query's probe masks are distinct XORs of it, so a (query,
+    # neighbor) pair joins at most once — deduping here was a wasted
+    # full shuffle of the candidate-pair set, the plan's largest
+    # intermediate (the rule embedding_near_dup_pairs documents)
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -198,7 +217,6 @@ def lsh_topk(
                 6,
             ).alias("cos_sim"),
         )
-        .distinct()
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -429,6 +447,28 @@ def _collect_centroid_rows(
     return rows
 
 
+def _check_dim_matches_centroids(
+    df: DataFrame, vec_col: str, cent_rows: list, what: str
+) -> None:
+    """Raise when ``df``'s vectors disagree with the centroid
+    dimension: ``zip_with`` against a wrong-length centroid null-pads,
+    every nearest-cell cosine goes NULL, and the argmax tie-break
+    silently assigns ALL rows to one arbitrary cell (append) or
+    probes arbitrary cells with null scores (query) — corrupted
+    results, no error. The LSH paths gate both sides with
+    ``_check_dim``; the IVF entry points taking EXTERNAL data (an
+    append batch, a query set) need the same one-row probe."""
+    want = len(cent_rows[0][1])
+    first = df.select(vec_col).first()
+    if first is not None and first[0] is not None and len(first[0]) != want:
+        raise ValueError(
+            f"{what} vectors have length {len(first[0])} but the "
+            f"index's centroids carry dim {want} — nearest-cell "
+            "cosines would go NULL and cell assignment would be "
+            "arbitrary"
+        )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -461,6 +501,9 @@ def ivf_topk(
     # and never shuffled — the 100 TB shape, where the index-build
     # pass writes these cells out bucketed and probes prune on them.
     cent_rows = _collect_centroid_rows(centroids)
+    # centroids derive from the corpus, so only the EXTERNAL side —
+    # the query set — can disagree on dimension
+    _check_dim_matches_centroids(queries, vec_col, cent_rows, "query")
     cells = with_nearest_cell(
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
@@ -515,7 +558,11 @@ def _probe_cells(
 
 def _score_probes(cells: DataFrame, probes: DataFrame, k: int) -> DataFrame:
     """Exact-cosine scoring of probed cell members + per-query top-k.
-    ``cells``: (neighbor_id, c_vec, c_norm, cell)."""
+    ``cells``: (neighbor_id, c_vec, c_norm, cell). No distinct: a
+    corpus row lives in exactly ONE cell and a query's probe list is
+    row_number-ranked (distinct cells), so each (query, neighbor)
+    pair joins at most once — deduping was a wasted full shuffle of
+    the candidate set."""
     scored = (
         cells.join(F.broadcast(probes), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -530,7 +577,6 @@ def _score_probes(cells: DataFrame, probes: DataFrame, k: int) -> DataFrame:
                 6,
             ).alias("cos_sim"),
         )
-        .distinct()
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -614,14 +660,23 @@ def ivf_append_index(
     vectors appended."""
     centroids = spark.read.parquet(f"{path}/_centroids")
     cent_rows = _collect_centroid_rows(centroids)
-    fresh = new_vectors.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        l2_norm(F.col(vec_col)).alias("c_norm"),
-    ).join(
-        spark.read.parquet(path).select("neighbor_id"),
-        "neighbor_id",
-        "left_anti",
+    _check_dim_matches_centroids(new_vectors, vec_col, cent_rows, "batch")
+    fresh = (
+        new_vectors.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            l2_norm(F.col(vec_col)).alias("c_norm"),
+        )
+        # in-batch dup collapse FIRST: at-least-once delivery can
+        # duplicate an id WITHIN one batch, where the index anti-join
+        # below can't see it (neither copy is indexed yet) — the same
+        # rule the streaming idempotent_append_stream applies
+        .dropDuplicates(["neighbor_id"])
+        .join(
+            spark.read.parquet(path).select("neighbor_id"),
+            "neighbor_id",
+            "left_anti",
+        )
     )
     # Materialize BEFORE writing: the anti-join plan reads `path`, and
     # appending to a path an in-flight plan is scanning is a
@@ -657,6 +712,9 @@ def ivf_probe_index(
     ranking are byte-identical to the in-flight ``ivf_topk``, so a
     persisted index returns exactly the same top-k."""
     centroids = spark.read.parquet(f"{path}/_centroids")
+    _check_dim_matches_centroids(
+        queries, vec_col, _collect_centroid_rows(centroids), "query"
+    )
     # lineage cut: the probe ranking (centroid read + cross join +
     # window) feeds BOTH the driver-side cell collect and the scoring
     # join — without it the plan executes twice per query batch
@@ -903,7 +961,15 @@ def pq_train_codebooks(
     deterministic sample (``sampling.deterministic_sample``) exactly
     as Faiss trains on a subset.
     """
-    dim = len(corpus.select(vec_col).first()[0])
+    first = corpus.select(vec_col).first()
+    if first is None or first[0] is None:
+        # deliberate ValueError (the _collect_centroid_rows rule), not
+        # a bare 'NoneType is not subscriptable' from an empty corpus
+        raise ValueError(
+            "cannot train PQ codebooks: corpus is empty or its first "
+            f"{vec_col!r} is null"
+        )
+    dim = len(first[0])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub_dim = dim // m
@@ -1194,7 +1260,9 @@ def ivfpq_topk(
             F.col(id_col).alias("neighbor_id"),
             _adc_distance().alias("adc_dist"),
         )
-        .distinct()
+        # no distinct: one cell per indexed row × distinct probed
+        # cells per query ⇒ each pair joins at most once (the
+        # _score_probes rule) — deduping was a wasted pair-set shuffle
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("neighbor_id")

@@ -545,12 +545,12 @@ def idempotent_append_stream(
 
 def run_to_memory(stream_df: DataFrame, name: str, timeout_s: int = 120):
     """Drain a stream into an in-memory table (tests / smoke checks):
-    availableNow + complete/append mode chosen by Spark, blocks until
-    the drain finishes."""
+    availableNow + an output mode matched to the plan's statefulness,
+    blocks until the drain finishes."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("append" if not _has_agg(stream_df) else "complete")
+        .outputMode(_drain_mode(stream_df))
         .trigger(availableNow=True)
         .start()
     )
@@ -558,8 +558,20 @@ def run_to_memory(stream_df: DataFrame, name: str, timeout_s: int = 120):
     return q
 
 
-def _has_agg(df: DataFrame) -> bool:
-    return "Aggregate" in df._jdf.queryExecution().analyzed().toString()
+def _drain_mode(df: DataFrame) -> str:
+    """Output mode for a full drain: windowed/global aggregations need
+    ``complete`` (every finalized group re-emitted), the
+    ``applyInPandasWithState`` operators run in ``update`` (their
+    GroupStateTimeout contract — Spark REJECTS append for them, and
+    complete is unsupported), everything stateless drains as plain
+    ``append``. The old Aggregate-only sniff sent every
+    applyInPandasWithState stream to append and the start() raised."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    if "FlatMapGroupsInPandasWithState" in plan:
+        return "update"
+    if "Aggregate" in plan:
+        return "complete"
+    return "append"
 
 
 def click_attribution_stream(

@@ -445,3 +445,26 @@ def test_connected_components_raises_on_max_iter_exhaustion(spark):
         pairs, ids, max_iter=10, small_graph_edges=0
     )
     assert {r.component for r in out.collect()} == {0}
+
+
+def test_simhash_chunks_scale_with_max_hamming(spark):
+    """The pigeonhole guarantee requires > max_hamming chunks: the old
+    fixed 4-chunk split silently missed true pairs for k > 3 whose
+    differing bits spread across all 4 chunks. Chunks now scale with
+    k; the default k=3 keeps the original 4 × 16-bit layout."""
+    import pytest as _pytest
+
+    # default path unchanged (oracle-hash compatibility)
+    out3 = {
+        (r.id_a, r.id_b)
+        for r in D.simhash_near_pairs(_corpus(spark), max_hamming=3).collect()
+    }
+    assert (1, 2) in out3
+    # k > 3 now admits more-distant pairs instead of silently capping
+    out6 = {
+        (r.id_a, r.id_b)
+        for r in D.simhash_near_pairs(_corpus(spark), max_hamming=6).collect()
+    }
+    assert out3 <= out6
+    with _pytest.raises(ValueError, match="max_hamming"):
+        D.simhash_near_pairs(_corpus(spark), max_hamming=40)

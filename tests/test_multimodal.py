@@ -345,3 +345,34 @@ def test_fixture_generators_group_identity(spark):
     agot = {(r.id_a, r.id_b, r.match_frac) for r in apairs.collect()}
     assert {(a, b) for a, b, _ in agot} == expect
     assert all(f == 1.0 for _, _, f in agot)
+
+
+def test_phash_pairs_divisor_blocks_no_overflow(spark):
+    """max_hamming values where (max_hamming+1) divides 64 used to
+    crash: the top block's mask literal exceeded Long.MAX and F.lit
+    raised NumberFormatException. The shift+low-mask form covers every
+    block count, and recall still holds via the pigeonhole split."""
+    from pyspark.sql import Row
+
+    from mpg_data_warehouse_spark.operators.multimodal import (
+        phash_near_dup_pairs,
+    )
+
+    hashes = spark.createDataFrame(
+        [
+            Row(doc_id=1, phash=-(1 << 62) + 5),  # high bits set
+            Row(doc_id=2, phash=-(1 << 62) + 4),  # hamming 1 from #1
+            Row(doc_id=3, phash=(1 << 55) + 17),
+        ]
+    )
+    for mh in (0, 1, 3, 7, 15, 31, 63):  # all the old crashers
+        got = {
+            (r.id_a, r.id_b): r.hamming
+            for r in phash_near_dup_pairs(hashes, max_hamming=mh).collect()
+        }
+        if mh >= 1:
+            assert got[(1, 2)] == 1, f"max_hamming={mh} missed the pair"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        phash_near_dup_pairs(hashes, max_hamming=8, n_blocks=4)

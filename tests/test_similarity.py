@@ -599,3 +599,58 @@ def test_ivf_delete_full_wipe_keeps_index_usable(spark, tmp_path):
         spark, path, q, k=3, nprobe=2, id_col="vec_id", vec_col="embedding"
     )
     assert {r.neighbor_id for r in hits.collect()} == {50}
+
+
+def test_ivf_append_guards_dim_and_in_batch_dups(spark, tmp_path):
+    """ivf_append_index: (a) a dimension-mismatched batch raises
+    loudly instead of silently landing every vector in one arbitrary
+    cell with NULL cosines; (b) duplicate ids WITHIN one batch
+    collapse to one insert (the index anti-join can't see them — the
+    streaming idempotent-append rule applied here)."""
+    import pytest as _pytest
+
+    from mpg_data_warehouse_spark.operators.similarity import (
+        ivf_append_index,
+        ivf_write_index,
+    )
+
+    path = str(tmp_path / "ivf")
+    ivf_write_index(_vectors(spark, n=40), path, n_centroids=4)
+    # (a) wrong-dim batch
+    bad = spark.createDataFrame(
+        [Row(vec_id=900, embedding=[1.0] * (DIM // 2))]
+    )
+    with _pytest.raises(ValueError, match="dim"):
+        ivf_append_index(spark, path, bad)
+    # (b) one batch redelivers the same id three times
+    v = [float(i) for i in range(DIM)]
+    batch = spark.createDataFrame(
+        [Row(vec_id=901, embedding=v)] * 3
+        + [Row(vec_id=902, embedding=v)]
+    )
+    assert ivf_append_index(spark, path, batch) == 2
+    idx = spark.read.parquet(path)
+    assert idx.filter(F.col("neighbor_id") == 901).count() == 1
+    # replay of the same batch appends nothing
+    assert ivf_append_index(spark, path, batch) == 0
+
+
+def test_lsh_multiprobe_levels_expand_recall(spark):
+    """multiprobe levels now do what the parameter says: level d
+    probes every bucket within Hamming distance d, so candidate sets
+    grow monotonically with the level (the old code silently treated
+    every value >= 1 as 1); out-of-range levels raise."""
+    import pytest as _pytest
+
+    corpus = _vectors(spark, n=50)
+    queries = _vectors(spark, n=4, seed=11)
+    counts = {}
+    for mp in (0, 1, 2):
+        got = S.lsh_topk(
+            corpus, queries, k=50, dim=DIM, multiprobe=mp
+        ).count()
+        counts[mp] = got
+    assert counts[0] <= counts[1] <= counts[2]
+    assert counts[1] < counts[2] or counts[2] == 4 * 50
+    with _pytest.raises(ValueError, match="multiprobe"):
+        S.lsh_topk(corpus, queries, dim=DIM, multiprobe=99)

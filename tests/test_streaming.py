@@ -567,3 +567,33 @@ def test_streaming_quantile_sample_matches_batch_sketch(spark, events_dir):
     for t in want:
         assert got[t][0] == want[t][0], f"sample diverges for {t}"
         assert got[t][1] == want[t][1], f"median diverges for {t}"
+
+
+def test_run_to_memory_handles_stateful_streams(spark, events_dir):
+    """run_to_memory's output-mode pick must cover all three stream
+    shapes: applyInPandasWithState plans require UPDATE (the old
+    Aggregate-only sniff chose append and start() raised
+    AnalysisException), windowed aggs take COMPLETE, stateless maps
+    take APPEND."""
+    stream = S.running_user_totals_stream(
+        S.read_events_stream(spark, events_dir)
+    )
+    q = S.run_to_memory(stream, "rtm_stateful_t", timeout_s=180)
+    assert not q.isActive
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.table("rtm_stateful_t").collect()
+    }
+    want = {
+        r.user_id: (r.n, r.t)
+        for r in (
+            spark.read.parquet(events_dir)
+            .where(F.col("user_id").isNotNull())
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 6).alias("t"),
+            )
+        ).collect()
+    }
+    assert {u: (n, round(t, 6)) for u, (n, t) in got.items()} == want
