@@ -54,8 +54,19 @@ def drop_keyed_duplicates(
 ) -> DataFrame:
     """Remove supplemental rows whose key already appears ≥2× overall
     (reference J7 anti_join on the 'multiple_key';
-    notebooks/gridVeg_species_richness_WRANGLE.ipynb:858-862)."""
-    return supplemental.join(multiples(df, keys).select(*keys), keys, "left_anti")
+    notebooks/gridVeg_species_richness_WRANGLE.ipynb:858-862).
+    NULL-SAFE on the keys: dplyr's anti_join matches NAs to NAs
+    (na_matches="na"), so a null key that is a multiple must drop its
+    supplemental rows too — a plain equi-anti-join never matches
+    nulls and would keep them."""
+    from functools import reduce
+
+    m = multiples(df, keys).select(*keys)
+    cond = reduce(
+        lambda a, b: a & b,
+        [supplemental[k].eqNullSafe(m[k]) for k in keys],
+    )
+    return supplemental.join(m, cond, "left_anti")
 
 
 def distinct_count_by(
@@ -80,14 +91,28 @@ def string_agg_ordered_limited(
     STRING_AGG(CAST(date AS STRING) ORDER BY date LIMIT 3),
     src/investigate_further_gridveg_dates.py:20). No single Spark
     builtin — composed as collect_list → array_sort → slice →
-    concat_ws, all JVM-side."""
+    transform → concat_ws, all JVM-side. The sort runs on the
+    ORIGINAL values (struct first-field ordering), not their string
+    casts: ORDER BY a numeric column must put 2 before 10, which a
+    lexical sort of the casts reverses (ISO dates/strings coincide
+    either way)."""
     return df.groupBy(*keys).agg(
         F.concat_ws(
             ",",
-            F.slice(
-                F.array_sort(F.collect_list(F.col(value_col).cast("string"))),
-                1,
-                limit,
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col(value_col).alias("v"),
+                                F.col(value_col).cast("string").alias("s"),
+                            )
+                        )
+                    ),
+                    1,
+                    limit,
+                ),
+                lambda x: x["s"],
             ),
         ).alias(alias)
     )

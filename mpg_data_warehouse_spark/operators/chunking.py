@@ -42,7 +42,22 @@ def pack_sequences(
         # between consecutive windows would appear in no chunk at all
         raise ValueError("overlap must satisfy 0 <= overlap < max_tokens")
     stride = max_tokens - overlap
-    toked = df.select(F.col(id_col), F.col(text_col), tokens(text_col).alias("_toks"))
+    # null-text docs must NOT vanish (size(null)=NULL → null sequence
+    # → explode drops the row: silent corpus loss the sibling
+    # subword_tokenize avoids with posexplode_outer), and the
+    # split-of-empty [''] artifact must not count as a token — so the
+    # token array is null-coalesced and empty-filtered: empty/null
+    # docs emit one (chunk_id=0, '', n_tokens=0) row. Non-empty text
+    # never produces empty tokens (split of trim), so chunking of
+    # real documents is unchanged.
+    toked = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.filter(
+            tokens(F.coalesce(F.col(text_col), F.lit(""))),
+            lambda x: x != F.lit(""),
+        ).alias("_toks"),
+    )
     n = F.size("_toks")
     # integer division via `div` (truncating) — DuckDB `//` equivalent
     n_chunks = F.when(n <= max_tokens, F.lit(1).cast("long")).otherwise(

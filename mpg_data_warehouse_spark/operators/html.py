@@ -59,12 +59,18 @@ _ENTITIES = (
 def _strip_noncontent(col: Column) -> Column:
     out = F.regexp_replace(col, r"(?s)<!--.*?-->", " ")
     for tag in _DROP_CONTENT:
+        # the (?<!/) lookbehind excludes SELF-CLOSING forms (<svg/>,
+        # <svg .../>): without it `[^>]*` consumes the slash and an
+        # inline self-closing icon either pairs with a LATER close tag
+        # (terminated regex — swallowing real content between) or, in
+        # the unterminated fallback, deletes the entire rest of the
+        # document; a self-closing tag HAS no content to drop
         out = F.regexp_replace(
-            out, rf"(?is)<{tag}\b[^>]*>.*?</{tag}\s*>", " "
+            out, rf"(?is)<{tag}\b[^>]*(?<!/)>.*?</{tag}\s*>", " "
         )
         # unterminated variant: drop to end of input rather than
         # letting a broken <script> leak code into the text
-        out = F.regexp_replace(out, rf"(?is)<{tag}\b[^>]*>.*$", " ")
+        out = F.regexp_replace(out, rf"(?is)<{tag}\b[^>]*(?<!/)>.*$", " ")
     return out
 
 

@@ -126,16 +126,24 @@ def budget_rebalance_sample(
     are rarely worth it for mix shaping at 100 TB.
     """
     w = F.col(weight) if isinstance(weight, str) else weight
-    weighted = df.withColumn("_rw", w)
+    # null-safe bucket + null-safe stratum join: the raw hash_bucket
+    # plus a plain equi-join silently VANISHED null-key rows (the
+    # exact bug _null_safe_bucket's contract pins for the other
+    # samplers) and whole null-strata groups; the groupBy puts null
+    # strata in one group, so the join must match it null-safely
+    weighted = df.withColumn("_rw", w).withColumn(
+        "_b", _null_safe_bucket(key, buckets)
+    )
     totals = weighted.groupBy(strata).agg(F.sum("_rw").alias("_total"))
     cut = F.floor(
         F.least(F.lit(1.0), F.lit(float(target_per_stratum)) / F.col("_total"))
         * buckets
     )
+    t = F.broadcast(totals.withColumnRenamed(strata, "_strata"))
     return (
-        weighted.join(F.broadcast(totals), strata)
-        .filter(hash_bucket(key, buckets) < cut)
-        .drop("_total", "_rw")
+        weighted.join(t, weighted[strata].eqNullSafe(t["_strata"]))
+        .filter(F.col("_b") < cut)
+        .drop("_total", "_rw", "_b", "_strata")
     )
 
 
@@ -163,14 +171,18 @@ def temperature_mixture_sample(
     once and never shuffled. floor() on the bucket cutoff keeps the
     decision engine-replayable despite the double-precision pow."""
     w = F.col(weight) if isinstance(weight, str) else weight
-    weighted = df.withColumn("_rw", w)
+    # same null-safety as budget_rebalance_sample: null keys bucket
+    # deterministically instead of vanishing, null strata join
+    weighted = df.withColumn("_rw", w).withColumn(
+        "_b", _null_safe_bucket(key, buckets)
+    )
     totals = weighted.groupBy(strata).agg(F.sum("_rw").alias("_total"))
     flattened = totals.withColumn(
         "_pt", F.pow(F.col("_total"), F.lit(float(temperature)))
     )
     denom = flattened.agg(F.sum("_pt").alias("_z"))
     rates = flattened.crossJoin(F.broadcast(denom)).select(
-        F.col(strata),
+        F.col(strata).alias("_strata"),
         F.floor(
             F.least(
                 F.lit(1.0),
@@ -181,10 +193,11 @@ def temperature_mixture_sample(
             * buckets
         ).alias("_cut"),
     )
+    r = F.broadcast(rates)
     return (
-        weighted.join(F.broadcast(rates), strata)
-        .filter(hash_bucket(key, buckets) < F.col("_cut"))
-        .drop("_cut", "_rw")
+        weighted.join(r, weighted[strata].eqNullSafe(r["_strata"]))
+        .filter(F.col("_b") < F.col("_cut"))
+        .drop("_cut", "_rw", "_b", "_strata")
     )
 
 

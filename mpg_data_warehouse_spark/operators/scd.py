@@ -68,6 +68,34 @@ def scd2_apply(
     history = dim.filter(~F.col("is_current"))
     current = dim.filter(F.col("is_current"))
 
+    # the batch must be a FUNCTION of the key (the txlog merge()
+    # rule): duplicate keys fan the full-outer join out — the current
+    # row closes TWICE and several simultaneous open versions land,
+    # breaking the one-current-row-per-key invariant for every later
+    # read; null keys never match, so each apply would re-insert them
+    # forever. One aggregate, raised loudly.
+    chk = (
+        changes.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(
+            F.max("_c").alias("_max"),
+            F.max(F.col(key).isNull().cast("int")).alias("_null"),
+        )
+        .first()
+    )
+    if chk is not None and chk["_max"] is not None:
+        if chk["_max"] > 1:
+            raise ValueError(
+                f"change batch has up to {chk['_max']} rows per "
+                f"{key!r} — SCD2 apply would open multiple current "
+                "versions; dedupe with an explicit rule first"
+            )
+        if chk["_null"]:
+            raise ValueError(
+                f"change batch contains NULL {key!r} values — null "
+                "keys never match and would re-insert on every apply"
+            )
+
     ch = changes.select(
         F.col(key),
         *[F.col(a).alias(f"_new_{a}") for a in attrs],

@@ -45,19 +45,36 @@ def asof_join(
     no prior right row exists). Ties at equal timestamps resolve to
     the right row (matching DuckDB ``ASOF JOIN ... ON l.ts >= r.ts``).
     """
+    from pyspark.sql import types as T
+
     lt = left.withColumn("_side", F.lit(1)).withColumn("_ts", F.col(left_ts))
-    rt_cols = [F.col(c).alias(f"{prefix}{c}") for c in right_cols]
+    # The right VALUES travel as ONE struct, not per-column fills: a
+    # per-column last(ignorenulls) back-filled a NULL field in the
+    # latest right row from an OLDER right row — resurrecting a
+    # superseded value DuckDB's ASOF JOIN (the parity target) returns
+    # as NULL. The struct is non-null for every right row (even with
+    # all-null fields), so one last(ignorenulls) carries the whole
+    # latest row or nothing.
+    row_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in right_cols]
+    )
     rt = (
-        right.select(key, F.col(right_ts).alias("_ts"), *rt_cols)
+        # a NULL right timestamp satisfies no `right_ts <= left_ts` —
+        # unfiltered it sorts FIRST ascending and its values would be
+        # carried into every left row of the key (one dirty row
+        # poisoning the key's whole history)
+        right.filter(F.col(right_ts).isNotNull())
+        .select(
+            key,
+            F.col(right_ts).alias("_ts"),
+            F.struct(*[F.col(c) for c in right_cols]).alias("_rrow"),
+        )
         .withColumn("_side", F.lit(0))
     )
     for c in left.columns:
         if c not in rt.columns:
             rt = rt.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
-    for c in right_cols:
-        lt = lt.withColumn(
-            f"{prefix}{c}", F.lit(None).cast(right.schema[c].dataType)
-        )
+    lt = lt.withColumn("_rrow", F.lit(None).cast(row_type))
     unioned = lt.unionByName(rt.select(*lt.columns))
     # Right rows sort before left rows at equal _ts (side 0 < 1), so a
     # left row at exactly t sees a right row at t.
@@ -66,13 +83,12 @@ def asof_join(
         .orderBy("_ts", "_side")
         .rowsBetween(W.unboundedPreceding, 0)
     )
-    filled = unioned
+    filled = unioned.withColumn(
+        "_rrow", F.last(F.col("_rrow"), ignorenulls=True).over(w)
+    )
     for c in right_cols:
-        filled = filled.withColumn(
-            f"{prefix}{c}",
-            F.last(F.col(f"{prefix}{c}"), ignorenulls=True).over(w),
-        )
-    return filled.filter(F.col("_side") == 1).drop("_side", "_ts")
+        filled = filled.withColumn(f"{prefix}{c}", F.col(f"_rrow.{c}"))
+    return filled.filter(F.col("_side") == 1).drop("_side", "_ts", "_rrow")
 
 
 def range_join_binned(
@@ -87,7 +103,21 @@ def range_join_binned(
     """Point-in-interval join (``lo <= point <= hi``) as a binned
     equi-join. ``point_col``/``lo_col``/``hi_col`` must be numeric in
     the same units (cast dates to epoch days first). Output: every
-    (point row × containing interval row) pair, exact."""
+    (point row × containing interval row) pair, exact.
+
+    ``how``: ``inner`` or ``left``. LEFT is implemented as
+    inner-matches ∪ null-extended unmatched points — passing the
+    outer flag to the bin join was WRONG (the exact range predicate
+    ran as a post-join filter and rejected exactly the null-extended
+    rows the outer join produced, silently degrading left to inner).
+    Unmatched points are found with a null-safe anti-join on the full
+    point row, so duplicate point rows keep their multiplicity and
+    null-bearing attribute columns don't resurrect matched rows."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"how={how!r} not supported — 'inner' or 'left' (right/full"
+            " have no binned formulation here)"
+        )
     p = points.withColumn(
         "_bin", F.floor(F.col(point_col) / F.lit(bin_width)).cast("long")
     )
@@ -100,14 +130,32 @@ def range_join_binned(
             )
         ),
     )
-    return (
-        p.join(i, "_bin", how)
+    matched = (
+        p.join(i, "_bin", "inner")
         .filter(
             (F.col(point_col) >= F.col(lo_col))
             & (F.col(point_col) <= F.col(hi_col))
         )
         .drop("_bin")
     )
+    if how == "inner":
+        return matched
+    from functools import reduce
+
+    matched_points = matched.select(*points.columns).distinct()
+    cond = reduce(
+        lambda a, b: a & b,
+        [
+            points[c].eqNullSafe(matched_points[c])
+            for c in points.columns
+        ],
+    )
+    lonely = points.join(matched_points, cond, "left_anti")
+    for c in intervals.columns:
+        lonely = lonely.withColumn(
+            c, F.lit(None).cast(intervals.schema[c].dataType)
+        )
+    return matched.unionByName(lonely)
 
 
 def funnel_conversion(

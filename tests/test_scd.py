@@ -87,3 +87,25 @@ def test_asof_read_side(spark):
         & (F.col("effective_to") > F.lit(asof))
     )
     assert {(r.k, r.seg) for r in snap.collect()} == {(1, "A"), (2, "B"), (3, None)}
+
+
+def test_scd2_apply_rejects_duplicate_and_null_batch_keys(spark):
+    """A change batch with duplicate keys would open multiple current
+    versions (the full-outer join fans out); null keys would
+    re-insert forever — both raise loudly (the txlog merge() rule)."""
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from mpg_data_warehouse_spark.operators.scd import scd2_apply, scd2_init
+
+    dim = scd2_init(
+        spark.createDataFrame([Row(k=1, v="v0")]), "2024-01-01"
+    )
+    dup = spark.createDataFrame([Row(k=1, v="v1"), Row(k=1, v="v2")])
+    with _pytest.raises(ValueError, match="rows per"):
+        scd2_apply(dim, dup, "k", ["v"], "2024-02-01")
+    nullk = spark.createDataFrame(
+        [Row(k=None, v="x")], "k bigint, v string"
+    )
+    with _pytest.raises(ValueError, match="NULL"):
+        scd2_apply(dim, nullk, "k", ["v"], "2024-02-01")

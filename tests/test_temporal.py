@@ -94,3 +94,54 @@ def test_funnel_conversion_semantics(spark):
     assert out[3] == (False, False)
     assert 4 not in out
     assert out[5] == (True, True)    # first-click anchor
+
+
+def test_asof_latest_row_wins_even_with_null_fields(spark):
+    """The LATEST right row's values win as a ROW — a NULL field in it
+    must come back NULL, not back-filled from an older right row (the
+    DuckDB ASOF JOIN parity target); and a right row with a NULL
+    timestamp matches nothing instead of poisoning the key."""
+    left = spark.createDataFrame([Row(k=1, t=10)])
+    right = spark.createDataFrame(
+        [
+            Row(k=1, t=1, v="old"),
+            Row(k=1, t=5, v=None),
+        ]
+    )
+    out = asof_join(left, right, "k", "t", "t", ["v"]).collect()[0]
+    assert out.asof_v is None, "stale value resurrected from an older row"
+
+    ghost = spark.createDataFrame(
+        [Row(k=1, t=None, v="ghost")], "k bigint, t bigint, v string"
+    )
+    out2 = asof_join(left, ghost, "k", "t", "t", ["v"]).collect()[0]
+    assert out2.asof_v is None, "null-ts right row matched"
+
+
+def test_range_join_left_null_extends_unmatched_points(spark):
+    """how='left' keeps points with no containing interval as
+    null-extended rows (the old post-join predicate filter silently
+    degraded left to inner); unsupported hows raise."""
+    import pytest as _pytest
+
+    from mpg_data_warehouse_spark.operators.temporal import (
+        range_join_binned,
+    )
+
+    points = spark.createDataFrame(
+        [Row(pid=1, x=100), Row(pid=2, x=999), Row(pid=2, x=999)]
+    )
+    intervals = spark.createDataFrame([Row(iid=7, lo=90, hi=110)])
+    got = range_join_binned(
+        points, intervals, "x", "lo", "hi", bin_width=50, how="left"
+    ).collect()
+    by_pid = {}
+    for r in got:
+        by_pid.setdefault(r.pid, []).append(r.iid)
+    assert by_pid[1] == [7]
+    # both copies of the unmatched point survive, null-extended
+    assert by_pid[2] == [None, None]
+    with _pytest.raises(ValueError, match="how"):
+        range_join_binned(
+            points, intervals, "x", "lo", "hi", 50, how="full"
+        )
