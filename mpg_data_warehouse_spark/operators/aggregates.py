@@ -95,7 +95,11 @@ def string_agg_ordered_limited(
     ORIGINAL values (struct first-field ordering), not their string
     casts: ORDER BY a numeric column must put 2 before 10, which a
     lexical sort of the casts reverses (ISO dates/strings coincide
-    either way)."""
+    either way). NULL values are excluded BEFORE the ranked slice
+    (STRING_AGG semantics): a bare struct(v, s) is never null, so a
+    null-v struct would sort first and burn one of the ``limit``
+    slots while emitting nothing — the when() below yields a null
+    struct for null values, which collect_list skips."""
     return df.groupBy(*keys).agg(
         F.concat_ws(
             ",",
@@ -103,9 +107,14 @@ def string_agg_ordered_limited(
                 F.slice(
                     F.array_sort(
                         F.collect_list(
-                            F.struct(
-                                F.col(value_col).alias("v"),
-                                F.col(value_col).cast("string").alias("s"),
+                            F.when(
+                                F.col(value_col).isNotNull(),
+                                F.struct(
+                                    F.col(value_col).alias("v"),
+                                    F.col(value_col)
+                                    .cast("string")
+                                    .alias("s"),
+                                ),
                             )
                         )
                     ),

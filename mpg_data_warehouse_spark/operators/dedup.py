@@ -780,6 +780,17 @@ def simhash_near_pairs(
         raise ValueError(f"max_hamming={max_hamming} not in [0, 31]")
     nc = max_hamming + 1
     width = 64 // nc
+
+    def _ckey(i: int):
+        # k=0 gives one 64-bit chunk: (1 << 64) - 1 overflows the java
+        # long literal (same class as the pHash block-mask fix in
+        # multimodal.py) — the full fingerprint IS the chunk key
+        if width >= 64:
+            return F.col("fp")
+        return F.shiftrightunsigned(F.col("fp"), i * width).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+
     fp = simhash_fingerprints(df, id_col, text_col)
     chunks = fp.select(
         id_col,
@@ -788,10 +799,7 @@ def simhash_near_pairs(
             F.array(
                 *[
                     F.struct(
-                        F.lit(i).alias("chunk"),
-                        F.shiftrightunsigned(F.col("fp"), i * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("ckey"),
+                        F.lit(i).alias("chunk"), _ckey(i).alias("ckey")
                     )
                     for i in range(nc)
                 ]

@@ -854,7 +854,94 @@ def _literal_py(lit) -> object:
     return None  # decimals/binary/etc.: stay conservative
 
 
-def _predicate_bounds(spark: SparkSession, predicate: str) -> dict:
+_DT_LITERAL_RE = None
+
+
+def _parse_dt_literal(s: str):
+    """Lenient ``yyyy-[m]m-[d]d[ T][h]h:[m]m[:[s]s[.f]]`` parse covering
+    the string shapes Spark's string→date/timestamp cast accepts in
+    predicates. Returns a datetime (midnight for date-only strings) or
+    None for anything else — None means "no bound", never a guess."""
+    import datetime
+    import re
+
+    global _DT_LITERAL_RE
+    if _DT_LITERAL_RE is None:
+        _DT_LITERAL_RE = re.compile(
+            r"^\s*(\d{4})-(\d{1,2})-(\d{1,2})"
+            r"(?:[ T](\d{1,2}):(\d{1,2})(?::(\d{1,2})(?:\.(\d{1,9}))?)?)?"
+            r"\s*$"
+        )
+    m = _DT_LITERAL_RE.match(s)
+    if not m:
+        return None
+    try:
+        if m.group(4) is None:
+            return datetime.datetime(
+                int(m.group(1)), int(m.group(2)), int(m.group(3))
+            )
+        frac = (m.group(7) or "").ljust(6, "0")[:6]
+        return datetime.datetime(
+            int(m.group(1)), int(m.group(2)), int(m.group(3)),
+            int(m.group(4)), int(m.group(5)), int(m.group(6) or 0),
+            int(frac) if frac else 0,
+        )
+    except ValueError:
+        return None
+
+
+def _coerce_bound(v, col_type: str | None, lit_is_string: bool):
+    """Re-render a predicate literal in the encoding ``_jsonable`` uses
+    for footer stats of ``col_type`` — ``_file_may_match``'s lexical
+    compare is only sound when both sides share one encoding. The bug
+    this guards: ``delete(t, "ts <= '2020-06-01 12:00'")`` used to keep
+    the literal as a raw Python str while timestamp stats live as
+    isoformat ('T' separator, which sorts after ' ' and digits), so a
+    file whose rows DO match was wrongly pruned and DELETE silently
+    left rows behind. ``lit_is_string`` marks a STRING-typed literal
+    (vs a typed DATE/TIMESTAMP literal already isoformat-rendered by
+    ``_literal_py``). Returns None when the literal cannot be soundly
+    rendered in the column's encoding (→ contribute no bound)."""
+    if col_type is None:
+        # Unknown column type: typed encodings (int/float/isoformat
+        # from typed literals) are self-consistent; a raw string is
+        # the one encoding that may mismatch date/timestamp stats.
+        return None if lit_is_string else v
+    if col_type == "string":
+        # a typed date/timestamp literal against a STRING column makes
+        # Spark cast the column, not the literal — isoformat vs raw
+        # string stats is exactly the unsound compare, so drop it
+        return v if lit_is_string else None
+    if col_type in ("tinyint", "smallint", "int", "bigint", "float",
+                    "double") or col_type.startswith("decimal"):
+        if isinstance(v, (int, float)):
+            return v
+        if isinstance(v, str):
+            # Spark promotes string-vs-numeric comparisons to double
+            try:
+                return float(v)
+            except ValueError:
+                return None
+        return None
+    if col_type == "date":
+        if isinstance(v, str):
+            dt = _parse_dt_literal(v)
+            # truncating a timestamp-shaped literal to its date only
+            # LOOSENS the bound (keeps extra files) — always sound
+            return None if dt is None else _jsonable(dt.date())
+        return None
+    if col_type.startswith("timestamp"):
+        if isinstance(v, str):
+            dt = _parse_dt_literal(v)
+            # date-only strings cast to midnight, matching Spark
+            return None if dt is None else _jsonable(dt)
+        return None
+    return None  # boolean/binary/complex: no stats pruning
+
+
+def _predicate_bounds(
+    spark: SparkSession, predicate: str, schema: dict | None = None
+) -> dict:
     """SOUND per-column [lo, hi] bounds implied by a predicate's
     TOP-LEVEL conjuncts — the file-skipping translation Delta does
     for DELETE. Recognizes ``col <op> literal`` (=, <, <=, >, >=,
@@ -862,7 +949,12 @@ def _predicate_bounds(spark: SparkSession, predicate: str) -> dict:
     unrecognized conjunct simply contributes nothing (a conjunction
     only ever NARROWS the matching set, so partial extraction stays
     sound — and an OR at the root yields no conjuncts and no
-    pruning). Returns {} when nothing usable is found."""
+    pruning). ``schema`` (column → Spark type simpleString) drives
+    ``_coerce_bound``: every literal is re-rendered in the stats
+    encoding of ITS column's type before becoming a bound, so untyped
+    string literals on date/timestamp/numeric columns ("ts <=
+    '2020-06-01'") prune soundly instead of comparing raw str against
+    isoformat. Returns {} when nothing usable is found."""
     try:
         expr = (
             spark._jsparkSession.sessionState().sqlParser()
@@ -886,14 +978,39 @@ def _predicate_bounds(spark: SparkSession, predicate: str) -> dict:
             return str(e.name()).split(".")[-1]
         return None
 
+    types = {k.lower(): t for k, t in (schema or {}).items()}
+
+    def _lit(col: str, e) -> object:
+        """Literal under ``e`` rendered in ``col``'s stats encoding."""
+        v = _literal_py(e)
+        if v is None:
+            return None
+        try:
+            lit_is_str = e.dataType().simpleString() == "string"
+        except Exception:
+            lit_is_str = isinstance(v, str)
+        return _coerce_bound(
+            v, types.get(col.lower()) if schema else None, lit_is_str
+        )
+
     bounds: dict[str, list] = {}
+    poisoned: set[str] = set()
 
     def narrow(col: str, lo=None, hi=None) -> None:
+        if col in poisoned:
+            return
         cur = bounds.setdefault(col, [None, None])
-        if lo is not None and (cur[0] is None or lo > cur[0]):
-            cur[0] = lo
-        if hi is not None and (cur[1] is None or hi < cur[1]):
-            cur[1] = hi
+        try:
+            if lo is not None and (cur[0] is None or lo > cur[0]):
+                cur[0] = lo
+            if hi is not None and (cur[1] is None or hi < cur[1]):
+                cur[1] = hi
+        except TypeError:
+            # two conjuncts bound one column with incomparable literal
+            # types (e.g. "k > 5 AND k > 'a'"): drop the column's
+            # bounds entirely and scan — conservative, never a crash
+            poisoned.add(col)
+            bounds.pop(col, None)
 
     for c in conjuncts:
         kind = c.getClass().getSimpleName()
@@ -902,15 +1019,21 @@ def _predicate_bounds(spark: SparkSession, predicate: str) -> dict:
             "between"
         ) >= 0 and len(kids) == 3:
             col = _attr_name(kids[0])
-            lo, hi = _literal_py(kids[1]), _literal_py(kids[2])
-            if col and lo is not None and hi is not None:
-                narrow(col, lo=lo, hi=hi)
+            if col:
+                lo, hi = _lit(col, kids[1]), _lit(col, kids[2])
+                if lo is not None and hi is not None:
+                    narrow(col, lo=lo, hi=hi)
             continue
         if kind == "In" and kids:
             col = _attr_name(kids[0])
-            vals = [_literal_py(k) for k in kids[1:]]
-            if col and vals and all(v is not None for v in vals):
-                narrow(col, lo=min(vals), hi=max(vals))
+            if col:
+                vals = [_lit(col, k) for k in kids[1:]]
+                if vals and all(v is not None for v in vals):
+                    try:
+                        narrow(col, lo=min(vals), hi=max(vals))
+                    except TypeError:  # mixed-type IN list
+                        poisoned.add(col)
+                        bounds.pop(col, None)
             continue
         if kind not in (
             "EqualTo",
@@ -920,12 +1043,13 @@ def _predicate_bounds(spark: SparkSession, predicate: str) -> dict:
             "GreaterThanOrEqual",
         ) or len(kids) != 2:
             continue
-        col, lit = _attr_name(kids[0]), _literal_py(kids[1])
-        flipped = False
+        col, lit_e, flipped = _attr_name(kids[0]), kids[1], False
         if col is None:  # literal <op> col form
-            col, lit = _attr_name(kids[1]), _literal_py(kids[0])
-            flipped = True
-        if col is None or lit is None:
+            col, lit_e, flipped = _attr_name(kids[1]), kids[0], True
+        if col is None:
+            continue
+        lit = _lit(col, lit_e)
+        if lit is None:
             continue
         if kind == "EqualTo":
             narrow(col, lo=lit, hi=lit)
@@ -974,7 +1098,18 @@ def delete(
     state = snapshot_state(table)
     if not state["files"]:
         return state["version"]
-    p_bounds = _predicate_bounds(spark, predicate)
+    col_types = None
+    if state["schema"]:
+        from pyspark.sql.types import _parse_datatype_string
+
+        try:
+            col_types = {
+                f.name: f.dataType.simpleString()
+                for f in _parse_datatype_string(state["schema"]).fields
+            }
+        except Exception:
+            col_types = None  # unparseable DDL: coerce conservatively
+    p_bounds = _predicate_bounds(spark, predicate, col_types)
     candidates = [
         p
         for p, a in state["files"].items()

@@ -468,3 +468,24 @@ def test_simhash_chunks_scale_with_max_hamming(spark):
     assert out3 <= out6
     with _pytest.raises(ValueError, match="max_hamming"):
         D.simhash_near_pairs(_corpus(spark), max_hamming=40)
+
+
+def test_simhash_max_hamming_zero_exact_match_no_overflow(spark):
+    """k=0 means ONE 64-bit chunk: the full fingerprint is the join
+    key. The old (1 << 64) - 1 mask literal overflowed java long at
+    plan build (the same class the pHash block-mask fix closed in
+    multimodal.py) — now it must run and return exactly the pairs
+    with identical fingerprints."""
+    out = D.simhash_near_pairs(_corpus(spark), max_hamming=0).collect()
+    fps = {
+        r[0]: r[1]
+        for r in D.simhash_fingerprints(_corpus(spark)).collect()
+    }
+    expect = {
+        (a, b)
+        for a in fps
+        for b in fps
+        if a < b and fps[a] == fps[b]
+    }
+    assert {(r.id_a, r.id_b) for r in out} == expect
+    assert all(r.hamming == 0 for r in out)

@@ -464,3 +464,29 @@ def test_bm25_never_negative_and_only_matching_docs(spark, tmp_path_factory, cor
     assert {r.doc_id for r in rows} == expected
     assert all(r.score > 0 for r in rows)
     assert sorted(r.rank for r in rows) == list(range(1, len(rows) + 1))
+
+
+def test_string_agg_ordered_limited_null_values_excluded(spark):
+    """STRING_AGG parity (r10 ADVICE): NULL values must not consume a
+    ranked slot. A null-v struct sorts FIRST ascending, so before the
+    fix a group with nulls emitted fewer than ``limit`` values while
+    DuckDB/BigQuery STRING_AGG ... LIMIT n returns n non-null ones."""
+    from mpg_data_warehouse_spark.operators.aggregates import (
+        string_agg_ordered_limited,
+    )
+
+    df = spark.createDataFrame(
+        [Row(g="a", v=v) for v in [None, None, 3, 1, 2, 10]]
+        + [Row(g="b", v=None)],
+        "g string, v int",
+    )
+    got = {
+        r.g: r.top
+        for r in string_agg_ordered_limited(
+            df, ["g"], "v", 3, "top"
+        ).collect()
+    }
+    # nulls skipped, numeric order (2 before 10), exactly 3 slots used
+    assert got["a"] == "1,2,3"
+    # an all-null group aggregates to the empty string, not a crash
+    assert got["b"] == ""

@@ -1245,9 +1245,11 @@ def test_delete_predicate_bounds_extraction(spark):
     """_predicate_bounds: sound bounds from top-level conjuncts only —
     every recognized shape narrows, everything else contributes
     nothing, OR at the root yields {}."""
+    sch = {"cust_id": "bigint", "segment": "string", "balance": "double"}
     b = txlog._predicate_bounds(
         spark,
         "cust_id BETWEEN 5 AND 10 AND segment = 'a' AND balance >= 20.0",
+        sch,
     )
     assert b["cust_id"] == (5, 10)
     assert b["segment"] == ("a", "a")
@@ -1262,12 +1264,101 @@ def test_delete_predicate_bounds_extraction(spark):
     b = txlog._predicate_bounds(spark, "d >= DATE'2024-01-02'")
     assert b["d"] == ("2024-01-02", None)
     # an OR at the root must extract NOTHING (pruning would be unsound)
-    assert txlog._predicate_bounds(spark, "cust_id = 1 OR segment = 'b'") == {}
+    assert (
+        txlog._predicate_bounds(spark, "cust_id = 1 OR segment = 'b'", sch)
+        == {}
+    )
     # unrecognized conjuncts don't poison their siblings
     b = txlog._predicate_bounds(
-        spark, "cust_id = 4 AND (segment = 'a' OR balance < 5)"
+        spark, "cust_id = 4 AND (segment = 'a' OR balance < 5)", sch
     )
     assert b == {"cust_id": (4, 4)}
+    # WITHOUT a schema a raw string literal contributes no bound: it
+    # might target a date/timestamp column whose stats are isoformat
+    assert txlog._predicate_bounds(spark, "segment = 'a'") == {}
+
+
+def test_predicate_bounds_string_literals_coerced_to_column_type(spark):
+    """Untyped string literals are re-rendered in the target column's
+    stats encoding (the r10 ADVICE high finding): a space-separated
+    timestamp string must compare against 'T'-isoformat footer stats,
+    and '2020-6-1' on a date column must not prune all of 2020-12."""
+    sch = {"ts": "timestamp", "d": "date", "k": "bigint", "s": "string"}
+    b = txlog._predicate_bounds(spark, "ts <= '2020-06-01 12:00:00'", sch)
+    assert b["ts"] == (None, "2020-06-01T12:00:00")
+    # date-only string on a timestamp column casts to midnight
+    b = txlog._predicate_bounds(spark, "ts >= '2020-06-01'", sch)
+    assert b["ts"] == ("2020-06-01T00:00:00", None)
+    # non-zero-padded date string normalizes (lexical '2020-6-1' would
+    # wrongly exceed '2020-12-31')
+    b = txlog._predicate_bounds(spark, "d >= '2020-6-1'", sch)
+    assert b["d"] == ("2020-06-01", None)
+    # a typed DATE literal on a TIMESTAMP column gains the midnight
+    # time part ('2020-06-01' alone lexically precedes every
+    # 'T'-suffixed stat of that day and would prune the midnight row)
+    b = txlog._predicate_bounds(spark, "ts <= DATE'2020-06-01'", sch)
+    assert b["ts"] == (None, "2020-06-01T00:00:00")
+    # numeric strings promote like Spark (string vs numeric → double)
+    b = txlog._predicate_bounds(spark, "k > '5'", sch)
+    assert b["k"] == (5.0, None)
+    # uncastable string on a numeric column: no bound, never a guess
+    assert txlog._predicate_bounds(spark, "k > 'a'", sch) == {}
+    # garbage date-ish strings contribute nothing
+    assert txlog._predicate_bounds(spark, "d = '2020-13-99'", sch) == {}
+    # plain strings on string columns still bound
+    b = txlog._predicate_bounds(spark, "s BETWEEN 'a' AND 'c'", sch)
+    assert b["s"] == ("a", "c")
+
+
+def test_predicate_bounds_incomparable_conjuncts_do_not_crash(spark):
+    """Two conjuncts bounding one column with incomparable literal
+    types must drop that column's bounds (conservative full scan),
+    not raise TypeError out of delete() (the r10 ADVICE narrow()
+    finding). Schema-less calls are the reachable path."""
+    assert (
+        txlog._predicate_bounds(spark, "k > 5 AND k > DATE'2020-01-01'")
+        == {}
+    )
+    # mixed-type IN list: min()/max() across int and isoformat str
+    assert (
+        txlog._predicate_bounds(spark, "k IN (5, DATE'2020-01-01')") == {}
+    )
+    # siblings of the poisoned column still narrow
+    b = txlog._predicate_bounds(
+        spark, "k > 5 AND k > DATE'2020-01-01' AND j = 7"
+    )
+    assert b == {"j": (7, 7)}
+
+
+def test_delete_untyped_timestamp_string_prunes_soundly(spark, tmp_path):
+    """END-TO-END regression for the r10 ADVICE high finding: DELETE
+    with an untyped timestamp-string predicate must actually remove
+    the matching rows. The old code compared the raw space-separated
+    literal against isoformat footer stats ('T' sorts after ' '), so
+    the file holding the matches was wrongly pruned and the rows
+    silently survived — a right-to-be-forgotten violation."""
+    import datetime
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [
+            Row(k=i, ts=datetime.datetime(2020, 6, 1, h))
+            for i, h in enumerate([0, 3, 6, 18, 21])
+        ]
+    )
+    txlog.create(spark, t, df.coalesce(1))
+    txlog.delete(spark, t, "ts <= '2020-06-01 12:00:00'")
+    got = sorted(r.k for r in txlog.read(spark, t).collect())
+    assert got == [3, 4]
+    # and the date-column variant: a sloppy non-padded literal must
+    # not prune the December file
+    t2 = str(tmp_path / "t2")
+    df2 = spark.createDataFrame(
+        [Row(k=i, d=datetime.date(2020, 12, i + 1)) for i in range(3)]
+    )
+    txlog.create(spark, t2, df2.coalesce(1))
+    txlog.delete(spark, t2, "d >= '2020-6-1'")
+    assert txlog.read(spark, t2).count() == 0
 
 
 def test_delete_with_pruning_matches_full_semantics(spark, tmp_path):
