@@ -1480,26 +1480,83 @@ def minhash_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bm25_incremental_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WHOLE incremental-maintenance lifecycle of the ranked index
     under external verification (operators/search.py): build over two
-    thirds of the corpus, append the remaining third, REPLAY the same
-    append (the _docs-manifest guard must add zero documents), then
-    delete every 7th document by bare id, and score two queries. The
-    oracle is plain BM25 over ``documents WHERE doc_id % 7 <> 0`` — a
-    fresh build over the final corpus state — so the hash proves
-    append ≡, replay ≡ no-op, delete ≡ rebuild, and the exact-integer
-    ``dl_sum`` stats arithmetic all at once."""
+    thirds of the corpus, CRASH the first delivery of the remaining
+    third between its two commits (postings durable, manifest absent —
+    the one inconsistent state the append commit order can leave),
+    repair with ``bm25_repair_index`` (must scrub exactly the crashed
+    batch; a second repair must answer 0), retry the append, REPLAY
+    the same append (the _docs-manifest guard must add zero
+    documents), then delete every 7th document by bare id, and score
+    two queries. The oracle is plain BM25 over ``documents WHERE
+    doc_id % 7 <> 0`` — a fresh build over the final corpus state — so
+    the hash proves crash-repair-retry ≡ clean append, append ≡,
+    replay ≡ no-op, delete ≡ rebuild, and the exact-integer ``dl_sum``
+    stats arithmetic all at once. (An under-scrub leaves orphans the
+    retry's manifest guard cannot see and re-inserts → duplicated
+    postings break the hash; an over-scrub loses live postings →
+    missing scores break it. Reference surface: the rollback/recovery
+    lifecycle notebooks/update_gridVeg_survey_metadata.ipynb:1392-1402.)
+    """
     import tempfile
 
+    from mpg_data_warehouse_spark.operators import search as _search
     from mpg_data_warehouse_spark.operators.search import (
         bm25_append_index,
         bm25_delete_index,
+        bm25_repair_index,
         bm25_search_many,
         build_ranked_index,
     )
+    from mpg_data_warehouse_spark.operators.text import norm_tokens
 
     docs = _docs(spark, sf_dir)
     idx = tempfile.mkdtemp(prefix="bm25_incr_contract_")
     build_ranked_index(docs.filter(F.col("doc_id") % 3 != 0), idx)
     batch = docs.filter(F.col("doc_id") % 3 == 0)
+
+    # ---- crash injection: run the REAL append and fail its manifest
+    # commit, leaving exactly the crashed-append state the repair op
+    # exists for (orphaned postings). Monkeypatching the commit
+    # function beats hand-staging postings: the staged state can never
+    # drift from what the production code actually writes.
+    class _InjectedCrash(Exception):
+        pass
+
+    def _boom(*a, **k):
+        raise _InjectedCrash("injected crash before manifest commit")
+
+    real_write_manifest = _search._write_manifest
+    _search._write_manifest = _boom
+    try:
+        try:
+            bm25_append_index(batch, idx)
+            raise AssertionError(
+                "crash injection never fired — the append no longer "
+                "routes its manifest commit through _write_manifest"
+            )
+        except _InjectedCrash:
+            pass
+    finally:
+        _search._write_manifest = real_write_manifest
+
+    # docs contributing ≥1 surviving token — computed independently of
+    # the repair's own orphan count (min_term_len=1 drops empties)
+    expected_orphans = batch.filter(
+        F.size(F.filter(norm_tokens("text"), lambda t: F.length(t) >= 1))
+        > 0
+    ).count()
+    n_scrubbed = bm25_repair_index(spark, idx)
+    if n_scrubbed != expected_orphans:
+        raise AssertionError(
+            f"bm25_repair_index scrubbed {n_scrubbed} docs, expected "
+            f"{expected_orphans} (the crashed batch)"
+        )
+    if bm25_repair_index(spark, idx) != 0:
+        raise AssertionError(
+            "bm25_repair_index found orphans in a just-repaired index"
+        )
+
+    # the blind retry the repair contract promises is now safe
     bm25_append_index(batch, idx)
     # replayed delivery must be a no-op (a bare assert would vanish
     # under python -O and silently stop exercising the guard)
@@ -2300,7 +2357,10 @@ def near_dup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE event_type = 'click'
     ),
     purchases AS (
-      SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events
+      SELECT event_id, user_id, epoch_us(ts) AS us, value,
+             CASE WHEN event_id % 3 = 0 THEN NULL
+                  ELSE round(value * 2, 2) END AS v2
+      FROM events
       WHERE event_type = 'purchase'
     ),
     iv AS (
@@ -2311,17 +2371,26 @@ def near_dup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     pts AS (SELECT event_id, us // 3600000000 AS ev_h FROM clicks)
     SELECT 'asof' AS kind, c.event_id AS id_a, c.user_id AS id_b,
-           round(p.value, 2) AS metric
+           round(p.value, 2) AS metric, p.v2 AS metric2
     FROM clicks c
     ASOF LEFT JOIN purchases p
       ON c.user_id = p.user_id AND c.us >= p.us
     UNION ALL
     SELECT 'range' AS kind, i.purchase_id AS id_a,
            CAST(NULL AS BIGINT) AS id_b,
-           CAST(count(*) AS DOUBLE) AS metric
+           CAST(count(*) AS DOUBLE) AS metric,
+           CAST(NULL AS DOUBLE) AS metric2
     FROM pts p JOIN iv i
       ON p.ev_h >= i.lo_h AND p.ev_h <= i.hi_h
     GROUP BY i.purchase_id
+    UNION ALL
+    SELECT 'rangeleft' AS kind, p.event_id AS id_a,
+           CAST(NULL AS BIGINT) AS id_b,
+           CAST(count(i.purchase_id) AS DOUBLE) AS metric,
+           CAST(NULL AS DOUBLE) AS metric2
+    FROM pts p LEFT JOIN iv i
+      ON p.ev_h >= i.lo_h AND p.ev_h <= i.hi_h
+    GROUP BY p.event_id
     """,
 )
 def temporal_asof_range(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2329,13 +2398,21 @@ def temporal_asof_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     union (registry-consolidated from asof_join_events +
     range_join_click_attribution; each branch keeps its own plan).
 
-    asof branch: each click annotated with the value of the user's
+    asof branch: each click annotated with the value AND a NULLABLE
+    second column (``v2``, null on every 3rd purchase) of the user's
     most recent prior (or simultaneous) purchase — union-sort trick,
-    one shuffle on the key. range branch: clicks inside each
+    one shuffle on the key. The nullable column oracle-pins the r10
+    struct-carry semantics fix: a NULL field in the LATEST right row
+    must surface as NULL (DuckDB ASOF parity), not be back-filled
+    from an older right row. range branch: clicks inside each
     purchase's ±6-hour attribution window — point-in-interval join
     via bin equi-join (bin = window width, so each interval lands in
-    ≤ 2 bins), never a nested-loop non-equi join. DuckDB mirrors with
-    native ASOF JOIN and a plain inequality join respectively."""
+    ≤ 2 bins), never a nested-loop non-equi join. rangeleft branch:
+    the same join with ``how='left'`` from the CLICK side — every
+    click keeps a row, count 0 when no window contains it — pinning
+    the r10 fix where 'left' silently degraded to inner. DuckDB
+    mirrors with native ASOF JOIN and plain inequality LEFT/inner
+    joins respectively."""
     from mpg_data_warehouse_spark.operators.temporal import (
         asof_join,
         range_join_binned,
@@ -2346,20 +2423,27 @@ def temporal_asof_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "us"
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "us", "value"
+        "event_id",
+        "user_id",
+        "us",
+        "value",
+        F.when(F.col("event_id") % 3 == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.col("value") * 2, 2))
+        .alias("v2"),
     )
     asof = asof_join(
         clicks,
-        purchases.select("user_id", "us", "value"),
+        purchases.select("user_id", "us", "value", "v2"),
         key="user_id",
         left_ts="us",
         right_ts="us",
-        right_cols=["value"],
+        right_cols=["value", "v2"],
     ).select(
         F.lit("asof").alias("kind"),
         F.col("event_id").alias("id_a"),
         F.col("user_id").alias("id_b"),
         F.round("asof_value", 2).alias("metric"),
+        F.col("asof_v2").alias("metric2"),
     )
     iv = purchases.select(
         F.col("event_id").alias("purchase_id"),
@@ -2369,18 +2453,35 @@ def temporal_asof_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = clicks.select(
         "event_id", F.expr("us div 3600000000").alias("ev_h")
     )
+    matched = range_join_binned(
+        pts, iv, "ev_h", "lo_h", "hi_h", bin_width=12
+    )
     ranged = (
-        range_join_binned(pts, iv, "ev_h", "lo_h", "hi_h", bin_width=12)
-        .groupBy("purchase_id")
+        matched.groupBy("purchase_id")
         .agg(F.count(F.lit(1)).alias("n_clicks_near"))
         .select(
             F.lit("range").alias("kind"),
             F.col("purchase_id").alias("id_a"),
             F.lit(None).cast("long").alias("id_b"),
             F.col("n_clicks_near").cast("double").alias("metric"),
+            F.lit(None).cast("double").alias("metric2"),
         )
     )
-    return asof.unionByName(ranged)
+    ranged_left = (
+        range_join_binned(
+            pts, iv, "ev_h", "lo_h", "hi_h", bin_width=12, how="left"
+        )
+        .groupBy("event_id")
+        .agg(F.count("purchase_id").alias("n_windows"))
+        .select(
+            F.lit("rangeleft").alias("kind"),
+            F.col("event_id").alias("id_a"),
+            F.lit(None).cast("long").alias("id_b"),
+            F.col("n_windows").cast("double").alias("metric"),
+            F.lit(None).cast("double").alias("metric2"),
+        )
+    )
+    return asof.unionByName(ranged).unionByName(ranged_left)
 
 
 # ---------------------------------------------------------------------------
