@@ -398,28 +398,62 @@ def kmeans_refine_centroids(
     base = corpus.select(
         F.col(vec_col), l2_norm(F.col(vec_col)).alias("_vn")
     )
-    for _ in range(iters):
-        assigned = with_nearest_cell(base, rows, vec_col, "_vn").select(
+    rows = _lloyd_iterations(
+        base,
+        rows,
+        lambda b, r: with_nearest_cell(b, r, vec_col, "_vn").select(
             "cell", F.col(vec_col)
-        )
-        per_pos = (
-            assigned.select(
-                "cell", F.posexplode(F.col(vec_col)).alias("pos", "v")
-            )
-            .groupBy("cell", "pos")
-            .agg(F.round(F.avg("v"), decimals).alias("cv"))
-        )
-        acc: dict[int, dict[int, float]] = {}
-        for r in per_pos.collect():  # ≤ |cells| × dim rows, a few KB
-            acc.setdefault(r["cell"], {})[r["pos"]] = r["cv"]
-        rows = [
-            (cell, [pos_cv[p] for p in sorted(pos_cv)])
-            for cell, pos_cv in sorted(acc.items())
-        ]
+        ),
+        "cell",
+        vec_col,
+        iters,
+        decimals,
+    )
     spark = corpus.sparkSession
     return spark.createDataFrame(
         [(c, v) for c, v in rows], "cent_id long, cent_vec array<double>"
     )
+
+
+def _lloyd_iterations(
+    base: DataFrame,
+    rows: list[tuple[int, list[float]]],
+    assign,
+    label_col: str,
+    vec_col: str,
+    iters: int,
+    decimals: int,
+) -> list[tuple[int, list[float]]]:
+    """The shared deterministic Lloyd loop behind
+    ``kmeans_refine_centroids`` (cosine cells) and
+    ``pq_train_codebooks`` (per-subspace L2 codes) — the two differed
+    only in their ``assign(base, rows) → (label, vector)`` step.
+
+    Per iteration: assignment is a map-only projection over a one-row
+    broadcast of the current centroids (``assign``), the member means
+    run as ONE (label, pos)-keyed partial-aggregated average rounded
+    to ``decimals`` (rounding absorbs accumulation-order drift so a
+    DuckDB oracle replays the refinement exactly), and the ≤
+    |centroids| × dim scalar table re-collects to the driver for the
+    next round — bounded scalar traffic, the corpus itself is never
+    shuffled (the shape Spark MLlib's own k-means uses)."""
+    for _ in range(iters):
+        assigned = assign(base, rows)
+        per_pos = (
+            assigned.select(
+                label_col, F.posexplode(F.col(vec_col)).alias("pos", "v")
+            )
+            .groupBy(label_col, "pos")
+            .agg(F.round(F.avg("v"), decimals).alias("cv"))
+        )
+        acc: dict[int, dict[int, float]] = {}
+        for r in per_pos.collect():  # ≤ |centroids| × dim rows, a few KB
+            acc.setdefault(r[label_col], {})[r["pos"]] = r["cv"]
+        rows = [
+            (lbl, [pos_cv[p] for p in sorted(pos_cv)])
+            for lbl, pos_cv in sorted(acc.items())
+        ]
+    return rows
 
 
 def _collect_centroid_rows(
@@ -989,24 +1023,17 @@ def pq_train_codebooks(
             )
         )
         base = sub.select(F.col("_sv"))
-        for _ in range(iters):
-            assigned = _with_nearest_code_l2(base, rows, "_sv").select(
+        rows = _lloyd_iterations(
+            base,
+            rows,
+            lambda b, r: _with_nearest_code_l2(b, r, "_sv").select(
                 "code", "_sv"
-            )
-            per_pos = (
-                assigned.select(
-                    "code", F.posexplode(F.col("_sv")).alias("pos", "v")
-                )
-                .groupBy("code", "pos")
-                .agg(F.round(F.avg("v"), decimals).alias("cv"))
-            )
-            acc: dict[int, dict[int, float]] = {}
-            for r in per_pos.collect():  # ≤ k × sub_dim rows
-                acc.setdefault(r["code"], {})[r["pos"]] = r["cv"]
-            rows = [
-                (code, [pos_cv[p] for p in sorted(pos_cv)])
-                for code, pos_cv in sorted(acc.items())
-            ]
+            ),
+            "code",
+            "_sv",
+            iters,
+            decimals,
+        )
         books.append(rows)
     return books
 
