@@ -58,6 +58,7 @@ _SCOPED_QUERIES = {
     "hybrid_rrf_retrieval",  # chunk-embedding persist
     "funnel_click_to_purchase",  # 3 drained-stream state checkpoints
     "ingest_transform_rename",  # quarantine scan cache + read-back checkpoint
+    "events_multi_grain_rollup",  # r11 shared hour-grain shuffle persist
 }
 
 
@@ -2640,7 +2641,19 @@ def events_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches, and the oracle rebuilds both grains' samples directly
     from the rows: merge ≡ direct build now holds oracle-verified for
     order statistics in the rollup path, not just in
-    lineitem_flag_profile's flat merge."""
+    lineitem_flag_profile's flat merge.
+
+    r11 plan trim: ONE shuffle of the raw events — the projected
+    event frame is hash-repartitioned on the hour-grain key and
+    persisted, and every hour-grain family (count/sum/exact-distinct,
+    HLL registers, quantile sample) aggregates on that partitioning
+    without re-exchanging (HashPartitioning on a SUBSET of each
+    grouping key set satisfies its clustering). The former
+    GROUPING SETS roll re-shuffled 2× the event rows through its
+    Expand; it is now split into an hour leg (zero extra exchanges)
+    and a day leg whose exchanges carry partial-aggregated rows only.
+    Day-grain sketches still derive by MERGE of the hour sketches
+    (|hours| × fixed-width rows), never from raw events."""
     from mpg_data_warehouse_spark.operators.sketch import (
         hll_estimate,
         hll_merge,
@@ -2651,39 +2664,47 @@ def events_multi_grain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantile_sketch,
     )
 
-    events = _events(spark, sf_dir).select(
-        F.date_trunc("hour", "ts").alias("_hour"),
-        F.date_trunc("day", "ts").alias("_day"),
-        "event_type",
-        "value",
-        "user_id",
-        "event_id",
+    hkeys = ["_hour", "_day", "event_type"]
+    events = (
+        _events(spark, sf_dir)
+        .select(
+            F.date_trunc("hour", "ts").alias("_hour"),
+            F.date_trunc("day", "ts").alias("_day"),
+            "event_type",
+            "value",
+            "user_id",
+            "event_id",
+        )
+        .repartition(*hkeys)
+        .persist()
     )
-    h, d, t = F.col("_hour"), F.col("_day"), F.col("event_type")
-    grouped = events.groupingSets([[h, d, t], [d, t]], h, d, t)
-    roll = grouped.agg(
-        F.grouping(h).cast("long").alias("is_day_grain"),
-        F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
-        F.countDistinct("user_id").alias("n_users"),
-    )
-    hour_sk = hll_sketch(events, ["_hour", "_day", "event_type"], "user_id")
+    ts_type = events.schema["_hour"].dataType
+
+    def _roll(keys: list[str], grain: int) -> DataFrame:
+        return (
+            events.groupBy(*keys)
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+                F.countDistinct("user_id").alias("n_users"),
+            )
+            .withColumn("is_day_grain", F.lit(grain).cast("long"))
+        )
+
+    hour_sk = hll_sketch(events, hkeys, "user_id").persist()
     day_sk = hll_merge(hour_sk.drop("_hour"), ["_day", "event_type"])
     # quantile siblings: hour grain sampled from rows, day grain
     # MERGED from the hour sketches (never re-reads raw rows)
-    hour_qs = quantile_sketch(
-        events, ["_hour", "_day", "event_type"], "value", ["event_id"]
-    )
+    hour_qs = quantile_sketch(events, hkeys, "value", ["event_id"]).persist()
     day_qs = quantile_merge(hour_qs.drop("_hour"), ["_day", "event_type"])
     hour_leg = (
-        roll.filter(F.col("is_day_grain") == 0)
-        .join(hour_sk, ["_hour", "_day", "event_type"], "left")
-        .join(hour_qs, ["_hour", "_day", "event_type"], "left")
+        _roll(hkeys, 0).join(hour_sk, hkeys, "left").join(hour_qs, hkeys, "left")
     )
     day_leg = (
-        roll.filter(F.col("is_day_grain") == 1)
+        _roll(["_day", "event_type"], 1)
         .join(day_sk, ["_day", "event_type"], "left")
         .join(day_qs, ["_day", "event_type"], "left")
+        .withColumn("_hour", F.lit(None).cast(ts_type))
     )
     return hour_leg.unionByName(day_leg).select(
         F.col("_hour").cast("string").alias("hour_ts"),
