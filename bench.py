@@ -199,15 +199,41 @@ def main() -> None:
         "ref_sec": ref,
         "total_over_ref": round(total / ref, 2) if ref else None,
     }
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f"BENCH_sf{sf}.json" if sf >= 0 else "BENCH_custom.json",
+    )
+    # ``value`` is the LATEST sweep; ``best_value``/``best_ref_sec``
+    # carry the best sweep seen so far at this SF, by HOST-NORMALIZED
+    # total (value / ref_sec) — so the committed artifact alone tells
+    # the record-vs-latest story instead of burying the record in
+    # prose when the session's final sweep lands on a loaded host.
+    try:
+        with open(out_path) as fh:
+            prior = json.loads(fh.read().strip() or "{}")
+    except (OSError, ValueError):
+        prior = {}
+    prior_best = prior.get("best_value", prior.get("value"))
+    prior_best_ref = prior.get("best_ref_sec", prior.get("ref_sec"))
+
+    def _norm(v, r):
+        if v is None:
+            return None
+        return v / r if r else v
+
+    new_norm, old_norm = _norm(total, ref), _norm(prior_best, prior_best_ref)
+    if old_norm is not None and (new_norm is None or old_norm <= new_norm):
+        record["best_value"] = prior_best
+        record["best_ref_sec"] = prior_best_ref
+    else:
+        record["best_value"] = total
+        record["best_ref_sec"] = ref
+
     line = json.dumps(record)
     # Durable copy FIRST: the driver's stdout-tail capture is capped
     # (r4's archived record lost the headline total to a 2,000-char
     # tail), so the full JSON (with spread) lands in-repo keyed by
     # scale factor.
-    out_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        f"BENCH_sf{sf}.json" if sf >= 0 else "BENCH_custom.json",
-    )
     try:
         with open(out_path, "w") as fh:
             fh.write(line + "\n")
