@@ -123,6 +123,12 @@ def main() -> None:
     spark = get_spark("bench", shuffle_partitions=16)
 
     names = [n for n in HEADLINE if n in QUERIES]
+    # Optional subset sweep (e.g. the dedup/ANN slots on a zipf-skewed
+    # corpus): comma-separated query names; unknown names are ignored.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = {s.strip() for s in only.split(",") if s.strip()}
+        names = [n for n in names if n in keep]
 
     # Warmup at the smallest sf: JIT, codegen and parquet-footer caches.
     warm_dir = "/root/testdata/sf0.001"
@@ -199,9 +205,12 @@ def main() -> None:
         "ref_sec": ref,
         "total_over_ref": round(total / ref, 2) if ref else None,
     }
+    # A SPARK_GRAFT_BENCH_ONLY subset must never overwrite the full-
+    # sweep artifact (its total and best_* would silently become a
+    # subset's) — subset runs land in BENCH_custom.json.
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
-        f"BENCH_sf{sf}.json" if sf >= 0 else "BENCH_custom.json",
+        f"BENCH_sf{sf}.json" if sf >= 0 and not only else "BENCH_custom.json",
     )
     # ``value`` is the LATEST sweep; ``best_value``/``best_ref_sec``
     # carry the best sweep seen so far at this SF, by HOST-NORMALIZED
