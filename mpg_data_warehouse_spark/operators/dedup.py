@@ -194,6 +194,29 @@ def band_signatures(
     ).select(id_col, *extra_cols, "bb.band", "bb.bucket")
 
 
+def lsh_dropped_buckets(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """AUDIT for the cap: the (band, bucket, n_docs) groups that
+    ``cap_buckets`` would drop at ``max_bucket`` — no silent
+    truncation: a curation pipeline can log the dropped mass (and the
+    doc counts say how many pairs were forgone: n·(n−1)/2 each).
+    Degenerate buckets are almost always exact-duplicate classes, so
+    the supported composition is exact-dedup FIRST (what
+    ``retain_representatives``' callers do); this view tells an
+    operator when a corpus violates that assumption."""
+    b = band_signatures(signatures, id_col, num_hashes, bands)
+    return (
+        b.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_bucket)
+    )
+
+
 def cap_buckets(banded: DataFrame, max_bucket: int) -> DataFrame:
     """Drop (band, bucket) groups larger than ``max_bucket`` —
     degenerate content: a bucket of B docs contributes B·(B-1)/2

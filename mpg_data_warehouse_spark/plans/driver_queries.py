@@ -1366,10 +1366,22 @@ _MINHASH_BODY = f"""toks AS (
              md5(CASE band {_MINHASH_BANDS} END) AS bucket
       FROM sigs CROSS JOIN (SELECT unnest([0,1,2,3]) AS band)
     ),
+    -- cap_buckets mirror (operators/dedup.py): (band, bucket) groups
+    -- larger than 1000 are degenerate content and are DROPPED before
+    -- the candidate join — on uniform corpora the cap never binds
+    -- (hash unchanged); on zipf-skewed corpora the uncapped oracle
+    -- diverged (r11 zipf parity run) until it replayed the cap too
+    bandsc AS (
+      SELECT doc_id, band, bucket FROM (
+        SELECT doc_id, band, bucket,
+               count(*) OVER (PARTITION BY band, bucket) AS _bn
+        FROM bands)
+      WHERE _bn <= 1000
+    ),
     cands AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a
-      JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+      FROM bandsc a
+      JOIN bandsc b ON a.band = b.band AND a.bucket = b.bucket
                    AND a.doc_id < b.doc_id
     ),
     inter AS (

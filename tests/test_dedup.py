@@ -489,3 +489,32 @@ def test_simhash_max_hamming_zero_exact_match_no_overflow(spark):
     }
     assert {(r.id_a, r.id_b) for r in out} == expect
     assert all(r.hamming == 0 for r in out)
+
+
+def test_lsh_dropped_buckets_audit_matches_cap(spark):
+    """The cap audit reports exactly the (band, bucket) groups
+    cap_buckets drops — no silent truncation: a corpus whose
+    duplicate class exceeds max_bucket shows up here with its doc
+    count instead of just vanishing from the pair output."""
+    from pyspark.sql import Row
+
+    # 5 identical docs => one 5-doc bucket per band; 2 singletons
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="alpha beta gamma delta epsilon") for i in range(5)]
+        + [
+            Row(doc_id=10, text="one two three four five six"),
+            Row(doc_id=11, text="seven eight nine ten eleven twelve"),
+        ]
+    )
+    sigs = D.minhash_signatures(docs, num_hashes=8, shingle_n=2)
+    dropped = D.lsh_dropped_buckets(
+        sigs, num_hashes=8, bands=4, max_bucket=4
+    ).collect()
+    # every band's identical-class bucket exceeds the cap of 4
+    assert {r.band for r in dropped} == {0, 1, 2, 3}
+    assert all(r.n_docs == 5 for r in dropped)
+    # and with the cap above the class size, nothing is dropped
+    assert (
+        D.lsh_dropped_buckets(sigs, num_hashes=8, bands=4, max_bucket=5).count()
+        == 0
+    )

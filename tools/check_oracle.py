@@ -57,6 +57,8 @@ def main() -> int:
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.isdir(path):  # Spark-written dirs (make_scale_data)
+            path = os.path.join(path, "*.parquet")
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
     qs, oracles = queries(), oracle_sql()
