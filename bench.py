@@ -217,21 +217,32 @@ def main() -> None:
     # total (value / ref_sec) — so the committed artifact alone tells
     # the record-vs-latest story instead of burying the record in
     # prose when the session's final sweep lands on a loaded host.
-    try:
-        with open(out_path) as fh:
-            prior = json.loads(fh.read().strip() or "{}")
-    except (OSError, ValueError):
+    # Best-tracking applies ONLY to the per-SF artifacts: every
+    # BENCH_custom.json run (subset sweep / non-sf dir) is a different
+    # workload, and carrying a "best" across incommensurate totals
+    # would crown nonsense.
+    if out_path.endswith("BENCH_custom.json"):
         prior = {}
+    else:
+        try:
+            with open(out_path) as fh:
+                prior = json.loads(fh.read().strip() or "{}")
+        except (OSError, ValueError):
+            prior = {}
     prior_best = prior.get("best_value", prior.get("value"))
     prior_best_ref = prior.get("best_ref_sec", prior.get("ref_sec"))
 
-    def _norm(v, r):
-        if v is None:
-            return None
-        return v / r if r else v
-
-    new_norm, old_norm = _norm(total, ref), _norm(prior_best, prior_best_ref)
-    if old_norm is not None and (new_norm is None or old_norm <= new_norm):
+    # Normalized totals are comparable only when BOTH sweeps carry a
+    # host probe; raw seconds vs a ratio is a unit mismatch. On mixed
+    # ref presence the new sweep wins (artifacts carry ref going
+    # forward, so this converges to normalized comparisons).
+    keep_prior = False
+    if prior_best is not None:
+        if ref and prior_best_ref:
+            keep_prior = prior_best / prior_best_ref <= total / ref
+        elif not ref and not prior_best_ref:
+            keep_prior = prior_best <= total
+    if keep_prior:
         record["best_value"] = prior_best
         record["best_ref_sec"] = prior_best_ref
     else:

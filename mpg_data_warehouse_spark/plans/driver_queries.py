@@ -1552,12 +1552,10 @@ def bm25_incremental_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         _search._write_manifest = real_write_manifest
 
-    # docs contributing ≥1 surviving token — computed independently of
-    # the repair's own orphan count (min_term_len=1 drops empties)
-    expected_orphans = batch.filter(
-        F.size(F.filter(norm_tokens("text"), lambda t: F.length(t) >= 1))
-        > 0
-    ).count()
+    # docs contributing ≥1 token — computed independently of the
+    # repair's own orphan count (norm_tokens already drops empty
+    # strings, so size > 0 is exactly the min_term_len=1 rule)
+    expected_orphans = batch.filter(F.size(norm_tokens("text")) > 0).count()
     n_scrubbed = bm25_repair_index(spark, idx)
     if n_scrubbed != expected_orphans:
         raise AssertionError(
@@ -2466,11 +2464,16 @@ def temporal_asof_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = clicks.select(
         "event_id", F.expr("us div 3600000000").alias("ev_h")
     )
-    matched = range_join_binned(
-        pts, iv, "ev_h", "lo_h", "hi_h", bin_width=12
+    # ONE left bin join feeds BOTH range legs: the inner semantics are
+    # its non-null rows (a second inner call would re-execute the bin
+    # equi-join — at event-stream scale the duplicated shuffle is the
+    # dominant cost of the slot)
+    left_pairs = range_join_binned(
+        pts, iv, "ev_h", "lo_h", "hi_h", bin_width=12, how="left"
     )
     ranged = (
-        matched.groupBy("purchase_id")
+        left_pairs.filter(F.col("purchase_id").isNotNull())
+        .groupBy("purchase_id")
         .agg(F.count(F.lit(1)).alias("n_clicks_near"))
         .select(
             F.lit("range").alias("kind"),
@@ -2481,10 +2484,7 @@ def temporal_asof_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ranged_left = (
-        range_join_binned(
-            pts, iv, "ev_h", "lo_h", "hi_h", bin_width=12, how="left"
-        )
-        .groupBy("event_id")
+        left_pairs.groupBy("event_id")
         .agg(F.count("purchase_id").alias("n_windows"))
         .select(
             F.lit("rangeleft").alias("kind"),

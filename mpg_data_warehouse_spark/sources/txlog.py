@@ -903,10 +903,14 @@ def _coerce_bound(v, col_type: str | None, lit_is_string: bool):
     ``_literal_py``). Returns None when the literal cannot be soundly
     rendered in the column's encoding (→ contribute no bound)."""
     if col_type is None:
-        # Unknown column type: typed encodings (int/float/isoformat
-        # from typed literals) are self-consistent; a raw string is
-        # the one encoding that may mismatch date/timestamp stats.
-        return None if lit_is_string else v
+        # Unknown column type: only NUMERIC literals are safe — an
+        # isoformat string from a typed DATE literal against TIMESTAMP
+        # stats ('2020-06-01' vs '2020-06-01T00:00:00') is the same
+        # unsound lexical compare as the raw-string case (the date-only
+        # form sorts BEFORE every 'T'-suffixed stat of its own day, so
+        # an upper bound wrongly prunes the midnight rows). Numbers
+        # compare soundly against numeric stats of any width.
+        return v if isinstance(v, (int, float)) else None
     if col_type == "string":
         # a typed date/timestamp literal against a STRING column makes
         # Spark cast the column, not the literal — isoformat vs raw

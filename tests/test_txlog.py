@@ -1261,7 +1261,9 @@ def test_delete_predicate_bounds_extraction(spark):
     b = txlog._predicate_bounds(spark, "cust_id IN (7, 2, 9)")
     assert b["cust_id"] == (2, 9)
     # date literals render to the footer-stats encoding (ISO strings)
-    b = txlog._predicate_bounds(spark, "d >= DATE'2024-01-02'")
+    b = txlog._predicate_bounds(
+        spark, "d >= DATE'2024-01-02'", {"d": "date"}
+    )
     assert b["d"] == ("2024-01-02", None)
     # an OR at the root must extract NOTHING (pruning would be unsound)
     assert (
@@ -1273,9 +1275,13 @@ def test_delete_predicate_bounds_extraction(spark):
         spark, "cust_id = 4 AND (segment = 'a' OR balance < 5)", sch
     )
     assert b == {"cust_id": (4, 4)}
-    # WITHOUT a schema a raw string literal contributes no bound: it
-    # might target a date/timestamp column whose stats are isoformat
+    # WITHOUT a schema only NUMERIC literals bound: a raw string might
+    # target a date/timestamp column whose stats are isoformat, and a
+    # typed DATE literal might target a TIMESTAMP column where its
+    # date-only isoformat sorts before every stat of its own day (an
+    # upper bound would wrongly prune the midnight rows)
     assert txlog._predicate_bounds(spark, "segment = 'a'") == {}
+    assert txlog._predicate_bounds(spark, "ts <= DATE'2024-01-02'") == {}
 
 
 def test_predicate_bounds_string_literals_coerced_to_column_type(spark):
@@ -1311,23 +1317,25 @@ def test_predicate_bounds_string_literals_coerced_to_column_type(spark):
 
 
 def test_predicate_bounds_incomparable_conjuncts_do_not_crash(spark):
-    """Two conjuncts bounding one column with incomparable literal
-    types must drop that column's bounds (conservative full scan),
-    not raise TypeError out of delete() (the r10 ADVICE narrow()
-    finding). Schema-less calls are the reachable path."""
-    assert (
-        txlog._predicate_bounds(spark, "k > 5 AND k > DATE'2020-01-01'")
-        == {}
-    )
-    # mixed-type IN list: min()/max() across int and isoformat str
+    """Mixed-type conjuncts on one column must never raise TypeError
+    out of delete() (the r10 ADVICE narrow() finding). After the r11
+    review hardening, type coercion itself prevents incomparable
+    bounds from forming (non-numeric literals are dropped schema-less,
+    and with a schema both sides share the column's encoding) — the
+    narrow()/IN try-excepts remain as defense in depth; these cases
+    pin the no-crash surface."""
+    # the DATE bound is dropped (unknown column type), the int stays
+    b = txlog._predicate_bounds(spark, "k > 5 AND k > DATE'2020-01-01'")
+    assert b == {"k": (5, None)}
+    # mixed-type IN list: the unconvertible member voids the bound
     assert (
         txlog._predicate_bounds(spark, "k IN (5, DATE'2020-01-01')") == {}
     )
-    # siblings of the poisoned column still narrow
+    # siblings always narrow independently
     b = txlog._predicate_bounds(
         spark, "k > 5 AND k > DATE'2020-01-01' AND j = 7"
     )
-    assert b == {"j": (7, 7)}
+    assert b == {"k": (5, None), "j": (7, 7)}
 
 
 def test_delete_untyped_timestamp_string_prunes_soundly(spark, tmp_path):

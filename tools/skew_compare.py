@@ -9,14 +9,19 @@ broadcast path (autoBroadcastJoinThreshold=-1) to model the 100 TB
 case where the dim exceeds the broadcast limit — with broadcast
 available, broadcast IS the answer to skew and salting is moot.
 
-Three runs of the identical logical join:
-  plain_aqe_off  — baseline sort-merge join; the hot key lands in ONE
-                   task (the stragglers a 1000-executor cluster pays)
-  plain_aqe_on   — the engine default: AQE splits the skewed
-                   partition at runtime (no code change)
-  salted_aqe_off — operators.joins.salted_join: the hot key is
-                   pre-split across n_salts shuffle partitions
-                   (the fallback for join types AQE can't split)
+Three runs of the identical logical join (ONLY
+spark.sql.adaptive.skewJoin.enabled is toggled — AQE itself, incl.
+partition coalescing, stays on in all three, so the deltas isolate
+the skew-SPLIT mechanism, not AQE wholesale):
+  plain_skewjoin_off  — baseline sort-merge join; the hot key lands
+                        in ONE task (the stragglers a 1000-executor
+                        cluster pays)
+  plain_skewjoin_on   — the engine default: AQE's skew-join rule may
+                        split the skewed partition at runtime
+  salted_skewjoin_off — operators.joins.salted_join: the hot key is
+                        pre-split across n_salts shuffle partitions
+                        (the fallback for cases the advisory-size
+                        heuristic misses)
 
 Prints one JSON line with the three medians; results are recorded in
 BENCH_SCALE.md.
@@ -57,26 +62,23 @@ def main() -> None:
         .withColumn("segment", F.pmod("user_id", F.lit(7)))
     )
 
-    def run(join_fn, skew_aqe: bool) -> float:
+    def measure(join_fn, skew_rule: bool) -> float:
         spark.conf.set(
-            "spark.sql.adaptive.skewJoin.enabled", str(skew_aqe).lower()
+            "spark.sql.adaptive.skewJoin.enabled", str(skew_rule).lower()
         )
-        ts = []
-        for _ in range(reps):
-            t0 = time.time()
-            (
-                join_fn(events, dim)
-                .groupBy("segment", "event_type")
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.sum("value").alias("sv"),
-                )
-                .write.format("noop")
-                .mode("overwrite")
-                .save()
+        t0 = time.time()
+        (
+            join_fn(events, dim)
+            .groupBy("segment", "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("value").alias("sv"),
             )
-            ts.append(time.time() - t0)
-        return round(statistics.median(ts), 3)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return time.time() - t0
 
     plain = lambda b, s: b.join(s, "user_id")  # noqa: E731
     salted = lambda b, s: salted_join(b, s, ["user_id"], n_salts=n_salts)  # noqa: E731
@@ -88,14 +90,29 @@ def main() -> None:
     if a.exceptAll(b).count() or b.exceptAll(a).count():
         raise AssertionError("salted_join result differs from plain join")
 
+    # INTERLEAVE reps across variants (bench.py's protocol): a
+    # transient load spike then degrades one rep of every variant
+    # instead of every rep of one variant — back-to-back per-variant
+    # timing inverted the comparison under ambient load.
+    variants = [
+        ("plain_skewjoin_off", plain, False),
+        ("plain_skewjoin_on", plain, True),
+        ("salted_skewjoin_off", salted, False),
+    ]
+    samples = {name: [] for name, _, _ in variants}
+    for _ in range(reps):
+        for name, fn, rule in variants:
+            samples[name].append(measure(fn, rule))
     out = {
         "metric": "skew_join_compare",
         "zipf_dir": zdir,
         "n_salts": n_salts,
         "reps": reps,
-        "plain_aqe_off": run(plain, False),
-        "plain_aqe_on": run(plain, True),
-        "salted_aqe_off": run(salted, False),
+        **{n: round(statistics.median(ts), 3) for n, ts in samples.items()},
+        "spread": {
+            n: [round(min(ts), 3), round(max(ts), 3)]
+            for n, ts in samples.items()
+        },
     }
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     print(json.dumps(out))
