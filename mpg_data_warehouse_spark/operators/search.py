@@ -789,45 +789,99 @@ def bm25_repair_index(
     manifest (the replay guard) SECOND, so a crash between the two
     leaves rows a blind retry would duplicate. Recovery contract:
     run this once before retrying a crashed append — a clean index
-    answers with one manifest-vs-postings anti-join and returns 0;
-    a dirty one additionally rewrites only the orphans' buckets
-    (dynamic partition overwrite, survivors checkpointed first
-    because their lineage reads the path being rewritten). Stats are
-    untouched either way: they only ever count manifest-listed docs,
-    and orphans were never added to them."""
+    answers with one manifest-vs-postings anti-join and returns 0.
+
+    Scale shape (r11): the append writes postings in ``append`` mode —
+    it only ever ADDS files — so a crashed append's rows live in files
+    containing NOTHING BUT that batch. Repair therefore classifies
+    each orphan-bearing file: a PURE file (every row orphaned) is
+    simply unlinked — no data rewrite at all, which matters because a
+    batch's terms hash across essentially every bucket, so the
+    previous rewrite-orphan-buckets form re-wrote nearly the whole
+    index for one crashed delivery. Only MIXED files (orphan and live
+    rows sharing a file — not producible by the append path, but
+    defended against) fall back to the bucket rewrite (dynamic
+    partition overwrite, survivors checkpointed first because their
+    lineage reads the path being rewritten). Stats are untouched
+    either way: they only ever count manifest-listed docs, and
+    orphans were never added to them."""
+    from urllib.parse import unquote, urlparse
+
     from mpg_data_warehouse_spark.operators.append import (
         overwrite_partitions,
     )
+
+    def _to_path(uri: str) -> str:
+        if uri.startswith("file:"):
+            return unquote(urlparse(uri).path)
+        return uri
 
     _require_manifest(path)
     backend = get_storage_backend()
     postings = spark.read.parquet(path)
     man_ids = spark.read.parquet(_manifest_path(path)).select(id_col)
-    orphan_row = (
-        postings.select(id_col, "bucket")
-        .join(man_ids, id_col, "left_anti")
-        .agg(
-            F.countDistinct(id_col).alias("n"),
-            F.array_distinct(F.collect_list("bucket")).alias("bs"),
+    rows = postings.select(
+        id_col, "bucket", F.input_file_name().alias("_f")
+    )
+    # orphan rows feed three aggregations (global distinct-doc count,
+    # per-file counts, mixed-file bucket list) — persist so the
+    # postings-vs-manifest anti-join runs once; the frame is empty on
+    # a clean index and batch-sized after a crash, never corpus-sized
+    orphans = rows.join(man_ids, id_col, "left_anti").persist()
+    try:
+        n_orphans = orphans.select(id_col).distinct().count()
+        if n_orphans == 0:
+            return 0
+        orph_counts = {
+            r["_f"]: r["_orph"]
+            for r in orphans.groupBy("_f")
+            .agg(F.count(F.lit(1)).alias("_orph"))
+            .collect()
+        }
+        # total row counts scan ONLY the orphan-bearing files (a
+        # direct multi-path read — an input_file_name() filter on the
+        # full read is post-scan and would re-read the whole index)
+        totals = {
+            r["_f"]: r["_tot"]
+            for r in spark.read.parquet(*sorted(orph_counts))
+            .select(F.input_file_name().alias("_f"))
+            .groupBy("_f")
+            .agg(F.count(F.lit(1)).alias("_tot"))
+            .collect()
+        }
+        pure = sorted(
+            f for f, n in orph_counts.items() if n == totals.get(f)
         )
-        .first()
-    )
-    n_orphans = int(orphan_row["n"] or 0)
-    if n_orphans == 0:
-        return 0
-    buckets = sorted(orphan_row["bs"] or [])
-    survivors = (
-        postings.filter(F.col("bucket").isin(buckets))
-        .join(man_ids, id_col, "left_semi")
-        .select("term", id_col, "tf", "dl", "bucket")
-        .localCheckpoint()
-    )
-    kept = {
-        r["bucket"] for r in survivors.select("bucket").distinct().collect()
-    }
-    overwrite_partitions(spark, survivors, path, ("bucket",))
-    for b in buckets:
-        if b not in kept:
-            backend.delete_prefix(os.path.join(path, f"bucket={b}"))
-    _ensure_readable(path, survivors.drop("bucket"))
+        mixed = sorted(f for f in orph_counts if f not in set(pure))
+        if mixed:
+            mixed_buckets = sorted(
+                r["bucket"]
+                for r in orphans.filter(F.col("_f").isin(mixed))
+                .select("bucket")
+                .distinct()
+                .collect()
+            )
+            survivors = (
+                postings.filter(F.col("bucket").isin(mixed_buckets))
+                .join(man_ids, id_col, "left_semi")
+                .select("term", id_col, "tf", "dl", "bucket")
+                .localCheckpoint()
+            )
+            kept = {
+                r["bucket"]
+                for r in survivors.select("bucket").distinct().collect()
+            }
+            overwrite_partitions(spark, survivors, path, ("bucket",))
+            for b in mixed_buckets:
+                if b not in kept:
+                    backend.delete_prefix(
+                        os.path.join(path, f"bucket={b}")
+                    )
+        # pure files under a just-rewritten bucket are already gone
+        # (dynamic overwrite replaced the dir) — delete_file no-ops
+        for f in pure:
+            backend.delete_file(_to_path(f))
+    finally:
+        orphans.unpersist()
+    _ensure_readable(path, postings.drop("bucket"))
     return n_orphans

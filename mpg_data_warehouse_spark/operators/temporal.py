@@ -105,14 +105,17 @@ def range_join_binned(
     the same units (cast dates to epoch days first). Output: every
     (point row × containing interval row) pair, exact.
 
-    ``how``: ``inner`` or ``left``. LEFT is implemented as
-    inner-matches ∪ null-extended unmatched points — passing the
-    outer flag to the bin join was WRONG (the exact range predicate
-    ran as a post-join filter and rejected exactly the null-extended
-    rows the outer join produced, silently degrading left to inner).
-    Unmatched points are found with a null-safe anti-join on the full
-    point row, so duplicate point rows keep their multiplicity and
-    null-bearing attribute columns don't resurrect matched rows."""
+    ``how``: ``inner`` or ``left``. LEFT puts the exact range
+    predicate INSIDE the outer join's condition (alongside the bin
+    equality): null-extension then applies exactly to points no
+    interval satisfies — one pass, duplicate point rows keep their
+    multiplicity, and no post-join filter can reject the
+    null-extended rows (the r10 bug this replaced was the predicate
+    as a filter AFTER the outer join, which silently degraded left to
+    inner; the r10 fix — inner-matches ∪ null-safe-anti-joined
+    unmatched points — was correct but enumerated the pair set THREE
+    times in one plan plus a pair-wide distinct, which dominated the
+    slot at 10× scale)."""
     if how not in ("inner", "left"):
         raise ValueError(
             f"how={how!r} not supported — 'inner' or 'left' (right/full"
@@ -130,32 +133,21 @@ def range_join_binned(
             )
         ),
     )
-    matched = (
-        p.join(i, "_bin", "inner")
-        .filter(
-            (F.col(point_col) >= F.col(lo_col))
-            & (F.col(point_col) <= F.col(hi_col))
-        )
-        .drop("_bin")
+    rng = (F.col(point_col) >= F.col(lo_col)) & (
+        F.col(point_col) <= F.col(hi_col)
     )
     if how == "inner":
-        return matched
-    from functools import reduce
-
-    matched_points = matched.select(*points.columns).distinct()
-    cond = reduce(
-        lambda a, b: a & b,
-        [
-            points[c].eqNullSafe(matched_points[c])
-            for c in points.columns
-        ],
+        return p.join(i, "_bin", "inner").filter(rng).drop("_bin")
+    # LEFT: each point has exactly ONE bin, so an interval can match a
+    # point only in that bin — the (bin-equality AND range) join
+    # condition yields each (point, interval) pair at most once and
+    # one null-extended row per point with no qualifying interval.
+    cond = (
+        (p["_bin"] == i["_bin"])
+        & (p[point_col] >= i[lo_col])
+        & (p[point_col] <= i[hi_col])
     )
-    lonely = points.join(matched_points, cond, "left_anti")
-    for c in intervals.columns:
-        lonely = lonely.withColumn(
-            c, F.lit(None).cast(intervals.schema[c].dataType)
-        )
-    return matched.unionByName(lonely)
+    return p.join(i, cond, "left").drop("_bin")
 
 
 def funnel_conversion(

@@ -1493,14 +1493,16 @@ def minhash_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bm25_incremental_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WHOLE incremental-maintenance lifecycle of the ranked index
     under external verification (operators/search.py): build over two
-    thirds of the corpus, CRASH the first delivery of the remaining
-    third between its two commits (postings durable, manifest absent —
-    the one inconsistent state the append commit order can leave),
-    repair with ``bm25_repair_index`` (must scrub exactly the crashed
-    batch; a second repair must answer 0), retry the append, REPLAY
-    the same append (the _docs-manifest guard must add zero
-    documents), then delete every 7th document by bare id, and score
-    two queries. The oracle is plain BM25 over ``documents WHERE
+    thirds of the corpus, CRASH a partial first delivery (1/5 of the
+    append batch) between its two commits (postings durable, manifest
+    absent — the one inconsistent state the append commit order can
+    leave), repair with ``bm25_repair_index`` (must scrub exactly the
+    crashed slice; a second repair must answer 0), deliver the FULL
+    batch (an OVERLAPPING redelivery — repaired slice + fresh
+    remainder, the at-least-once shape the recovery contract makes
+    safe), REPLAY the same append (the _docs-manifest guard must add
+    zero documents), then delete every 7th document by bare id, and
+    score two queries. The oracle is plain BM25 over ``documents WHERE
     doc_id % 7 <> 0`` — a fresh build over the final corpus state — so
     the hash proves crash-repair-retry ≡ clean append, append ≡,
     replay ≡ no-op, delete ≡ rebuild, and the exact-integer ``dl_sum``
@@ -1527,22 +1529,29 @@ def bm25_incremental_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_ranked_index(docs.filter(F.col("doc_id") % 3 != 0), idx)
     batch = docs.filter(F.col("doc_id") % 3 == 0)
 
-    # ---- crash injection: run the REAL append and fail its manifest
-    # commit, leaving exactly the crashed-append state the repair op
-    # exists for (orphaned postings). Monkeypatching the commit
-    # function beats hand-staging postings: the staged state can never
-    # drift from what the production code actually writes.
+    # ---- crash injection: run the REAL append on a PARTIAL first
+    # delivery (1/5 of the batch — the crash semantics don't scale
+    # with the crashed batch's size, so the fold prices a slice, not
+    # a duplicate full append) and fail its manifest commit, leaving
+    # exactly the orphaned-postings state the repair op exists for.
+    # Monkeypatching the commit function beats hand-staging postings:
+    # the staged state can never drift from what the production code
+    # actually writes. The retry below then redelivers the FULL batch
+    # — an OVERLAPPING redelivery (repaired slice + fresh remainder),
+    # the exact at-least-once shape the recovery contract promises to
+    # make safe.
     class _InjectedCrash(Exception):
         pass
 
     def _boom(*a, **k):
         raise _InjectedCrash("injected crash before manifest commit")
 
+    crashed = batch.filter(F.col("doc_id") % 5 == 0)
     real_write_manifest = _search._write_manifest
     _search._write_manifest = _boom
     try:
         try:
-            bm25_append_index(batch, idx)
+            bm25_append_index(crashed, idx)
             raise AssertionError(
                 "crash injection never fired — the append no longer "
                 "routes its manifest commit through _write_manifest"
@@ -1555,7 +1564,9 @@ def bm25_incremental_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # docs contributing ≥1 token — computed independently of the
     # repair's own orphan count (norm_tokens already drops empty
     # strings, so size > 0 is exactly the min_term_len=1 rule)
-    expected_orphans = batch.filter(F.size(norm_tokens("text")) > 0).count()
+    expected_orphans = crashed.filter(
+        F.size(norm_tokens("text")) > 0
+    ).count()
     n_scrubbed = bm25_repair_index(spark, idx)
     if n_scrubbed != expected_orphans:
         raise AssertionError(

@@ -62,6 +62,12 @@ class StorageBackend:
         """Remove everything under ``prefix``; absent prefix is a no-op."""
         raise NotImplementedError
 
+    def delete_file(self, path: str) -> None:
+        """Remove one file; absent file is a no-op. (``delete_prefix``
+        is directory-shaped — rmtree on a file is a silent no-op — so
+        file-grain cleanup needs its own verb.)"""
+        raise NotImplementedError
+
     def install_dir(
         self, staging: str, live: str, if_absent: bool = False
     ) -> None:
@@ -109,6 +115,12 @@ class LocalFSStorageBackend(StorageBackend):
 
     def delete_prefix(self, prefix: str) -> None:
         shutil.rmtree(prefix, ignore_errors=True)
+
+    def delete_file(self, path: str) -> None:
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
 
     def install_dir(
         self, staging: str, live: str, if_absent: bool = False

@@ -551,3 +551,68 @@ def test_bm25_repair_scrubs_orphans_from_crashed_append(
         assert a == b, q
     # and the repaired+retried index is repair-clean again
     assert S.bm25_repair_index(spark, idx) == 0
+
+
+def test_bm25_repair_mixed_file_falls_back_to_bucket_rewrite(
+    spark, tmp_path
+):
+    """The r11 repair fast path unlinks PURE orphan files (the only
+    state the append commit order can produce); a MIXED file — orphan
+    and live rows sharing one parquet file, not producible by append
+    but defended against — must route through the bucket rewrite and
+    keep every live row."""
+    import glob
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from mpg_data_warehouse_spark.operators import search as S
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha bravo charlie"),
+            Row(doc_id=2, text="alpha delta echo"),
+        ]
+    )
+    idx = str(tmp_path / "idx")
+    S.build_ranked_index(docs, idx)
+    before = {
+        (r.term, r.doc_id, r.tf)
+        for r in spark.read.parquet(idx).select("term", "doc_id", "tf")
+        .collect()
+    }
+
+    # hand-craft a MIXED file inside one existing bucket dir: one live
+    # row (doc 1, manifest-listed) + one orphan row (doc 99)
+    bucket_dir = sorted(glob.glob(_os.path.join(idx, "bucket=*")))[0]
+    bucket_id = int(bucket_dir.rsplit("=", 1)[1])
+    live_row = (
+        spark.read.parquet(idx)
+        .filter(F.col("bucket") == bucket_id)
+        .select("term", "doc_id", "tf", "dl")
+        .limit(1)
+    )
+    orphan_row = spark.createDataFrame(
+        [Row(term="zulu", doc_id=99, tf=1, dl=1)]
+    ).select(
+        F.col("term"),
+        F.col("doc_id").cast("long"),
+        F.col("tf").cast("long"),
+        F.col("dl").cast("long"),
+    )
+    staged = str(tmp_path / "mixedfile")
+    live_row.unionByName(orphan_row).coalesce(1).write.parquet(staged)
+    part = glob.glob(_os.path.join(staged, "part-*.parquet"))[0]
+    _os.rename(part, _os.path.join(bucket_dir, "part-mixed.parquet"))
+
+    # repair must scrub doc 99 only; the duplicated live row from the
+    # mixed file is manifest-listed and SURVIVES the bucket rewrite
+    assert S.bm25_repair_index(spark, idx) == 1
+    after_rows = spark.read.parquet(idx).select(
+        "term", "doc_id", "tf"
+    ).collect()
+    assert all(r.doc_id != 99 for r in after_rows)
+    # every original posting is still present (the rewrite lost none)
+    assert before <= {(r.term, r.doc_id, r.tf) for r in after_rows}
+    # and a second repair answers 0
+    assert S.bm25_repair_index(spark, idx) == 0
