@@ -25,7 +25,9 @@ power law with P(rank=r) ≈ 1/r(r+1): rank 1 captures ~half the rows):
 * ``embeddings.embedding`` → the vector of the zipf-ranked vec id
   (LSH buckets / IVF cells go hot)
 * ``events.user_id``  → zipf rank (hot-user stream: skewed groupBys,
-  window partitions, asof keys)
+  window partitions, asof keys; NOTE: NULL user_ids are remapped to
+  ranks too — the skewed set trades the null-population stress for
+  key-skew stress, deliberately)
 
 Keys themselves stay unique and referential integrity holds, so every
 query remains semantically valid on the skewed set.
