@@ -805,16 +805,10 @@ def bm25_repair_index(
     lineage reads the path being rewritten). Stats are untouched
     either way: they only ever count manifest-listed docs, and
     orphans were never added to them."""
-    from urllib.parse import unquote, urlparse
-
     from mpg_data_warehouse_spark.operators.append import (
         overwrite_partitions,
     )
-
-    def _to_path(uri: str) -> str:
-        if uri.startswith("file:"):
-            return unquote(urlparse(uri).path)
-        return uri
+    from mpg_data_warehouse_spark.sources.storage import uri_to_path
 
     _require_manifest(path)
     backend = get_storage_backend()
@@ -852,7 +846,8 @@ def bm25_repair_index(
         pure = sorted(
             f for f, n in orph_counts.items() if n == totals.get(f)
         )
-        mixed = sorted(f for f in orph_counts if f not in set(pure))
+        pure_set = set(pure)
+        mixed = sorted(f for f in orph_counts if f not in pure_set)
         if mixed:
             mixed_buckets = sorted(
                 r["bucket"]
@@ -872,6 +867,12 @@ def bm25_repair_index(
                 for r in survivors.select("bucket").distinct().collect()
             }
             overwrite_partitions(spark, survivors, path, ("bucket",))
+            # DEFENSIVE: a mixed file's live rows share its bucket (one
+            # dir per file), so every mixed bucket keeps ≥1 survivor and
+            # this loop is dead under the invariant — but if it ever
+            # broke, removing the then-empty dir is still the correct
+            # action (dynamic overwrite won't touch a bucket absent
+            # from survivors, which would otherwise leave orphans)
             for b in mixed_buckets:
                 if b not in kept:
                     backend.delete_prefix(
@@ -880,7 +881,7 @@ def bm25_repair_index(
         # pure files under a just-rewritten bucket are already gone
         # (dynamic overwrite replaced the dir) — delete_file no-ops
         for f in pure:
-            backend.delete_file(_to_path(f))
+            backend.delete_file(uri_to_path(f))
     finally:
         orphans.unpersist()
     _ensure_readable(path, postings.drop("bucket"))

@@ -170,6 +170,19 @@ class LocalFSStorageBackend(StorageBackend):
 _BACKEND: StorageBackend = LocalFSStorageBackend()
 
 
+def uri_to_path(uri: str) -> str:
+    """``input_file_name()`` yields ``file:///abs/path`` (URI-encoded);
+    normalize to a plain absolute path for set membership / backend
+    file operations. Shared by txlog's file-hit mapping and the BM25
+    repair's orphan-file unlink (one URI-decoding rule, not per-module
+    copies with drifting scheme handling)."""
+    from urllib.parse import unquote, urlparse
+
+    if "://" in uri or uri.startswith("file:"):
+        return unquote(urlparse(uri).path)
+    return os.path.abspath(uri)
+
+
 def get_storage_backend() -> StorageBackend:
     return _BACKEND
 

@@ -369,13 +369,11 @@ def _scan_add_actions(
 
 
 def _uri_to_path(uri: str) -> str:
-    """``input_file_name()`` yields ``file:///abs/path`` (URI-encoded);
-    normalize to a plain absolute path for set membership."""
-    from urllib.parse import unquote, urlparse
+    """Alias of ``storage.uri_to_path`` (kept for the module's
+    existing call sites)."""
+    from mpg_data_warehouse_spark.sources.storage import uri_to_path
 
-    if "://" in uri or uri.startswith("file:"):
-        return unquote(urlparse(uri).path)
-    return os.path.abspath(uri)
+    return uri_to_path(uri)
 
 
 def _jsonable(v):
