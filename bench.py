@@ -213,10 +213,16 @@ def main() -> None:
         f"BENCH_sf{sf}.json" if sf >= 0 and not only else "BENCH_custom.json",
     )
     # ``value`` is the LATEST sweep; ``best_value``/``best_ref_sec``
-    # carry the best sweep seen so far at this SF, by HOST-NORMALIZED
-    # total (value / ref_sec) — so the committed artifact alone tells
-    # the record-vs-latest story instead of burying the record in
-    # prose when the session's final sweep lands on a loaded host.
+    # carry the best sweep seen so far at this SF by RAW total (the
+    # probe's ref_sec rides along so a reader can normalize) — so the
+    # committed artifact alone tells the record-vs-latest story
+    # instead of burying the record in prose when the session's final
+    # sweep lands on a loaded host. Raw, NOT normalized, despite the
+    # r10 demand's letter: measured counterexample r11 — a sweep of
+    # 101.1 s at probe 1.257 "normalized" to 80.4 and out-ranked a
+    # genuinely-idle 86.9 s at probe 0.768 (norm 113), because the
+    # 400 M-row probe over-indexed an ambient slowdown the queries
+    # only partly felt (~6%). A load spike must never CROWN a record.
     # Best-tracking applies ONLY to the per-SF artifacts: every
     # BENCH_custom.json run (subset sweep / non-sf dir) is a different
     # workload, and carrying a "best" across incommensurate totals
@@ -230,21 +236,11 @@ def main() -> None:
         except (OSError, ValueError):
             prior = {}
     prior_best = prior.get("best_value", prior.get("value"))
-    prior_best_ref = prior.get("best_ref_sec", prior.get("ref_sec"))
-
-    # Normalized totals are comparable only when BOTH sweeps carry a
-    # host probe; raw seconds vs a ratio is a unit mismatch. On mixed
-    # ref presence the new sweep wins (artifacts carry ref going
-    # forward, so this converges to normalized comparisons).
-    keep_prior = False
-    if prior_best is not None:
-        if ref and prior_best_ref:
-            keep_prior = prior_best / prior_best_ref <= total / ref
-        elif not ref and not prior_best_ref:
-            keep_prior = prior_best <= total
-    if keep_prior:
+    if prior_best is not None and prior_best <= total:
         record["best_value"] = prior_best
-        record["best_ref_sec"] = prior_best_ref
+        record["best_ref_sec"] = prior.get(
+            "best_ref_sec", prior.get("ref_sec")
+        )
     else:
         record["best_value"] = total
         record["best_ref_sec"] = ref
