@@ -99,25 +99,42 @@ def string_agg_ordered_limited(
     (STRING_AGG semantics): a bare struct(v, s) is never null, so a
     null-v struct would sort first and burn one of the ``limit``
     slots while emitting nothing — the when() below yields a null
-    struct for null values, which collect_list skips."""
-    return df.groupBy(*keys).agg(
+    struct for null values, which collect_list skips.
+
+    BOUNDED two-level top-k (r12): ``collect_list`` has no reducing
+    partial aggregation, so a single-level groupBy makes the final
+    task per group hold and sort EVERY row of that group — for
+    low-cardinality keys (the reference's shape is 3 return-flag
+    groups) that is unbounded per-group state in one task, a scale
+    killer at 100 TB. Instead the aggregation runs twice: first keyed
+    by (keys, spark_partition_id()) — each (group, partition) cell
+    holds at most one input partition's rows, and its output is
+    sliced to the local smallest-``limit`` BEFORE the second shuffle —
+    then a final top-k over the ≤ limit×P candidate structs per
+    group. Duplicates are preserved exactly (each partition
+    contributes its own copies, and the global smallest-k multiset is
+    always contained in the union of per-partition smallest-k), so
+    the result is identical to the single-level form."""
+    struct_val = F.when(
+        F.col(value_col).isNotNull(),
+        F.struct(
+            F.col(value_col).alias("v"),
+            F.col(value_col).cast("string").alias("s"),
+        ),
+    )
+    local = df.groupBy(
+        *keys, F.spark_partition_id().alias("_pid")
+    ).agg(
+        F.slice(F.array_sort(F.collect_list(struct_val)), 1, limit).alias(
+            "_cand"
+        )
+    )
+    return local.groupBy(*keys).agg(
         F.concat_ws(
             ",",
             F.transform(
                 F.slice(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col(value_col).isNotNull(),
-                                F.struct(
-                                    F.col(value_col).alias("v"),
-                                    F.col(value_col)
-                                    .cast("string")
-                                    .alias("s"),
-                                ),
-                            )
-                        )
-                    ),
+                    F.array_sort(F.flatten(F.collect_list("_cand"))),
                     1,
                     limit,
                 ),

@@ -490,3 +490,62 @@ def test_string_agg_ordered_limited_null_values_excluded(spark):
     assert got["a"] == "1,2,3"
     # an all-null group aggregates to the empty string, not a crash
     assert got["b"] == ""
+
+
+def test_string_agg_bounded_topk_keeps_duplicates(spark):
+    """r12 (VERDICT r11 finding 1): the two-level bounded top-k must
+    return the exact smallest-k MULTISET — duplicate values landing in
+    different input partitions each keep their slot, identical to the
+    old whole-group sort. Partitioning is forced wide so every value
+    lands alone in a partition (the adversarial layout for a local
+    pre-reduce)."""
+    from mpg_data_warehouse_spark.operators.aggregates import (
+        string_agg_ordered_limited,
+    )
+
+    rows = [Row(g="a", v=v) for v in [5, 1, 2, 1, 9, 1]] + [
+        Row(g="b", v=v) for v in [7, 7]
+    ]
+    df = spark.createDataFrame(rows, "g string, v int").repartition(8)
+    got = {
+        r.g: r.top
+        for r in string_agg_ordered_limited(
+            df, ["g"], "v", 3, "top"
+        ).collect()
+    }
+    # all three 1s are distinct rows: duplicates fill the k slots
+    assert got["a"] == "1,1,1"
+    # fewer than k values: emit what exists, no padding
+    assert got["b"] == "7,7"
+
+
+def test_string_agg_bounded_matches_whole_group_sort(spark):
+    """Equivalence pin: across several partition layouts the bounded
+    operator equals the naive whole-group ``sorted(values)[:k]``."""
+    import random
+
+    from mpg_data_warehouse_spark.operators.aggregates import (
+        string_agg_ordered_limited,
+    )
+
+    rng = random.Random(12)
+    rows = [
+        Row(g=f"g{rng.randrange(3)}", v=rng.randrange(20))
+        for _ in range(200)
+    ]
+    expected: dict[str, list[int]] = {}
+    for r in rows:
+        expected.setdefault(r.g, []).append(r.v)
+    want = {
+        g: ",".join(str(v) for v in sorted(vs)[:4])
+        for g, vs in expected.items()
+    }
+    base = spark.createDataFrame(rows, "g string, v int")
+    for parts in (1, 7, 32):
+        got = {
+            r.g: r.top
+            for r in string_agg_ordered_limited(
+                base.repartition(parts), ["g"], "v", 4, "top"
+            ).collect()
+        }
+        assert got == want, f"diverged at repartition({parts})"
