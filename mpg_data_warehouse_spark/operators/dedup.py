@@ -550,6 +550,8 @@ def minhash_dedup_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_bucket: int = 1000,
+    audit_cap_invariant: bool = False,
 ) -> DataFrame:
     """Full MinHash→LSH→verify near-dup pipeline: candidate pairs from
     banding, exact Jaccard verification, thresholded output.
@@ -557,6 +559,16 @@ def minhash_dedup_pairs(
     The exploded shingle table feeds both the signature pass and the
     Jaccard verify — cached so the expensive tokenize+shingle map
     runs once (at 100 TB this is a checkpoint-to-parquet instead).
+
+    ``audit_cap_invariant=True`` (r12) additionally runs the
+    ``lsh_dropped_buckets`` audit and CHECKS it against the production
+    cap, eagerly: the audit's total dropped doc-rows (a groupBy over
+    the banded frame) must equal the row count ``cap_buckets``'s
+    window filter actually removes. The two mechanisms share only the
+    banding, so a drift in either (cap threshold, audit predicate,
+    band key) raises here instead of silently under- or over-reporting
+    the forgone pair mass — the transparency half of the r11 cap
+    replay, priced under the caller's oracle hash.
 
     Cache lifecycle: the returned DataFrame is lazy, so the cache
     cannot be dropped here without recomputing on the caller's action.
@@ -566,7 +578,25 @@ def minhash_dedup_pairs(
     or cached shingle tables accumulate for the app's lifetime."""
     sh = exploded_shingles(df, id_col, text_col, shingle_n).cache()
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, shingles=sh)
-    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    if audit_cap_invariant:
+        # the signature agg feeds three more banding passes below —
+        # pin it (released by the caller's scope; see docstring)
+        sigs = sigs.persist()
+        banded = band_signatures(sigs, id_col, num_hashes, bands)
+        n_all = banded.count()
+        n_kept = cap_buckets(banded, max_bucket).count()
+        mass = (
+            lsh_dropped_buckets(sigs, id_col, num_hashes, bands, max_bucket)
+            .agg(F.coalesce(F.sum("n_docs"), F.lit(0)).alias("m"))
+            .first()["m"]
+        )
+        if n_all - n_kept != mass:
+            raise AssertionError(
+                f"lsh_dropped_buckets audit reports {mass} dropped "
+                f"doc-rows but cap_buckets removed {n_all - n_kept} "
+                f"(max_bucket={max_bucket}) — cap and audit drifted"
+            )
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands, max_bucket)
     verified = jaccard_pairs(df, cands, id_col, text_col, shingle_n, shingles=sh)
     return verified.filter(F.col("jaccard") >= threshold)
 

@@ -814,6 +814,22 @@ def bm25_repair_index(
     backend = get_storage_backend()
     postings = spark.read.parquet(path)
     man_ids = spark.read.parquet(_manifest_path(path)).select(id_col)
+    # The orphan detection is a postings-vs-manifest anti-join; left
+    # unhinted it shuffles BOTH sides, and the postings side is the
+    # whole index — the dominant cost of a repair pass (and the slot
+    # prices two passes). The manifest id column is ~8 B/doc, so up to
+    # a few million docs it broadcasts (≤ ~32 MB) and the anti-join
+    # becomes one shuffle-free pass over the postings scan. Past that
+    # the shuffle join is the right plan (a billion-doc manifest does
+    # not broadcast) — gate on the stats sidecar's exact doc count.
+    stats_path = os.path.join(path, STATS_FILE)
+    n_docs = (
+        read_json(stats_path).get("n_docs", 0)
+        if backend.exists(stats_path)
+        else None
+    )
+    if n_docs is not None and n_docs <= 4_000_000:
+        man_ids = F.broadcast(man_ids)
     rows = postings.select(
         id_col, "bucket", F.input_file_name().alias("_f")
     )
@@ -826,28 +842,50 @@ def bm25_repair_index(
         n_orphans = orphans.select(id_col).distinct().count()
         if n_orphans == 0:
             return 0
-        orph_counts = {
-            r["_f"]: r["_orph"]
-            for r in orphans.groupBy("_f")
+        orph_rows = (
+            orphans.groupBy("_f")
             .agg(F.count(F.lit(1)).alias("_orph"))
             .collect()
+        )
+        # Keys on BOTH sides are normalized through uri_to_path (r11
+        # ADVICE): the per-file totals come from a DIFFERENT read
+        # (explicit leaf-file paths vs partition discovery), and any
+        # URI-rendering drift between the two input_file_name() calls
+        # would silently reclassify every pure file as mixed — the
+        # fast path dead with no error. The raw URIs are kept for the
+        # isin() filter below (it compares against the FIRST read's
+        # column values) and for the re-read paths.
+        raw_by_norm = {uri_to_path(r["_f"]): r["_f"] for r in orph_rows}
+        orph_counts = {
+            uri_to_path(r["_f"]): r["_orph"] for r in orph_rows
         }
         # total row counts scan ONLY the orphan-bearing files (a
         # direct multi-path read — an input_file_name() filter on the
         # full read is post-scan and would re-read the whole index)
         totals = {
-            r["_f"]: r["_tot"]
-            for r in spark.read.parquet(*sorted(orph_counts))
+            uri_to_path(r["_f"]): r["_tot"]
+            for r in spark.read.parquet(*sorted(raw_by_norm.values()))
             .select(F.input_file_name().alias("_f"))
             .groupBy("_f")
             .agg(F.count(F.lit(1)).alias("_tot"))
             .collect()
         }
+        lost = sorted(set(orph_counts) - set(totals))
+        if lost:
+            # the totals read just re-listed these exact files — a
+            # miss means key normalization drifted; degrading to the
+            # near-full-index rewrite silently is worse than failing
+            raise RuntimeError(
+                "bm25_repair_index: orphan files missing from their "
+                f"own re-read (key normalization drift?): {lost[:3]}"
+            )
         pure = sorted(
-            f for f, n in orph_counts.items() if n == totals.get(f)
+            f for f, n in orph_counts.items() if n == totals[f]
         )
         pure_set = set(pure)
-        mixed = sorted(f for f in orph_counts if f not in pure_set)
+        mixed = sorted(
+            raw_by_norm[f] for f in orph_counts if f not in pure_set
+        )
         if mixed:
             mixed_buckets = sorted(
                 r["bucket"]
@@ -881,7 +919,21 @@ def bm25_repair_index(
         # pure files under a just-rewritten bucket are already gone
         # (dynamic overwrite replaced the dir) — delete_file no-ops
         for f in pure:
-            backend.delete_file(uri_to_path(f))
+            backend.delete_file(f)
+        # A crashed append can CREATE a bucket=N dir whose only files
+        # were pure orphans: after the unlink the empty hive dir would
+        # survive every repair and accumulate (r11 ADVICE). Remove a
+        # pure file's parent bucket dir once no Spark-VISIBLE file is
+        # left in it — hidden siblings (the local FS's .crc checksums)
+        # don't count as occupancy and are swept with the dir.
+        for d in sorted({os.path.dirname(f) for f in pure}):
+            visible = [
+                f
+                for f in backend.list_files(d)
+                if not os.path.basename(f).startswith((".", "_"))
+            ]
+            if os.path.basename(d).startswith("bucket=") and not visible:
+                backend.delete_prefix(d)
     finally:
         orphans.unpersist()
     _ensure_readable(path, postings.drop("bucket"))

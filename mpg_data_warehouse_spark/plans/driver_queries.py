@@ -509,17 +509,33 @@ def membership_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multi_way_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-deep left-join chain (reference J2,
     src/analyze_gridveg_dates_pattern.py:32-91). nation/region are
-    broadcast — at 100 TB the fact side never shuffles for them."""
+    broadcast — at 100 TB the fact side never shuffles for them.
+
+    r12: the region leg routes through ``operators.joins.salted_join``
+    so the skew-salting fallback's result identity is priced under
+    this slot's oracle hash (r11 VERDICT missing 4 — it was
+    tool-verified only). Salting composes with broadcast: the
+    exploded 5-row dim is still broadcast (16 salts × 5 rows), the
+    fact side never shuffles, and unmatched/NULL-key rows keep LEFT
+    semantics — so the fold prices correctness at zero plan cost;
+    the skew VALUE is bench-proven separately
+    (tools/skew_compare.py, BENCH_SCALE.md r11)."""
+    from mpg_data_warehouse_spark.operators.joins import salted_join
+
     l = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey, "left")
-        .join(c, o.o_custkey == c.c_custkey, "left")
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left")
+        salted_join(
+            l.join(o, l.l_orderkey == o.o_orderkey, "left")
+            .join(c, o.o_custkey == c.c_custkey, "left")
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left"),
+            F.broadcast(r.withColumnRenamed("r_regionkey", "n_regionkey")),
+            on=["n_regionkey"],
+            how="left",
+        )
         .select(
             "l_orderkey",
             "l_linenumber",
@@ -1431,8 +1447,18 @@ def minhash_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", F.slice(tokens("text"), 3, 100000)).alias("text"),
     )
     base = docs.unionByName(perturbed)
+    # audit_cap_invariant (r12): the lsh_dropped_buckets audit runs
+    # against the production cap and must account for EXACTLY the rows
+    # cap_buckets removes — the oracle replays the cap (bandsc CTE),
+    # and this invariant prices the audit of what the cap forgoes
+    # under the same hash (r11 VERDICT missing 3).
     return minhash_dedup_pairs(
-        base, num_hashes=8, bands=4, shingle_n=3, threshold=0.5
+        base,
+        num_hashes=8,
+        bands=4,
+        shingle_n=3,
+        threshold=0.5,
+        audit_cap_invariant=True,
     )
 
 
@@ -1524,16 +1550,27 @@ def bm25_incremental_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from mpg_data_warehouse_spark.operators.text import norm_tokens
 
-    docs = _docs(spark, sf_dir)
+    # One materialization of the corpus feeds every lifecycle phase
+    # (build / crashed slice / orphan count / retry / delete ids) —
+    # unpersisted, each phase re-reads AND re-repartitions the parquet
+    # (~5 corpus scans per run). The slot is scoped, so the pin is
+    # released once the result materializes.
+    docs = _docs(spark, sf_dir).persist()
     idx = tempfile.mkdtemp(prefix="bm25_incr_contract_")
     build_ranked_index(docs.filter(F.col("doc_id") % 3 != 0), idx)
     batch = docs.filter(F.col("doc_id") % 3 == 0)
 
     # ---- crash injection: run the REAL append on a PARTIAL first
-    # delivery (1/5 of the batch — the crash semantics don't scale
-    # with the crashed batch's size, so the fold prices a slice, not
-    # a duplicate full append) and fail its manifest commit, leaving
-    # exactly the orphaned-postings state the repair op exists for.
+    # delivery and fail its manifest commit, leaving exactly the
+    # orphaned-postings state the repair op exists for. The crashed
+    # slice is SF-INVARIANT (r11 VERDICT 3: the crash semantics don't
+    # scale with the crashed batch's size, so the fold prices a fixed
+    # ~34-doc slice, not an O(corpus) partial append): doc_id < 500
+    # covers the whole corpus at the correctness SF (ids are 0..499
+    # at sf0.01 — behavior there is byte-identical to the unbounded
+    # form) and pins the slice to the same 34 documents at every
+    # larger SF. The final corpus state — and therefore the oracle
+    # hash — never depends on which slice crashed.
     # Monkeypatching the commit function beats hand-staging postings:
     # the staged state can never drift from what the production code
     # actually writes. The retry below then redelivers the FULL batch
@@ -1546,7 +1583,9 @@ def bm25_incremental_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _boom(*a, **k):
         raise _InjectedCrash("injected crash before manifest commit")
 
-    crashed = batch.filter(F.col("doc_id") % 5 == 0)
+    crashed = batch.filter(
+        (F.col("doc_id") % 5 == 0) & (F.col("doc_id") < 500)
+    )
     real_write_manifest = _search._write_manifest
     _search._write_manifest = _boom
     try:
@@ -4370,6 +4409,25 @@ def user_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) GROUP BY grp, bucket
       ) GROUP BY grp
     )
+    -- r12: DELETE with an UNTYPED timestamp-string predicate, replayed
+    -- as plain SQL DELETE semantics: rows where the predicate is TRUE
+    -- are gone, NULL-evaluating rows survive (NOT coalesce(p, false)).
+    -- The Spark side runs txlog.delete through its typed-bounds
+    -- footer-stats pruning (_coerce_bound) on range-clustered files —
+    -- the r11 lexical-compare bug silently RETAINED matching rows,
+    -- which this replay turns hash-red.
+    UNION ALL
+    SELECT s_suppkey % 10 AS s_suppkey,
+           'DEL_' || CAST(s_suppkey % 10 AS VARCHAR) AS s_name,
+           CAST(sum(s_suppkey) AS DOUBLE) AS s_acctbal,
+           'delete_survivors_n=' || CAST(count(*) AS VARCHAR)
+             AS change_tag
+    FROM supplier
+    WHERE NOT coalesce(
+      (TIMESTAMP '2020-01-01 00:00:00'
+         + to_hours(CAST((s_suppkey * 7) % 96 AS BIGINT)))
+        <= TIMESTAMP '2020-01-03 00:00:00', false)
+    GROUP BY s_suppkey % 10
     """,
 )
 def txlog_merge_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4580,6 +4638,53 @@ def txlog_merge_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("qs_sample").cast("string"),
         ).alias("change_tag"),
     )
+    # r12 fold (r11 VERDICT 2): DELETE stats-pruning under the hash.
+    # A third txlog table carries a TIMESTAMP column (2020-01-01 +
+    # (key*7)%96 hours — the *7 stride spreads every key range across
+    # the 4-day cycle at every SF) with files RANGE-CLUSTERED on ts,
+    # so per-file footer stats are tight and the typed-bounds pruning
+    # (txlog._coerce_bound, the r11 soundness fix) actually binds.
+    # The predicate's literal is deliberately an UNTYPED string: the
+    # pre-fix lexical compare against the stats encoding silently
+    # LEFT ROWS BEHIND on exactly this shape (right-to-be-forgotten
+    # violation) — the oracle replays the same DELETE as
+    # NOT coalesce(pred, false) over supplier, so retained-row drift
+    # goes hash-red. The boundary (hour 48) lands exactly on stored
+    # values, pricing <= inclusivity too. Reference surface: the
+    # fix-flow truncate lifecycle
+    # notebooks/fix_gridVeg_additional_species_na_rows.ipynb:913-926.
+    t3 = tempfile.mkdtemp(prefix="txlog_delete_")
+    with_ts = supplier.select(
+        "s_suppkey",
+        "grp",
+        (
+            F.to_timestamp(F.lit("2020-01-01 00:00:00"))
+            + F.expr(
+                "make_interval(0, 0, 0, 0, "
+                "CAST((s_suppkey * 7) % 96 AS INT), 0, 0)"
+            )
+        ).alias("ts"),
+    ).repartitionByRange(4, "ts")
+    txlog.create(spark, t3, with_ts)
+    txlog.delete(spark, t3, "ts <= '2020-01-03 00:00:00'")
+    del_rows = (
+        txlog.read(spark, t3)
+        .groupBy("grp")
+        .agg(
+            F.sum("s_suppkey").cast("double").alias("s_acctbal"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            F.col("grp").alias("s_suppkey"),
+            F.concat(F.lit("DEL_"), F.col("grp").cast("string")).alias(
+                "s_name"
+            ),
+            "s_acctbal",
+            F.concat(
+                F.lit("delete_survivors_n="), F.col("_n").cast("string")
+            ).alias("change_tag"),
+        )
+    )
     rollup = txlog.read(spark, rollup_path).select(
         F.col("grp").alias("s_suppkey"),
         F.concat(F.lit("ROLLUP_"), F.col("grp").cast("string")).alias(
@@ -4648,6 +4753,7 @@ def txlog_merge_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(bloom_name)
         .unionByName(sketch_rows)
         .unionByName(qs_sketch_rows)
+        .unionByName(del_rows)
     )
 
 

@@ -518,3 +518,39 @@ def test_lsh_dropped_buckets_audit_matches_cap(spark):
         D.lsh_dropped_buckets(sigs, num_hashes=8, bands=4, max_bucket=5).count()
         == 0
     )
+
+
+def test_minhash_audit_cap_invariant_checks_and_raises(spark, monkeypatch):
+    """r12 contract fold: ``audit_cap_invariant=True`` must (a) pass
+    when the audit accounts for exactly the rows cap_buckets removes,
+    and (b) RAISE when the audit drifts from the cap — a lying audit
+    silently under-reporting forgone pair mass is the failure mode the
+    invariant exists to catch."""
+    import pytest
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, text="alpha beta gamma delta epsilon")
+            for i in range(8)
+        ]
+        + [Row(doc_id=100, text="one two three four five six")]
+    )
+    # 8 identical docs: every band has a degenerate 8-doc bucket;
+    # max_bucket=5 drops all of them, so no pair survives — and the
+    # audit must account for each of the 4 bands' 8 dropped rows
+    out = D.minhash_dedup_pairs(
+        docs, shingle_n=2, max_bucket=5, audit_cap_invariant=True
+    )
+    assert out.count() == 0
+
+    real = D.lsh_dropped_buckets
+    monkeypatch.setattr(
+        D,
+        "lsh_dropped_buckets",
+        lambda *a, **k: real(*a, **k).filter("1=0"),
+    )
+    with pytest.raises(AssertionError, match="drifted"):
+        D.minhash_dedup_pairs(
+            docs, shingle_n=2, max_bucket=5, audit_cap_invariant=True
+        )

@@ -616,3 +616,52 @@ def test_bm25_repair_mixed_file_falls_back_to_bucket_rewrite(
     assert before <= {(r.term, r.doc_id, r.tf) for r in after_rows}
     # and a second repair answers 0
     assert S.bm25_repair_index(spark, idx) == 0
+
+
+def test_bm25_repair_removes_emptied_new_bucket_dirs(
+    spark, tmp_path, monkeypatch
+):
+    """r11 ADVICE: a crashed append can CREATE bucket dirs whose only
+    files are pure orphans; unlinking the files must also remove the
+    now-empty hive dirs, or they accumulate across repairs. Bucket
+    dirs that pre-existed the crash must survive untouched."""
+    import glob
+    import os as _os
+
+    from mpg_data_warehouse_spark.operators import search as S
+
+    base = spark.createDataFrame([Row(doc_id=1, text="alpha")])
+    idx = str(tmp_path / "idx")
+    # explicit wide layout: a 1-doc corpus leaves ~62 bucket dirs
+    # absent, so the crashed batch's terms create brand-new ones
+    S.build_ranked_index(base, idx, n_buckets=64)
+    dirs_before = set(glob.glob(_os.path.join(idx, "bucket=*")))
+
+    batch = spark.createDataFrame(
+        [
+            Row(
+                doc_id=2,
+                text="bravo charlie delta echo foxtrot golf hotel india",
+            )
+        ]
+    )
+
+    def _boom(*a, **k):
+        raise RuntimeError("simulated crash before manifest commit")
+
+    monkeypatch.setattr(S, "_write_manifest", _boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        S.bm25_append_index(batch, idx)
+    monkeypatch.undo()  # restore the real _write_manifest
+
+    new_dirs = (
+        set(glob.glob(_os.path.join(idx, "bucket=*"))) - dirs_before
+    )
+    # 8 distinct terms over 64 buckets: some land outside the 1-doc
+    # build's dirs (all-collide probability ~(|before|/64)^8 ≈ 0)
+    assert new_dirs
+    assert S.bm25_repair_index(spark, idx) == 1
+    assert (
+        set(glob.glob(_os.path.join(idx, "bucket=*"))) == dirs_before
+    )
+    assert S.bm25_repair_index(spark, idx) == 0
