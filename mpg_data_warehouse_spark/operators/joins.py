@@ -36,12 +36,25 @@ def salted_join(
     n_salts: int = 16,
 ) -> DataFrame:
     """Skew-resistant equi-join: the big side gets a deterministic
-    per-row salt (hash of the whole row, stable across retries — no
-    rand(), which breaks task re-execution), the small side is
+    salt (hash of the join keys mixed with ``spark_partition_id()`` —
+    no rand(), which breaks task re-execution), the small side is
     replicated ``n_salts``× via explode, and the join key becomes
     (key, salt). Result equals ``big.join(small, on, how)`` row for
-    row; only the physical distribution changes."""
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    row; only the physical distribution changes.
+
+    The salt deliberately reads NOTHING beyond the join keys: an
+    earlier whole-row hash defeated column pruning — the scan read
+    every column of the big side just to compute the salt (caught by
+    the plan-pinned ``test_scans_prune_columns``). Mixing in the
+    input partition id spreads a hot key across however many
+    partitions it occupies (a key confined to ONE input partition is
+    already bounded by partition size and needs no spread); it is
+    stable across task retries because Spark re-executes a partition
+    deterministically under the same lineage."""
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in on], F.spark_partition_id()),
+        F.lit(n_salts),
+    )
     b = big.withColumn("_salt", salt)
     s = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
