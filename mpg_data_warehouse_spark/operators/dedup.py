@@ -583,18 +583,33 @@ def minhash_dedup_pairs(
         # pin it (released by the caller's scope; see docstring)
         sigs = sigs.persist()
         banded = band_signatures(sigs, id_col, num_hashes, bands)
-        n_all = banded.count()
-        n_kept = cap_buckets(banded, max_bucket).count()
-        mass = (
-            lsh_dropped_buckets(sigs, id_col, num_hashes, bands, max_bucket)
-            .agg(F.coalesce(F.sum("n_docs"), F.lit(0)).alias("m"))
-            .first()["m"]
+        # all three probe quantities ride ONE action (a tagged union
+        # of three one-row aggregates): per-action scheduling overhead
+        # dominated the first cut of this invariant (~0.9 s of three
+        # driver actions over KB-sized frames at sf0.1)
+        probe = (
+            banded.agg(F.count(F.lit(1)).alias("v"))
+            .withColumn("k", F.lit("all"))
+            .unionByName(
+                cap_buckets(banded, max_bucket)
+                .agg(F.count(F.lit(1)).alias("v"))
+                .withColumn("k", F.lit("kept"))
+            )
+            .unionByName(
+                lsh_dropped_buckets(
+                    sigs, id_col, num_hashes, bands, max_bucket
+                )
+                .agg(F.coalesce(F.sum("n_docs"), F.lit(0)).alias("v"))
+                .withColumn("k", F.lit("mass"))
+            )
         )
-        if n_all - n_kept != mass:
+        vals = {r["k"]: r["v"] for r in probe.collect()}
+        if vals["all"] - vals["kept"] != vals["mass"]:
             raise AssertionError(
-                f"lsh_dropped_buckets audit reports {mass} dropped "
-                f"doc-rows but cap_buckets removed {n_all - n_kept} "
-                f"(max_bucket={max_bucket}) — cap and audit drifted"
+                f"lsh_dropped_buckets audit reports {vals['mass']} "
+                "dropped doc-rows but cap_buckets removed "
+                f"{vals['all'] - vals['kept']} (max_bucket="
+                f"{max_bucket}) — cap and audit drifted"
             )
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands, max_bucket)
     verified = jaccard_pairs(df, cands, id_col, text_col, shingle_n, shingles=sh)
