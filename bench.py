@@ -139,6 +139,23 @@ def workload_fingerprint(names: list[str]) -> str:
     return h.hexdigest()[:16]
 
 
+def decide_best(
+    prior: dict, total: float, ref: float, fingerprint: str
+) -> tuple[float, float | None]:
+    """Record-vs-latest decision for a per-SF artifact (pure — unit
+    tested): the prior best carries forward only when it was set under
+    the SAME workload fingerprint AND is a better (lower) RAW total;
+    a fingerprint change (the measured workload itself changed — r11
+    ADVICE) or a missing/pre-fingerprint prior resets the record to
+    the current sweep."""
+    if prior.get("workload_fingerprint") != fingerprint:
+        prior = {}
+    prior_best = prior.get("best_value", prior.get("value"))
+    if prior_best is not None and prior_best <= total:
+        return prior_best, prior.get("best_ref_sec", prior.get("ref_sec"))
+    return total, ref
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -267,17 +284,9 @@ def main() -> None:
                 prior = json.loads(fh.read().strip() or "{}")
         except (OSError, ValueError):
             prior = {}
-        if prior.get("workload_fingerprint") != record["workload_fingerprint"]:
-            prior = {}  # different (or pre-fingerprint) workload: reset
-        prior_best = prior.get("best_value", prior.get("value"))
-        if prior_best is not None and prior_best <= total:
-            record["best_value"] = prior_best
-            record["best_ref_sec"] = prior.get(
-                "best_ref_sec", prior.get("ref_sec")
-            )
-        else:
-            record["best_value"] = total
-            record["best_ref_sec"] = ref
+        record["best_value"], record["best_ref_sec"] = decide_best(
+            prior, total, ref, record["workload_fingerprint"]
+        )
 
     line = json.dumps(record)
     # Durable copy FIRST: the driver's stdout-tail capture is capped
