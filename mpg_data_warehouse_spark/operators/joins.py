@@ -34,27 +34,40 @@ def salted_join(
     on: list[str],
     how: str = "inner",
     n_salts: int = 16,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Skew-resistant equi-join: the big side gets a deterministic
-    salt (hash of the join keys mixed with ``spark_partition_id()`` —
-    no rand(), which breaks task re-execution), the small side is
-    replicated ``n_salts``× via explode, and the join key becomes
-    (key, salt). Result equals ``big.join(small, on, how)`` row for
-    row; only the physical distribution changes.
+    salt, the small side is replicated ``n_salts``× via explode, and
+    the join key becomes (key, salt). Result equals
+    ``big.join(small, on, how)`` row for row; only the physical
+    distribution changes.
 
-    The salt deliberately reads NOTHING beyond the join keys: an
-    earlier whole-row hash defeated column pruning — the scan read
-    every column of the big side just to compute the salt (caught by
-    the plan-pinned ``test_scans_prune_columns``). Mixing in the
-    input partition id spreads a hot key across however many
-    partitions it occupies (a key confined to ONE input partition is
-    already bounded by partition size and needs no spread); it is
-    stable across task retries because Spark re-executes a partition
-    deterministically under the same lineage."""
-    salt = F.pmod(
-        F.xxhash64(*[F.col(c) for c in on], F.spark_partition_id()),
-        F.lit(n_salts),
-    )
+    The salt must be DETERMINISTIC per row (no rand()/
+    monotonically_increasing_id(): a nondeterministic repartition key
+    can duplicate or drop rows when a reducer refetches from a re-run
+    map task — the SPARK-23207 class of bug). Two deterministic
+    sources, chosen by ``salt_cols``:
+
+    * default (``salt_cols=None``): hash of the join keys mixed with
+      ``spark_partition_id()``. Reads NOTHING beyond the keys — an
+      earlier whole-row hash defeated column pruning (the scan read
+      every column just to compute the salt; caught by the
+      plan-pinned ``test_scans_prune_columns``). Spreads a hot key
+      across however many input partitions it occupies — right for
+      scan-fed inputs (file splits don't cluster by key). CAVEAT: if
+      the big side arrives partitioned BY the join key (e.g. straight
+      out of a groupBy on it), the hot key occupies ONE partition,
+      pid is constant for it, and this salt provides no spread —
+      pass ``salt_cols`` there.
+    * ``salt_cols=[...]``: hash of named row columns — per-row spread
+      independent of the input partitioning, retry-safe because it is
+      row CONTENT. Pick high-cardinality columns the plan already
+      reads (an id column), so pruning is unaffected."""
+    if salt_cols:
+        salt_src = [F.col(c) for c in salt_cols]
+    else:
+        salt_src = [F.col(c) for c in on] + [F.spark_partition_id()]
+    salt = F.pmod(F.xxhash64(*salt_src), F.lit(n_salts))
     b = big.withColumn("_salt", salt)
     s = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

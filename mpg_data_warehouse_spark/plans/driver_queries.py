@@ -535,6 +535,10 @@ def multi_way_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(r.withColumnRenamed("r_regionkey", "n_regionkey")),
             on=["n_regionkey"],
             how="left",
+            # row-content salt over columns the plan already reads:
+            # per-row spread even though the 5-value region key is
+            # maximally hot, and column pruning stays intact
+            salt_cols=["l_orderkey", "l_linenumber"],
         )
         .select(
             "l_orderkey",
@@ -1519,8 +1523,9 @@ def minhash_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bm25_incremental_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WHOLE incremental-maintenance lifecycle of the ranked index
     under external verification (operators/search.py): build over two
-    thirds of the corpus, CRASH a partial first delivery (1/5 of the
-    append batch) between its two commits (postings durable, manifest
+    thirds of the corpus, CRASH a partial first delivery (an
+    SF-INVARIANT ~34-doc slice of the append batch — see the crash
+    comment below) between its two commits (postings durable, manifest
     absent — the one inconsistent state the append commit order can
     leave), repair with ``bm25_repair_index`` (must scrub exactly the
     crashed slice; a second repair must answer 0), deliver the FULL

@@ -66,6 +66,35 @@ def test_workload_fingerprint_is_stable_and_name_sensitive():
     assert a != c  # dropping a query is a different workload
 
 
+def test_code_fingerprint_ignores_docstrings_keeps_literals():
+    """The fingerprint must track what EXECUTES: docstring/comment
+    edits (and the decorator's oracle-SQL argument, which never
+    reaches the builder's code object) must not reset the perf
+    record, while a changed literal (a bound, a cap) must."""
+    import hashlib
+
+    def f1(x):
+        """doc A"""
+        # a comment
+        return x + 500
+
+    def f2(x):
+        """doc B — reworded"""
+        return x + 500
+
+    def f3(x):
+        """doc A"""
+        return x + 501
+
+    def hp(fn):
+        h = hashlib.sha256()
+        bench._hash_code_object(fn.__code__, h)
+        return h.hexdigest()
+
+    assert hp(f1) == hp(f2)
+    assert hp(f1) != hp(f3)
+
+
 def test_custom_artifact_path_carries_no_best_fields():
     """The writer attaches best_* only to per-SF artifacts; the rule
     is path-based, so pin the path decision: a subset run (ONLY env)
