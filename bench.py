@@ -110,14 +110,41 @@ def host_ref_sec(spark, reps: int = 5) -> float:
     return round(statistics.median(ts), 3)
 
 
-def _hash_code_object(code, h, _seen=None) -> None:
+_NO_OWNER = object()
+
+
+def _slot0_is_docstring(code, owner_doc) -> bool:
+    """Whether ``co_consts[0]`` (already known to be a str) is the
+    compiled DOCSTRING rather than a meaningful string literal. Exact
+    on CPython 3.13+ via the CO_HAS_DOCSTRING flag; exact when the
+    owning function is at hand (its ``__doc__`` IS the docstring
+    const); else falls back to the ≤3.12 convention that a
+    docstring-less function's consts lead with None, never a str —
+    sound on this repo's 3.11, and the two exact paths take over on
+    interpreters where that convention breaks (r12 ADVICE: a skipped
+    meaningful literal would silently not reset the perf record)."""
+    import inspect
+
+    flag = getattr(inspect, "CO_HAS_DOCSTRING", 0)
+    if flag:
+        return bool(code.co_flags & flag)
+    if owner_doc is not _NO_OWNER:
+        return code.co_consts[0] == owner_doc
+    return True
+
+
+def _hash_code_object(code, h, owner_doc=_NO_OWNER) -> None:
     """Fold a builder's compiled code object (recursively, inner
     lambdas/defs included) into ``h``: bytecode + names + non-docstring
     constants. Compiled rather than textual so the fingerprint tracks
     what EXECUTES — literals like a crash-slice bound or a cap
     threshold change it; comments, docstrings, and the ``@_q(...)``
     decorator's oracle-SQL argument (not part of the builder's code
-    object) do not spuriously reset the perf record."""
+    object) do not spuriously reset the perf record. ``owner_doc``:
+    the owning function's ``__doc__`` when the caller has it (top
+    level) — lets the docstring-slot test be exact; nested code
+    objects have no reachable owner and use the version-appropriate
+    convention (see ``_slot0_is_docstring``)."""
     import types
 
     h.update(code.co_code)
@@ -126,8 +153,10 @@ def _hash_code_object(code, h, _seen=None) -> None:
     for i, c in enumerate(consts):
         if isinstance(c, types.CodeType):
             _hash_code_object(c, h)
-        elif i == 0 and isinstance(c, str):
-            continue  # conventional docstring slot
+        elif i == 0 and isinstance(c, str) and _slot0_is_docstring(
+            code, owner_doc
+        ):
+            continue  # docstring slot — does not execute
         else:
             h.update(repr(c).encode())
         h.update(b"\x00")
@@ -157,7 +186,7 @@ def workload_fingerprint(names: list[str]) -> str:
         h.update(n.encode())
         h.update(b"\x00")
         try:
-            _hash_code_object(fn.__code__, h)
+            _hash_code_object(fn.__code__, h, owner_doc=fn.__doc__)
         except AttributeError:
             h.update(fn.__name__.encode())
         h.update(b"\x00")

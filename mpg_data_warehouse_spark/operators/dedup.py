@@ -200,6 +200,7 @@ def lsh_dropped_buckets(
     num_hashes: int = 8,
     bands: int = 4,
     max_bucket: int = 1000,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """AUDIT for the cap: the (band, bucket, n_docs) groups that
     ``cap_buckets`` would drop at ``max_bucket`` — no silent
@@ -208,8 +209,18 @@ def lsh_dropped_buckets(
     Degenerate buckets are almost always exact-duplicate classes, so
     the supported composition is exact-dedup FIRST (what
     ``retain_representatives``' callers do); this view tells an
-    operator when a corpus violates that assumption."""
-    b = band_signatures(signatures, id_col, num_hashes, bands)
+    operator when a corpus violates that assumption.
+
+    ``banded``: a pre-computed ``band_signatures`` frame — callers
+    that already banded (the r13 band-once audit path in
+    ``minhash_dedup_pairs``) pass it so the signature table is not
+    re-banded per probe; ``signatures``/``num_hashes``/``bands`` are
+    ignored when it is given."""
+    b = (
+        banded
+        if banded is not None
+        else band_signatures(signatures, id_col, num_hashes, bands)
+    )
     return (
         b.groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("n_docs"))
@@ -242,12 +253,17 @@ def lsh_candidate_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     max_bucket: int = 1000,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs (a < b) sharing at
     least one band bucket, with degenerate buckets capped
-    (``cap_buckets``)."""
+    (``cap_buckets``). ``banded``: reuse a pre-computed
+    ``band_signatures`` frame (see ``lsh_dropped_buckets``)."""
     small = cap_buckets(
-        band_signatures(signatures, id_col, num_hashes, bands), max_bucket
+        banded
+        if banded is not None
+        else band_signatures(signatures, id_col, num_hashes, bands),
+        max_bucket,
     )
     a = small.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"))
     b = small.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"))
@@ -578,11 +594,18 @@ def minhash_dedup_pairs(
     or cached shingle tables accumulate for the app's lifetime."""
     sh = exploded_shingles(df, id_col, text_col, shingle_n).cache()
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, shingles=sh)
+    banded = None
     if audit_cap_invariant:
-        # the signature agg feeds three more banding passes below —
-        # pin it (released by the caller's scope; see docstring)
-        sigs = sigs.persist()
-        banded = band_signatures(sigs, id_col, num_hashes, bands)
+        # band ONCE (r13): the banded frame feeds all three probe
+        # quantities AND the downstream candidate join. The r12 cut
+        # banded three times (probe, audit, candidates) — the
+        # posexplode/projection repeated over the persisted signature
+        # table, ~2 pointless extra passes priced into every audited
+        # run. Persisting the BANDED frame instead makes each consumer
+        # a scan of the same materialization; the emitted candidate
+        # pairs (and so the caller's oracle hash) are unchanged by
+        # construction.
+        banded = band_signatures(sigs, id_col, num_hashes, bands).persist()
         # all three probe quantities ride ONE action (a tagged union
         # of three one-row aggregates): per-action scheduling overhead
         # dominated the first cut of this invariant (~0.9 s of three
@@ -597,7 +620,7 @@ def minhash_dedup_pairs(
             )
             .unionByName(
                 lsh_dropped_buckets(
-                    sigs, id_col, num_hashes, bands, max_bucket
+                    sigs, id_col, num_hashes, bands, max_bucket, banded=banded
                 )
                 .agg(F.coalesce(F.sum("n_docs"), F.lit(0)).alias("v"))
                 .withColumn("k", F.lit("mass"))
@@ -611,7 +634,9 @@ def minhash_dedup_pairs(
                 f"{vals['all'] - vals['kept']} (max_bucket="
                 f"{max_bucket}) — cap and audit drifted"
             )
-    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, bands, max_bucket)
+    cands = lsh_candidate_pairs(
+        sigs, id_col, num_hashes, bands, max_bucket, banded=banded
+    )
     verified = jaccard_pairs(df, cands, id_col, text_col, shingle_n, shingles=sh)
     return verified.filter(F.col("jaccard") >= threshold)
 

@@ -24,8 +24,32 @@ same semantics viable at warehouse scale:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: Join types ``salted_join`` supports (normalized: lowercase, no
+#: underscores). Right/full-outer are structurally incompatible with
+#: small-side replication: each UNMATCHED small row would surface once
+#: per salt replica, so those types raise instead of returning
+#: silently duplicated rows.
+_SALTED_JOIN_HOWS = frozenset(
+    {"inner", "left", "leftouter", "semi", "leftsemi", "anti", "leftanti"}
+)
+
+
+def salt_expr(
+    on: list[str], n_salts: int, salt_cols: list[str] | None = None
+) -> Column:
+    """The deterministic salt column ``salted_join`` stamps on the big
+    side — exposed so tests can pin its SPREAD property (not just the
+    join's result identity, which stays green even if the salt
+    degenerates to a constant). See ``salted_join`` for the
+    determinism rationale and the ``salt_cols`` caveat."""
+    if salt_cols:
+        salt_src = [F.col(c) for c in salt_cols]
+    else:
+        salt_src = [F.col(c) for c in on] + [F.spark_partition_id()]
+    return F.pmod(F.xxhash64(*salt_src), F.lit(n_salts))
 
 
 def salted_join(
@@ -38,9 +62,13 @@ def salted_join(
 ) -> DataFrame:
     """Skew-resistant equi-join: the big side gets a deterministic
     salt, the small side is replicated ``n_salts``× via explode, and
-    the join key becomes (key, salt). Result equals
-    ``big.join(small, on, how)`` row for row; only the physical
-    distribution changes.
+    the join key becomes (key, salt). For the SUPPORTED join types —
+    inner / left / semi / anti (``how`` is validated) — the result
+    equals ``big.join(small, on, how)`` row for row; only the physical
+    distribution changes. Right and full-outer joins are rejected:
+    replicating the small side would emit each unmatched small row
+    once per salt, so the equivalence does not hold there and the
+    function raises rather than silently duplicating.
 
     The salt must be DETERMINISTIC per row (no rand()/
     monotonically_increasing_id(): a nondeterministic repartition key
@@ -63,12 +91,14 @@ def salted_join(
       independent of the input partitioning, retry-safe because it is
       row CONTENT. Pick high-cardinality columns the plan already
       reads (an id column), so pruning is unaffected."""
-    if salt_cols:
-        salt_src = [F.col(c) for c in salt_cols]
-    else:
-        salt_src = [F.col(c) for c in on] + [F.spark_partition_id()]
-    salt = F.pmod(F.xxhash64(*salt_src), F.lit(n_salts))
-    b = big.withColumn("_salt", salt)
+    if how.replace("_", "").lower() not in _SALTED_JOIN_HOWS:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: small-side "
+            "replication duplicates unmatched small rows under "
+            "right/full-outer semantics (supported: inner, left, "
+            "semi, anti)"
+        )
+    b = big.withColumn("_salt", salt_expr(on, n_salts, salt_cols))
     s = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )

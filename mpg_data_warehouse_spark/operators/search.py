@@ -823,11 +823,23 @@ def bm25_repair_index(
     # the shuffle join is the right plan (a billion-doc manifest does
     # not broadcast) — gate on the stats sidecar's exact doc count.
     stats_path = os.path.join(path, STATS_FILE)
-    n_docs = (
-        read_json(stats_path).get("n_docs", 0)
-        if backend.exists(stats_path)
-        else None
-    )
+    # The sidecar is an OPTIMIZER HINT here, not a correctness input —
+    # repair must still work on an index whose stats file is missing,
+    # truncated by the very crash being repaired, or malformed. Any
+    # read/parse failure (and a stats dict without n_docs) degrades to
+    # n_docs=None → no broadcast hint → the conservative shuffle join.
+    # Defaulting a missing key to 0 would FORCE broadcast of an
+    # arbitrarily large manifest — the unsafe direction (r12 ADVICE).
+    try:
+        n_docs = (
+            read_json(stats_path).get("n_docs")
+            if backend.exists(stats_path)
+            else None
+        )
+    except Exception:
+        n_docs = None
+    if not isinstance(n_docs, int):
+        n_docs = None
     if n_docs is not None and n_docs <= 4_000_000:
         man_ids = F.broadcast(man_ids)
     rows = postings.select(

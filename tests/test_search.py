@@ -665,3 +665,71 @@ def test_bm25_repair_removes_emptied_new_bucket_dirs(
         set(glob.glob(_os.path.join(idx, "bucket=*"))) == dirs_before
     )
     assert S.bm25_repair_index(spark, idx) == 0
+
+
+def test_bm25_repair_degrades_on_bad_stats_sidecar(
+    spark, tmp_path, monkeypatch
+):
+    """The stats sidecar is only a broadcast HINT for the repair
+    anti-join — repair must survive the sidecar being malformed
+    (possibly truncated by the very crash being repaired) or missing
+    its n_docs key, degrading to the conservative shuffle join rather
+    than crashing or force-broadcasting an unbounded manifest (r12
+    ADVICE)."""
+    import os
+
+    from mpg_data_warehouse_spark.operators import search as S
+
+    batch1 = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha bravo charlie"),
+            Row(doc_id=2, text="alpha bravo echo"),
+        ]
+    )
+    batch2 = spark.createDataFrame(
+        [Row(doc_id=3, text="charlie delta foxtrot")]
+    )
+    idx = str(tmp_path / "idx")
+    S.build_ranked_index(batch1, idx)
+    real_write_manifest = S._write_manifest
+    monkeypatch.setattr(
+        S, "_write_manifest",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("crash")),
+    )
+    with pytest.raises(RuntimeError, match="crash"):
+        S.bm25_append_index(batch2, idx)
+    monkeypatch.setattr(S, "_write_manifest", real_write_manifest)
+
+    stats_path = os.path.join(idx, S.STATS_FILE)
+    with open(stats_path) as fh:
+        good_stats = fh.read()
+
+    # malformed JSON (a crash-truncated write) — repair still scrubs
+    with open(stats_path, "w") as fh:
+        fh.write(good_stats[: len(good_stats) // 2])
+    assert S.bm25_repair_index(spark, idx) == 1
+
+    # append (unlike repair) REQUIRES a readable sidecar — restore it
+    # before provoking the next crash
+    with open(stats_path, "w") as fh:
+        fh.write(good_stats)
+
+    # re-crash, then repair with the n_docs key absent — must not
+    # force-broadcast (n_docs would otherwise default to 0) nor raise
+    monkeypatch.setattr(
+        S, "_write_manifest",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("crash")),
+    )
+    with pytest.raises(RuntimeError, match="crash"):
+        S.bm25_append_index(batch2, idx)
+    monkeypatch.setattr(S, "_write_manifest", real_write_manifest)
+    with open(stats_path, "w") as fh:
+        fh.write('{"avgdl": 3.0, "dl_sum": 9.0}')
+    assert S.bm25_repair_index(spark, idx) == 1
+
+    # restore the true sidecar; retried append + search still correct
+    with open(stats_path, "w") as fh:
+        fh.write(good_stats)
+    assert S.bm25_append_index(batch2, idx) == 1
+    got = {r.doc_id for r in S.bm25_search(spark, idx, "charlie").collect()}
+    assert got == {1, 3}
