@@ -332,10 +332,162 @@ def build_ranked_index(
             "n_idb": n_idb,
         },
     )
+    # Seed the manifest Bloom sidecar (r13) so the FIRST append
+    # already runs the two-tier guard. Committed last: a crash here
+    # just means no sidecar, and the append guard degrades to exact.
+    _refresh_manifest_bloom(
+        docs.sparkSession,
+        path,
+        docs.sparkSession.read.parquet(_manifest_path(path)).select(
+            id_col
+        ).limit(0),
+        id_col,
+        n_docs,
+    )
 
 
 def _manifest_path(path: str) -> str:
     return os.path.join(path, DOCS_DIR)
+
+
+# ---------------------------------------------------------------------------
+# Manifest Bloom sidecar (r13) — the structural trim the per-phase
+# breakdown pointed at (`tools/bm25_phase_timing.py`): the append
+# replay guard's exact membership check reads the manifest's id-hash
+# partitions touched by the batch, which for a wide batch is the WHOLE
+# manifest — O(corpus) per append at scale. A blocked Bloom filter
+# over the manifest ids (operators/bloom.py — megabyte-scale,
+# broadcastable) answers "definitely new" for the fresh majority of a
+# batch with no manifest IO at all; only Bloom-positive SUSPECTS pay
+# the exact idb-pruned anti-join, so a typical append touches the
+# manifest partitions of its few suspects instead of every partition
+# its batch spans.
+#
+# Crash-safety invariant: the sidecar must always be a SUPERSET of the
+# manifest (false negatives would skip the exact check and re-insert a
+# delivered doc — silent duplication). Guaranteed by commit order
+# postings → BLOOM → manifest: a crash after the bloom commit leaves
+# extra ids in the bloom (suspects that fail the exact check — safe);
+# a crash before it leaves both bloom and manifest at their old,
+# mutually-consistent state. Deletes shrink the manifest but not the
+# bloom — still a superset, slightly higher FPR until the next
+# growth-triggered rebuild. The filter itself is committed by writing
+# a fresh versioned directory and then ATOMICALLY swapping a pointer
+# file (`write_json_atomic`), so a torn filter write is unreachable:
+# readers follow the pointer, and a half-written new version is
+# invisible until the swap. Any read/parse failure of pointer or
+# filter degrades to the exact guard (hint, not correctness input —
+# same policy as the stats sidecar in repair).
+# ---------------------------------------------------------------------------
+
+BLOOM_PTR_FILE = "_docs_bloom.json"
+_BLOOM_MIN_BITS = 1 << 20  # 128 KiB floor — tiny indexes stay cheap
+_BLOOM_TARGET_BITS_PER_KEY = 16  # rebuild sizing (~0.07% FPR at k=7)
+_BLOOM_MAX_BITS_PER_KEY = 10  # merge until this density (~1% FPR)
+_BLOOM_BROADCAST_BITS = 1 << 28  # past this the probe join shuffles
+
+
+def _bloom_bits_for(n_keys: int) -> int:
+    """Power-of-two filter size giving ≥ _BLOOM_TARGET_BITS_PER_KEY
+    bits per key (pow2 ⇒ multiple of 64, as bloom_build requires)."""
+    need = max(_BLOOM_MIN_BITS, n_keys * _BLOOM_TARGET_BITS_PER_KEY)
+    return 1 << (need - 1).bit_length()
+
+
+def _read_manifest_bloom(spark, path: str):
+    """(filter frame, pointer dict) or (None, None). The sidecar is
+    an optimizer hint: ANY failure — missing pointer, malformed JSON,
+    unreadable filter dir, incomplete params — degrades to the exact
+    guard rather than raising."""
+    try:
+        ptr = read_json(os.path.join(path, BLOOM_PTR_FILE))
+        if not all(
+            isinstance(ptr.get(k2), int) for k2 in ("n_bits", "k", "seed", "v")
+        ):
+            return None, None
+        df = spark.read.parquet(os.path.join(path, ptr["dir"]))
+        return df, ptr
+    except Exception:
+        return None, None
+
+
+def _commit_manifest_bloom(
+    spark, path: str, blocks: DataFrame, n_bits: int, k: int, seed: int
+) -> None:
+    """Write the filter to a fresh versioned dir, then atomically swap
+    the pointer; best-effort cleanup of versions ≤ v−2. The
+    IMMEDIATELY superseded version (v−1) is deliberately RETAINED one
+    commit: the caller's in-flight lineage (the guard's probe join,
+    and everything derived from it — tokenized postings, manifest
+    rows) still references the old filter's parquet files, and Spark
+    may recompute a persisted frame at any action; deleting v−1
+    during the same append made exactly that recompute fail with
+    FILE_NOT_EXIST. By the time v−1 becomes v−2 (the NEXT append's
+    commit), the append that read it has fully materialized and
+    unpersisted. Single maintenance writer assumed (same as the rest
+    of the index's commit protocol)."""
+    _, old_ptr = _read_manifest_bloom(spark, path)
+    ver = (old_ptr["v"] + 1) if old_ptr else 1
+    dirname = f"_docs_bloom_v{ver}"
+    blocks.write.mode("overwrite").parquet(os.path.join(path, dirname))
+    write_json_atomic(
+        os.path.join(path, BLOOM_PTR_FILE),
+        {"dir": dirname, "n_bits": n_bits, "k": k, "seed": seed, "v": ver},
+    )
+    try:
+        get_storage_backend().delete_prefix(
+            os.path.join(path, f"_docs_bloom_v{ver - 2}")
+        )
+    except Exception:
+        pass  # stale dir is unreachable via the pointer — harmless
+
+
+def _refresh_manifest_bloom(
+    spark,
+    path: str,
+    new_ids: DataFrame,
+    id_col: str,
+    n_total_after: int,
+) -> None:
+    """Fold a committed batch's ids into the sidecar — called strictly
+    AFTER the postings are durable and BEFORE the manifest commit (the
+    superset invariant). While the corpus fits the current filter at
+    ≤ _BLOOM_MAX_BITS_PER_KEY density, the batch's blocks are OR-merged
+    in (O(batch) build + O(filter) rewrite); past that the filter is
+    rebuilt from the full manifest ∪ batch at the target density —
+    O(corpus), amortized-doubling like any capacity-doubling resize."""
+    from mpg_data_warehouse_spark.operators.bloom import (
+        DEFAULT_K,
+        bloom_build,
+        bloom_merge,
+    )
+
+    cur, ptr = _read_manifest_bloom(spark, path)
+    if ptr is not None and n_total_after * _BLOOM_MAX_BITS_PER_KEY <= ptr[
+        "n_bits"
+    ]:
+        batch_blocks = bloom_build(
+            new_ids.select(id_col),
+            id_col,
+            n_bits=ptr["n_bits"],
+            k=ptr["k"],
+            seed=ptr["seed"],
+        )
+        merged = bloom_merge(cur, batch_blocks)
+        _commit_manifest_bloom(
+            spark, path, merged, ptr["n_bits"], ptr["k"], ptr["seed"]
+        )
+        return
+    n_bits = _bloom_bits_for(n_total_after)
+    ids = new_ids.select(id_col)
+    if get_storage_backend().exists(_manifest_path(path)):
+        ids = (
+            spark.read.parquet(_manifest_path(path))
+            .select(id_col)
+            .unionByName(ids)
+        )
+    blocks = bloom_build(ids, id_col, n_bits=n_bits)
+    _commit_manifest_bloom(spark, path, blocks, n_bits, DEFAULT_K, 0)
 
 
 def _manifest_rows(
@@ -512,16 +664,29 @@ def bm25_append_index(
 
     Replay guard: batch ids already present in the index are dropped
     BEFORE tokenization (r10 — a fully-replayed delivery costs the
-    manifest probe plus one scan of the batch, never the explode+agg
+    membership probe plus one scan of the batch, never the explode+agg
     tokenize pass, which dominates the lifecycle at corpus scale), so
     at-least-once upstream delivery cannot double-insert a document.
-    The guard probes the ``_docs`` manifest by ID-hash partition
-    (reads ≤ |batch| of its 64 partitions) — an exact membership
-    check that holds even if the redelivered batch carries MUTATED
-    text, which the previous term-bucket probe could miss. ``max_df``
-    capping is a BUILD-time decision and is not re-applied here —
-    recap on the periodic rebuild cadence, like IVF centroid refresh.
-    Returns the number of documents appended."""
+    The membership check is TWO-TIER (r13): the ``_docs_bloom``
+    sidecar (a blocked Bloom over the manifest ids — no false
+    negatives) clears the definitely-new majority of the batch with
+    one broadcast probe and zero manifest IO; only Bloom-positive
+    suspects pay the exact ``_docs`` manifest anti-join, pruned to
+    the SUSPECTS' id-hash partitions. Without a readable sidecar the
+    guard degrades to the r10 exact form (manifest partitions of the
+    whole batch). Either way the check is exact and holds even if the
+    redelivered batch carries MUTATED text, which the previous
+    term-bucket probe could miss. The sidecar is advanced between the
+    postings and manifest commits (superset invariant — see the
+    sidecar block comment above ``_read_manifest_bloom``); each
+    append rewrites the O(filter) blocks table, which at ~16 bits/key
+    is far smaller than the manifest it spares the guard from
+    scanning (an LSM-style delta-filter list would amortize even
+    that, at the cost of a per-probe merge — noted, not needed at
+    current scale). ``max_df`` capping is a BUILD-time decision and
+    is not re-applied here — recap on the periodic rebuild cadence,
+    like IVF centroid refresh. Returns the number of documents
+    appended."""
     spark = docs.sparkSession
     stats = read_json(os.path.join(path, STATS_FILE))
     n_buckets = _check_n_buckets(None, stats.get("n_buckets"), path)
@@ -541,19 +706,56 @@ def bm25_append_index(
     batch = docs.select(F.col(id_col), F.col(text_col)).persist()
     pinned = [batch]  # released in finally even on a failed write
     try:
+        # Two-tier replay guard (r13): when the Bloom sidecar is
+        # readable, only its POSITIVE suspects pay the exact manifest
+        # check — and the manifest read prunes to the suspects' idb
+        # partitions, not the whole batch's. A fully-fresh delivery
+        # (the common continual-ingest case) thus costs one broadcast
+        # filter probe and ZERO manifest partitions instead of an
+        # O(manifest) scan. No false negatives (bloom.py invariant),
+        # so the guard's answer is identical to the exact anti-join.
+        bloom_df, ptr = _read_manifest_bloom(spark, path)
+        if bloom_df is not None:
+            from mpg_data_warehouse_spark.operators.bloom import (
+                bloom_maybe_seen,
+            )
+
+            probed = bloom_maybe_seen(
+                batch,
+                id_col,
+                bloom_df,
+                n_bits=ptr["n_bits"],
+                k=ptr["k"],
+                seed=ptr["seed"],
+                broadcast_filter=ptr["n_bits"] <= _BLOOM_BROADCAST_BITS,
+            ).persist()
+            pinned.append(probed)
+            check = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+        else:
+            probed = None
+            check = batch
         idbs = sorted(
             r["i"]
-            for r in batch.select(_idb(id_col, n_idb).alias("i"))
+            for r in check.select(_idb(id_col, n_idb).alias("i"))
             .distinct()
             .collect()
         )
-        existing = (
-            spark.read.parquet(_manifest_path(path))
-            .filter(F.col("idb").isin(idbs))
-            .select(id_col)
-            .distinct()
-        )
-        fresh = batch.join(existing, id_col, "left_anti")
+        if idbs:
+            existing = (
+                spark.read.parquet(_manifest_path(path))
+                .filter(F.col("idb").isin(idbs))
+                .select(id_col)
+                .distinct()
+            )
+            checked = check.join(existing, id_col, "left_anti")
+        else:  # empty batch / zero suspects — nothing to check exactly
+            checked = check
+        if probed is not None:
+            fresh = probed.filter(~F.col("maybe_seen")).drop(
+                "maybe_seen"
+            ).unionByName(checked)
+        else:
+            fresh = checked
 
         toks = fresh.select(
             F.col(id_col), F.explode(norm_tokens(text_col)).alias("term")
@@ -614,6 +816,15 @@ def bm25_append_index(
             .write.mode("append")
             .partitionBy("bucket")
             .parquet(path),
+        )
+        # bloom BEFORE manifest (superset invariant — see sidecar
+        # block comment): a crash here leaves the new ids in the
+        # bloom but not the manifest, which only costs suspects an
+        # exact check; the reverse order could skip the check for a
+        # manifest-listed doc and double-insert on replay
+        _refresh_manifest_bloom(
+            spark, path, fresh_dl.select(id_col), id_col,
+            stats["n_docs"] + n_new,
         )
         _write_manifest(
             postings, fresh_dl, path, id_col, mode="append",

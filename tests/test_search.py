@@ -733,3 +733,170 @@ def test_bm25_repair_degrades_on_bad_stats_sidecar(
     assert S.bm25_append_index(batch2, idx) == 1
     got = {r.doc_id for r in S.bm25_search(spark, idx, "charlie").collect()}
     assert got == {1, 3}
+
+
+# ---------------------------------------------------------------------------
+# Manifest Bloom sidecar (r13)
+# ---------------------------------------------------------------------------
+
+
+def _bloom_superset_holds(spark, idx):
+    """Every manifest id must probe maybe_seen=True (the no-false-
+    negative superset invariant the replay guard's safety rests on)."""
+    from mpg_data_warehouse_spark.operators import search as S
+    from mpg_data_warehouse_spark.operators.bloom import bloom_maybe_seen
+
+    bloom, ptr = S._read_manifest_bloom(spark, idx)
+    assert bloom is not None, "sidecar unreadable"
+    man = spark.read.parquet(S._manifest_path(idx)).select("doc_id")
+    probed = bloom_maybe_seen(
+        man, "doc_id", bloom, n_bits=ptr["n_bits"], k=ptr["k"],
+        seed=ptr["seed"],
+    )
+    return probed.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_bm25_bloom_sidecar_seeded_and_superset(spark, tmp_path):
+    """build_ranked_index seeds the sidecar; append and delete keep
+    the superset invariant (delete shrinks the manifest only)."""
+    from mpg_data_warehouse_spark.operators import search as S
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"alpha token{i} bravo") for i in range(40)]
+    )
+    idx = str(tmp_path / "idx")
+    S.build_ranked_index(docs.filter("doc_id < 25"), idx)
+    assert _bloom_superset_holds(spark, idx)
+    assert S.bm25_append_index(docs.filter("doc_id >= 25"), idx) == 15
+    assert _bloom_superset_holds(spark, idx)
+    S.bm25_delete_index(
+        docs.filter("doc_id % 4 = 0").select("doc_id"), idx
+    )
+    assert _bloom_superset_holds(spark, idx)
+    # replay guard still EXACT through the two-tier path: the deleted
+    # ids (28/32/36 of this batch) are maybe_seen in the stale-superset
+    # bloom, but the exact tier sees they left the manifest and lets
+    # them re-append; the 12 still-indexed docs are dropped
+    assert S.bm25_append_index(docs.filter("doc_id >= 25"), idx) == 3
+
+
+def test_bm25_all_new_append_reads_no_manifest_partitions(
+    spark, tmp_path
+):
+    """The sidecar's reason to exist: a fully-fresh batch must clear
+    the replay guard from the Bloom probe alone — ZERO manifest IO.
+    Proven by making any manifest read IMPOSSIBLE (the _docs parquet
+    files are removed, directory kept) and appending an all-new
+    batch: the two-tier guard succeeds; the r10 exact guard would
+    have had to read the now-empty manifest."""
+    import os
+    import shutil
+
+    from mpg_data_warehouse_spark.operators import search as S
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"alpha token{i} bravo") for i in range(30)]
+    )
+    idx = str(tmp_path / "idx")
+    S.build_ranked_index(docs.filter("doc_id < 20"), idx)
+    man = S._manifest_path(idx)
+    for entry in os.listdir(man):
+        p = os.path.join(man, entry)
+        shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+    assert S.bm25_append_index(docs.filter("doc_id >= 20"), idx) == 10
+
+
+def test_bm25_bloom_corrupt_pointer_falls_back_and_self_heals(
+    spark, tmp_path
+):
+    """A torn/garbage pointer degrades the guard to the exact
+    anti-join (append still correct) and the append's own sidecar
+    commit REPLACES the broken pointer — the next append is two-tier
+    again."""
+    import os
+
+    from mpg_data_warehouse_spark.operators import search as S
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"alpha token{i} bravo") for i in range(30)]
+    )
+    idx = str(tmp_path / "idx")
+    S.build_ranked_index(docs.filter("doc_id < 20"), idx)
+    with open(os.path.join(idx, S.BLOOM_PTR_FILE), "w") as fh:
+        fh.write('{"dir": "_docs_bloom_v1", "n_bits": "garbage"')
+    assert S._read_manifest_bloom(spark, idx) == (None, None)
+    assert S.bm25_append_index(docs.filter("doc_id >= 20"), idx) == 10
+    bloom, ptr = S._read_manifest_bloom(spark, idx)
+    assert bloom is not None and isinstance(ptr["n_bits"], int)
+    assert _bloom_superset_holds(spark, idx)
+    # the healed sidecar drives the guard again: full replay is a noop
+    assert S.bm25_append_index(docs, idx) == 0
+
+
+def test_bm25_bloom_resizes_when_capacity_exceeded(
+    spark, tmp_path, monkeypatch
+):
+    """Growth past _BLOOM_MAX_BITS_PER_KEY density rebuilds the filter
+    at the target density (amortized doubling); the rebuilt filter
+    still covers every manifest id."""
+    from mpg_data_warehouse_spark.operators import search as S
+
+    monkeypatch.setattr(S, "_BLOOM_MIN_BITS", 256)
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"alpha token{i} bravo") for i in range(120)]
+    )
+    idx = str(tmp_path / "idx")
+    S.build_ranked_index(docs.filter("doc_id < 10"), idx)
+    _, ptr0 = S._read_manifest_bloom(spark, idx)
+    assert ptr0["n_bits"] == 256  # 10 docs * 16 bits -> floor
+    # 110 more docs: 120 * 10 > 256 forces the rebuild branch
+    assert S.bm25_append_index(docs.filter("doc_id >= 10"), idx) == 110
+    _, ptr1 = S._read_manifest_bloom(spark, idx)
+    assert ptr1["n_bits"] >= 120 * S._BLOOM_TARGET_BITS_PER_KEY
+    assert _bloom_superset_holds(spark, idx)
+    assert S.bm25_append_index(docs, idx) == 0
+
+
+def test_bm25_crash_between_bloom_and_manifest_keeps_contract(
+    spark, tmp_path, monkeypatch
+):
+    """The new commit order (postings -> bloom -> manifest) under the
+    injected crash: the bloom holds orphan ids (superset — safe), the
+    repair-then-retry contract still converges to the clean-build
+    state, and the sidecar stays a superset of the final manifest."""
+    from mpg_data_warehouse_spark.operators import search as S
+
+    b1 = spark.createDataFrame(
+        [Row(doc_id=i, text=f"alpha token{i} bravo") for i in range(20)]
+    )
+    b2 = spark.createDataFrame(
+        [Row(doc_id=i, text=f"charlie token{i} delta") for i in range(20, 35)]
+    )
+    idx = str(tmp_path / "idx")
+    S.build_ranked_index(b1, idx)
+    real = S._write_manifest
+    monkeypatch.setattr(
+        S, "_write_manifest",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("crash")),
+    )
+    with pytest.raises(RuntimeError, match="crash"):
+        S.bm25_append_index(b2, idx)
+    monkeypatch.setattr(S, "_write_manifest", real)
+    # crashed ids live in the bloom but not the manifest — the
+    # superset direction; the guard must therefore exact-check them
+    assert _bloom_superset_holds(spark, idx)
+    assert S.bm25_repair_index(spark, idx) == 15
+    assert S.bm25_append_index(b2, idx) == 15
+    assert _bloom_superset_holds(spark, idx)
+    full = str(tmp_path / "full")
+    S.build_ranked_index(b1.unionByName(b2), full)
+    for q in ("alpha", "charlie token22"):
+        a = {
+            (r.doc_id, r.score)
+            for r in S.bm25_search(spark, idx, q).collect()
+        }
+        b = {
+            (r.doc_id, r.score)
+            for r in S.bm25_search(spark, full, q).collect()
+        }
+        assert a == b, q
