@@ -1161,3 +1161,116 @@ def bm25_repair_index(
         orphans.unpersist()
     _ensure_readable(path, postings.drop("bucket"))
     return n_orphans
+
+
+def _fragmented_partitions(
+    root: str, prefix: str, min_files: int
+) -> dict[int, int]:
+    """{partition value: parquet-file count} for hive partitions under
+    ``root`` (``prefix`` e.g. ``"bucket="``) holding ≥ ``min_files``
+    visible data files. Driver-side LISTING only — file counts are
+    filesystem metadata; compaction planning must not scan data."""
+    backend = get_storage_backend()
+    counts: dict[int, int] = {}
+    rootn = root.rstrip("/")
+    for f in backend.list_files(rootn):
+        rel = f[len(rootn):].lstrip("/")
+        parts = rel.split("/")
+        if any(p.startswith(("_", ".")) for p in parts[:-1]):
+            continue
+        base = parts[-1]
+        if base.startswith(("_", ".")) or not base.endswith(".parquet"):
+            continue
+        first = parts[0]
+        if first.startswith(prefix):
+            try:
+                v = int(first[len(prefix):])
+            except ValueError:
+                continue
+            counts[v] = counts.get(v, 0) + 1
+    return {v: n for v, n in counts.items() if n >= min_files}
+
+
+def bm25_compact_index(
+    spark: SparkSession,
+    path: str,
+    id_col: str = "doc_id",
+    min_files: int = 2,
+    rebuild_bloom: bool = True,
+) -> dict:
+    """Maintenance compaction for an append-maintained ranked index —
+    the counterpart of ``sources/maintenance.py::maintain_table`` for
+    the BM25 table (reference surface: the same periodic-maintenance
+    posture as `notebooks/update_gridVeg_survey_metadata.ipynb`'s
+    rebuild cadence). Each ``bm25_append_index`` batch appends its own
+    files into every bucket its terms hash to, so a bucket accumulates
+    one small file PER BATCH — small-file debt that grows scan/open
+    cost linearly in delivery count, the classic LSM write-amp
+    trade-off. Compaction rewrites every bucket holding ≥ ``min_files``
+    files into one clustered file (same for the ``_docs`` manifest's
+    id-hash partitions) and, by default, REBUILDS the Bloom sidecar at
+    target density from the live manifest — shedding the stale
+    superset bits deletes leave behind.
+
+    Ordering/safety: runs ``bm25_repair_index`` FIRST — compacting an
+    index with crash-orphans would merge orphan rows into MIXED files,
+    demoting a later repair from the unlink fast path to the bucket
+    rewrite. After the scrub every rewrite is content-preserving, so a
+    crash at ANY point leaves a logically-identical index (partially
+    compacted layout at worst) and the operation is idempotent.
+    Planning is metadata-only (a driver-side file listing, never a
+    data scan); only fragmented partitions are read and rewritten.
+    Returns ``{"scrubbed", "buckets_compacted", "idbs_compacted",
+    "files_merged", "bloom_rebuilt"}``."""
+    from mpg_data_warehouse_spark.operators.append import (
+        overwrite_partitions,
+    )
+    from mpg_data_warehouse_spark.operators.bloom import (
+        DEFAULT_K,
+        bloom_build,
+    )
+
+    stats = read_json(os.path.join(path, STATS_FILE))
+    _check_n_buckets(None, stats.get("n_buckets"), path)
+    _require_manifest(path)
+
+    n_scrubbed = bm25_repair_index(spark, path, id_col)
+
+    frag_b = _fragmented_partitions(path, "bucket=", min_files)
+    files_merged = 0
+    if frag_b:
+        scoped = (
+            spark.read.parquet(path)
+            .filter(F.col("bucket").isin(sorted(frag_b)))
+            .select("term", id_col, "tf", "dl", "bucket")
+            # lineage reads the very files the rewrite replaces
+            .localCheckpoint()
+        )
+        overwrite_partitions(spark, scoped, path, ("bucket",))
+        files_merged += sum(frag_b.values()) - len(frag_b)
+
+    man_path = _manifest_path(path)
+    frag_i = _fragmented_partitions(man_path, "idb=", min_files)
+    if frag_i:
+        man_scoped = (
+            spark.read.parquet(man_path)
+            .filter(F.col("idb").isin(sorted(frag_i)))
+            .localCheckpoint()
+        )
+        overwrite_partitions(spark, man_scoped, man_path, ("idb",))
+        files_merged += sum(frag_i.values()) - len(frag_i)
+
+    if rebuild_bloom:
+        ids = spark.read.parquet(man_path).select(id_col)
+        n_bits = _bloom_bits_for(int(stats.get("n_docs", 0)))
+        _commit_manifest_bloom(
+            spark, path, bloom_build(ids, id_col, n_bits=n_bits),
+            n_bits, DEFAULT_K, 0,
+        )
+    return {
+        "scrubbed": n_scrubbed,
+        "buckets_compacted": len(frag_b),
+        "idbs_compacted": len(frag_i),
+        "files_merged": files_merged,
+        "bloom_rebuilt": bool(rebuild_bloom),
+    }

@@ -900,3 +900,94 @@ def test_bm25_crash_between_bloom_and_manifest_keeps_contract(
             for r in S.bm25_search(spark, full, q).collect()
         }
         assert a == b, q
+
+
+def test_bm25_compact_index_merges_files_preserves_results(
+    spark, tmp_path
+):
+    """Three appends leave one file per batch per touched partition;
+    compaction merges each fragmented bucket/idb partition to ONE
+    file, preserves search results and stats byte-for-byte, keeps the
+    replay guard exact, and is idempotent (second run finds nothing
+    fragmented)."""
+    import json as _json
+    import os
+
+    from mpg_data_warehouse_spark.operators import search as S
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"alpha shared token{i}") for i in range(60)]
+    )
+    idx = str(tmp_path / "idx")
+    S.build_ranked_index(docs.filter("doc_id < 30"), idx)
+    S.bm25_append_index(docs.filter("doc_id >= 30 and doc_id < 45"), idx)
+    S.bm25_append_index(docs.filter("doc_id >= 45"), idx)
+    assert S._fragmented_partitions(idx, "bucket=", 2)  # debt exists
+
+    before = sorted(
+        (r.doc_id, r.score)
+        for r in S.bm25_search(spark, idx, "alpha shared", k=100).collect()
+    )
+    with open(os.path.join(idx, S.STATS_FILE)) as fh:
+        stats_before = _json.load(fh)
+
+    rep = S.bm25_compact_index(spark, idx)
+    assert rep["scrubbed"] == 0 and rep["buckets_compacted"] > 0
+    assert rep["files_merged"] > 0 and rep["bloom_rebuilt"]
+    assert not S._fragmented_partitions(idx, "bucket=", 2)
+    assert not S._fragmented_partitions(S._manifest_path(idx), "idb=", 2)
+
+    after = sorted(
+        (r.doc_id, r.score)
+        for r in S.bm25_search(spark, idx, "alpha shared", k=100).collect()
+    )
+    assert before == after
+    with open(os.path.join(idx, S.STATS_FILE)) as fh:
+        assert _json.load(fh) == stats_before
+    assert _bloom_superset_holds(spark, idx)
+    # replay guard still exact after the layout rewrite
+    assert S.bm25_append_index(docs, idx) == 0
+    # idempotent
+    rep2 = S.bm25_compact_index(spark, idx)
+    assert rep2["buckets_compacted"] == 0 and rep2["files_merged"] == 0
+
+
+def test_bm25_compact_index_scrubs_orphans_first(
+    spark, tmp_path, monkeypatch
+):
+    """Compacting a crashed index must not merge orphans into mixed
+    files (that would demote later repair to the rewrite path) — the
+    repair scrub runs first, and the compacted index converges to the
+    clean-build state after the retry."""
+    from mpg_data_warehouse_spark.operators import search as S
+
+    b1 = spark.createDataFrame(
+        [Row(doc_id=i, text=f"alpha token{i}") for i in range(20)]
+    )
+    b2 = spark.createDataFrame(
+        [Row(doc_id=i, text=f"bravo token{i}") for i in range(20, 30)]
+    )
+    idx = str(tmp_path / "idx")
+    S.build_ranked_index(b1, idx)
+    monkeypatch.setattr(
+        S, "_write_manifest",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("crash")),
+    )
+    with pytest.raises(RuntimeError, match="crash"):
+        S.bm25_append_index(b2, idx)
+    monkeypatch.undo()
+    rep = S.bm25_compact_index(spark, idx)
+    assert rep["scrubbed"] == 10
+    assert S.bm25_append_index(b2, idx) == 10
+    full = str(tmp_path / "full")
+    S.build_ranked_index(b1.unionByName(b2), full)
+    for q in ("alpha", "bravo token22"):
+        a = {
+            (r.doc_id, r.score)
+            for r in S.bm25_search(spark, idx, q).collect()
+        }
+        b = {
+            (r.doc_id, r.score)
+            for r in S.bm25_search(spark, full, q).collect()
+        }
+        assert a == b, q
