@@ -333,8 +333,11 @@ def build_ranked_index(
         },
     )
     # Seed the manifest Bloom sidecar (r13) so the FIRST append
-    # already runs the two-tier guard. Committed last: a crash here
-    # just means no sidecar, and the append guard degrades to exact.
+    # already runs the two-tier guard — corpora under the guard
+    # threshold get none (the refresh no-ops via the pointer
+    # invalidation path; the exact guard is cheaper there). Committed
+    # last: a crash here just means no sidecar, and the append guard
+    # degrades to exact.
     _refresh_manifest_bloom(
         docs.sparkSession,
         path,
@@ -385,6 +388,18 @@ _BLOOM_MIN_BITS = 1 << 20  # 128 KiB floor — tiny indexes stay cheap
 _BLOOM_TARGET_BITS_PER_KEY = 16  # rebuild sizing (~0.07% FPR at k=7)
 _BLOOM_MAX_BITS_PER_KEY = 10  # merge until this density (~1% FPR)
 _BLOOM_BROADCAST_BITS = 1 << 28  # past this the probe join shuffles
+# The sidecar exists only for corpora at least this large. Below it
+# the exact guard is strictly CHEAPER (the idb-pruned manifest read is
+# a few MB, while the bloom path costs a probe join plus an O(filter)
+# rewrite per append — measured ~+8 s on the sf0.1 lifecycle, pure
+# overhead at toy scale); above it the manifest scan the bloom spares
+# dominates. Appends that leave the corpus under the threshold
+# INVALIDATE the pointer instead of skipping the refresh — a sidecar
+# that missed one append would be a SUBSET of the manifest, whose
+# false negatives re-insert delivered docs. Invariant: a readable
+# sidecar is always current (superset); small corpora simply have
+# none. Tests monkeypatch this to 0 to exercise the bloom path.
+_BLOOM_GUARD_MIN_DOCS = 1_000_000
 
 
 def _bloom_bits_for(n_keys: int) -> int:
@@ -442,6 +457,40 @@ def _commit_manifest_bloom(
         pass  # stale dir is unreachable via the pointer — harmless
 
 
+def _invalidate_manifest_bloom(path: str) -> None:
+    """Remove the POINTER only — the atomic visibility switch; every
+    reader treats its absence as 'use the exact guard'. The filter
+    dirs are deliberately left behind: the calling append's own guard
+    may have READ the current filter, and deleting its files here
+    would break the lineage of the manifest rows still to be written
+    (the same FILE_NOT_EXIST hazard the v−2 retention in
+    ``_commit_manifest_bloom`` exists for). The unreachable dirs are
+    swept by ``bm25_compact_index`` (which runs no bloom lineage) or
+    overwritten in place when a sidecar returns. No-op when no
+    sidecar exists."""
+    get_storage_backend().delete_file(os.path.join(path, BLOOM_PTR_FILE))
+
+
+def _sweep_bloom_dirs(path: str) -> None:
+    """Delete every ``_docs_bloom_v*`` dir not reachable from the
+    pointer (or all of them when there is no pointer). ONLY safe when
+    no in-flight computation can hold bloom lineage — compaction."""
+    backend = get_storage_backend()
+    try:
+        ptr = read_json(os.path.join(path, BLOOM_PTR_FILE))
+    except Exception:
+        ptr = None
+    keep = {ptr["dir"]} if ptr else set()
+    seen: set[str] = set()
+    for f in backend.list_files(path):
+        rel = f[len(path.rstrip("/")):].lstrip("/")
+        first = rel.split("/")[0]
+        if first.startswith("_docs_bloom_v") and first not in keep:
+            seen.add(first)
+    for d in sorted(seen):
+        backend.delete_prefix(os.path.join(path, d))
+
+
 def _refresh_manifest_bloom(
     spark,
     path: str,
@@ -455,13 +504,19 @@ def _refresh_manifest_bloom(
     ≤ _BLOOM_MAX_BITS_PER_KEY density, the batch's blocks are OR-merged
     in (O(batch) build + O(filter) rewrite); past that the filter is
     rebuilt from the full manifest ∪ batch at the target density —
-    O(corpus), amortized-doubling like any capacity-doubling resize."""
+    O(corpus), amortized-doubling like any capacity-doubling resize.
+    Corpora under ``_BLOOM_GUARD_MIN_DOCS`` get the pointer
+    INVALIDATED instead (see the threshold's comment — a skipped
+    refresh would leave a subset filter, the unsafe direction)."""
     from mpg_data_warehouse_spark.operators.bloom import (
         DEFAULT_K,
         bloom_build,
         bloom_merge,
     )
 
+    if n_total_after < _BLOOM_GUARD_MIN_DOCS:
+        _invalidate_manifest_bloom(path)
+        return
     cur, ptr = _read_manifest_bloom(spark, path)
     if ptr is not None and n_total_after * _BLOOM_MAX_BITS_PER_KEY <= ptr[
         "n_bits"
@@ -1260,17 +1315,26 @@ def bm25_compact_index(
         overwrite_partitions(spark, man_scoped, man_path, ("idb",))
         files_merged += sum(frag_i.values()) - len(frag_i)
 
+    bloom_rebuilt = False
     if rebuild_bloom:
-        ids = spark.read.parquet(man_path).select(id_col)
-        n_bits = _bloom_bits_for(int(stats.get("n_docs", 0)))
-        _commit_manifest_bloom(
-            spark, path, bloom_build(ids, id_col, n_bits=n_bits),
-            n_bits, DEFAULT_K, 0,
-        )
+        n_docs = int(stats.get("n_docs", 0))
+        if n_docs >= _BLOOM_GUARD_MIN_DOCS:
+            ids = spark.read.parquet(man_path).select(id_col)
+            n_bits = _bloom_bits_for(n_docs)
+            _commit_manifest_bloom(
+                spark, path, bloom_build(ids, id_col, n_bits=n_bits),
+                n_bits, DEFAULT_K, 0,
+            )
+            bloom_rebuilt = True
+        else:
+            _invalidate_manifest_bloom(path)
+    # compaction holds no bloom lineage — the one safe place to sweep
+    # dirs left unreachable by pointer invalidations
+    _sweep_bloom_dirs(path)
     return {
         "scrubbed": n_scrubbed,
         "buckets_compacted": len(frag_b),
         "idbs_compacted": len(frag_i),
         "files_merged": files_merged,
-        "bloom_rebuilt": bool(rebuild_bloom),
+        "bloom_rebuilt": bloom_rebuilt,
     }

@@ -756,11 +756,12 @@ def _bloom_superset_holds(spark, idx):
     return probed.filter(~F.col("maybe_seen")).count() == 0
 
 
-def test_bm25_bloom_sidecar_seeded_and_superset(spark, tmp_path):
+def test_bm25_bloom_sidecar_seeded_and_superset(spark, tmp_path, monkeypatch):
     """build_ranked_index seeds the sidecar; append and delete keep
     the superset invariant (delete shrinks the manifest only)."""
     from mpg_data_warehouse_spark.operators import search as S
 
+    monkeypatch.setattr(S, "_BLOOM_GUARD_MIN_DOCS", 0)
     docs = spark.createDataFrame(
         [Row(doc_id=i, text=f"alpha token{i} bravo") for i in range(40)]
     )
@@ -781,7 +782,7 @@ def test_bm25_bloom_sidecar_seeded_and_superset(spark, tmp_path):
 
 
 def test_bm25_all_new_append_reads_no_manifest_partitions(
-    spark, tmp_path
+    spark, tmp_path, monkeypatch
 ):
     """The sidecar's reason to exist: a fully-fresh batch must clear
     the replay guard from the Bloom probe alone — ZERO manifest IO.
@@ -794,6 +795,7 @@ def test_bm25_all_new_append_reads_no_manifest_partitions(
 
     from mpg_data_warehouse_spark.operators import search as S
 
+    monkeypatch.setattr(S, "_BLOOM_GUARD_MIN_DOCS", 0)
     docs = spark.createDataFrame(
         [Row(doc_id=i, text=f"alpha token{i} bravo") for i in range(30)]
     )
@@ -807,7 +809,7 @@ def test_bm25_all_new_append_reads_no_manifest_partitions(
 
 
 def test_bm25_bloom_corrupt_pointer_falls_back_and_self_heals(
-    spark, tmp_path
+    spark, tmp_path, monkeypatch
 ):
     """A torn/garbage pointer degrades the guard to the exact
     anti-join (append still correct) and the append's own sidecar
@@ -817,6 +819,7 @@ def test_bm25_bloom_corrupt_pointer_falls_back_and_self_heals(
 
     from mpg_data_warehouse_spark.operators import search as S
 
+    monkeypatch.setattr(S, "_BLOOM_GUARD_MIN_DOCS", 0)
     docs = spark.createDataFrame(
         [Row(doc_id=i, text=f"alpha token{i} bravo") for i in range(30)]
     )
@@ -841,6 +844,7 @@ def test_bm25_bloom_resizes_when_capacity_exceeded(
     still covers every manifest id."""
     from mpg_data_warehouse_spark.operators import search as S
 
+    monkeypatch.setattr(S, "_BLOOM_GUARD_MIN_DOCS", 0)
     monkeypatch.setattr(S, "_BLOOM_MIN_BITS", 256)
     docs = spark.createDataFrame(
         [Row(doc_id=i, text=f"alpha token{i} bravo") for i in range(120)]
@@ -873,6 +877,7 @@ def test_bm25_crash_between_bloom_and_manifest_keeps_contract(
         [Row(doc_id=i, text=f"charlie token{i} delta") for i in range(20, 35)]
     )
     idx = str(tmp_path / "idx")
+    monkeypatch.setattr(S, "_BLOOM_GUARD_MIN_DOCS", 0)
     S.build_ranked_index(b1, idx)
     real = S._write_manifest
     monkeypatch.setattr(
@@ -903,7 +908,7 @@ def test_bm25_crash_between_bloom_and_manifest_keeps_contract(
 
 
 def test_bm25_compact_index_merges_files_preserves_results(
-    spark, tmp_path
+    spark, tmp_path, monkeypatch
 ):
     """Three appends leave one file per batch per touched partition;
     compaction merges each fragmented bucket/idb partition to ONE
@@ -915,6 +920,7 @@ def test_bm25_compact_index_merges_files_preserves_results(
 
     from mpg_data_warehouse_spark.operators import search as S
 
+    monkeypatch.setattr(S, "_BLOOM_GUARD_MIN_DOCS", 0)
     docs = spark.createDataFrame(
         [Row(doc_id=i, text=f"alpha shared token{i}") for i in range(60)]
     )
@@ -991,3 +997,59 @@ def test_bm25_compact_index_scrubs_orphans_first(
             for r in S.bm25_search(spark, full, q).collect()
         }
         assert a == b, q
+
+
+def test_bm25_bloom_gated_off_below_min_docs(spark, tmp_path):
+    """At the DEFAULT threshold a toy corpus carries no sidecar at all
+    — build seeds nothing, appends maintain nothing (zero bloom
+    overhead at bench scale), and the guard runs the exact path."""
+    import os
+
+    from mpg_data_warehouse_spark.operators import search as S
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"alpha token{i}") for i in range(30)]
+    )
+    idx = str(tmp_path / "idx")
+    S.build_ranked_index(docs.filter("doc_id < 20"), idx)
+    assert not os.path.exists(os.path.join(idx, S.BLOOM_PTR_FILE))
+    assert S.bm25_append_index(docs.filter("doc_id >= 20"), idx) == 10
+    assert not os.path.exists(os.path.join(idx, S.BLOOM_PTR_FILE))
+    assert S.bm25_append_index(docs, idx) == 0  # exact guard works
+
+
+def test_bm25_bloom_invalidated_when_corpus_shrinks_below_threshold(
+    spark, tmp_path, monkeypatch
+):
+    """A sidecar that stops being maintained must stop EXISTING: when
+    the corpus falls under the threshold, the next append removes the
+    pointer (a skipped refresh would leave a subset filter — false
+    negatives re-insert delivered docs). Compaction then sweeps the
+    unreachable dirs."""
+    import os
+
+    from mpg_data_warehouse_spark.operators import search as S
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"alpha token{i}") for i in range(40)]
+    )
+    idx = str(tmp_path / "idx")
+    monkeypatch.setattr(S, "_BLOOM_GUARD_MIN_DOCS", 0)
+    S.build_ranked_index(docs.filter("doc_id < 20"), idx)
+    assert os.path.exists(os.path.join(idx, S.BLOOM_PTR_FILE))
+    # threshold rises above the corpus (the shrink case, inverted for
+    # test economy): the next append invalidates instead of refreshing
+    monkeypatch.setattr(S, "_BLOOM_GUARD_MIN_DOCS", 10_000)
+    assert S.bm25_append_index(docs.filter("doc_id >= 20"), idx) == 20
+    assert not os.path.exists(os.path.join(idx, S.BLOOM_PTR_FILE))
+    # guard stays exact without the sidecar
+    assert S.bm25_append_index(docs, idx) == 0
+    # filter dirs linger (append-time deletion would break in-flight
+    # lineage) until compaction sweeps them
+    assert any(
+        d.startswith("_docs_bloom_v") for d in os.listdir(idx)
+    )
+    S.bm25_compact_index(spark, idx)
+    assert not any(
+        d.startswith("_docs_bloom_v") for d in os.listdir(idx)
+    )
