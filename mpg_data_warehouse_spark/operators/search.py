@@ -444,7 +444,14 @@ def _commit_manifest_bloom(
     _, old_ptr = _read_manifest_bloom(spark, path)
     ver = (old_ptr["v"] + 1) if old_ptr else 1
     dirname = f"_docs_bloom_v{ver}"
-    blocks.write.mode("overwrite").parquet(os.path.join(path, dirname))
+    # blocks are ~n_bits/4 bytes total; without the coalesce every
+    # shuffle partition emits a file (32 tiny files for a KB-scale
+    # filter). One file per ~2^31 bits (~512 MB of block rows) keeps
+    # the sidecar a handful of well-sized files at any corpus size.
+    n_files = max(1, n_bits >> 31)
+    blocks.coalesce(n_files).write.mode("overwrite").parquet(
+        os.path.join(path, dirname)
+    )
     write_json_atomic(
         os.path.join(path, BLOOM_PTR_FILE),
         {"dir": dirname, "n_bits": n_bits, "k": k, "seed": seed, "v": ver},
