@@ -64,8 +64,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 
+# Deflate effort: level 6 (zlib default) compresses within ~2% of
+# level 9 on varint-dense Avro bodies at a fraction of the CPU — the
+# r13 measurement had level 9 spending ~35% of the write job inside
+# compressobj. Env-tunable for deployments that prefer a different
+# CPU/size point on cold archival writes; decode is level-agnostic.
+_DEFLATE_LEVEL = int(os.environ.get("SPARK_GRAFT_AVRO_DEFLATE_LEVEL", "6"))
+
+
 def _deflate_raw(b: bytes) -> bytes:
-    co = zlib.compressobj(9, zlib.DEFLATED, -15)
+    co = zlib.compressobj(_DEFLATE_LEVEL, zlib.DEFLATED, -15)
     return co.compress(b) + co.flush()
 
 
@@ -335,6 +343,336 @@ def _encode(schema, value, out: io.BytesIO) -> None:
 
 
 # ---------------------------------------------------------------------------
+# schema-compiled codecs (hot path)
+#
+# ``_encode``/``_decode`` above re-interpret the schema dict for every
+# field of every row — isinstance chains, dict lookups and logical-type
+# probes that cost more than the byte work itself (~1.5 M dynamic
+# dispatches per 150 K-row file each way). The container paths instead
+# COMPILE the schema once into a tree of closures (one per schema
+# node, built per ``emit_ocf``/``parse_ocf_blocks`` call and memoized
+# per canonical schema) and run rows through pre-bound functions:
+# encoders append to a ``bytearray``, decoders thread an integer
+# offset through ``bytes`` — no BytesIO in the row loop. Semantics
+# are byte-for-byte those of the interpreted forms (pinned by
+# test_compiled_codec_matches_interpreted); the interpreted forms stay
+# as the reference implementation and for targeted malformed-input
+# tests.
+# ---------------------------------------------------------------------------
+
+
+def _append_long(buf: bytearray, n: int) -> None:
+    n = (n << 1) ^ (n >> 63) if n < 0 else n << 1
+    while n > 0x7F:
+        buf.append((n & 0x7F) | 0x80)
+        n >>= 7
+    buf.append(n)
+
+
+def _compile_encoder(schema):
+    """schema node → ``enc(value, buf: bytearray)`` closure tree."""
+    if isinstance(schema, list):  # union — null branch convention
+        null_idx = schema.index("null") if "null" in schema else None
+        branch_idx = 1 - null_idx if null_idx is not None else 0
+        branch = _compile_encoder(schema[branch_idx])
+
+        def enc_union(value, buf):
+            if value is None:
+                if null_idx is None:
+                    raise ValueError("null value for non-nullable union")
+                _append_long(buf, null_idx)
+                return
+            _append_long(buf, branch_idx)
+            branch(value, buf)
+
+        return enc_union
+    if isinstance(schema, dict):
+        t = schema["type"]
+        logical = _check_logical(schema)
+        if logical is not None:
+            if logical == "date":
+
+                def enc_date(value, buf):
+                    _append_long(buf, (value - _EPOCH_DATE).days)
+
+                return enc_date
+            micros = logical.endswith("micros")
+
+            def enc_ts(value, buf):
+                us = _micros_since_epoch(value)
+                _append_long(buf, us if micros else us // 1000)
+
+            return enc_ts
+        if t == "record":
+            fields = [
+                (f["name"], _compile_encoder(f["type"]))
+                for f in schema["fields"]
+            ]
+
+            def enc_record(value, buf):
+                for name, fenc in fields:
+                    fenc(value[name], buf)
+
+            return enc_record
+        if t == "array":
+            item = _compile_encoder(schema["items"])
+
+            def enc_array(value, buf):
+                if value:
+                    _append_long(buf, len(value))
+                    for v in value:
+                        item(v, buf)
+                buf.append(0)  # zigzag(0) == 0
+
+            return enc_array
+        if t == "map":
+            val = _compile_encoder(schema["values"])
+
+            def enc_map(value, buf):
+                # pyarrow surfaces map values as lists of (k, v) pairs
+                items = value.items() if isinstance(value, dict) else value
+                items = list(items)
+                if items:
+                    _append_long(buf, len(items))
+                    for k, v in items:
+                        kb = k.encode("utf-8")
+                        _append_long(buf, len(kb))
+                        buf += kb
+                        val(v, buf)
+                buf.append(0)
+
+            return enc_map
+        return _compile_encoder(t)  # {"type": "long"} wrapper form
+    if schema == "null":
+        return lambda value, buf: None
+    if schema == "boolean":
+
+        def enc_bool(value, buf):
+            buf.append(1 if value else 0)
+
+        return enc_bool
+    if schema in ("int", "long"):
+
+        def enc_long(value, buf):
+            _append_long(buf, int(value))
+
+        return enc_long
+    if schema == "float":
+        packf = struct.Struct("<f").pack
+
+        def enc_float(value, buf):
+            buf += packf(float(value))
+
+        return enc_float
+    if schema == "double":
+        packd = struct.Struct("<d").pack
+
+        def enc_double(value, buf):
+            buf += packd(float(value))
+
+        return enc_double
+    if schema == "bytes":
+
+        def enc_bytes(value, buf):
+            b = bytes(value)
+            _append_long(buf, len(b))
+            buf += b
+
+        return enc_bytes
+    if schema == "string":
+
+        def enc_str(value, buf):
+            b = str(value).encode("utf-8")
+            _append_long(buf, len(b))
+            buf += b
+
+        return enc_str
+    raise ValueError(f"unsupported Avro schema element: {schema!r}")
+
+
+def _dec_long(data, pos: int):
+    shift = 0
+    acc = 0
+    n = len(data)
+    while True:
+        if pos >= n:
+            raise EOFError("truncated varint")
+        byte = data[pos]
+        pos += 1
+        acc |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            return (acc >> 1) ^ -(acc & 1), pos
+        shift += 7
+
+
+def _compile_decoder(schema):
+    """schema node → ``dec(data, pos) -> (value, pos)`` closure tree."""
+    if isinstance(schema, list):  # union
+        branches = [_compile_decoder(b) for b in schema]
+        n_branches = len(branches)
+
+        def dec_union(data, pos):
+            idx, pos = _dec_long(data, pos)
+            if not 0 <= idx < n_branches:
+                raise ValueError(
+                    f"corrupt union branch index {idx} (union has "
+                    f"{n_branches} branches)"
+                )
+            return branches[idx](data, pos)
+
+        return dec_union
+    if isinstance(schema, dict):
+        t = schema["type"]
+        logical = _check_logical(schema)
+        if t in ("int", "long") and logical is not None:
+            if logical == "date":
+
+                def dec_date(data, pos):
+                    v, pos = _dec_long(data, pos)
+                    return _EPOCH_DATE + datetime.timedelta(days=v), pos
+
+                return dec_date
+            micros = logical.endswith("micros")
+            instant = logical.startswith("timestamp-")
+
+            def dec_ts(data, pos):
+                v, pos = _dec_long(data, pos)
+                us = v if micros else v * 1000
+                ts = _EPOCH + datetime.timedelta(microseconds=us)
+                if instant:  # spec: UTC instant
+                    return ts.replace(tzinfo=_UTC), pos
+                return ts, pos  # local-timestamp-*: naive
+
+            return dec_ts
+        if t == "record":
+            fields = [
+                (f["name"], _compile_decoder(f["type"]))
+                for f in schema["fields"]
+            ]
+
+            def dec_record(data, pos):
+                out = {}
+                for name, fdec in fields:
+                    out[name], pos = fdec(data, pos)
+                return out, pos
+
+            return dec_record
+        if t == "array":
+            item = _compile_decoder(schema["items"])
+
+            def dec_array(data, pos):
+                out = []
+                while True:
+                    n, pos = _dec_long(data, pos)
+                    if n == 0:
+                        return out, pos
+                    if n < 0:
+                        n = -n
+                        _, pos = _dec_long(data, pos)  # block bytes, unused
+                    for _ in range(n):
+                        v, pos = item(data, pos)
+                        out.append(v)
+
+            return dec_array
+        if t == "map":
+            val = _compile_decoder(schema["values"])
+
+            def dec_map(data, pos):
+                out = {}
+                while True:
+                    n, pos = _dec_long(data, pos)
+                    if n == 0:
+                        return out, pos
+                    if n < 0:
+                        n = -n
+                        _, pos = _dec_long(data, pos)
+                    for _ in range(n):
+                        ln, pos = _dec_long(data, pos)
+                        end = pos + ln
+                        if end > len(data):
+                            raise EOFError(
+                                f"truncated read: wanted {ln}, got "
+                                f"{len(data) - pos}"
+                            )
+                        k = data[pos:end].decode("utf-8")
+                        pos = end
+                        out[k], pos = val(data, pos)
+
+            return dec_map
+        return _compile_decoder(t)  # {"type": "long"} wrapper form
+    if schema == "null":
+        return lambda data, pos: (None, pos)
+    if schema == "boolean":
+
+        def dec_bool(data, pos):
+            if pos >= len(data):
+                raise EOFError("truncated read: wanted 1, got 0")
+            return data[pos] == 1, pos + 1
+
+        return dec_bool
+    if schema in ("int", "long"):
+        return _dec_long
+    if schema == "float":
+        unpackf = struct.Struct("<f").unpack_from
+
+        def dec_float(data, pos):
+            if pos + 4 > len(data):
+                raise EOFError(
+                    f"truncated read: wanted 4, got {len(data) - pos}"
+                )
+            return unpackf(data, pos)[0], pos + 4
+
+        return dec_float
+    if schema == "double":
+        unpackd = struct.Struct("<d").unpack_from
+
+        def dec_double(data, pos):
+            if pos + 8 > len(data):
+                raise EOFError(
+                    f"truncated read: wanted 8, got {len(data) - pos}"
+                )
+            return unpackd(data, pos)[0], pos + 8
+
+        return dec_double
+    if schema == "bytes":
+
+        def dec_bytes(data, pos):
+            n, pos = _dec_long(data, pos)
+            end = pos + n
+            if end > len(data):
+                raise EOFError(
+                    f"truncated read: wanted {n}, got {len(data) - pos}"
+                )
+            return bytes(data[pos:end]), end
+
+        return dec_bytes
+    if schema == "string":
+
+        def dec_str(data, pos):
+            n, pos = _dec_long(data, pos)
+            end = pos + n
+            if end > len(data):
+                raise EOFError(
+                    f"truncated read: wanted {n}, got {len(data) - pos}"
+                )
+            return data[pos:end].decode("utf-8"), end
+
+        return dec_str
+    raise ValueError(f"unsupported Avro schema element: {schema!r}")
+
+
+_CODEC_CACHE: dict[tuple[str, str], object] = {}
+
+
+def _cached(kind: str, schema, compile_fn):
+    key = (kind, json.dumps(schema, sort_keys=True))
+    fn = _CODEC_CACHE.get(key)
+    if fn is None:
+        fn = _CODEC_CACHE[key] = compile_fn(schema)
+    return fn
+
+
+# ---------------------------------------------------------------------------
 # container file parse / emit
 # ---------------------------------------------------------------------------
 
@@ -371,6 +709,7 @@ def parse_ocf_blocks(data: bytes):
     """(writer schema, iterator of per-block record lists)."""
     buf = io.BytesIO(data)
     schema, codec, sync = read_header(buf)
+    dec = _cached("dec", schema, _compile_decoder)
 
     def blocks():
         while True:
@@ -382,8 +721,12 @@ def parse_ocf_blocks(data: bytes):
             n_bytes = _read_long(buf)
             block = _read_exact(buf, n_bytes)
             block = _CODECS[codec][1](block)
-            bbuf = io.BytesIO(block)
-            yield [_decode(schema, bbuf) for _ in range(n_obj)]
+            out = []
+            pos = 0
+            for _ in range(n_obj):
+                rec, pos = dec(block, pos)
+                out.append(rec)
+            yield out
             if _read_exact(buf, 16) != sync:
                 raise ValueError("sync marker mismatch (corrupt block)")
 
@@ -404,12 +747,13 @@ def emit_ocf(schema: dict, rows, codec: str = "deflate") -> bytes:
             f"unsupported Avro codec: {codec!r} (supported: "
             f"{sorted(_CODECS)})"
         )
-    body = io.BytesIO()
+    enc = _cached("enc", schema, _compile_encoder)
+    body = bytearray()
     n = 0
     for row in rows:
-        _encode(schema, row, body)
+        enc(row, body)
         n += 1
-    payload = _CODECS[codec][0](body.getvalue())
+    payload = _CODECS[codec][0](bytes(body))
     out = io.BytesIO()
     out.write(MAGIC)
     meta = {
@@ -724,7 +1068,6 @@ def write_avro(
     schema = _avro_record_schema(df.schema)
     staging = f"{target}__stage-{uuid.uuid4().hex}"
     os.makedirs(staging)
-    cols = [f.name for f in df.schema.fields]
 
     def encode(batches):
         import pyarrow as pa
@@ -739,8 +1082,10 @@ def write_avro(
             )
         rows: list[dict] = []
         for batch in batches:
-            for rec in batch.to_pylist():
-                rows.append({c: rec[c] for c in cols})
+            # the frame is projected to exactly ``cols`` and the
+            # compiled record encoder reads fields BY NAME, so the
+            # to_pylist dicts encode directly — no per-row re-keying
+            rows.extend(batch.to_pylist())
         if rows:
             blob = emit_ocf(schema, rows, codec)
             # deterministic per-partition name + atomic rename: a task

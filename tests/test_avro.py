@@ -383,3 +383,109 @@ def test_snappy_decompress_bounds_output_as_it_grows():
     assert snappy_codec.decompress(ok, max_length=100) == b"x" * 100
     with pytest.raises(ValueError, match="exceeds cap"):
         snappy_codec.decompress(ok, max_length=99)
+
+
+def test_compiled_codec_matches_interpreted():
+    """The schema-compiled encoder/decoder (the r13 hot-path rewrite
+    emit_ocf / parse_ocf_blocks run on) must be byte-for-byte and
+    value-for-value identical to the interpreted reference forms
+    (_encode/_decode) across every supported type family: primitives,
+    null unions, date / instant / NTZ-timestamp logicals, arrays,
+    string-keyed maps, and nested records."""
+    import mpg_data_warehouse_spark.sources.avro_ocf as A
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "i", "type": "long"},
+            {"name": "ni", "type": ["null", "long"]},
+            {"name": "neg", "type": "int"},
+            {"name": "f", "type": "float"},
+            {"name": "d", "type": "double"},
+            {"name": "b", "type": "boolean"},
+            {"name": "s", "type": "string"},
+            {"name": "by", "type": "bytes"},
+            {"name": "dt", "type": {"type": "int", "logicalType": "date"}},
+            {
+                "name": "ts",
+                "type": {"type": "long", "logicalType": "timestamp-micros"},
+            },
+            {
+                "name": "lt",
+                "type": {
+                    "type": "long",
+                    "logicalType": "local-timestamp-millis",
+                },
+            },
+            {"name": "arr", "type": {"type": "array", "items": "long"}},
+            {"name": "m", "type": {"type": "map", "values": "double"}},
+            {
+                "name": "nested",
+                "type": {
+                    "type": "record",
+                    "name": "inner",
+                    "fields": [{"name": "x", "type": ["null", "string"]}],
+                },
+            },
+        ],
+    }
+    rows = [
+        {
+            "i": 2**61,
+            "ni": None,
+            "neg": -12345,
+            "f": 1.5,
+            "d": -2.25,
+            "b": True,
+            "s": "héllo ☃",
+            "by": b"\x00\xff",
+            "dt": datetime.date(1969, 12, 31),
+            "ts": datetime.datetime(
+                2021, 3, 4, 5, 6, 7, 123456, tzinfo=datetime.timezone.utc
+            ),
+            "lt": datetime.datetime(1999, 12, 31, 23, 59, 59, 421000),
+            "arr": [1, -2, 3],
+            "m": {"a": 0.5, "b": -1.0},
+            "nested": {"x": "y"},
+        },
+        {
+            "i": 0,
+            "ni": -7,
+            "neg": 0,
+            "b": False,
+            "f": -0.0,
+            "d": 1e300,
+            "s": "",
+            "by": b"",
+            "dt": datetime.date(2262, 4, 11),
+            "ts": datetime.datetime(
+                1960, 1, 1, 0, 0, 0, 1, tzinfo=datetime.timezone.utc
+            ),
+            "lt": datetime.datetime(1970, 1, 1, 0, 0, 0, 0),
+            "arr": [],
+            "m": {},
+            "nested": {"x": None},
+        },
+    ]
+    enc = A._compile_encoder(schema)
+    dec = A._compile_decoder(schema)
+    for row in rows:
+        ref = io.BytesIO()
+        A._encode(schema, row, ref)
+        fast = bytearray()
+        enc(row, fast)
+        assert bytes(fast) == ref.getvalue()
+        got_ref = A._decode(schema, io.BytesIO(ref.getvalue()))
+        got_fast, pos = dec(bytes(fast), 0)
+        assert pos == len(fast)
+        assert got_fast == got_ref
+    # compile-time guards match the interpreted behavior
+    with pytest.raises(ValueError, match="logicalType"):
+        A._compile_decoder(
+            {"type": "bytes", "logicalType": "decimal", "scale": 2}
+        )
+    with pytest.raises(ValueError, match="union branch index"):
+        A._compile_decoder(["null", "long"])(b"\x08", 0)
+    with pytest.raises(EOFError, match="truncated varint"):
+        A._compile_decoder("long")(b"\x80", 0)
