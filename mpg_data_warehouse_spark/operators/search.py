@@ -652,12 +652,13 @@ def bm25_search_many(
     )
 
     qdf = spark.createDataFrame(qterms, "query_id long, term string")
-    bucket_rows = (
-        qdf.select(term_bucket(F.col("term"), n_buckets).alias("b"))
-        .distinct()
-        .collect()
-    )
-    buckets = sorted(r["b"] for r in bucket_rows)
+    # bucket probe: a narrow LocalTableScan collect — the distinct is
+    # cheaper as a driver-side set over ≤|query terms| ints than as a
+    # full shuffle stage inside this tiny planning job (r13)
+    bucket_rows = qdf.select(
+        term_bucket(F.col("term"), n_buckets).alias("b")
+    ).collect()
+    buckets = sorted({r["b"] for r in bucket_rows})
     postings = spark.read.parquet(index_path).filter(
         F.col("bucket").isin(buckets)
         & F.col("term").isin(sorted({t for _, t in qterms}))

@@ -27,7 +27,6 @@ from pyspark.sql import functions as F
 
 from mpg_data_warehouse_spark.operators.chunking import pack_sequences
 from mpg_data_warehouse_spark.operators.similarity import (
-    ivf_probe_index,
     ivf_write_index,
     l2_norm,
 )
@@ -224,6 +223,52 @@ def hashed_feature_embedding(
     ).drop("_txt")
 
 
+def _rowwise_query_embedding(
+    df: DataFrame,
+    text_col: str,
+    dim: int,
+    hash_fn: str,
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Shuffle-free twin of ``hashed_feature_embedding`` for BOUNDED
+    probe batches (r13, guide §2.1): the distinct-text corpus plan
+    costs ~5 tiny-data exchanges, which on a |queries|-row frame is
+    pure per-stage latency. Here the signed bucket counts fold
+    per-row with higher-order functions — ONE narrow projection, no
+    exchange. Values are identical by construction: the same
+    ``_tok_bucket_sign`` expressions pick bucket and sign, the signed
+    counts are integers (order-free in IEEE doubles), and the dense
+    assembly + L2 normalization + e_0 zero-guard go through the SAME
+    ``_unit_from_sparse_map`` code path (parity pinned by
+    ``test_rowwise_query_embedding_matches_corpus_plan``). Interpreted
+    HOF lambdas lose to codegen at corpus scale (see
+    hashed_feature_embedding) — use this only for query batches."""
+    toks_col = "_rw_toks"
+
+    def _bucket(t):
+        return _tok_bucket_sign(t, dim, hash_fn)[0]
+
+    def _sign(t):
+        return _tok_bucket_sign(t, dim, hash_fn)[1]
+
+    with_toks = df.withColumn(toks_col, norm_tokens(text_col))
+    toks = F.col(toks_col)
+    bks = F.array_distinct(F.transform(toks, _bucket))
+    vals = F.transform(
+        bks,
+        lambda b: F.aggregate(
+            toks,
+            F.lit(0.0),
+            lambda acc, t: acc
+            + F.when(_bucket(t) == b, _sign(t)).otherwise(0.0),
+        ),
+    )
+    with_map = with_toks.withColumn(
+        "_map", F.map_from_arrays(bks, vals)
+    ).drop(toks_col)
+    return _unit_from_sparse_map(with_map, dim, out_col)
+
+
 def _write_chunk_store(
     docs: DataFrame,
     chunks_path: str,
@@ -330,21 +375,76 @@ def _probe_chunk_ranks(
         raise ValueError("query_texts is empty")
     dim, hash_fn = _resolve_encoder(index_path, dim, hash_fn)
     neg_ids = [(-(i + 1), t) for i, t in enumerate(query_texts)]
-    queries = hashed_feature_embedding(
+    # r13 probe-latency rework (guide §2.1/§5): the query batch IS a
+    # bounded driver-side list, so everything up to the corpus-scale
+    # scoring join is driver-sized work that used to ride 5-6 tiny
+    # Spark jobs (multi-exchange query embedding executed twice — once
+    # for the index-dim guard's first(), once for the probe-cell
+    # materialization — plus the probe-cell distinct().collect()).
+    # Now: ONE narrow job embeds the batch (shuffle-free row-wise
+    # twin, values identical — see _rowwise_query_embedding), the
+    # centroid table is collected once (bounded: |cells| × dim), and
+    # nprobe-cell selection replays _probe_cells' exact arithmetic in
+    # Python — the same sequential-fold dot product, sqrt norms and
+    # (cosine DESC, cell ASC) ordering, so the chosen cells are
+    # bit-identical (parity pinned by
+    # test_driver_side_probe_cells_match_probe_cells). The scoring
+    # join + top-k stays distributed and partition-pruned
+    # (_score_probes over the nprobe cell directories only).
+    import math
+
+    from mpg_data_warehouse_spark.operators.similarity import (
+        _collect_centroid_rows,
+        _score_probes,
+    )
+
+    queries = _rowwise_query_embedding(
         spark.createDataFrame(neg_ids, "chunk_key long, q_text string"),
         "q_text",
         dim,
         hash_fn=hash_fn,
     )
-    hits = ivf_probe_index(
-        spark,
-        index_path,
-        queries.select("chunk_key", "embedding"),
-        k=k,
-        nprobe=nprobe,
-        id_col="chunk_key",
-        vec_col="embedding",
+    q_rows = [
+        (r["chunk_key"], r["embedding"])
+        for r in queries.select("chunk_key", "embedding").collect()
+    ]
+    centroids = spark.read.parquet(f"{index_path}/_centroids")
+    cent_rows = _collect_centroid_rows(centroids)
+    want = len(cent_rows[0][1])
+
+    def _dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    cent_norms = [math.sqrt(_dot(v, v)) for _, v in cent_rows]
+    probe_rows = []
+    for qid, vec in q_rows:
+        if len(vec) != want:
+            raise ValueError(
+                f"query vectors have length {len(vec)} but the index's "
+                f"centroids carry dim {want} — nearest-cell cosines "
+                "would go NULL and cell assignment would be arbitrary"
+            )
+        qn = math.sqrt(_dot(vec, vec))
+        ranked = sorted(
+            (-(_dot(vec, cv) / (qn * cn)), cell)
+            for (cell, cv), cn in zip(cent_rows, cent_norms)
+        )
+        for _, cell in ranked[:nprobe]:
+            probe_rows.append((qid, vec, qn, cell))
+    cell_type = dict(centroids.dtypes)["cent_id"]
+    probes = spark.createDataFrame(
+        probe_rows,
+        f"query_id long, q_vec array<double>, q_norm double, "
+        f"cell {cell_type}",
     )
+    probe_cells = sorted({cell for *_rest, cell in probe_rows})
+    cells = spark.read.parquet(index_path).filter(
+        F.col("cell").isin(probe_cells)
+    )
+    hits = _score_probes(cells, probes, k)
     return hits.withColumnRenamed("neighbor_id", "chunk_key").withColumn(
         "query_id", -F.col("query_id") - 1
     )

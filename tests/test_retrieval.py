@@ -330,3 +330,101 @@ def test_embedding_key_grain_path_matches_default(spark):
         for k in a:
             assert a[k] == b[k], (fn, k)
         assert a[2][0] == 1.0 and a[3][0] == 1.0  # e_0 guard
+
+
+def test_rowwise_query_embedding_matches_corpus_plan(spark):
+    """The shuffle-free row-wise embedding the probe path runs on
+    (r13) must be bit-equal to the corpus distinct-text plan for both
+    hash functions, including duplicate texts and the e_0 guard for
+    empty/NULL texts."""
+    from pyspark.sql import Row
+
+    from mpg_data_warehouse_spark.plans.retrieval import (
+        _rowwise_query_embedding,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(k=1, text="alpha beta gamma alpha"),
+            Row(k=2, text=""),
+            Row(k=3, text=None),
+            Row(k=4, text="alpha beta gamma alpha"),
+            Row(k=5, text="  Mixed   CASE  toks  "),
+            Row(k=6, text="solar wind turbine"),
+        ]
+    )
+    for fn in ("xxhash64", "md5"):
+        a = {
+            r.k: r.embedding
+            for r in _rowwise_query_embedding(
+                df, "text", dim=16, hash_fn=fn
+            ).collect()
+        }
+        b = {
+            r.k: r.embedding
+            for r in hashed_feature_embedding(
+                df, "text", dim=16, hash_fn=fn
+            ).collect()
+        }
+        assert a.keys() == b.keys()
+        for k in a:
+            assert a[k] == b[k], (fn, k)
+        assert a[2][0] == 1.0 and a[3][0] == 1.0  # e_0 guard
+
+
+def test_driver_side_probe_cells_match_probe_cells(spark, tmp_path):
+    """_probe_chunk_ranks selects nprobe cells driver-side (r13); the
+    chosen (query, cell) set must equal what the distributed
+    _probe_cells window picks — same sequential-fold cosine, same
+    (cos DESC, cell ASC) order — for every nprobe."""
+    import math
+
+    from pyspark.sql import Row
+
+    from mpg_data_warehouse_spark.operators.similarity import (
+        _collect_centroid_rows,
+        _probe_cells,
+    )
+
+    rng_rows = []
+    for i in range(24):
+        # deterministic, irregular vectors with ties in some dims
+        vec = [float(((i * 7 + j * 13) % 9) - 4) for j in range(8)]
+        if not any(vec):
+            vec[0] = 1.0
+        rng_rows.append(Row(vec_id=i, embedding=vec))
+    corpus = spark.createDataFrame(rng_rows)
+    from mpg_data_warehouse_spark.operators.similarity import (
+        ivf_write_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    ivf_write_index(corpus, idx, n_centroids=5, refine_iters=1)
+    centroids = spark.read.parquet(f"{idx}/_centroids")
+    cent_rows = _collect_centroid_rows(centroids)
+    queries = spark.createDataFrame(rng_rows[:6])
+
+    def _dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    cent_norms = [math.sqrt(_dot(v, v)) for _, v in cent_rows]
+    for nprobe in (1, 2, 5):
+        spark_sel = {
+            (r.query_id, r.cell)
+            for r in _probe_cells(
+                queries, centroids, nprobe, "vec_id", "embedding"
+            ).collect()
+        }
+        py_sel = set()
+        for r in queries.collect():
+            qn = math.sqrt(_dot(r.embedding, r.embedding))
+            ranked = sorted(
+                (-(_dot(r.embedding, cv) / (qn * cn)), cell)
+                for (cell, cv), cn in zip(cent_rows, cent_norms)
+            )
+            for _, cell in ranked[:nprobe]:
+                py_sel.add((r.vec_id, cell))
+        assert py_sel == spark_sel, nprobe
