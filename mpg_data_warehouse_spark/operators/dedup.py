@@ -95,6 +95,13 @@ def exploded_shingles(
 
 MINHASH_MOD = 2147483647  # 2^31 − 1; keeps every product < 2^62 (exact int64)
 
+# Pair-incident id sets at or below this many ids (two per candidate
+# pair, pre-distinct) are broadcast into the verify-side semi-join;
+# larger sets fall back to the unrestricted fold (same result). ~4 M
+# longs ≈ 32 MB framed — the same order as the bm25 repair manifest
+# broadcast gate.
+_VERIFY_RESTRICT_MAX_IDS = 4_000_000
+
 
 def _minhash_seed_constants(num_hashes: int) -> list[tuple[int, int]]:
     """Per-seed (A_i, B_i) multipliers < MINHASH_MOD, derived from md5
@@ -606,10 +613,17 @@ def minhash_dedup_pairs(
         # pairs (and so the caller's oracle hash) are unchanged by
         # construction.
         banded = band_signatures(sigs, id_col, num_hashes, bands).persist()
-        # all three probe quantities ride ONE action (a tagged union
-        # of three one-row aggregates): per-action scheduling overhead
-        # dominated the first cut of this invariant (~0.9 s of three
-        # driver actions over KB-sized frames at sf0.1)
+    cands = lsh_candidate_pairs(
+        sigs, id_col, num_hashes, bands, max_bucket, banded=banded
+    ).localCheckpoint(eager=False)
+    if audit_cap_invariant:
+        # all four probe quantities ride ONE action (a tagged union of
+        # one-row aggregates): per-action scheduling overhead dominated
+        # the first cut of this invariant (~0.9 s of three driver
+        # actions over KB-sized frames at sf0.1). The fourth leg (r13)
+        # is the candidate-pair count the verify restriction below
+        # needs — riding it here also materializes the candidate
+        # checkpoint inside the same job.
         probe = (
             banded.agg(F.count(F.lit(1)).alias("v"))
             .withColumn("k", F.lit("all"))
@@ -625,6 +639,11 @@ def minhash_dedup_pairs(
                 .agg(F.coalesce(F.sum("n_docs"), F.lit(0)).alias("v"))
                 .withColumn("k", F.lit("mass"))
             )
+            .unionByName(
+                cands.agg(F.count(F.lit(1)).alias("v")).withColumn(
+                    "k", F.lit("cands")
+                )
+            )
         )
         vals = {r["k"]: r["v"] for r in probe.collect()}
         if vals["all"] - vals["kept"] != vals["mass"]:
@@ -634,11 +653,145 @@ def minhash_dedup_pairs(
                 f"{vals['all'] - vals['kept']} (max_bucket="
                 f"{max_bucket}) — cap and audit drifted"
             )
-    cands = lsh_candidate_pairs(
-        sigs, id_col, num_hashes, bands, max_bucket, banded=banded
+        n_cands = vals["cands"]
+    else:
+        n_cands = cands.count()
+    # Restrict the Jaccard verify to PAIR-INCIDENT docs (r13, guide
+    # §2.3): the per-doc shingle-set fold inside ``jaccard_pairs``
+    # otherwise shuffles and collect_sets the WHOLE corpus, while the
+    # verify joins only ever probe ids that appear in a candidate
+    # pair — typically a small fraction of the corpus (and at 100 TB
+    # the gap is orders of magnitude). The candidate frame is
+    # checkpointed (its self-join was going to run anyway inside the
+    # verify join tree; materializing lets the id set reuse it), and
+    # the semi-join is only taken when the id set is provably
+    # broadcast-safe — a shuffle semi-join of the shingle table would
+    # cost exactly the shuffle this trim removes, so oversized pair
+    # sets keep the full fold (correct either way, just slower).
+    sh_verify = sh
+    if 0 < n_cands * 2 <= _VERIFY_RESTRICT_MAX_IDS:
+        pair_ids = (
+            cands.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
+            .distinct()
+        )
+        sh_verify = sh.join(F.broadcast(pair_ids), id_col, "left_semi")
+    verified = jaccard_pairs(
+        df, cands, id_col, text_col, shingle_n, shingles=sh_verify
     )
-    verified = jaccard_pairs(df, cands, id_col, text_col, shingle_n, shingles=sh)
     return verified.filter(F.col("jaccard") >= threshold)
+
+
+def _edge_list(pairs: DataFrame) -> DataFrame:
+    """Symmetric distinct edge list (src, dst) from a pair frame,
+    lineage-cut — the shared input of both CC paths."""
+    return (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+
+def _collect_small_edges(
+    edges: DataFrame, small_graph_edges: int
+) -> list | None:
+    """ONE bounded action deciding strategy AND fetching the graph:
+    collect up to ``small_graph_edges + 1`` edge rows; return them when
+    the whole graph fit, else None (caller takes the distributed
+    path). The r12 cut spent two driver actions here — a ``count`` to
+    choose the strategy, then a ``collect`` of the same checkpoint —
+    and at bench scale each tiny action is pure scheduling latency
+    (guide §5: the driver path is per-job overhead, not data)."""
+    if not small_graph_edges:
+        return None
+    head = edges.limit(small_graph_edges + 1).collect()
+    return head if len(head) <= small_graph_edges else None
+
+
+def _union_find(edge_rows) -> tuple[dict, object]:
+    """Driver-side union-find with path compression over collected
+    edge rows; roots are unioned toward the smaller id so every root
+    IS its component's min. Returns (parent, find)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in edge_rows:
+        ra, rb = find(row.src), find(row.dst)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+            parent.setdefault(lo, lo)
+    return parent, find
+
+
+def _cc_label_iteration(edges: DataFrame, max_iter: int) -> DataFrame:
+    """Distributed min-label propagation over a MATERIALIZED edge
+    checkpoint: the (node, component) labels of every edge-incident
+    node at fixpoint. Shared by ``connected_components`` and
+    ``retain_representatives``' distributed fallback."""
+    labels = (
+        edges.select("src")
+        .distinct()
+        .select(
+            F.col("src").alias("node"), F.col("src").alias("component")
+        )
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("dst"),
+                    F.col("component").alias("n_comp"),
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("n_comp").alias("n_min"))
+        )
+        updated = (
+            labels.join(
+                neighbor_min, labels.node == neighbor_min.src, "left"
+            )
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("n_min"), F.col("component")),
+                ).alias("component"),
+                (F.col("n_min") < F.col("component")).alias("_changed"),
+            )
+        ).localCheckpoint(eager=False)
+        # The convergence count doubles as the checkpoint
+        # materializer: one job per round, no second pass.
+        n_changed = updated.filter(F.col("_changed")).count()
+        labels = updated.drop("_changed")
+        if n_changed == 0:
+            break
+    else:
+        # labels move one hop per round: exhausting max_iter with
+        # changes pending means some chain is longer than the
+        # budget and its component is SPLIT — returning silently
+        # would let retain_representatives keep several members
+        # of one dup family. Fail loudly; the caller raises
+        # max_iter (diameter bound), never trusts a split result.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"rounds ({n_changed} labels still moving) — the pair "
+            "graph has a chain longer than max_iter; raise max_iter"
+        )
+    return labels
 
 
 def connected_components(
@@ -665,12 +818,12 @@ def connected_components(
     once at the end.
 
     Adaptive strategy (the AQE spirit, applied to an iterative
-    algorithm): the edge count is known before iterating — it is the
-    same action that materializes the edge checkpoint — and when the
-    graph fits comfortably on the driver (``small_graph_edges``, ~tens
-    of MB) a union-find over the collected edges replaces the join
-    rounds entirely. Each distributed round costs a fixed multi-job
-    overhead regardless of data size; for the common case of a small
+    algorithm): ONE bounded collect (``_collect_small_edges``) both
+    decides the strategy and fetches the graph — when it fits
+    comfortably on the driver (``small_graph_edges``, ~tens of MB) a
+    union-find over the collected edges replaces the join rounds
+    entirely. Each distributed round costs a fixed multi-job overhead
+    regardless of data size; for the common case of a small
     verified-pair set that overhead IS the runtime. Set
     ``small_graph_edges=0`` to force the distributed path.
 
@@ -689,47 +842,20 @@ def connected_components(
     """
     from pyspark.sql.types import StructField, StructType
 
-    edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(
-            pairs.select(
-                F.col("id_b").alias("src"), F.col("id_a").alias("dst")
-            )
-        )
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    # Materializes the edge checkpoint AND yields the strategy input.
-    n_edges = edges.count()
+    edges = _edge_list(pairs)
+    small_rows = _collect_small_edges(edges, small_graph_edges)
 
     spark = ids.sparkSession
     id_type = ids.schema[id_col].dataType
     all_ids = ids.select(F.col(id_col).alias("node"))
 
-    if n_edges == 0:
+    if small_rows is not None and not small_rows:
         return all_ids.select(
             F.col("node").alias(id_col), F.col("node").alias("component")
         )
 
-    if small_graph_edges and n_edges <= small_graph_edges:
-        # Driver-side union-find with path compression; union roots
-        # toward the smaller id so every root IS its component's min.
-        parent: dict = {}
-
-        def find(x):
-            r = x
-            while parent.get(r, r) != r:
-                r = parent[r]
-            while parent.get(x, x) != r:
-                parent[x], x = r, parent[x]
-            return r
-
-        for row in edges.collect():  # bounded by small_graph_edges
-            ra, rb = find(row.src), find(row.dst)
-            if ra != rb:
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
-                parent.setdefault(lo, lo)
+    if small_rows is not None:
+        parent, find = _union_find(small_rows)
         rows = [(n, find(n)) for n in parent]
         labels = spark.createDataFrame(
             rows,
@@ -741,57 +867,14 @@ def connected_components(
             ),
         )
     else:
-        labels = (
-            edges.select("src")
-            .distinct()
-            .select(
-                F.col("src").alias("node"), F.col("src").alias("component")
+        # Materializes the edge checkpoint before iterating (the
+        # bounded probe above may have computed only a prefix).
+        if edges.count() == 0:
+            return all_ids.select(
+                F.col("node").alias(id_col),
+                F.col("node").alias("component"),
             )
-            .localCheckpoint(eager=False)
-        )
-        for _ in range(max_iter):
-            neighbor_min = (
-                edges.join(
-                    labels.select(
-                        F.col("node").alias("dst"),
-                        F.col("component").alias("n_comp"),
-                    ),
-                    "dst",
-                )
-                .groupBy("src")
-                .agg(F.min("n_comp").alias("n_min"))
-            )
-            updated = (
-                labels.join(
-                    neighbor_min, labels.node == neighbor_min.src, "left"
-                )
-                .select(
-                    "node",
-                    F.least(
-                        F.col("component"),
-                        F.coalesce(F.col("n_min"), F.col("component")),
-                    ).alias("component"),
-                    (F.col("n_min") < F.col("component")).alias("_changed"),
-                )
-            ).localCheckpoint(eager=False)
-            # The convergence count doubles as the checkpoint
-            # materializer: one job per round, no second pass.
-            n_changed = updated.filter(F.col("_changed")).count()
-            labels = updated.drop("_changed")
-            if n_changed == 0:
-                break
-        else:
-            # labels move one hop per round: exhausting max_iter with
-            # changes pending means some chain is longer than the
-            # budget and its component is SPLIT — returning silently
-            # would let retain_representatives keep several members
-            # of one dup family. Fail loudly; the caller raises
-            # max_iter (diameter bound), never trusts a split result.
-            raise RuntimeError(
-                f"connected_components did not converge in {max_iter} "
-                f"rounds ({n_changed} labels still moving) — the pair "
-                "graph has a chain longer than max_iter; raise max_iter"
-            )
+        labels = _cc_label_iteration(edges, max_iter)
 
     # Isolated nodes never entered the iteration; they label
     # themselves. One broadcast-friendly join at the end, not a
@@ -809,13 +892,51 @@ def retain_representatives(
     df: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    max_iter: int = 25,
+    small_graph_edges: int = 1_000_000,
 ) -> DataFrame:
     """Near-dup retention: collapse every near-dup cluster to its
     smallest id (the standard keep-one policy after pair generation).
-    Returns the surviving rows of ``df``."""
-    comp = connected_components(pairs, df.select(id_col), id_col)
-    keep = comp.filter(F.col(id_col) == F.col("component")).select(id_col)
-    return df.join(keep, id_col, "left_semi")
+    Returns the surviving rows of ``df``.
+
+    Small-graph fast path (r13): retention only needs the NON-ROOT
+    node set — a node survives iff it is its own component min — so
+    when the edge list fits on the driver, the union-find's non-roots
+    become one broadcast anti-join against ``df``: a single corpus
+    pass, versus routing through ``connected_components``' label
+    table (parallelize + corpus left-join + filter + semi-join — four
+    jobs of pure scheduling latency at bench scale, an O(dup-set)
+    broadcast at 100 TB either way). Identical survivors by
+    construction: anti(non-roots) == semi(roots ∪ isolated); pinned
+    against the distributed path by
+    ``test_retain_fast_path_matches_distributed``."""
+    edges = _edge_list(pairs)
+    small_rows = _collect_small_edges(edges, small_graph_edges)
+    if small_rows is not None:
+        if not small_rows:
+            return df
+        parent, find = _union_find(small_rows)
+        removed = [n for n in parent if find(n) != n]
+        if not removed:
+            return df
+        from pyspark.sql.types import StructField, StructType
+
+        rem = df.sparkSession.createDataFrame(
+            [(n,) for n in removed],
+            StructType([StructField(id_col, df.schema[id_col].dataType)]),
+        )
+        return df.join(F.broadcast(rem), id_col, "left_anti")
+    # Distributed fallback over the SAME edge checkpoint (the bounded
+    # probe already paid for it): non-roots of the label fixpoint are
+    # the removed set; isolated nodes never enter ``labels`` and
+    # survive the anti-join implicitly.
+    if edges.count() == 0:
+        return df
+    labels = _cc_label_iteration(edges, max_iter)
+    removed_df = labels.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(removed_df, id_col, "left_anti")
 
 
 def simhash_fingerprints(

@@ -272,6 +272,41 @@ def test_connected_components_small_and_distributed_paths_agree(spark):
     assert dist == expect
 
 
+def test_retain_fast_path_matches_distributed(spark):
+    """The r13 broadcast-anti-join fast path (driver union-find
+    non-roots) and the distributed label-propagation fallback must
+    keep identical survivors — chain, cluster, isolated node, and a
+    pair id absent from ``df`` (an alien root must still evict its
+    in-corpus partner)."""
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=f"t{i}") for i in [1, 2, 3, 4, 7, 10, 11, 20]]
+    )
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=3, id_b=4),
+         Row(id_a=10, id_b=11),
+         Row(id_a=19, id_b=20)]  # 19 not in df: 20 still removed
+    )
+    fast = sorted(
+        r.doc_id for r in D.retain_representatives(df, pairs).collect()
+    )
+    dist = sorted(
+        r.doc_id
+        for r in D.retain_representatives(
+            df, pairs, small_graph_edges=0
+        ).collect()
+    )
+    assert fast == [1, 7, 10]
+    assert dist == [1, 7, 10]
+
+
+def test_retain_no_pairs_returns_df(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="a"), Row(doc_id=2, text="b")])
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert sorted(
+        r.doc_id for r in D.retain_representatives(df, pairs).collect()
+    ) == [1, 2]
+
+
 # ---------------------------------------------------------------------------
 # Passage-level span dedup (Lee et al. 2021 ExactSubstr, window form)
 # ---------------------------------------------------------------------------
