@@ -94,9 +94,32 @@ def anti_join_append(
 
     to_append = new_only(new, anti_target, keys).persist()
     try:
-        appended = to_append.count()
-        dup_count = new.count() - appended
-        prev = existing.count()
+        # all three bookkeeping counts ride ONE action (r13, guide
+        # §5: per-action scheduling overhead — the r12 cut spent
+        # three driver actions here, one per count; a tagged union of
+        # one-row aggregates runs them as one job, and materializing
+        # the persisted anti-join result inside it lets the write
+        # below reuse the cache exactly as before). ``actual`` stays
+        # a separate, later action BY DESIGN — it re-counts the table
+        # from disk after the write as the independent reconcile.
+        probe = (
+            to_append.agg(F.count(F.lit(1)).alias("v"))
+            .withColumn("k", F.lit("app"))
+            .unionByName(
+                new.agg(F.count(F.lit(1)).alias("v")).withColumn(
+                    "k", F.lit("new")
+                )
+            )
+            .unionByName(
+                existing.agg(F.count(F.lit(1)).alias("v")).withColumn(
+                    "k", F.lit("prev")
+                )
+            )
+        )
+        vals = {r["k"]: r["v"] for r in probe.collect()}
+        appended = vals["app"]
+        dup_count = vals["new"] - appended
+        prev = vals["prev"]
         w = to_append.write.mode("append")
         if partition_by:
             w = w.partitionBy(*partition_by)

@@ -575,6 +575,7 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
     max_bucket: int = 1000,
     audit_cap_invariant: bool = False,
+    restrict_verify: bool = False,
 ) -> DataFrame:
     """Full MinHash→LSH→verify near-dup pipeline: candidate pairs from
     banding, exact Jaccard verification, thresholded output.
@@ -592,6 +593,18 @@ def minhash_dedup_pairs(
     band key) raises here instead of silently under- or over-reporting
     the forgone pair mass — the transparency half of the r11 cap
     replay, priced under the caller's oracle hash.
+
+    ``restrict_verify=True`` (r13) narrows the Jaccard verify's
+    per-doc shingle-set fold to PAIR-INCIDENT docs via a broadcast
+    semi-join (implied by ``audit_cap_invariant``, whose fused probe
+    already knows the candidate count). OPT-IN because it runs
+    driver actions and a lineage cut over the candidate plan inside
+    this builder: a caller whose input lineage carries Spark
+    ``Observation`` nodes (the curation pipeline's funnel) must keep
+    the default — an intermediate action would consume the observed
+    metrics before the caller's own action fires (pinned by
+    tests/test_pipelines.py::test_curate_corpus_pipeline_funnel_observations,
+    which broke on the first cut of this trim).
 
     Cache lifecycle: the returned DataFrame is lazy, so the cache
     cannot be dropped here without recomputing on the caller's action.
@@ -615,7 +628,14 @@ def minhash_dedup_pairs(
         banded = band_signatures(sigs, id_col, num_hashes, bands).persist()
     cands = lsh_candidate_pairs(
         sigs, id_col, num_hashes, bands, max_bucket, banded=banded
-    ).localCheckpoint(eager=False)
+    )
+    if audit_cap_invariant or restrict_verify:
+        # the candidate self-join is about to be consumed twice (the
+        # pair-id set + the verify join): cut and materialize it once.
+        # ONLY in these opt-in modes — the plain path must stay
+        # action-free and cut-free (see the restrict_verify note).
+        cands = cands.localCheckpoint(eager=False)
+    n_cands = None
     if audit_cap_invariant:
         # all four probe quantities ride ONE action (a tagged union of
         # one-row aggregates): per-action scheduling overhead dominated
@@ -654,7 +674,7 @@ def minhash_dedup_pairs(
                 f"{max_bucket}) — cap and audit drifted"
             )
         n_cands = vals["cands"]
-    else:
+    elif restrict_verify:
         n_cands = cands.count()
     # Restrict the Jaccard verify to PAIR-INCIDENT docs (r13, guide
     # §2.3): the per-doc shingle-set fold inside ``jaccard_pairs``
@@ -669,7 +689,7 @@ def minhash_dedup_pairs(
     # cost exactly the shuffle this trim removes, so oversized pair
     # sets keep the full fold (correct either way, just slower).
     sh_verify = sh
-    if 0 < n_cands * 2 <= _VERIFY_RESTRICT_MAX_IDS:
+    if n_cands is not None and 0 < n_cands * 2 <= _VERIFY_RESTRICT_MAX_IDS:
         pair_ids = (
             cands.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
             .distinct()
@@ -1006,20 +1026,33 @@ def simhash_near_pairs(
         )
 
     fp = simhash_fingerprints(df, id_col, text_col)
-    chunks = fp.select(
-        id_col,
-        "fp",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("chunk"), _ckey(i).alias("ckey")
-                    )
-                    for i in range(nc)
-                ]
-            )
-        ).alias("c"),
-    ).select(id_col, "fp", "c.chunk", "c.ckey")
+    # Persist the chunk frame (r13, guide §2.4): both sides of the
+    # blocked self-join below derive from it, and WITHOUT a
+    # materialization the whole upstream pipeline — scan, shingle
+    # explode, the 64-conditional-sum fingerprint aggregate — plans
+    # TWICE (the build side broadcasts a structurally different
+    # subtree, so no ReusedExchange applies). The frame is tiny
+    # (k+1 rows per doc, four narrow columns — fixed-width, no text),
+    # so caching it halves the expensive fingerprint work for the
+    # cost of O(docs) spill-able storage at any scale.
+    chunks = (
+        fp.select(
+            id_col,
+            "fp",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("chunk"), _ckey(i).alias("ckey")
+                        )
+                        for i in range(nc)
+                    ]
+                )
+            ).alias("c"),
+        )
+        .select(id_col, "fp", "c.chunk", "c.ckey")
+        .persist()
+    )
     a = chunks.select(
         F.col(id_col).alias("id_a"), F.col("fp").alias("fp_a"), "chunk", "ckey"
     )

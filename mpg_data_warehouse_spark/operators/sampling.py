@@ -368,17 +368,26 @@ def dsir_importance_weights(
         ).alias("bucket"),
     ).persist()
     try:
+        # both bucket distributions ride ONE action (r13, guide §5:
+        # two tiny collects were two scheduled jobs; the tagged union
+        # runs them as one, and materializing the persisted feature
+        # table inside it lets the weight join below reuse the cache
+        # exactly as before). ≤ 2 × n_buckets rows either way.
+        dist_rows = (
+            _bucket_distribution(target, text_col, n_buckets, max_n, hash_fn)
+            .withColumn("_k", F.lit("t"))
+            .unionByName(
+                doc_feats.groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .withColumn("_k", F.lit("r"))
+            )
+            .collect()
+        )
         t_counts = {
-            row["bucket"]: row["cnt"]
-            for row in _bucket_distribution(
-                target, text_col, n_buckets, max_n, hash_fn
-            ).collect()
+            row["bucket"]: row["cnt"] for row in dist_rows if row["_k"] == "t"
         }
         r_counts = {
-            row["bucket"]: row["cnt"]
-            for row in doc_feats.groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .collect()
+            row["bucket"]: row["cnt"] for row in dist_rows if row["_k"] == "r"
         }
         t_total = sum(t_counts.values())
         r_total = sum(r_counts.values())

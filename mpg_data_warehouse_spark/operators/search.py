@@ -39,6 +39,97 @@ def term_bucket(term, n_buckets: int = N_BUCKETS):
     return F.pmod(F.xxhash64(term), F.lit(n_buckets))
 
 
+# Driver-side twin of ``term_bucket`` (r13): XXH64 per the public
+# reference spec (Collet, xxhash.com; Spark's xxhash64 is XXH64
+# seed=42 over the string's UTF-8 bytes). Query planning needs only
+# the bucket values of a handful of literal terms, and evaluating
+# them through a LocalTableScan collect costs a whole scheduled Spark
+# job per search call (guide §5: tiny-job latency IS the probe-path
+# cost). Exact parity with the engine is pinned by
+# tests/test_search.py::test_term_bucket_py_matches_spark over
+# unicode/boundary-length/fuzzed strings — a drifted bucket would
+# prune the wrong partition and fail the oracle-hashed search slots.
+_X64_MASK = (1 << 64) - 1
+_X64_P1 = 11400714785074694791
+_X64_P2 = 14029467366897019727
+_X64_P3 = 1609587929392839161
+_X64_P4 = 9650029242287828579
+_X64_P5 = 2870177450012600261
+
+
+def _x64_rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _X64_MASK
+
+
+def _x64_round(acc: int, inp: int) -> int:
+    acc = (acc + inp * _X64_P2) & _X64_MASK
+    return (_x64_rotl(acc, 31) * _X64_P1) & _X64_MASK
+
+
+def _x64_merge(acc: int, val: int) -> int:
+    acc ^= _x64_round(0, val)
+    return (acc * _X64_P1 + _X64_P4) & _X64_MASK
+
+
+def xxhash64_py(data: bytes, seed: int = 42) -> int:
+    """XXH64 of ``data`` as Spark's SIGNED ``xxhash64`` long."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _X64_P1 + _X64_P2) & _X64_MASK
+        v2 = (seed + _X64_P2) & _X64_MASK
+        v3 = seed & _X64_MASK
+        v4 = (seed - _X64_P1) & _X64_MASK
+        while i + 32 <= n:
+            v1 = _x64_round(v1, int.from_bytes(data[i : i + 8], "little"))
+            v2 = _x64_round(
+                v2, int.from_bytes(data[i + 8 : i + 16], "little")
+            )
+            v3 = _x64_round(
+                v3, int.from_bytes(data[i + 16 : i + 24], "little")
+            )
+            v4 = _x64_round(
+                v4, int.from_bytes(data[i + 24 : i + 32], "little")
+            )
+            i += 32
+        h = (
+            _x64_rotl(v1, 1)
+            + _x64_rotl(v2, 7)
+            + _x64_rotl(v3, 12)
+            + _x64_rotl(v4, 18)
+        ) & _X64_MASK
+        h = _x64_merge(h, v1)
+        h = _x64_merge(h, v2)
+        h = _x64_merge(h, v3)
+        h = _x64_merge(h, v4)
+    else:
+        h = (seed + _X64_P5) & _X64_MASK
+    h = (h + n) & _X64_MASK
+    while i + 8 <= n:
+        h ^= _x64_round(0, int.from_bytes(data[i : i + 8], "little"))
+        h = (_x64_rotl(h, 27) * _X64_P1 + _X64_P4) & _X64_MASK
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * _X64_P1) & _X64_MASK
+        h = (_x64_rotl(h, 23) * _X64_P2 + _X64_P3) & _X64_MASK
+        i += 4
+    while i < n:
+        h ^= (data[i] * _X64_P5) & _X64_MASK
+        h = (_x64_rotl(h, 11) * _X64_P1) & _X64_MASK
+        i += 1
+    h ^= h >> 33
+    h = (h * _X64_P2) & _X64_MASK
+    h ^= h >> 29
+    h = (h * _X64_P3) & _X64_MASK
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def term_bucket_py(term: str, n_buckets: int = N_BUCKETS) -> int:
+    """Driver-side ``term_bucket`` (pmod semantics: result ≥ 0)."""
+    return xxhash64_py(term.encode("utf-8")) % n_buckets
+
+
 META_FILE = "_index_meta.json"
 
 # doc-id-keyed manifest (id → dl + posting buckets), partitioned by an
@@ -186,15 +277,10 @@ def search_terms(
     if not norm:
         raise ValueError("no non-empty query terms")
     postings = spark.read.parquet(index_path)
-    # bucket values computed engine-side from the same xxhash64 —
-    # evaluated as literals through a tiny local DataFrame to avoid
-    # reimplementing xxhash64 in Python
-    bucket_rows = (
-        spark.createDataFrame([(t,) for t in norm], "term string")
-        .select(term_bucket(F.col("term"), n_buckets).alias("b"))
-        .collect()
-    )
-    buckets = sorted({r["b"] for r in bucket_rows})
+    # bucket values computed DRIVER-SIDE (r13): ``term_bucket_py`` is
+    # the parity-pinned XXH64 twin, replacing a whole scheduled
+    # LocalTableScan-collect job per search call
+    buckets = sorted({term_bucket_py(t, n_buckets) for t in norm})
     hits = postings.filter(
         F.col("bucket").isin(buckets) & F.col("term").isin(norm)
     )
@@ -652,13 +738,10 @@ def bm25_search_many(
     )
 
     qdf = spark.createDataFrame(qterms, "query_id long, term string")
-    # bucket probe: a narrow LocalTableScan collect — the distinct is
-    # cheaper as a driver-side set over ≤|query terms| ints than as a
-    # full shuffle stage inside this tiny planning job (r13)
-    bucket_rows = qdf.select(
-        term_bucket(F.col("term"), n_buckets).alias("b")
-    ).collect()
-    buckets = sorted({r["b"] for r in bucket_rows})
+    # bucket probe DRIVER-SIDE (r13): ``term_bucket_py`` replaces the
+    # LocalTableScan-collect planning job entirely (parity pinned in
+    # tests; a drifted bucket prunes wrong and fails the oracle)
+    buckets = sorted({term_bucket_py(t, n_buckets) for _, t in qterms})
     postings = spark.read.parquet(index_path).filter(
         F.col("bucket").isin(buckets)
         & F.col("term").isin(sorted({t for _, t in qterms}))

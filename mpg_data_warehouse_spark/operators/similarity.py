@@ -524,6 +524,13 @@ def ivf_topk(
     Scale shape: the candidate join is keyed on ``cell`` (shuffle or
     pruned bucket scan), never a full corpus × queries cross
     product; the refinement is the offline index-build pass."""
+    # Persist the corpus projection once (r13, guide §2.4): the seed
+    # collect, each Lloyd iteration, and the cell-assignment scan are
+    # separate jobs that each re-read the corpus otherwise (and the
+    # caller's query frame usually derives from it too). Spill-able
+    # O(corpus) storage for one scan instead of 4-5; callers running
+    # long-lived drivers release it via the scoped-query contract.
+    corpus = corpus.persist()
     if refine_iters > 0:
         centroids = kmeans_refine_centroids(
             corpus, n_centroids, refine_iters, id_col=id_col, vec_col=vec_col

@@ -56,6 +56,9 @@ _SCOPED_QUERIES = {
     "quality_classifier_scores",  # shared tokenization persist
     "retrieval_dense_topk",  # chunk-embedding persist
     "hybrid_rrf_retrieval",  # chunk-embedding persist
+    "simhash_near_dup_pairs",  # r13 chunk-frame persist (self-join reuse)
+    "membership_semi_anti",  # r13 bloom-branch persist (count + union reuse)
+    "ivf_ann_topk",  # r13 corpus persist (seed/Lloyd/assign scan reuse)
     "funnel_click_to_purchase",  # 3 drained-stream state checkpoints
     "ingest_transform_rename",  # quarantine scan cache + read-back checkpoint
     "events_multi_grain_rollup",  # r11 shared hour-grain shuffle persist
@@ -453,12 +456,16 @@ def membership_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the Bloom-branch count and the staged-table write are
         # independent jobs — overlap them (the shared engine helper)
         # so the recon setup costs max(legs), not their sum. new_keys
-        # stays lazily counted (NOT checkpointed) so the digest keeps
-        # the Bloom branch's executed plan visible, at the cost of one
-        # extra evaluation of the (dim-sized) branch when the result
-        # collects.
+        # is PERSISTED (r13) — the count materializes the cache and
+        # the final union re-reads it instead of re-running the whole
+        # Bloom branch (the r12 cut paid one extra dim-sized
+        # evaluation per collect); persist, unlike a checkpoint,
+        # keeps the branch's executed plan visible inside the
+        # InMemoryRelation for the digest, and the query is
+        # registered scoped so the cache is released with the result.
         from mpg_data_warehouse_spark.concurrency import await_all
 
+        new_keys = new_keys.persist()
         n_new, _ = await_all(
             new_keys.count,
             lambda: batch.join(
@@ -2401,8 +2408,15 @@ def near_dup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join per consumer (at 100 TB this is the checkpoint between the
     # exact and near stages of the curation pipeline).
     base = raw.join(keep, "doc_id", "left_semi").localCheckpoint(eager=False)
+    # restrict_verify: contract lineage carries no Observations, so
+    # the opt-in pair-incident verify trim is safe here (r13)
     pairs = minhash_dedup_pairs(
-        base, num_hashes=8, bands=4, shingle_n=3, threshold=0.5
+        base,
+        num_hashes=8,
+        bands=4,
+        shingle_n=3,
+        threshold=0.5,
+        restrict_verify=True,
     )
     return retain_representatives(base, pairs).select("doc_id")
 
@@ -5233,9 +5247,13 @@ def quality_classifier_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokens_col — without the share each train/score leg re-runs the
     # regex split over the full token stream (6-8 corpus tokenizations
     # measured ≈ 3× this query's wall at sf0.1)
+    # the raw text column is DEAD after tokenization (every leg
+    # consumes _toks; the emitted rows carry only doc_id/score/keep),
+    # so it is dropped before the persist — the cache builds and
+    # spills roughly half the bytes (r13, guide §5.2)
     docs = (
         _docs(spark, sf_dir, cols=("doc_id", "lang", "text"))
-        .withColumn("_toks", norm_tokens("text"))
+        .select("doc_id", "lang", norm_tokens("text").alias("_toks"))
         .persist()
     )
     pos = docs.filter(F.col("lang") == "en")

@@ -61,6 +61,39 @@ def test_minhash_pipeline_finds_near_dups(spark):
     assert not any(4 in p for p in pairs)
 
 
+def test_minhash_restrict_verify_matches_default(spark):
+    """The opt-in pair-incident verify restriction (r13) must emit
+    exactly the default path's pairs — it only narrows the shingle
+    fold to ids the verify joins would probe anyway. Covers both the
+    broadcast-taken case and the oversized fallback (cap forced to 0
+    makes the gate decline)."""
+    base = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.minhash_dedup_pairs(_corpus(spark), threshold=0.5).collect()
+    }
+    opt = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.minhash_dedup_pairs(
+            _corpus(spark), threshold=0.5, restrict_verify=True
+        ).collect()
+    }
+    assert opt == base and base
+    import mpg_data_warehouse_spark.operators.dedup as DD
+
+    orig = DD._VERIFY_RESTRICT_MAX_IDS
+    try:
+        DD._VERIFY_RESTRICT_MAX_IDS = 0
+        fallback = {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in D.minhash_dedup_pairs(
+                _corpus(spark), threshold=0.5, restrict_verify=True
+            ).collect()
+        }
+    finally:
+        DD._VERIFY_RESTRICT_MAX_IDS = orig
+    assert fallback == base
+
+
 def test_simhash_properties(spark):
     fps = {
         r.doc_id: r.fp

@@ -12,9 +12,11 @@ SF = "/root/testdata/sf0.001"
 
 
 def _plan(spark, name):
-    return (
-        QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
-    )
+    # unwrap scoped queries (same as explain_digest/capture_plans):
+    # the scoped wrapper returns an eager checkpoint whose plan is a
+    # bare RDD scan — the contract is about the builder's real plan
+    fn = getattr(QUERIES[name], "__wrapped__", QUERIES[name])
+    return fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
 
 
 def test_multi_way_join_broadcasts_all_dims(spark):

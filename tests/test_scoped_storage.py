@@ -119,8 +119,8 @@ def test_unscoped_queries_do_not_hold_storage(spark):
     un-registered persists creeping into query builders)."""
     from mpg_data_warehouse_spark.plans import driver_queries as dq
 
-    for name in ("ground_cover_pct_complete", "membership_semi_anti",
-                  "window_partition_count", "simhash_near_dup_pairs"):
+    for name in ("ground_cover_pct_complete", "group_multiples_having",
+                  "window_partition_count", "species_richness_union_dedup"):
         before = persistent_rdd_ids(spark)
         dq.QUERIES[name](spark, SF).count()
         new = persistent_rdd_ids(spark) - before

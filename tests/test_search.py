@@ -1053,3 +1053,45 @@ def test_bm25_bloom_invalidated_when_corpus_shrinks_below_threshold(
     assert not any(
         d.startswith("_docs_bloom_v") for d in os.listdir(idx)
     )
+
+
+def test_term_bucket_py_matches_spark(spark):
+    """The driver-side XXH64 twin must match Spark's engine hash
+    EXACTLY — a drifted bucket silently prunes the wrong partitions.
+    Covers unicode, empties-after-strip shapes, every length class of
+    the XXH64 tail handling (0..3, 4..7, 8.., and >=32 stripe), and
+    fuzzed random strings."""
+    import random
+    import string
+
+    from mpg_data_warehouse_spark.operators import search as S
+
+    rng = random.Random(13)
+    tricky = [
+        "a", "ab", "abc", "abcd", "abcdefg", "abcdefgh", "abcdefghi",
+        "x" * 31, "x" * 32, "x" * 33, "x" * 100,
+        "naïve", "日本語のテキスト", "emoji🙂mix", "tab\tsep",
+        "table", "scan", "merge", "window", "join", "batch",
+    ]
+    fuzz = [
+        "".join(
+            rng.choice(string.printable + "éüñ中日🙂")
+            for _ in range(rng.randint(1, 80))
+        )
+        for _ in range(60)
+    ]
+    terms = tricky + fuzz
+    rows = (
+        spark.createDataFrame([(t,) for t in terms], "term string")
+        .select(
+            "term",
+            S.term_bucket(F.col("term"), 64).alias("b64"),
+            S.term_bucket(F.col("term"), 7).alias("b7"),
+            F.xxhash64("term").alias("h"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert S.xxhash64_py(r["term"].encode("utf-8")) == r["h"], r["term"]
+        assert S.term_bucket_py(r["term"], 64) == r["b64"], r["term"]
+        assert S.term_bucket_py(r["term"], 7) == r["b7"], r["term"]

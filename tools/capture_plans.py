@@ -45,7 +45,11 @@ def main() -> int:
     spark = get_spark("capture-plans")
     for name in names:
         ids0 = persistent_rdd_ids(spark)
-        df = QUERIES[name](spark, sf_dir)
+        # unwrap scoped queries (same as explain_digest): the scoped
+        # wrapper returns an eager checkpoint whose plan is a bare
+        # RDD scan — the evidence wants the builder's real plan
+        fn = getattr(QUERIES[name], "__wrapped__", QUERIES[name])
+        df = fn(spark, sf_dir)
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
