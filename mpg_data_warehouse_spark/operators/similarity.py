@@ -794,14 +794,29 @@ def embedding_near_dup_pairs(
     The count uses a window over the SAME key the join shuffles on,
     so capping adds no extra exchange."""
     _check_dim(df, vec_col, dim)
-    b = df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        l2_norm(F.col(vec_col)).alias("_norm"),
-        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
-    ).withColumn(
-        "_n", F.count(F.lit(1)).over(W.partitionBy("bucket"))
-    ).filter(F.col("_n") <= max_bucket).drop("_n")
+    # Persist the bucketed frame (r13, guide §2.4 — the simhash
+    # lesson applied here): both sides of the bucket self-join below
+    # derive from it, and without a materialization the whole
+    # upstream — scan, the n_planes × dim hyperplane dot products,
+    # AND the bucket-cap window with its exchange — plans and
+    # executes TWICE (the join's build side is a structurally
+    # different subtree, so no ReusedExchange applies). The frame is
+    # (id, vec, norm, bucket) — O(corpus) fixed-width rows — and the
+    # MEMORY_AND_DISK default spills rather than OOMs at scale. The
+    # caller (a scoped contract query / run_scoped pipeline) releases
+    # the storage once the pair result is materialized.
+    b = (
+        df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            l2_norm(F.col(vec_col)).alias("_norm"),
+            lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+        )
+        .withColumn("_n", F.count(F.lit(1)).over(W.partitionBy("bucket")))
+        .filter(F.col("_n") <= max_bucket)
+        .drop("_n")
+        .persist()
+    )
     a = b.select(
         F.col("bucket"),
         F.col(id_col).alias("id_a"),

@@ -62,6 +62,9 @@ _SCOPED_QUERIES = {
     "funnel_click_to_purchase",  # 3 drained-stream state checkpoints
     "ingest_transform_rename",  # quarantine scan cache + read-back checkpoint
     "events_multi_grain_rollup",  # r11 shared hour-grain shuffle persist
+    "embedding_cosine_near_dup",  # r13 bucketed-frame persist (self-join reuse)
+    "multimodal_frame_sample",  # r13 fixture fingerprint persists (pair reuse)
+    "span_duplication_stats",  # r13 augmented-corpus persist (two-leg reuse)
 }
 
 
@@ -817,18 +820,30 @@ def span_duplication_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     head5 = F.concat_ws(" ", F.slice(X.tokens("text"), 1, 5))
-    aug = docs.unionByName(donated).withColumn(
-        "text",
-        F.when(
-            F.col("doc_id") % 3 == 0,
-            F.concat(
-                F.col("text"),
-                F.lit("\n"),
-                head5,
-                F.lit("\n"),
-                head5,
-            ),
-        ).otherwise(F.col("text")),
+    # r13 (guide §2.4): the span leg AND the repetition leg both
+    # consume the augmented corpus, and without a materialization each
+    # re-ran the whole aug construction — two parquet scans plus two
+    # evaluations of the regexp-tokenize / slice / upper / concat
+    # machinery (the expensive part: regexp over every document's full
+    # text). One persist builds it once; MEMORY_AND_DISK spills at
+    # corpus scale. Registered scoped so the cache releases with the
+    # result.
+    aug = (
+        docs.unionByName(donated)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.col("text"),
+                    F.lit("\n"),
+                    head5,
+                    F.lit("\n"),
+                    head5,
+                ),
+            ).otherwise(F.col("text")),
+        )
+        .persist()
     )
     spans = D.span_duplication_stats(
         aug, id_col="doc_id", text_col="text", span_tokens=10, stride=10
@@ -870,6 +885,16 @@ def window_partition_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("low")
     )
     df = events.withColumn("category", category)
+    # r13 NOTE (measured, kept as-is): COUNT(*) OVER (PARTITION BY a
+    # 3-value key) concentrates the window stage on 3 reducer tasks —
+    # a genuine hot-key shape at 100 TB, where the fix is a 3-row
+    # partial aggregate broadcast-joined back (event rows never
+    # shuffle). That rewrite was BUILT and A/B-measured this round:
+    # 0.71 s → 1.48 s at sf0.1 (reps=9 medians, same window) — the
+    # per-run broadcast-build latency plus the second scan cost ~2×
+    # the whole slot at bench scale, where shuffling 100 K narrow rows
+    # is nearly free. Reverted; the agg+broadcast form is the
+    # documented scale-up escape hatch, not the right local plan.
     return df.select(
         "event_id",
         "category",
@@ -2277,7 +2302,18 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     with_img = attach_fake_image(docs)
-    frames = sample_frames(with_img, n_frames=4)
+    # r13 (guide §2.3/§8): the report consumes only the LENGTH of each
+    # frame slice — project it immediately after the sampler so the
+    # join moves (doc_id, frame_idx, 8-byte length), never the frame
+    # payload bytes. At bench scale the meta side broadcasts; at
+    # corpus scale (meta too big to broadcast) the join would shuffle
+    # both sides, and shuffling lengths instead of payloads is the
+    # §8 "decide with small rows" rule.
+    frames = sample_frames(with_img, n_frames=4).select(
+        "doc_id",
+        "frame_idx",
+        F.length("frame").cast("long").alias("_flen"),
+    )
     meta = decode_image_meta(with_img).select(
         "doc_id", "width", "height", "format"
     )
@@ -2285,7 +2321,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("frame").alias("kind"),
         F.col("doc_id").cast("long").alias("id_a"),
         F.col("frame_idx").cast("long").alias("id_b"),
-        F.length("frame").cast("long").alias("n1"),
+        F.col("_flen").alias("n1"),
         F.col("width").cast("long").alias("n2"),
         F.col("height").cast("long").alias("n3"),
         F.col("format").alias("s1"),
@@ -2296,8 +2332,16 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     img_fix = attach_fixture_image(
         fixture.withColumn("grp", (F.col("doc_id") % 12).cast("int")), "grp"
     )
+    # r13 (guide §2.4): persist the two tiny fingerprint frames (≤120
+    # fixture rows each) — the pairing operators reference their input
+    # several times (block/sub-fingerprint self-joins, size and
+    # hot-bucket probes), and every un-materialized reference re-ran
+    # the WHOLE attach → decode → hash Python chain (2 mapInPandas
+    # stages each): the static plan carried 18 MapInPandas nodes for
+    # what is 5 distinct Python passes. The query is registered scoped
+    # so both caches release with the result.
     phash_rows = phash_near_dup_pairs(
-        image_phash(img_fix).filter(F.col("ok")), max_hamming=8
+        image_phash(img_fix).filter(F.col("ok")).persist(), max_hamming=8
     ).select(
         F.lit("phash_pair").alias("kind"),
         F.col("id_a").cast("long"),
@@ -2313,7 +2357,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         fixture.withColumn("grp", (F.col("doc_id") % 10).cast("int")), "grp"
     )
     audio_rows = audio_near_dup_pairs(
-        audio_fingerprint(aud_fix).filter(F.col("ok"))
+        audio_fingerprint(aud_fix).filter(F.col("ok")).persist()
     ).select(
         F.lit("audio_pair").alias("kind"),
         F.col("id_a").cast("long"),
