@@ -2580,7 +2580,15 @@ def temporal_asof_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE left bin join feeds BOTH range legs: the inner semantics are
     # its non-null rows (a second inner call would re-execute the bin
     # equi-join — at event-stream scale the duplicated shuffle is the
-    # dominant cost of the slot)
+    # dominant cost of the slot). r13 NOTE (measured, kept as-is):
+    # PERSISTING this frame was tried and is 3.5× WORSE (1.62 s →
+    # 5.62 s at sf0.1, reps=7, same window) — the join output is
+    # PAIR-grain (each click × every ±6 h window containing it), far
+    # larger than either input, and materializing it costs more than
+    # running the broadcast join once per consumer, where each
+    # aggregate pipelines the pairs straight into map-side partials
+    # without ever storing them (guide §5: cache only when recompute
+    # beats the memory pressure — here it does not).
     left_pairs = range_join_binned(
         pts, iv, "ev_h", "lo_h", "hi_h", bin_width=12, how="left"
     )
@@ -3020,8 +3028,20 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mpg_data_warehouse_spark.streaming import events as SE
 
     staged = tempfile.mkdtemp(prefix="stream_events_")
-    _events(spark, sf_dir).write.mode("overwrite").parquet(staged)
-    stream = SE.hourly_rollup_stream(SE.read_events_stream(spark, staged))
+    # r13 (guide §2.3 at the staging boundary): the rollup consumes
+    # ts / event_type / value / user_id only — stage exactly those.
+    # Fenced at sf0.1: the staging write is ~40% of the warm slot, and
+    # event_id + props are ~35% of the staged bytes, written only to
+    # be ignored by every downstream scan. The projected stream schema
+    # comes from read_events_stream(columns=...), so stage and reader
+    # can never drift.
+    _cols = ["ts", "event_type", "value", "user_id"]
+    _events(spark, sf_dir).select(*_cols).write.mode("overwrite").parquet(
+        staged
+    )
+    stream = SE.hourly_rollup_stream(
+        SE.read_events_stream(spark, staged, columns=_cols)
+    )
     SE.run_to_memory(stream, "streaming_hourly_rollup_t", timeout_s=300)
     return spark.table("streaming_hourly_rollup_t").select(
         F.col("hour_ts").cast("string").alias("hour_ts"),

@@ -48,11 +48,36 @@ EVENTS_STREAM_SCHEMA = StructType(
 
 
 def read_events_stream(
-    spark: SparkSession, src_dir: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    src_dir: str,
+    max_files_per_trigger: int | None = None,
+    columns: list[str] | None = None,
 ) -> DataFrame:
     """File-source stream over a parquet directory (explicit schema —
-    streaming sources cannot infer)."""
-    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    streaming sources cannot infer).
+
+    ``columns`` (r13, guide §2.3): restrict the stream schema to a
+    subset of the event columns, for staged directories that were
+    deliberately written projected — a staging writer that drops the
+    columns its consumer never reads writes proportionally fewer
+    bytes, and the projection contract lives HERE so the reader can
+    never silently expect a column the stage did not carry. Order
+    follows the canonical schema; unknown names raise."""
+    if columns is None:
+        schema = EVENTS_STREAM_SCHEMA
+    else:
+        want = set(columns)
+        known = {f.name for f in EVENTS_STREAM_SCHEMA.fields}
+        unknown = want - known
+        if unknown:
+            raise ValueError(
+                f"unknown event columns {sorted(unknown)}; "
+                f"schema has {sorted(known)}"
+            )
+        schema = StructType(
+            [f for f in EVENTS_STREAM_SCHEMA.fields if f.name in want]
+        )
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(src_dir)

@@ -51,6 +51,36 @@ def test_hourly_rollup_stream_matches_batch(spark, events_dir):
     assert got == want
 
 
+def test_hourly_rollup_over_projected_stage_matches_full(
+    spark, events_dir, tmp_path
+):
+    """r13: a stage written with ONLY the columns the rollup consumes
+    (ts/event_type/value/user_id — the driver query's staging
+    projection) must drain to the identical rollup as the full-column
+    stage, and the column-subset stream schema must reject unknown
+    names rather than silently yielding nulls."""
+    cols = ["ts", "event_type", "value", "user_id"]
+    proj_dir = str(tmp_path / "proj_src")
+    spark.read.parquet(events_dir).select(*cols).write.parquet(proj_dir)
+    stream = S.hourly_rollup_stream(
+        S.read_events_stream(spark, proj_dir, columns=cols)
+    )
+    S.run_to_memory(stream, "rollup_proj_t", timeout_s=180)
+    got = {
+        (r.hour_ts, r.event_type): (r.n_events, r.sum_value, r.approx_users)
+        for r in spark.table("rollup_proj_t").collect()
+    }
+    full = S.hourly_rollup_stream(S.read_events_stream(spark, events_dir))
+    S.run_to_memory(full, "rollup_full_t", timeout_s=180)
+    want = {
+        (r.hour_ts, r.event_type): (r.n_events, r.sum_value, r.approx_users)
+        for r in spark.table("rollup_full_t").collect()
+    }
+    assert got == want
+    with pytest.raises(ValueError, match="unknown event columns"):
+        S.read_events_stream(spark, proj_dir, columns=["ts", "nope"])
+
+
 def test_dedup_stream_collapses_replays(spark, events_dir, tmp_path):
     dup_dir = str(tmp_path / "dup_src")
     src = spark.read.parquet(events_dir)
