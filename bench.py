@@ -240,6 +240,18 @@ def main() -> None:
             ).save()
             release_rdd_storage(spark, persistent_rdd_ids(spark) - ids0)
 
+    # host-speed probe BEFORE the sweep as well as after (r14, VERDICT
+    # r13 item 8): a single post-sweep probe cannot see intra-sweep
+    # load — r13's record sweep carried a probe-time burst (1.673) and
+    # its driver sweep the opposite (0.721 against a 137 total/ref), so
+    # normalization was guesswork. Both samples now ride the artifact;
+    # ``ref_sec`` keeps its post-sweep semantics (comparable to every
+    # prior round), ``ref_sec_pre`` is additive. 3 reps: the pre-probe
+    # exists to bracket the window, not to be the record. The sweep's
+    # own warmup pass has already JIT-warmed these code paths, so the
+    # pre-probe does not change what the timed sweep measures.
+    ref_pre = host_ref_sec(spark, reps=3)
+
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     # Interleave repetitions (full sweep x reps, not query x reps
     # back-to-back) so a transient load spike on the box degrades one
@@ -303,6 +315,7 @@ def main() -> None:
         "reps": reps,
         "sf": sf,
         "ref_sec": ref,
+        "ref_sec_pre": ref_pre,
         "total_over_ref": round(total / ref, 2) if ref else None,
     }
     # A SPARK_GRAFT_BENCH_ONLY subset must never overwrite the full-

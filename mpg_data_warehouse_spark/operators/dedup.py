@@ -102,6 +102,21 @@ MINHASH_MOD = 2147483647  # 2^31 − 1; keeps every product < 2^62 (exact int64)
 # broadcast gate.
 _VERIFY_RESTRICT_MAX_IDS = 4_000_000
 
+# ... and the restriction only PAYS above this corpus size (r14,
+# VERDICT r13 item 2): it spends a fixed few-job latency up front —
+# candidate-frame checkpoint, a count action, the broadcast build and
+# the semi-join stage — to save the per-doc shingle fold over the
+# NON-pair-incident majority of the corpus. Under ~10^5 docs that
+# whole fold is cheaper than the machinery (the r13 driver measured
+# the unconditioned restriction at +25% on the sf0.1 minhash slot,
+# 3.04 → 4.05 s), while at real corpus sizes the saved fold dominates
+# by orders of magnitude. Same guard pattern as the bm25 manifest
+# Bloom sidecar (`search._BLOOM_GUARD_MIN_DOCS`): below the threshold
+# the restriction machinery is skipped OUTRIGHT (no checkpoint, no
+# count), so the bench-scale plan is exactly the unrestricted r12
+# shape. Tests monkeypatch to 0 to exercise the restricted path.
+_VERIFY_RESTRICT_MIN_DOCS = 100_000
+
 
 def _minhash_seed_constants(num_hashes: int) -> list[tuple[int, int]]:
     """Per-seed (A_i, B_i) multipliers < MINHASH_MOD, derived from md5
@@ -629,21 +644,14 @@ def minhash_dedup_pairs(
     cands = lsh_candidate_pairs(
         sigs, id_col, num_hashes, bands, max_bucket, banded=banded
     )
-    if audit_cap_invariant or restrict_verify:
-        # the candidate self-join is about to be consumed twice (the
-        # pair-id set + the verify join): cut and materialize it once.
-        # ONLY in these opt-in modes — the plain path must stay
-        # action-free and cut-free (see the restrict_verify note).
-        cands = cands.localCheckpoint(eager=False)
-    n_cands = None
+    n_docs = None
     if audit_cap_invariant:
-        # all four probe quantities ride ONE action (a tagged union of
+        # all three probe quantities ride ONE action (a tagged union of
         # one-row aggregates): per-action scheduling overhead dominated
         # the first cut of this invariant (~0.9 s of three driver
-        # actions over KB-sized frames at sf0.1). The fourth leg (r13)
-        # is the candidate-pair count the verify restriction below
-        # needs — riding it here also materializes the candidate
-        # checkpoint inside the same job.
+        # actions over KB-sized frames at sf0.1). The "all" leg doubles
+        # as the corpus-size input to the verify-restriction gate below
+        # (banded is one row per (doc, band), so docs = all / bands).
         probe = (
             banded.agg(F.count(F.lit(1)).alias("v"))
             .withColumn("k", F.lit("all"))
@@ -659,11 +667,6 @@ def minhash_dedup_pairs(
                 .agg(F.coalesce(F.sum("n_docs"), F.lit(0)).alias("v"))
                 .withColumn("k", F.lit("mass"))
             )
-            .unionByName(
-                cands.agg(F.count(F.lit(1)).alias("v")).withColumn(
-                    "k", F.lit("cands")
-                )
-            )
         )
         vals = {r["k"]: r["v"] for r in probe.collect()}
         if vals["all"] - vals["kept"] != vals["mass"]:
@@ -673,28 +676,38 @@ def minhash_dedup_pairs(
                 f"{vals['all'] - vals['kept']} (max_bucket="
                 f"{max_bucket}) — cap and audit drifted"
             )
-        n_cands = vals["cands"]
+        n_docs = vals["all"] // bands
     elif restrict_verify:
-        n_cands = cands.count()
+        # one bounded count decides profitability; the contract caller
+        # passes a localCheckpointed frame, so this doubles as its
+        # materializer rather than re-running upstream lineage
+        n_docs = df.select(id_col).count()
     # Restrict the Jaccard verify to PAIR-INCIDENT docs (r13, guide
     # §2.3): the per-doc shingle-set fold inside ``jaccard_pairs``
     # otherwise shuffles and collect_sets the WHOLE corpus, while the
     # verify joins only ever probe ids that appear in a candidate
-    # pair — typically a small fraction of the corpus (and at 100 TB
-    # the gap is orders of magnitude). The candidate frame is
+    # pair — a small fraction of any real corpus (at 100 TB the gap is
+    # orders of magnitude). Gated TWICE (r14): on corpus size — below
+    # ``_VERIFY_RESTRICT_MIN_DOCS`` the machinery (checkpoint + count
+    # + broadcast + semi-join) costs more than the whole fold it
+    # trims, so small corpora skip it outright and keep the exact r12
+    # plan — and on broadcast safety: a shuffle semi-join of the
+    # shingle table would cost exactly the shuffle this trim removes,
+    # so oversized pair-id sets keep the full fold (correct either
+    # way, just slower). When the gate passes, the candidate frame is
     # checkpointed (its self-join was going to run anyway inside the
-    # verify join tree; materializing lets the id set reuse it), and
-    # the semi-join is only taken when the id set is provably
-    # broadcast-safe — a shuffle semi-join of the shingle table would
-    # cost exactly the shuffle this trim removes, so oversized pair
-    # sets keep the full fold (correct either way, just slower).
+    # verify join tree; materializing lets the id set reuse it).
     sh_verify = sh
-    if n_cands is not None and 0 < n_cands * 2 <= _VERIFY_RESTRICT_MAX_IDS:
-        pair_ids = (
-            cands.select(F.explode(F.array("id_a", "id_b")).alias(id_col))
-            .distinct()
-        )
-        sh_verify = sh.join(F.broadcast(pair_ids), id_col, "left_semi")
+    if n_docs is not None and n_docs >= _VERIFY_RESTRICT_MIN_DOCS:
+        cands = cands.localCheckpoint(eager=False)
+        n_cands = cands.count()
+        if 0 < n_cands * 2 <= _VERIFY_RESTRICT_MAX_IDS:
+            pair_ids = (
+                cands.select(
+                    F.explode(F.array("id_a", "id_b")).alias(id_col)
+                ).distinct()
+            )
+            sh_verify = sh.join(F.broadcast(pair_ids), id_col, "left_semi")
     verified = jaccard_pairs(
         df, cands, id_col, text_col, shingle_n, shingles=sh_verify
     )

@@ -143,13 +143,26 @@ def _idb(id_col, n_idb: int = N_IDB):
     return F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_idb))
 
 
+# Bucket-layout divisor: docs per partition directory before the
+# count caps at the standard layout. r13 used 256, which pushed even
+# a ~20 K-doc chunk store to the FULL 64-dir fan-out on both the
+# postings and the _docs manifest — and partitioned-write commit cost
+# is linear in directory count (measured 2.5 s for 64 dirs vs 0.7 s
+# for 16 on toy data; guide §6 small files). 2048 keeps small/medium
+# corpora at a handful of well-filled directories while any corpus
+# ≥ cap×2048 docs (≈ 131 K at the default cap — i.e. every real
+# deployment) still gets the exact 100 TB layout as before. Probe
+# pruning is unaffected in kind (searches prune to the query terms'
+# buckets under any modulus); env-tunable for cluster layouts.
+_DOCS_PER_BUCKET = int(os.environ.get("SPARK_GRAFT_DOCS_PER_BUCKET", "2048"))
+
+
 def _adaptive_buckets(n_docs: int, cap: int = N_BUCKETS) -> int:
     """Directory count scaled to the corpus: a partitioned write's
-    commit cost is LINEAR in its directory count (measured 2.5 s for
-    64 dirs vs 0.7 s for 16 on toy data), so a small corpus must not
-    pay the 100 TB layout's fan-out. ~256 docs per partition, floor 4,
-    capped at the standard layout."""
-    return max(4, min(cap, n_docs // 256))
+    commit cost is LINEAR in its directory count, so a small corpus
+    must not pay the 100 TB layout's fan-out. ``_DOCS_PER_BUCKET``
+    docs per partition, floor 4, capped at the standard layout."""
+    return max(4, min(cap, n_docs // _DOCS_PER_BUCKET))
 
 
 def _write_meta(path: str, meta: dict) -> None:
@@ -423,16 +436,12 @@ def build_ranked_index(
     # threshold get none (the refresh no-ops via the pointer
     # invalidation path; the exact guard is cheaper there). Committed
     # last: a crash here just means no sidecar, and the append guard
-    # degrades to exact.
-    _refresh_manifest_bloom(
-        docs.sparkSession,
-        path,
-        docs.sparkSession.read.parquet(_manifest_path(path)).select(
-            id_col
-        ).limit(0),
-        id_col,
-        n_docs,
-    )
+    # degrades to exact. ``new_ids=None``: the seed has no batch —
+    # the filter builds from the manifest alone — and passing None
+    # (r14) keeps the gated-off common path from paying a parquet
+    # footer read just to construct a ``limit(0)`` frame it never
+    # evaluates.
+    _refresh_manifest_bloom(docs.sparkSession, path, None, id_col, n_docs)
 
 
 def _manifest_path(path: str) -> str:
@@ -587,7 +596,7 @@ def _sweep_bloom_dirs(path: str) -> None:
 def _refresh_manifest_bloom(
     spark,
     path: str,
-    new_ids: DataFrame,
+    new_ids: DataFrame | None,
     id_col: str,
     n_total_after: int,
 ) -> None:
@@ -600,7 +609,12 @@ def _refresh_manifest_bloom(
     O(corpus), amortized-doubling like any capacity-doubling resize.
     Corpora under ``_BLOOM_GUARD_MIN_DOCS`` get the pointer
     INVALIDATED instead (see the threshold's comment — a skipped
-    refresh would leave a subset filter, the unsafe direction)."""
+    refresh would leave a subset filter, the unsafe direction).
+    ``new_ids=None`` means "no batch" (the build-time seed): the
+    filter, when due, is (re)built from the manifest alone — callers
+    on the common gated-off path then construct no DataFrame at all
+    (r14: the seed's eager ``read.parquet`` footer probe was pure
+    per-build driver latency)."""
     from mpg_data_warehouse_spark.operators.bloom import (
         DEFAULT_K,
         bloom_build,
@@ -614,6 +628,8 @@ def _refresh_manifest_bloom(
     if ptr is not None and n_total_after * _BLOOM_MAX_BITS_PER_KEY <= ptr[
         "n_bits"
     ]:
+        if new_ids is None:
+            return  # no batch to fold; the current filter already covers
         batch_blocks = bloom_build(
             new_ids.select(id_col),
             id_col,
@@ -627,13 +643,12 @@ def _refresh_manifest_bloom(
         )
         return
     n_bits = _bloom_bits_for(n_total_after)
-    ids = new_ids.select(id_col)
+    ids = new_ids.select(id_col) if new_ids is not None else None
     if get_storage_backend().exists(_manifest_path(path)):
-        ids = (
-            spark.read.parquet(_manifest_path(path))
-            .select(id_col)
-            .unionByName(ids)
-        )
+        man_ids = spark.read.parquet(_manifest_path(path)).select(id_col)
+        ids = man_ids if ids is None else man_ids.unionByName(ids)
+    if ids is None:
+        return  # no manifest and no batch — nothing to build from
     blocks = bloom_build(ids, id_col, n_bits=n_bits)
     _commit_manifest_bloom(spark, path, blocks, n_bits, DEFAULT_K, 0)
 

@@ -61,36 +61,45 @@ def test_minhash_pipeline_finds_near_dups(spark):
     assert not any(4 in p for p in pairs)
 
 
-def test_minhash_restrict_verify_matches_default(spark):
+def test_minhash_restrict_verify_matches_default(spark, monkeypatch):
     """The opt-in pair-incident verify restriction (r13) must emit
     exactly the default path's pairs — it only narrows the shingle
-    fold to ids the verify joins would probe anyway. Covers both the
-    broadcast-taken case and the oversized fallback (cap forced to 0
-    makes the gate decline)."""
+    fold to ids the verify joins would probe anyway. Covers all three
+    gate outcomes: the broadcast-taken case (min-docs forced to 0),
+    the oversized-id fallback (max-ids forced to 0), and the r14
+    profitability decline (default min-docs ≫ the test corpus — the
+    bench-scale path, which must be the plain unrestricted plan)."""
+    import mpg_data_warehouse_spark.operators.dedup as DD
+
     base = {
         (r.id_a, r.id_b, r.jaccard)
         for r in D.minhash_dedup_pairs(_corpus(spark), threshold=0.5).collect()
     }
+    # profitability gate declines on a tiny corpus (default threshold)
+    declined = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.minhash_dedup_pairs(
+            _corpus(spark), threshold=0.5, restrict_verify=True
+        ).collect()
+    }
+    assert declined == base and base
+    # gate passes → broadcast semi-join restriction taken
+    monkeypatch.setattr(DD, "_VERIFY_RESTRICT_MIN_DOCS", 0)
     opt = {
         (r.id_a, r.id_b, r.jaccard)
         for r in D.minhash_dedup_pairs(
             _corpus(spark), threshold=0.5, restrict_verify=True
         ).collect()
     }
-    assert opt == base and base
-    import mpg_data_warehouse_spark.operators.dedup as DD
-
-    orig = DD._VERIFY_RESTRICT_MAX_IDS
-    try:
-        DD._VERIFY_RESTRICT_MAX_IDS = 0
-        fallback = {
-            (r.id_a, r.id_b, r.jaccard)
-            for r in D.minhash_dedup_pairs(
-                _corpus(spark), threshold=0.5, restrict_verify=True
-            ).collect()
-        }
-    finally:
-        DD._VERIFY_RESTRICT_MAX_IDS = orig
+    assert opt == base
+    # gate passes but the id set is over the broadcast cap → full fold
+    monkeypatch.setattr(DD, "_VERIFY_RESTRICT_MAX_IDS", 0)
+    fallback = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in D.minhash_dedup_pairs(
+            _corpus(spark), threshold=0.5, restrict_verify=True
+        ).collect()
+    }
     assert fallback == base
 
 

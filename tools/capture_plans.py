@@ -1,6 +1,7 @@
 """Capture ``.explain("formatted")`` for headline queries into
-``plans/r13/<query>_<tag>.txt`` — the optimization round's evidence
-files (the judge checks plan claims against these).
+``plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<tag>.txt`` (default r14) —
+the optimization round's evidence files (the judge checks plan claims
+against these).
 
 Usage: python tools/capture_plans.py <tag> [query ...]
 
@@ -39,7 +40,7 @@ def main() -> int:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r13",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture-plans")
